@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.CoreOps._
+
+/** The declared query contract (SURVEY.md §2.6): the reference's operator
+  * inventory re-expressed over the TPC-H-ish testdata, each with a DuckDB
+  * oracle. Every query is fully ordered and type-pinned so the driver's
+  * hash compare is deterministic (ints stay ints, double sums go through
+  * exact decimal arithmetic, arrays are sorted).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 [A1+A3+A6 ≈ CalculatePopulationFacts]: filter → one-hot → grouped sums
+    "q01_filter_onehot_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_acctbal") >= 0)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("pop"),
+          sum(oneHot(col("c_mktsegment"), "BUILDING")).as("pop_b"),
+          sum(oneHot(col("c_mktsegment"), "MACHINERY")).as("pop_m"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Q2 [T9/T11 ≈ broadcast dim join, left outer, null→default]
+    "q02_dim_join_default" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      dimJoin(c, n, c("c_nationkey") === n("n_nationkey"),
+          Map("n_name" -> lit("")))
+        .select(col("c_custkey"), col("n_name").as("nm"))
+        .orderBy(col("c_custkey"))
+        .limit(100)
+    }),
+
+    // Q3 [S3/F1 ≈ cousub name rewrite]: conditional suffix strip
+    "q03_suffix_strip" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(
+          stripSuffix(col("n_name"), " Town").as("nm"),
+          col("n_nationkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Q4 [S4 ≈ disease dim load]: nullif + coalesce sentinel
+    "q04_sentinel_coalesce" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          sentinel(nullif(col("p_size"), lit(0)), -999).as("sz"))
+        .orderBy(col("p_partkey"))
+        .limit(1000)
+    }),
+
+    // Q5 [T12+T13 ≈ per-patient collect + dedup], order-canonicalized
+    "q05_collect_dedup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(distinctSorted(collect_list(col("l_linestatus"))).as("statuses"))
+        .orderBy(col("o_custkey"))
+        .limit(1000)
+    }),
+
+    // Q6 [A4+A5 ≈ unwind + post-filter + regroup ≈ CalculateDiseaseFacts]
+    "q06_unwind_refilter" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val perCust = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(array_distinct(collect_list(col("l_suppkey"))).as("supps"))
+      explodeGt0(perCust, "supps", "suppkey")
+        .filter(col("suppkey") > 10)
+        .groupBy(col("suppkey"))
+        .agg(count(lit(1)).as("pop"))
+        .orderBy(col("suppkey"))
+    }),
+
+    // Q7 [T7/T8 ≈ getAge]: whole-year difference at a fixed asOf date
+    "q07_age_years" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          ageYears(col("o_orderdate"), lit("1998-09-02").cast("date"))
+            .as("yrs"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    }),
+
+    // Q8 [T6 ≈ type-tag routing]: group-by-discriminator counts
+    "q08_type_routing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q9 [A1 tri-state ≈ deceased $exists]: null-or-false filter
+    "q09_tristate_filter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(absentOrFalse(col("o_orderstatus") === "F"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Q10 [T14 ≈ bundle counter]: plain count
+    "q10_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // Q11 [S8 shape ≈ fact-table emit]: match→project→group→shape
+    "q11_fact_shape" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-09-02").cast("date"))
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(count(lit(1)).as("pop"), exactSum(col("l_quantity")).as("q"))
+        .orderBy(col("l_suppkey"), col("l_returnflag"))
+    }),
+
+    // Q12 [events sanity for the streaming path]
+    "q12_events_minmax" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"),
+          max(col("ts")).as("mx"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_filter_onehot_agg" ->
+      """SELECT c_nationkey, count(*) AS pop,
+         CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS pop_b,
+         CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS pop_m
+         FROM customer WHERE c_acctbal >= 0
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q02_dim_join_default" ->
+      """SELECT c_custkey, coalesce(n_name, '') AS nm
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_custkey LIMIT 100""",
+    "q03_suffix_strip" ->
+      """SELECT CASE WHEN n_name LIKE '% Town'
+                     THEN substr(n_name, 1, length(n_name) - 5)
+                     ELSE n_name END AS nm, n_nationkey
+         FROM nation ORDER BY n_nationkey""",
+    "q04_sentinel_coalesce" ->
+      """SELECT p_partkey, coalesce(NULLIF(p_size, 0), -999) AS sz
+         FROM part ORDER BY p_partkey LIMIT 1000""",
+    "q05_collect_dedup" ->
+      """SELECT o_custkey, list_sort(list_distinct(list(l_linestatus))) AS statuses
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000""",
+    "q06_unwind_refilter" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, list_distinct(list(l_suppkey)) AS supps
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY o_custkey),
+         exploded AS (SELECT unnest(supps) AS suppkey FROM per_cust)
+         SELECT suppkey, count(*) AS pop FROM exploded
+         WHERE suppkey > 10 GROUP BY suppkey ORDER BY suppkey""",
+    "q07_age_years" ->
+      """SELECT o_orderkey,
+         CAST(year(DATE '1998-09-02') - year(o_orderdate)
+              - CASE WHEN month(o_orderdate) > 9
+                       OR (month(o_orderdate) = 9 AND day(o_orderdate) > 2)
+                     THEN 1 ELSE 0 END AS INTEGER) AS yrs
+         FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    "q08_type_routing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q09_tristate_filter" ->
+      """SELECT count(*) AS n FROM orders
+         WHERE coalesce(o_orderstatus = 'F', false) = false""",
+    "q10_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q11_fact_shape" ->
+      """SELECT l_suppkey, l_returnflag, count(*) AS pop,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+         FROM lineitem WHERE l_shipdate < DATE '1998-09-02'
+         GROUP BY l_suppkey, l_returnflag ORDER BY l_suppkey, l_returnflag""",
+    "q12_events_minmax" ->
+      "SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM events"
+  )
+}
