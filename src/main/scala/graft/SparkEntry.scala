@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.GraftSession
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,9 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql ++ ExtQueries.oracleSql
 }

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Text-analysis operators for LLM-data-pipeline use (north star,
+  * BASELINE.json): token counting, quality scoring, language-ID heuristics,
+  * document fingerprinting, shingling. All pure `Column` expressions
+  * (higher-order functions, no UDFs) — they run per-row inside whole-stage
+  * codegen with zero shuffle, so they scale linearly to 100 TB of text.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. `trim` first so leading/trailing whitespace does
+    * not fabricate empty tokens. On an empty string this yields `[""]`
+    * (size 1) — matches `regexp_split_to_array` in DuckDB/Postgres.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast(IntegerType)
+
+  /** A BPE-ish subword count without a vocab: runs of letters, runs of
+    * digits, and single non-alphanumeric glyphs each count as one token —
+    * a cheap, deterministic proxy for tokenizer load estimation.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(IntegerType)
+
+  /** Distinct word n-gram shingles, the unit of near-dup detection.
+    * Guarded: a doc shorter than n words has no shingles (empty array),
+    * never a malformed descending `sequence`.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val sh = transform(
+      sequence(lit(0), size(ws) - lit(n)),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    when(size(ws) >= n, array_distinct(sh)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact set-Jaccard of two pre-distinct arrays. Caller filters empty
+    * arrays (0/0 is undefined in every engine).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** Quality-score components (length / punctuation / stopword ratios) and
+    * a combined score. Per-row double arithmetic — deterministic and
+    * engine-portable (unlike double *aggregation*).
+    */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast(IntegerType)
+
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(the|and|of|to|a|in|is|it|for|on)\\b"), lit(0))).cast(IntegerType)
+
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val stopR = stopwordCount(text).cast(DoubleType) / nTok
+    val punctR = punctCount(text).cast(DoubleType) / greatest(length(text), lit(1)).cast(DoubleType)
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.3) * least(stopR * 5, lit(1.0))
+      + lit(0.2) * (lit(1.0) - least(punctR * 10, lit(1.0))), 6)
+  }
+
+  /** Language-ID by marker-token counting — the classic n-gram/stopword
+    * heuristic. Scores a fixed marker list per language; highest count wins,
+    * ties broken by a fixed language order. (On the synthetic corpus the
+    * text is language-independent word soup, so this exercises the operator
+    * shape — deterministic scoring + argmax — rather than linguistics.)
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|la|los|y|es)\\b")
+
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast(IntegerType)
+
+  def langId(text: Column): Column = {
+    // argmax with first-wins tie-break over the fixed order
+    val scored = langMarkers.map { case (l, p) => (l, langScore(text, p)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Canonical document fingerprint: md5 of whitespace-normalized,
+    * lowercased text. The exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 60-bit word hash used by SimHash: first 15 hex chars of md5, parsed
+    * base-16. 15 chars keep it positive in a signed 64-bit integer in every
+    * engine (Spark `conv`, DuckDB `CAST('0x…')`), which pins cross-engine
+    * semantics — unlike xxhash64, whose availability is Spark-only.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** 60-bit SimHash over distinct word features, as one per-row expression:
+    * bit b of the result is 1 iff the sum over features of ±1 (sign of the
+    * feature-hash's bit b) is positive. Nested higher-order aggregates —
+    * no explode, no shuffle, codegen-friendly.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(array_distinct(tokens(text)), w => hash60(w))
+    // variable-amount shifts need the SQL expressions (the Scala
+    // shiftright/shiftleft helpers only take literal Int amounts)
+    def shr(h: Column, b: Column) = call_function("shiftright", h, b)
+    def shl(h: Column, b: Column) = call_function("shiftleft", h, b)
+    aggregate(
+      sequence(lit(0), lit(59)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0L),
+          (s, h) => s + (shr(h, b) % 2) * 2 - 1)
+        acc + when(vote > 0, shl(lit(1L), b)).otherwise(lit(0L))
+      })
+  }
+}

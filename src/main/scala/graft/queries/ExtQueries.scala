@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.TextAnalysis._
+
+/** Extension queries: the LLM-data-pipeline operators (north star,
+  * BASELINE.json) over the `documents` and `embeddings` tables, each with a
+  * DuckDB oracle where the semantics are SQL-expressible. MinHash-LSH
+  * shares the brute-force oracle because its candidates are exact-verified
+  * (Dedup.scala); LSH top-k is approximate by construction and gets a
+  * rows-only check.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
+    "x02_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordCount(col("text")).as("n_stop"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "x03_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred"))
+        .orderBy(col("doc_id"))),
+
+    "x04_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "x05_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy(col("fp"))),
+
+    "x06_ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsBrute(docs(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("da"), col("db"))),
+
+    "x07_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsLsh(docs(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("da"), col("db"))),
+
+    "x08_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "x09_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4)
+        .orderBy(col("va"), col("vb"))),
+
+    "x10_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKBrute(e, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Approximate by construction (bucket pruning) — rows-only check.
+    "x11_ann_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKLsh(e, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "x12_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(s, docs(s, dir)).toDF()
+        .orderBy(col("doc_id")))
+  )
+
+  private val shingleCte =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                       for i in generate_series(1, len(ws)-2)]) AS sg
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents)
+         WHERE len(ws) >= 3)"""
+
+  private val jaccardPairsSql =
+    shingleCte + """
+       SELECT * FROM (
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                      (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+       WHERE j >= 0.5 ORDER BY da, db"""
+
+  private val cosSql =
+    """round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_token_count" ->
+      """SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "x02_quality_score" ->
+      """WITH c AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS INTEGER) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+           length(text) AS n_chars FROM documents)
+         SELECT doc_id, n_tokens, n_stop,
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 5, 1.0)
+               + 0.2 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)), 6) AS quality
+         FROM c ORDER BY doc_id""",
+    "x03_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|in)\b')) AS INTEGER) AS s_en,
+           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS s_de,
+           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS INTEGER) AS s_fr,
+           CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|y|es)\b')) AS INTEGER) AS s_es
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+           WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+           WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+           WHEN s_es > 0 THEN 'es'
+           ELSE 'und' END AS pred
+         FROM s ORDER BY doc_id""",
+    "x04_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "x05_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY fp""",
+    "x06_ngram_jaccard_pairs" -> jaccardPairsSql,
+    // LSH candidates are exact-verified, so the oracle is the same
+    // brute-force set (miss probability ~1e-8 at j=0.5, ~0 at the planted
+    // pairs' j>=0.9).
+    "x07_minhash_lsh_pairs" -> jaccardPairsSql,
+    "x08_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+           FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM toks),
+         bits AS (
+           SELECT doc_id, bb.b AS b,
+                  CASE WHEN sum(((hv >> bb.b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+           GROUP BY doc_id, bb.b)
+         SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "x09_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         SELECT * FROM (
+           SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+         WHERE cos >= 0.4 ORDER BY va, vb""",
+    "x10_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS qid, b.vec_id AS cid, $cosSql AS cos
+           FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+    "x12_multimodal_meta" ->
+      """WITH h AS (SELECT doc_id, strlen(text) AS n_bytes,
+                           CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+                    FROM documents)
+         SELECT doc_id, CAST(n_bytes AS INTEGER) AS n_bytes,
+                CAST(32 * (1 + hv % 8) AS INTEGER) AS width,
+                CAST(32 * (1 + (hv // 8) % 8) AS INTEGER) AS height,
+                CAST(1 + hv % 16 AS INTEGER) AS n_frames
+         FROM h ORDER BY doc_id"""
+  )
+}
