@@ -1,0 +1,81 @@
+package graft.fhir
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+
+/** CLI entry point mirroring the reference's flag surface (main.go:29-39):
+  *
+  * {{{
+  * runMain graft.fhir.FhirMain -path <bundleDir> -out <outDir>
+  *   [-cousub <parquet>] [-disease <parquet>] [-asof YYYY-MM-DD]
+  *   [-workers N] [-reset]
+  * }}}
+  *
+  * `-path` → bundle scan root (S1); `-out` → warehouse dir receiving
+  * `resources/` (S5), `rawstat/` (S6) and the three fact tables (S8).
+  * `-workers` → shuffle partitions (the reference's worker count);
+  * `-reset` → overwrite instead of append, the analogue of dropping the
+  * Mongo collections + truncating fact tables (S9/S10). Dims default to
+  * empty when no parquet is given (every lookup takes the zero-value path,
+  * like an unseeded `synth_ma` schema).
+  */
+object FhirMain {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("-") => k -> v
+    }.toMap
+    val path = opts.getOrElse("-path",
+      sys.error("required: -path <bundle dir>"))
+    val out = opts.getOrElse("-out", sys.error("required: -out <dir>"))
+    val workers = opts.getOrElse("-workers", "32").toInt
+    val asOf = opts.getOrElse("-asof", java.time.LocalDate.now().toString)
+
+    val spark = GraftSession.build(
+      master = s"local[$workers]", appName = "graft-fhir",
+      shufflePartitions = workers)
+    try run(spark, path, out, opts.get("-cousub"), opts.get("-disease"), asOf)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, path: String, out: String,
+      cousubPath: Option[String], diseasePath: Option[String],
+      asOf: String): Unit = {
+    import spark.implicits._
+
+    val cousubDim = RawStats.loadCousubDim(cousubPath
+      .map(spark.read.parquet)
+      .getOrElse(Seq.empty[(String, String, String)]
+        .toDF("cs_name", "ct_fips", "cs_fips")))
+    val diseaseDim = RawStats.loadDiseaseDim(diseasePath
+      .map(spark.read.parquet)
+      .getOrElse(Seq.empty[(String, String, Int, Option[Int])]
+        .toDF("code_system", "code", "condition_id", "disease_id")))
+
+    val t0 = System.nanoTime()
+    val bundles = BundleIngest.rewriteBundle(
+      BundleIngest.readBundles(spark, path)).cache()
+    val nBundles = bundles.count()
+
+    BundleIngest.writeResources(
+      BundleIngest.routeResources(bundles), s"$out/resources")
+
+    val rawstat = RawStats.build(
+      bundles, cousubDim, diseaseDim, lit(asOf).cast("date"))
+    rawstat.write.mode("overwrite").parquet(s"$out/rawstat")
+    println(f"$nBundles FHIR bundles read in ${(System.nanoTime() - t0) / 1e9}%f seconds")
+
+    val rawstatBack = spark.read.parquet(s"$out/rawstat")
+    def job(name: String, df: DataFrame): Unit = {
+      val t = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$out/$name")
+      println(f"$name calculated in ${(System.nanoTime() - t) / 1e9}%f seconds")
+    }
+    job("synth_pop_facts", FactJobs.populationFacts(rawstatBack))
+    job("synth_disease_facts", FactJobs.diseaseFacts(rawstatBack))
+    job("synth_condition_facts", FactJobs.conditionFacts(rawstatBack))
+    bundles.unpersist()
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CoreOps._
+
+class CoreOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("absentOrFalse keeps null and false, drops true (A1 tri-state)") {
+    val df = Seq[(Int, Option[Boolean])](
+      (1, None), (2, Some(false)), (3, Some(true))).toDF("id", "dec")
+    val kept = df.filter(absentOrFalse($"dec")).select("id")
+      .as[Int].collect().sorted
+    assert(kept.toSeq == Seq(1, 2))
+  }
+
+  test("stripSuffix handles 'Foo Town', 'Townsville', 'Town', exact ' Town'") {
+    val df = Seq("Foo Town", "Townsville", "Town", " Town", "Agawam Town Town")
+      .toDF("s")
+    val out = df.select(stripSuffix($"s", " Town")).as[String].collect().toSeq
+    assert(out == Seq("Foo", "Townsville", "Town", "", "Agawam Town"))
+  }
+
+  test("sentinel coalesces null to default") {
+    val df = Seq[(Int, Option[Int])]((1, Some(7)), (2, None)).toDF("id", "v")
+    val out = df.select(sentinel($"v", -999)).as[Int].collect().toSeq
+    assert(out == Seq(7, -999))
+  }
+
+  test("distinctSorted dedups with set semantics and canonical order") {
+    val df = Seq(Seq(3, 1, 3, 2, 1)).toDF("a")
+    val out = df.select(distinctSorted($"a")).as[Seq[Int]].collect().head
+    assert(out == Seq(1, 2, 3))
+  }
+
+  test("ageYears: birthday counts the day it happens; Feb 29 handled") {
+    val cases = Seq(
+      ("1980-05-15", "2020-05-14", 39), // day before 40th birthday
+      ("1980-05-15", "2020-05-15", 40), // on the birthday (Go loop with
+      ("1980-05-15", "2020-05-16", 40), // wall-clock now: counts)
+      ("2000-02-29", "2019-02-28", 18), // leap birth, non-leap asOf
+      ("2000-02-29", "2019-03-01", 19),
+      ("2000-02-29", "2020-02-29", 20), // leap-to-leap exact
+      ("1955-01-01", "2020-01-01", 65))
+    val df = cases.toDF("b", "a", "want")
+    val got = df.select(
+      ageYears($"b".cast("date"), $"a".cast("date")).as("got"), $"want")
+    assert(got.filter($"got" =!= $"want").count() == 0)
+  }
+
+  test("explodeGt0 drops empty/null arrays and non-positive elements (A4+A5)") {
+    val df = Seq(
+      (1, Seq(10, 0, -999)),
+      (2, Seq.empty[Int]),
+      (3, null.asInstanceOf[Seq[Int]]),
+      (4, Seq(5, 6))).toDF("id", "arr")
+    val out = explodeGt0(df, "arr", "v").select("id", "v")
+      .as[(Int, Int)].collect().toSeq.sorted
+    assert(out == Seq((1, 10), (4, 5), (4, 6)))
+  }
+
+  test("oneHot under sum aggregates counts") {
+    val df = Seq("male", "female", "male", "other").toDF("g")
+    val Row(m: Long, f: Long) = df.agg(
+      sum(oneHot($"g", "male")), sum(oneHot($"g", "female"))).head
+    assert(m == 2 && f == 1)
+  }
+
+  test("exactSum is exact on 2-decimal doubles") {
+    val df = (1 to 1000).map(i => i + 0.01).toDF("v")
+    val got = df.agg(exactSum($"v")).as[Double].head()
+    assert(got == 500500.0 + 10.0)
+  }
+
+  test("factRollup: pop shape without explode, disease shape with explode") {
+    val rs = Seq(
+      // (deceased, gender, key, diseases)
+      (Some(false), "male", "A", Seq(10, -999, 0)),
+      (None, "female", "A", Seq(10)),
+      (Some(true), "male", "A", Seq(10)), // dead: excluded
+      (None, "male", "B", Seq.empty[Int])) // no diseases: dropped by explode
+      .toDF("deceasedboolean", "gender", "cs_fips", "uniquediseases")
+    val pop = factRollup(rs, "deceasedboolean", "gender", Seq("cs_fips"))
+      .orderBy("cs_fips")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(pop == Seq(("A", 2L, 1L, 1L), ("B", 1L, 1L, 0L)))
+    val dis = factRollup(rs, "deceasedboolean", "gender", Seq("cs_fips"),
+      explodeCol = Some("uniquediseases"), explodedAs = "disease_id")
+      .orderBy("cs_fips", "disease_id")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(dis == Seq(("A", 10, 2L, 1L, 1L)))
+  }
+}

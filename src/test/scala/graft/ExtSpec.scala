@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Extension-operator specs on the sf0.001 testdata (read-only inputs). */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("minhash-LSH near-dup pairs equal brute force at j>=0.5") {
+    val brute = Dedup.jaccardPairsBrute(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.jaccardPairsLsh(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == brute)
+  }
+
+  test("exact dedup groups by fingerprint, keeps min doc_id") {
+    val twice = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 10000, $"text"))
+    val out = Dedup.exact(twice)
+    assert(out.count() == docs.count())
+    assert(out.filter($"n_copies" =!= 2).count() == 0)
+    assert(out.filter($"keep_id" >= 10000).count() == 0)
+  }
+
+  test("LSH top-k cosine values agree with brute force on shared pairs") {
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.topKBrute(emb, queries, 10)
+      .select($"qid", $"cid", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    val lsh = Similarity.topKLsh(emb, queries, 10)
+      .select($"qid", $"cid", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }
+    assert(lsh.nonEmpty)
+    // every LSH-scored pair that brute force also ranked must agree exactly
+    val shared = lsh.filter { case ((q, c), _) => brute.contains((q, c)) }
+    assert(shared.nonEmpty)
+    shared.foreach { case ((q, c), s) => assert(brute((q, c)) == s) }
+  }
+
+  test("multimodal metadata is deterministic and schema-typed") {
+    val a = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(m => m.width >= 32 && m.width <= 256))
+    assert(a.forall(m => m.n_bytes > 0))
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fhir.{BundleIngest, FactJobs, RawStats}
+
+/** Golden end-to-end pipeline test (SURVEY §5.2-2): fixture corpus →
+  * ingest + rewrite + rawstat + 3 rollups, asserted against hand-computed
+  * goldens. Deterministic IDs make the T4 rewrite assertable.
+  */
+case class RS(gender: String, age: Int, agerange: Int,
+    deceased: Option[Boolean], ct: String, cs: String, city: String,
+    nConds: Long, uc: Seq[Int], ud: Seq[Int])
+
+class FhirPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val bundlesPath =
+    getClass.getResource("/bundles").getPath
+  private lazy val bundles =
+    BundleIngest.readBundles(spark, bundlesPath)
+  private lazy val rewritten = BundleIngest.rewriteBundle(bundles).cache()
+
+  private lazy val cousubDim = RawStats.loadCousubDim(Seq(
+    ("Springfield", "25001", "2500100001"),
+    ("Ogden Town", "25003", "2500300002"))
+    .toDF("cs_name", "ct_fips", "cs_fips"))
+
+  private lazy val diseaseDim = RawStats.loadDiseaseDim(Seq(
+    ("http://snomed.info/sct", "44054006", 1, Some(10)),
+    ("http://snomed.info/sct", "38341003", 2, None))
+    .toDF("code_system", "code", "condition_id", "disease_id"))
+
+  private lazy val rawstat = RawStats.build(
+    rewritten, cousubDim, diseaseDim, lit("2020-01-01").cast("date")).cache()
+
+  test("S1/S2: reads 5 bundles, silently skips the malformed file") {
+    assert(bundles.count() == 5)
+  }
+
+  test("T4: internal references rewritten, external ones pass through") {
+    val refs = BundleIngest.routeResources(rewritten)
+      .select(col("resource.subject.reference").as("r"))
+      .where(col("r").isNotNull)
+      .union(rewritten.select(explode(col("entry")).as("e"))
+        .select(col("e.resource.requester.agent.reference").as("r"))
+        .where(col("r").isNotNull))
+      .as[String].collect().toSeq
+    val stillUrn = refs.filter(_.startsWith("urn:uuid:"))
+    // the only unresolved ref is the practitioner that has no entry
+    assert(stillUrn == Seq("urn:uuid:unknown-practitioner"))
+    // subject refs: b1 has 5 (3 conditions + encounter + observation),
+    // b2 has 2, b4 has 1, b5 has 3 — all resolve to Patient/<newid>
+    assert(refs.count(_.startsWith("Patient/")) == 11)
+  }
+
+  test("T4: backward and forward references resolve to the patient's new id") {
+    val byBundle = rewritten
+      .select(col("bundle_path"), explode(col("entry")).as("e"))
+    val patients = byBundle
+      .where(col("e.resource.resourceType") === "Patient")
+      .select(col("bundle_path"), col("e.resource.id").as("pid"))
+    val condRefs = byBundle
+      .where(col("e.resource.resourceType") === "Condition")
+      .select(col("bundle_path"), col("e.resource.subject.reference").as("ref"))
+    val joined = condRefs.join(patients, "bundle_path")
+    assert(joined.count() == 7)
+    assert(joined.filter(col("ref") =!= concat(lit("Patient/"), col("pid")))
+      .count() == 0)
+  }
+
+  test("T4: nested array references (basedOn, performer.actor) rewritten") {
+    val proc = rewritten.select(explode(col("entry")).as("e"))
+      .where(col("e.resource.resourceType") === "Procedure")
+      .select(
+        col("e.resource.basedOn.reference").as("based"),
+        col("e.resource.performer.actor.reference").as("actors"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(proc._1.forall(_.startsWith("Condition/")))
+    assert(proc._2.forall(_.startsWith("Patient/")))
+  }
+
+  test("T6: routing counts per collection") {
+    val counts = BundleIngest.routeResources(rewritten)
+      .groupBy("collection").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map(
+      "patients" -> 5L, "conditions" -> 7L, "encounters" -> 1L,
+      "observations" -> 1L, "medicationrequests" -> 1L, "procedures" -> 1L))
+  }
+
+  test("rawstat golden: demographics, dims, dedup arrays") {
+    val rows = rawstat.select(
+      col("gender"), col("age"), col("agerange"),
+      col("deceasedboolean").as("deceased"),
+      col("location.countyid_fips").as("ct"),
+      col("location.subcountyid_fips").as("cs"),
+      col("location.city").as("city"),
+      size(col("conditions")).cast("long").as("nConds"),
+      col("uniqueconditions").as("uc"), col("uniquediseases").as("ud"))
+      .as[RS].collect()
+      .sortBy(r => (r.city, r.gender, r.age))
+    assert(rows.length == 5)
+    val byAge = rows.map(r => r.age -> r).toMap
+    // p1: Springfield female, 39 (birthday not yet at Jan 1)
+    assert(byAge(39) == RS("female", 39, 1, None, "25001", "2500100001",
+      "Springfield", 3, Seq(1, 2), Seq(-999, 10)))
+    // p2: Shelbyville male 65, unmatched city -> "", untracked code -> {0,0}
+    assert(byAge(65) == RS("male", 65, 1, Some(false), "", "",
+      "Shelbyville", 1, Seq(0), Seq(0)))
+    // p3: leap-day birth, deceasedBoolean true, no conditions
+    assert(byAge(19) == RS("male", 19, 1, Some(true), "25001", "2500100001",
+      "Springfield", 0, Seq(), Seq()))
+    // p4: deceasedDateTime -> true; 'Ogden Town' dim matched after strip
+    assert(byAge(29) == RS("female", 29, 1, Some(true), "25003", "2500300002",
+      "Ogden", 1, Seq(1), Seq(10)))
+    // p5: child, two tracked conditions incl. -999 disease
+    assert(byAge(9) == RS("female", 9, 1, None, "25003", "2500300002",
+      "Ogden", 2, Seq(1, 2), Seq(-999, 10)))
+  }
+
+  test("fact rollups golden (3 jobs)") {
+    val pop = FactJobs.populationFacts(rawstat)
+      .orderBy("cs_fips")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(pop == Seq(
+      ("", 1, 1L, 1L, 0L),
+      ("2500100001", 1, 1L, 0L, 1L),
+      ("2500300002", 1, 1L, 0L, 1L)))
+
+    val dis = FactJobs.diseaseFacts(rawstat)
+      .orderBy("cs_fips", "disease_id")
+      .as[(String, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(dis == Seq(
+      ("2500100001", 10, 1, 1L, 0L, 1L),
+      ("2500300002", 10, 1, 1L, 0L, 1L)))
+
+    val con = FactJobs.conditionFacts(rawstat)
+      .orderBy("cs_fips", "condition_id")
+      .as[(String, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(con == Seq(
+      ("2500100001", 1, 1, 1L, 0L, 1L),
+      ("2500100001", 2, 1, 1L, 0L, 1L),
+      ("2500300002", 1, 1, 1L, 0L, 1L),
+      ("2500300002", 2, 1, 1L, 0L, 1L)))
+  }
+
+  test("S5: partitioned resource sink round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("graft-resources")
+      .toString
+    BundleIngest.writeResources(BundleIngest.routeResources(rewritten), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 16)
+    assert(back.select("collection").distinct().count() == 6)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.time.{LocalDate, Year}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CoreOps
+
+/** Property tests (SURVEY §5.2-4): Spark expressions vs direct Scala
+  * oracles reimplementing the reference's Go semantics. Uses ScalaCheck
+  * generators with a fixed seed (no scalatestplus bridge in the offline
+  * dependency set), evaluating each property over a generated batch in one
+  * Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): List[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  /** Go-semantics oracle for getAge (reference bundle.go:54-60):
+    * i:=1; for now.AddDate(-i,0,0).After(bd) {i++}; return i-1 — with
+    * `now` a wall-clock instant (time-of-day > midnight), so the birthday
+    * itself counts as completed. Go's AddDate normalizes Feb 29 of a
+    * non-leap target year to Mar 1 (java.time clamps to Feb 28 — modeled
+    * explicitly).
+    */
+  private def goAddYears(d: LocalDate, minus: Int): LocalDate = {
+    val y = d.getYear - minus
+    if (d.getMonthValue == 2 && d.getDayOfMonth == 29 && !Year.isLeap(y))
+      LocalDate.of(y, 3, 1)
+    else d.withYear(y)
+  }
+
+  private def goAge(birth: LocalDate, asOf: LocalDate): Int = {
+    var i = 1
+    // noon "now": shifted date strictly after birth OR equal to it
+    while (!goAddYears(asOf, i).isBefore(birth)) i += 1
+    i - 1
+  }
+
+  private val dateGen: Gen[LocalDate] = Gen
+    .choose(
+      LocalDate.of(1900, 1, 1).toEpochDay,
+      LocalDate.of(2030, 12, 31).toEpochDay)
+    .map(LocalDate.ofEpochDay)
+
+  test("ageYears matches the Go getAge loop on arbitrary date pairs") {
+    val pairs = sample(
+      for { a <- dateGen; b <- dateGen } yield
+        if (a.isBefore(b)) (a, b) else (b, a), 500)
+    val df = pairs.map { case (b, a) => (b.toString, a.toString) }
+      .toDF("b", "a")
+    val got = df.select(
+      CoreOps.ageYears($"b".cast("date"), $"a".cast("date"))).as[Int].collect()
+    val want = pairs.map { case (b, a) => goAge(b, a) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("distinctSorted equals sorted set semantics of removeDuplicates") {
+    val lists = sample(Gen.listOf(Gen.choose(-1000, 1000)), 100)
+    val got = lists.toDF("a")
+      .select(CoreOps.distinctSorted($"a")).as[Seq[Int]].collect()
+    assert(got.toSeq == lists.map(_.distinct.sorted))
+  }
+
+  test("jaccard expression equals set-arithmetic oracle") {
+    val wordGen = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val pairs = sample(
+      for {
+        x <- Gen.nonEmptyListOf(wordGen)
+        y <- Gen.nonEmptyListOf(wordGen)
+      } yield (x.distinct, y.distinct), 100)
+    val got = pairs.toDF("x", "y")
+      .select(graft.ext.TextAnalysis.jaccard($"x", $"y")).as[Double].collect()
+    val want = pairs.map { case (xs, ys) =>
+      xs.toSet.intersect(ys.toSet).size.toDouble / (xs.toSet ++ ys.toSet).size
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("minhash signature similarity approximates Jaccard") {
+    // two near-dup shingle sets vs two unrelated ones
+    val base = (1 to 100).map(i => s"sh$i")
+    val near = base.drop(5) ++ Seq("x1", "x2", "x3") // j ≈ 0.87
+    val far = (1 to 100).map(i => s"zz$i")
+    val df = Seq(
+      ("a", base), ("b", near), ("c", far)).toDF("id", "sg")
+      .select($"id", graft.ext.Dedup.minhashSignature($"sg", 128).as("sig"))
+    val sigs = df.as[(String, Seq[Long])].collect().toMap
+    def agree(x: Seq[Long], y: Seq[Long]): Double =
+      x.zip(y).count { case (a, b) => a == b }.toDouble / x.length
+    assert(agree(sigs("a"), sigs("b")) > 0.7)
+    assert(agree(sigs("a"), sigs("c")) < 0.2)
+  }
+}
