@@ -129,6 +129,37 @@ object CoreQueries {
       t(s, dir, "events")
         .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"),
           max(col("ts")).as("mx"))
+    }),
+
+    // Q13 [streaming windowed agg, batch-checked]: tumbling 1h windows —
+    // the exact plan Streams.windowedEventCounts runs incrementally.
+    "q13_windowed_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour").getField("start").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), exactSum(col("value")).as("total"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // Q14 [sessionization, batch form]: gap-based sessions via window
+    // functions (lag → new-session flag → running session id).
+    "q14_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(byUser)
+      val flagged = t(s, dir, "events")
+        .withColumn("new_s",
+          when(prev.isNull ||
+            (col("ts").cast("long") - prev.cast("long") > 1800), 1)
+            .otherwise(0))
+      val sess = flagged.withColumn("sid", sum(col("new_s")).over(byUser))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_len"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -184,6 +215,27 @@ object CoreQueries {
          FROM lineitem WHERE l_shipdate < DATE '1998-09-02'
          GROUP BY l_suppkey, l_returnflag ORDER BY l_suppkey, l_returnflag""",
     "q12_events_minmax" ->
-      "SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM events"
+      "SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM events",
+    "q13_windowed_events" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q14_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged),
+         per AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions, max(n) AS max_len
+         FROM per GROUP BY user_id ORDER BY user_id"""
   )
 }

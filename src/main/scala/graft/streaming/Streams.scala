@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.fhir.{BundleIngest, Schemas}
+
+/** Structured-Streaming variants (SURVEY §7.4-7 — extension; the reference
+  * is strictly batch).
+  *
+  * The ingest plan is streamable as-is: T1–T6 are per-row expressions, so
+  * `readStream` swaps in for `read` and the multi-sink fan-out moves into
+  * `foreachBatch`. Rollups become windowed aggregations with watermarks;
+  * custom session state uses `flatMapGroupsWithState` (the engine's
+  * mapGroupsWithState surface).
+  */
+object Streams {
+
+  // ---- streaming FHIR ingest -------------------------------------------
+
+  /** File-source streaming bundle ingest: new bundle files are discovered,
+    * rewritten, and fanned out to the partitioned resource sink — the
+    * incremental version of the reference's one-shot walk (main.go:111).
+    */
+  def bundleStream(spark: SparkSession, path: String): DataFrame =
+    BundleIngest.rewriteBundle(
+      spark.readStream
+        .schema(Schemas.bundle)
+        .option("multiLine", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
+        .json(path)
+        .withColumn("bundle_path", input_file_name())
+        .filter(col("_corrupt_record").isNull && col("entry").isNotNull)
+        .drop("_corrupt_record"))
+
+  def ingestStream(spark: SparkSession, path: String, outDir: String,
+      checkpoint: String): StreamingQuery =
+    bundleStream(spark, path).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        BundleIngest.routeResources(batch)
+          .write.mode("append").partitionBy("collection")
+          .parquet(s"$outDir/resources")
+      }
+      .start()
+
+  // ---- windowed event aggregation --------------------------------------
+
+  /** Watermarked tumbling-window counts over the events stream. Late rows
+    * beyond the watermark are dropped and window state is reclaimed — the
+    * property that keeps state bounded at 100 TB/day event volumes.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  // ---- stateful sessionization -----------------------------------------
+
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when no event arrives for `gapMs` of event time (enforced by
+    * event-time timeout against the watermark). State per user is O(1).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, new Timestamp(s.start),
+          new Timestamp(s.last), s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              closed ::= SessionOut(userId, new Timestamp(s.start),
+                new Timestamp(s.last), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark) // required by EventTimeTimeout
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("windowed event counts aggregate per window and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.windowedEventCounts(
+      src.toDF(), windowLen = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).start()
+    src.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 2.0),
+      Event(3, ts(11), 11, "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select($"event_type", $"n", $"total")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("sessionization closes sessions on gap and flushes on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.sessionize(src.toDS(), gapMs = 5 * 60000L,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // user 20: events at 1,3 then a gap, then 20 — first session closes
+    // in-batch; watermark moves past 20+gap with the late probe event
+    src.addData(
+      Event(1, ts(1), 20, "click", 1.0),
+      Event(2, ts(3), 20, "click", 2.0))
+    q.processAllAvailable()
+    src.addData(Event(3, ts(20), 20, "view", 4.0))
+    q.processAllAvailable()
+    src.addData(Event(4, ts(60), 21, "click", 8.0))
+    q.processAllAvailable()
+    src.addData(Event(5, ts(90), 21, "click", 16.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .select($"user_id", $"n_events", $"total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    // first session (events 1+2) closed by the gap; session at ts(20)
+    // flushed by event-time timeout once the watermark passed
+    assert(rows.contains((20L, 2L, 3.0)))
+    assert(rows.contains((20L, 1L, 4.0)))
+  }
+
+  test("streaming bundle ingest fans out to the partitioned resource sink") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"; Files.createDirectories(Paths.get(inDir))
+    val fixture = Paths.get(getClass.getResource("/bundles/b1.json").getPath)
+    Files.copy(fixture, Paths.get(s"$inDir/b1.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = Streams.ingestStream(spark, inDir, s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    // drop a second file in — the stream must pick it up incrementally
+    val f2 = Paths.get(getClass.getResource("/bundles/b5.json").getPath)
+    Files.copy(f2, Paths.get(s"$inDir/b5.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/out/resources")
+    assert(out.count() == 10) // b1: 6 entries, b5: 4
+    assert(out.filter(col("resource.subject.reference").startsWith("urn:"))
+      .count() == 0)
+  }
+}
