@@ -32,16 +32,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Shingle-set prep shared by the pairwise paths. */
+  /** Shingle-set prep shared by the pairwise paths. Two projections on
+    * purpose: the token array must be a bound column before the shingle
+    * lambda touches it, or the tokenizer re-runs per token
+    * (TextAnalysis.shinglesFromTokens).
+    */
   def shingled(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sg"))
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), shinglesFromTokens(col("ws"), n).as("sg"))
       .filter(size(col("sg")) > 0)
 
-  /** Brute-force all-pairs n-gram Jaccard ≥ threshold. O(n²) pairs — the
-    * correctness oracle and the right choice only when one side fits in a
-    * broadcast. A lossless size-ratio prune (J(A,B) ≤ min|·|/max|·|) cuts
-    * the quadratic constant without changing results.
+  /** Brute-force all-pairs n-gram Jaccard ≥ threshold. O(n²) pairs — kept
+    * as the cross-check oracle for [[jaccardPairsIndex]]; only sane when
+    * one side fits in a broadcast. A lossless size-ratio prune
+    * (J(A,B) ≤ min|·|/max|·|) cuts the quadratic constant without
+    * changing results.
     */
   def jaccardPairsBrute(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     val sg = shingled(docs, n)
@@ -56,26 +62,67 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Exact all-pairs Jaccard via an inverted shingle index — the
+    * PPJoin-style formulation that scales: explode (doc, shingle), self-
+    * join on the shingle, and the per-pair row count IS |A∩B|; union size
+    * follows from the per-doc set sizes. Only pairs sharing ≥1 shingle
+    * ever materialize (a pair with |A∩B|=0 cannot pass any threshold>0),
+    * so cost is Σ_shingle freq² instead of n² — and every step is a plain
+    * shuffle on the shingle/pair key, which distributes at 100 TB where
+    * the all-pairs join cannot. Output identical to [[jaccardPairsBrute]].
+    */
+  def jaccardPairsIndex(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sg = shingled(docs, n)
+    val sizes = sg.select(col("doc_id"), size(col("sg")).as("sz"))
+    val inv = sg.select(col("doc_id"), explode(col("sg")).as("sh"))
+    val l = inv.select(col("sh"), col("doc_id").as("da"))
+    val r = inv.select(col("sh"), col("doc_id").as("db"))
+    val inter = l.join(r, Seq("sh"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: `sizes` is one row per doc (not a bounded dim);
+    // AQE broadcasts it at small SF and shuffle-joins at corpus scale
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")), "db")
+      .select(col("da"), col("db"),
+        round(col("inter").cast(DoubleType) /
+          (col("sza") + col("szb") - col("inter")), 6).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** MinHash signature as a per-row expression array: for hash i,
     * min over shingles of a universal hash of the shingle's 60-bit md5
     * value. Seeds are fixed literals → deterministic across runs (the
     * exact-verify step makes their choice semantically irrelevant).
     */
-  private val MersennePrime31 = 2147483647L // 2^31 - 1
+  private val MersennePrime31 = graft.functions.MinHashSig.MersennePrime31
 
-  def minhashSignature(sg: Column, numHashes: Int): Column = {
-    // Universal hash in a 31-bit space: with h' = h mod p and a,b < 2^30,
-    // a*h' + b < 2^61 — no ANSI long overflow at any input.
-    val seeds = (0 until numHashes).map { i =>
-      val a = (0x9E3779B97F4A7C15L * (i + 1) & 0x3FFFFFFFL) | 1L
-      val b = 0xBF58476D1CE4E5B9L * (i + 7) & 0x3FFFFFFFL
-      (a, b)
-    }
-    val hv = transform(sg, s => pmod(hash60(s), lit(MersennePrime31)))
-    array(seeds.map { case (a, b) =>
-      array_min(transform(hv, h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
-    }: _*)
-  }
+  /** Base shingle hashes for MinHash, as a separate column expression:
+    * xxhash64 folded into the 31-bit universal-hash space. xxhash64 is
+    * engine-private here (the exact-verify step makes hash choice
+    * semantically irrelevant), native, and codegen'd. IMPORTANT:
+    * materialize as its own column before the signature — inlined into
+    * each of the 128 slots it would be recomputed 128× (no CSE across
+    * projection elements).
+    */
+  def shingleHashes(sg: Column): Column =
+    transform(sg, s => pmod(xxhash64(s), lit(MersennePrime31)))
+
+  /** MinHash signature: the codegen'd [[graft.functions.MinHashSig]]. */
+  def minhashSignature(hv: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig.minhash_sig(hv, numHashes)
+
+  /** Portable HOF formulation of the same signature — semantics oracle
+    * for the codegen expression (same fixed seeds), ~50× slower: 128
+    * interpreted array allocations per row.
+    */
+  def minhashSignatureHof(hv: Column, numHashes: Int): Column =
+    array(graft.functions.MinHashSig.seeds(numHashes).map { case (a, b) =>
+      array_min(transform(hv,
+        h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
+    }.toSeq: _*)
 
   /** MinHash + LSH banding near-dup: the scale path.
     *
@@ -93,16 +140,23 @@ object Dedup {
     val rows = numHashes / bands
     val sg = shingled(docs, n)
     val withBands = sg
-      .withColumn("sig", minhashSignature(col("sg"), numHashes))
+      .withColumn("hv", shingleHashes(col("sg"))) // md5 once per shingle
+      .withColumn("sig", minhashSignature(col("hv"), numHashes))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bkey",
         hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select(col("doc_id"), col("band"), col("bkey"))
-    val l = withBands.select(col("band"), col("bkey"), col("doc_id").as("da"))
-    val r = withBands.select(col("band"), col("bkey"), col("doc_id").as("db"))
+      .select(col("doc_id"), size(col("sg")).as("sz"), col("band"), col("bkey"))
+    val l = withBands.select(col("band"), col("bkey"),
+      col("doc_id").as("da"), col("sz").as("sza"))
+    val r = withBands.select(col("band"), col("bkey"),
+      col("doc_id").as("db"), col("sz").as("szb"))
     val candidates = l
       .join(r, Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
+      // the size-ratio prune is lossless (J ≤ min/max) and kills most
+      // false candidates from the short r=2 bands before the exact verify
+      .filter(col("da") < col("db") &&
+        least(col("sza"), col("szb")).cast(DoubleType) /
+          greatest(col("sza"), col("szb")) >= threshold)
       .select("da", "db")
       .distinct()
     val a = sg.select(col("doc_id").as("da"), col("sg").as("sga"))

@@ -9,16 +9,21 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Brute-force cosine top-k is the correctness baseline; the scale path is
   * bucketed pruning (LSH by random hyperplane sign / IVF by coarse
-  * centroid) so a 100 TB corpus is probed, not scanned, per query. All
-  * vector math is higher-order-function expressions in double precision —
-  * codegen'd, no UDFs, no driver-side collects.
+  * centroid) so a 100 TB corpus is probed, not scanned, per query. Vector
+  * math runs through [[graft.functions.FloatVecDot]] — a codegen'd
+  * Catalyst expression with the same left-to-right double accumulation as
+  * the portable HOF form, minus its per-row array allocation.
   */
 object Similarity {
 
-  /** dot(a,b) via zip_with + aggregate, accumulated left-to-right in
-    * double — deterministic and portable across engines.
+  /** dot(a,b): the custom codegen expression. [[dotHof]] is the portable
+    * higher-order-function formulation, kept as the semantics oracle
+    * (GraftFunctionsSpec asserts bit-equality).
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VecDot.vec_dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

@@ -29,17 +29,36 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast(IntegerType)
 
-  /** Distinct word n-gram shingles, the unit of near-dup detection.
-    * Guarded: a doc shorter than n words has no shingles (empty array),
-    * never a malformed descending `sequence`.
+  /** Distinct word n-gram shingles over a MATERIALIZED token-array column
+    * — `ws` must be a bound attribute (its own projection), not an inline
+    * `tokens(text)` expression: a lambda that captures an expression
+    * re-evaluates it per element access, turning one regex split per doc
+    * into one per token (O(n²) — measured as the dominant cost of the
+    * whole near-dup path). Indexed `transform` + O(1) `try_element_at`
+    * lookups, one trailing `slice` to drop the short tail shingles.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    val sh = transform(
-      sequence(lit(0), size(ws) - lit(n)),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
-    when(size(ws) >= n, array_distinct(sh)).otherwise(array().cast("array<string>"))
+  def shinglesFromTokens(ws: Column, n: Int): Column = {
+    // fold shifted copies of the token array with zip_with: every array
+    // argument is evaluated exactly once per row (lambdas only see
+    // elements), so nothing is re-evaluated per token even if an upstream
+    // optimizer rule inlines `ws` as a full expression
+    val joined = (2 to n).foldLeft(ws) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k), size(ws)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    // zip_with pads the short side with null; concat(null) → null tail
+    // entries, dropped by the slice
+    val sh = slice(joined, lit(1), greatest(size(ws) - lit(n - 1), lit(0)))
+    when(size(ws) >= n, array_distinct(sh))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience form over raw text. For corpus-scale work go through
+    * [[graft.ext.Dedup.shingled]], which materializes the token array
+    * first (see [[shinglesFromTokens]] for why).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Exact set-Jaccard of two pre-distinct arrays. Caller filters empty
     * arrays (0/0 is undefined in every engine).

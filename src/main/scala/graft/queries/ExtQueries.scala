@@ -48,8 +48,10 @@ object ExtQueries {
     "x05_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("fp"))),
 
+    // exact all-pairs semantics via the inverted shingle index (the
+    // O(n²) jaccardPairsBrute is its cross-check in ExtSpec)
     "x06_ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsBrute(docs(s, dir), n = 3, threshold = 0.5)
+      Dedup.jaccardPairsIndex(docs(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("da"), col("db"))),
 
     "x07_minhash_lsh_pairs" -> ((s, dir) =>

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GraftSession, Tables}
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Ad-hoc stage profiler for the near-dup path (dev tool). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("local[32]", "graft-profile")
+    val docs = Tables.load(spark, sf, "documents")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    timed("shingle+count")(
+      Dedup.shingled(docs, 3).agg(sum(size(col("sg")))).head())
+    val sg = Dedup.shingled(docs, 3).cache()
+    timed("shingle cache")(sg.count())
+    val inv = sg.select(col("doc_id"), explode(col("sg")).as("sh"))
+    timed("invert")(inv.count())
+    timed("selfjoin+group")(
+      inv.select(col("sh"), col("doc_id").as("da"))
+        .join(inv.select(col("sh"), col("doc_id").as("db")), Seq("sh"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1))).count())
+    timed("full index pairs")(Dedup.jaccardPairsIndex(docs, 3, 0.5).count())
+    timed("hashes only")(
+      Dedup.shingled(docs, 3)
+        .select(Dedup.shingleHashes(col("sg")).as("hv"))
+        .agg(sum(size(col("hv")))).head())
+    timed("minhash sig")(
+      Dedup.shingled(docs, 3)
+        .withColumn("hv", Dedup.shingleHashes(col("sg")))
+        .select(Dedup.minhashSignature(col("hv"), 128).as("sig"))
+        .agg(sum(size(col("sig")))).head())
+    timed("lsh pairs")(Dedup.jaccardPairsLsh(docs, 3, 0.5).count())
+    spark.stop()
+  }
+}

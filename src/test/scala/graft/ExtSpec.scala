@@ -15,12 +15,15 @@ class ExtSpec extends AnyFunSuite {
   private lazy val docs = Tables.load(spark, sf, "documents").cache()
   private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
 
-  test("minhash-LSH near-dup pairs equal brute force at j>=0.5") {
+  test("minhash-LSH and inverted-index near-dup pairs equal brute force") {
     val brute = Dedup.jaccardPairsBrute(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val index = Dedup.jaccardPairsIndex(docs, 3, 0.5)
       .as[(Long, Long, Double)].collect().toSet
     val lsh = Dedup.jaccardPairsLsh(docs, 3, 0.5)
       .as[(Long, Long, Double)].collect().toSet
     assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    assert(index == brute)
     assert(lsh == brute)
   }
 

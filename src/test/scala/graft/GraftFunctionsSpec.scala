@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.functions.VecDot.vec_dot
+
+/** Custom Catalyst expression specs. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vec_dot is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      (Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat()))
+    }
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      vec_dot($"a", $"b").as("fast"),
+      Similarity.dotHof($"a", $"b").as("slow"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (f, s) => assert(f == s) } // exact, not approx
+  }
+
+  test("vec_dot null and empty handling") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (None, Some(Array(1f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])))
+      .toDF("a", "b")
+    val out = df.select(vec_dot($"a", $"b")).as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(11.0), None, Some(0.0)))
+  }
+
+  test("vec_dot rejects non-float-array inputs at analysis") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(vec_dot($"a", $"b")).collect()
+    }
+  }
+
+  test("minhash_sig is bit-identical to the HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 30).map(_ =>
+      Tuple1(Seq.fill(rnd.nextInt(200) + 1)(rnd.nextLong().abs % 2147483647L)))
+    val df = rows.toDF("hv")
+    val both = df.select(
+      graft.ext.Dedup.minhashSignature($"hv", 128).as("fast"),
+      graft.ext.Dedup.minhashSignatureHof($"hv", 128).as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (f, s) => assert(f == s) }
+  }
+
+  test("vec_dot runs inside whole-stage codegen") {
+    // needs a real source: projections over a LocalRelation are constant-
+    // folded by ConvertToLocalRelation and never reach codegen
+    val df = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(vec_dot($"embedding", $"embedding").as("d"))
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty)
+    assert(df.agg(sum($"d")).as[Double].head() > 0)
+  }
+}

@@ -90,7 +90,8 @@ class PropertySpec extends AnyFunSuite {
     val far = (1 to 100).map(i => s"zz$i")
     val df = Seq(
       ("a", base), ("b", near), ("c", far)).toDF("id", "sg")
-      .select($"id", graft.ext.Dedup.minhashSignature($"sg", 128).as("sig"))
+      .withColumn("hv", graft.ext.Dedup.shingleHashes($"sg"))
+      .select($"id", graft.ext.Dedup.minhashSignature($"hv", 128).as("sig"))
     val sigs = df.as[(String, Seq[Long])].collect().toMap
     def agree(x: Seq[Long], y: Seq[Long]): Double =
       x.zip(y).count { case (a, b) => a == b }.toDouble / x.length
