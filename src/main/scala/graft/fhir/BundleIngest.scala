@@ -50,7 +50,8 @@ object BundleIngest {
     * plain map column, the analogue of the reference's per-bundle
     * `map[string]Reference` (main.go:257-272).
     */
-  def rewriteBundle(bundles: DataFrame, deterministic: Boolean = true): DataFrame = {
+  def rewriteBundle(bundles: DataFrame, deterministic: Boolean = true,
+      legacyCid: Boolean = false): DataFrame = {
     val withIds = bundles.withColumn("entry_ids",
       transform(col("entry"), e => newIdFor(e, deterministic)))
     val refMap = map_from_entries(
@@ -67,7 +68,8 @@ object BundleIngest {
         val withId = e.withField("resource.id", id) // T3
         withId.withField("resource",
           ReferenceRewrite.rewriteValue(
-            withId.getField("resource"), Schemas.resource, col("refmap")))
+            withId.getField("resource"), Schemas.resource, col("refmap"),
+            legacyCid))
       }))
     rewritten.drop("entry_ids")
   }

@@ -36,14 +36,22 @@ object FhirMain {
     val spark = GraftSession.build(
       master = s"local[$workers]", appName = "graft-fhir",
       shufflePartitions = workers)
-    try run(spark, path, out, opts.get("-cousub"), opts.get("-disease"), asOf)
+    try run(spark, path, out, opts.get("-cousub"), opts.get("-disease"),
+      asOf, reset = args.contains("-reset"))
     finally spark.stop()
   }
 
   def run(spark: SparkSession, path: String, out: String,
       cousubPath: Option[String], diseasePath: Option[String],
-      asOf: String): Unit = {
+      asOf: String, reset: Boolean = true): Unit = {
     import spark.implicits._
+
+    val sink = new ParquetSink(out)
+    // the reference always clears fact tables at startup (main.go:72-73)
+    // and drops resource collections only under -reset (main.go:76-78)
+    sink.clearFactTables(Seq(
+      "synth_pop_facts", "synth_disease_facts", "synth_condition_facts"))
+    if (reset) sink.reset()
 
     val cousubDim = RawStats.loadCousubDim(cousubPath
       .map(spark.read.parquet)
@@ -59,8 +67,7 @@ object FhirMain {
       BundleIngest.readBundles(spark, path)).cache()
     val nBundles = bundles.count()
 
-    BundleIngest.writeResources(
-      BundleIngest.routeResources(bundles), s"$out/resources")
+    sink.writeResources(BundleIngest.routeResources(bundles))
 
     val rawstat = RawStats.build(
       bundles, cousubDim, diseaseDim, lit(asOf).cast("date"))
@@ -70,7 +77,7 @@ object FhirMain {
     val rawstatBack = spark.read.parquet(s"$out/rawstat")
     def job(name: String, df: DataFrame): Unit = {
       val t = System.nanoTime()
-      df.write.mode("overwrite").parquet(s"$out/$name")
+      sink.writeFacts(name, df)
       println(f"$name calculated in ${(System.nanoTime() - t) / 1e9}%f seconds")
     }
     job("synth_pop_facts", FactJobs.populationFacts(rawstatBack))

@@ -1,0 +1,88 @@
+package graft.fhir
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Sink/reset abstraction for the reference's external surfaces
+  * (SURVEY §2.1 S5–S10): resources go to one collection per type, facts to
+  * three relational tables, with truncate/drop reset ops. Tests run
+  * against the parquet implementations; the JDBC implementation maps to
+  * the reference's Postgres COPY path and only needs a URL to swap in —
+  * nothing upstream changes, because both sides consume plain DataFrames.
+  * (A MongoDB connector sink drops in the same way via
+  * `format("mongodb")`; not linked here because the connector jar is not
+  * part of the build environment.)
+  */
+trait ResourceSink {
+  /** S5: per-collection resource write (reference bundle.go:111-120,
+    * unordered bulk). `routed` carries a `collection` column.
+    */
+  def writeResources(routed: DataFrame): Unit
+
+  /** S10: `-reset` — drop all resource collections (db.go:63-75). */
+  def reset(): Unit
+}
+
+trait FactSink {
+  /** S8: append one fact table in its COPY column order (db.go:139/235/330). */
+  def writeFacts(table: String, facts: DataFrame): Unit
+
+  /** S9: unconditional fact truncate at startup (db.go:43-59). */
+  def clearFactTables(tables: Seq[String]): Unit
+}
+
+/** Columnar warehouse implementation — collections become partition
+  * directories, facts become parquet tables. Used by tests and FhirMain.
+  */
+class ParquetSink(warehouseDir: String) extends ResourceSink with FactSink {
+  def writeResources(routed: DataFrame): Unit =
+    routed.write.mode("append").partitionBy("collection")
+      .parquet(s"$warehouseDir/resources")
+
+  def reset(): Unit = {
+    val p = java.nio.file.Paths.get(warehouseDir, "resources")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  def writeFacts(table: String, facts: DataFrame): Unit =
+    facts.write.mode("overwrite").parquet(s"$warehouseDir/$table")
+
+  def clearFactTables(tables: Seq[String]): Unit = ()
+}
+
+/** Relational implementation of the fact surface — the reference's
+  * Postgres path. `reWriteBatchedInserts=true` turns executeBatch into
+  * multi-row inserts (the practical COPY-speed JDBC setting); counts are
+  * cast to int to match the reference's int32 fact columns (db.go:35-37)
+  * at the boundary only. Partition-parallel: each executor partition
+  * opens its own connection via the standard `df.write.jdbc`.
+  */
+class JdbcFactSink(url: String, props: Properties = new Properties)
+    extends FactSink {
+  props.setProperty("reWriteBatchedInserts", "true")
+
+  def writeFacts(table: String, facts: DataFrame): Unit = {
+    val narrowed = facts.columns.foldLeft(facts) { (df, c) =>
+      if (Seq("pop", "pop_male", "pop_female").contains(c))
+        df.withColumn(c, col(c).cast("int"))
+      else df
+    }
+    narrowed.write.mode("append").jdbc(url, table, props)
+  }
+
+  def clearFactTables(tables: Seq[String]): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try tables.foreach { t =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"TRUNCATE TABLE $t")
+      finally st.close()
+    } finally conn.close()
+  }
+}
