@@ -94,6 +94,51 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style top-k: a fixed set of coarse "centroid" vectors partitions
+    * the corpus into cells (assignment = nearest centroid by cosine); a
+    * query probes only its own `nprobe` nearest cells. At rest the cell id
+    * is a partition/bucket column, so a 100 TB corpus is pruned to a few
+    * cells per query. Deterministic here (centroids = the first
+    * `nCentroids` corpus vectors — a k-means step would slot in without
+    * changing the plan shape). Approximate by design → rows-only check.
+    */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
+    val cent = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
+        norm(col("embedding")).as("cent_n"))
+    def assign(df: DataFrame, idCol: String, eCol: String, keep: Int): DataFrame = {
+      val scored = df.join(broadcast(cent),
+          col(idCol) =!= col("cent_id") || lit(keep > 1))
+        .withColumn("cent_cos",
+          dot(col(eCol), col("cent_e")) / (col("nrm") * col("cent_n")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cent_e", "cent_n", "cent_cos", "crank")
+    }
+    val c = assign(
+      corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("nrm")), "cid", "ce", 1)
+      .withColumnRenamed("cent_id", "cell").withColumnRenamed("nrm", "cn")
+    val q = assign(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("nrm")), "qid", "qe", nprobe)
+      .withColumnRenamed("cent_id", "cell").withColumnRenamed("nrm", "qn")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cos"))
+      .distinct() // a pair can meet in several probed cells
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
   /** Bucketed (LSH) top-k: candidates limited to the query's bucket; the
     * bucket column is groupable/bucketable at rest, so at scale the join
     * is partition-pruned instead of all-pairs. Approximate by design —

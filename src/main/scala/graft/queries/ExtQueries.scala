@@ -81,7 +81,50 @@ object ExtQueries {
 
     "x12_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(s, docs(s, dir)).toDF()
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // inverted word statistics: document frequency + IDF per term
+    "x13_doc_frequency" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      d.select(explode(array_distinct(tokens(col("text")))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("word"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+        .orderBy(col("word"))
+    }),
+
+    // TF-IDF: highest-scoring term per document
+    "x14_tfidf_top_term" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val toks = d.select(col("doc_id"),
+        explode(tokens(col("text"))).as("word"))
+      val tf = toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = toks.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfq, "word")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // IVF-probed ANN — approximate by construction, rows-only check
+    "x15_ann_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKIvf(e, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    })
   )
 
   private val shingleCte =
@@ -184,6 +227,30 @@ object ExtQueries {
                 CAST(32 * (1 + hv % 8) AS INTEGER) AS width,
                 CAST(32 * (1 + (hv // 8) % 8) AS INTEGER) AS height,
                 CAST(1 + hv % 16 AS INTEGER) AS n_frames
-         FROM h ORDER BY doc_id"""
+         FROM h ORDER BY doc_id""",
+    "x13_doc_frequency" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+           FROM documents)
+         SELECT word, count(*) AS df,
+                round(ln((SELECT count(*) FROM documents)::DOUBLE / count(*)), 6) AS idf
+         FROM w GROUP BY word ORDER BY word""",
+    "x14_tfidf_top_term" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+           FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT word, count(*) AS df
+                 FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word),
+         scored AS (
+           SELECT tf.doc_id, tf.word,
+                  round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6) AS score
+           FROM tf JOIN dfq ON tf.word = dfq.word)
+         SELECT doc_id, word, score FROM (
+           SELECT doc_id, word, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS rn
+           FROM scored) t
+         WHERE rn = 1 ORDER BY doc_id"""
   )
 }

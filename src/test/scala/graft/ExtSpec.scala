@@ -51,6 +51,21 @@ class ExtSpec extends AnyFunSuite {
     shared.foreach { case ((q, c), s) => assert(brute((q, c)) == s) }
   }
 
+  test("IVF top-k cosine values agree with brute force on shared pairs") {
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.topKBrute(emb, queries, 10)
+      .select($"qid", $"cid", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (q, c, s) => (q, c) -> s }.toMap
+    val ivf = Similarity.topKIvf(emb, queries, 10)
+      .select($"qid", $"cid", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }
+    assert(ivf.nonEmpty)
+    assert(ivf.map(_._1._1).distinct.length == 5) // every query answered
+    val shared = ivf.filter { case ((q, c), _) => brute.contains((q, c)) }
+    assert(shared.nonEmpty)
+    shared.foreach { case ((q, c), s) => assert(brute((q, c)) == s) }
+  }
+
   test("multimodal metadata is deterministic and schema-typed") {
     val a = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
     val b = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
