@@ -53,4 +53,57 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(decodeBatch)
   }
+
+  /** Resized media row: payload stays binary, dimensions carried as typed
+    * metadata next to it — the at-rest shape for multimodal training data.
+    */
+  case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales to
+    * (maxW, maxH)-bounded dimensions, re-encodes. The stub preserves the
+    * payload and computes the bounded dimensions deterministically from
+    * the decoder metadata — batch shape, schema, and partition parallelism
+    * are the real thing.
+    */
+  def resize(spark: SparkSession, docs: DataFrame,
+      maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decodeBatch(Iterator((id, bytes))).next()
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+          ResizedMedia(id, (m.width * scale).toInt, (m.height * scale).toInt,
+            bytes)
+        }
+      }
+  }
+
+  /** STUB frame sampling: emits every `stride`-th frame index of a fake
+    * video payload as its own row (doc_id, frame_idx, frame payload) —
+    * the explode-shaped decode a video pipeline needs, with deterministic
+    * fake frame bytes (md5-keyed slice of the payload).
+    */
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+      stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val m = decodeBatch(Iterator((id, bytes))).next()
+          (0 until m.n_frames by stride).map { f =>
+            val start = (f * 7) % math.max(1, bytes.length)
+            Frame(id, f, bytes.slice(start, math.min(bytes.length, start + 16)))
+          }
+        }
+      }
+  }
 }

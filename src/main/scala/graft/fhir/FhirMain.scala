@@ -53,12 +53,21 @@ object FhirMain {
       "synth_pop_facts", "synth_disease_facts", "synth_condition_facts"))
     if (reset) sink.reset()
 
+    // dims come from parquet paths or, like the reference (main.go:137-202),
+    // straight from a relational store: pass "jdbc:<url>#<table>" to read
+    // via spark.read.jdbc (e.g. the synth_ma.synth_cousub_dim /
+    // synth_condition_dim tables)
+    def readDim(spec: String): DataFrame = spec.split("#", 2) match {
+      case Array(url, table) if url.startsWith("jdbc:") =>
+        spark.read.jdbc(url, table, new java.util.Properties)
+      case _ => spark.read.parquet(spec)
+    }
     val cousubDim = RawStats.loadCousubDim(cousubPath
-      .map(spark.read.parquet)
+      .map(readDim)
       .getOrElse(Seq.empty[(String, String, String)]
         .toDF("cs_name", "ct_fips", "cs_fips")))
     val diseaseDim = RawStats.loadDiseaseDim(diseasePath
-      .map(spark.read.parquet)
+      .map(readDim)
       .getOrElse(Seq.empty[(String, String, Int, Option[Int])]
         .toDF("code_system", "code", "condition_id", "disease_id")))
 

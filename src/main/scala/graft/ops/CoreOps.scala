@@ -95,6 +95,31 @@ object CoreOps {
   def exactSum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** Two-phase salted aggregation for skewed grouping keys: counts and
+    * sums are algebraic, so grouping first on (key, salt) spreads a hot
+    * key over `saltBuckets` reducers, and the second (tiny) aggregation
+    * merges the partials. AQE's skew handling covers joins; this is the
+    * equivalent lever for aggregations whose key histogram is pathological
+    * (e.g. a null/default city at 100 TB). Result identical to a direct
+    * groupBy-sum.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")): _*)
+  }
+
   /** §3.3: the one parameterized fact rollup behind all three stat jobs
     * (CalculatePopulationFacts/DiseaseFacts/ConditionFacts, db.go:79-358).
     * match(A1) → [unwind(A4)+match(A5)] → project(A2/A3) → group(A6) →

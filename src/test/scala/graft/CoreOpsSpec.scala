@@ -76,6 +76,17 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(got == 500500.0 + 10.0)
   }
 
+  test("saltedSumCount equals direct groupBy on a skewed key") {
+    val df = (1 to 10000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "HOT", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"))
+      .orderBy($"k").as[(String, Long, Long)].collect().toSeq
+    val salted = saltedSumCount(df, Seq("k"), Seq("v"))
+      .orderBy($"k").as[(String, Long, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+
   test("factRollup: pop shape without explode, disease shape with explode") {
     val rs = Seq(
       // (deceased, gender, key, diseases)

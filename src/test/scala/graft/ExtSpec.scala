@@ -73,4 +73,27 @@ class ExtSpec extends AnyFunSuite {
     assert(a.forall(m => m.width >= 32 && m.width <= 256))
     assert(a.forall(m => m.n_bytes > 0))
   }
+
+  test("multimodal resize bounds dimensions, preserves payload") {
+    val metas = Multimodal.extractMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    val resized = Multimodal.resize(spark, docs, 64, 64).collect()
+    assert(resized.length == metas.size)
+    resized.foreach { r =>
+      assert(r.width <= 64 && r.height <= 64)
+      assert(r.payload.length == metas(r.doc_id).n_bytes)
+    }
+  }
+
+  test("multimodal frame sampling strides over fake frames") {
+    val metas = Multimodal.extractMeta(spark, docs).collect()
+      .map(m => m.doc_id -> m).toMap
+    val frames = Multimodal.sampleFrames(spark, docs, stride = 2).collect()
+    val perDoc = frames.groupBy(_.doc_id)
+    assert(perDoc.forall { case (id, fs) =>
+      fs.length == (metas(id).n_frames + 1) / 2 &&
+        fs.map(_.frame_idx).sorted.toSeq ==
+          (0 until metas(id).n_frames by 2).toSeq
+    })
+  }
 }
