@@ -37,8 +37,8 @@ class FhirPipelineSpec extends AnyFunSuite {
   private lazy val rawstat = RawStats.build(
     rewritten, cousubDim, diseaseDim, lit("2020-01-01").cast("date")).cache()
 
-  test("S1/S2: reads 5 bundles, silently skips the malformed file") {
-    assert(bundles.count() == 5)
+  test("S1/S2: reads 6 bundles, silently skips the malformed file") {
+    assert(bundles.count() == 6)
   }
 
   test("T4: internal references rewritten, external ones pass through") {
@@ -53,8 +53,8 @@ class FhirPipelineSpec extends AnyFunSuite {
     // the only unresolved ref is the practitioner that has no entry
     assert(stillUrn == Seq("urn:uuid:unknown-practitioner"))
     // subject refs: b1 has 5 (3 conditions + encounter + observation),
-    // b2 has 2, b4 has 1, b5 has 3 — all resolve to Patient/<newid>
-    assert(refs.count(_.startsWith("Patient/")) == 11)
+    // b2 has 2, b4 has 1, b5 has 3, b6 has 4 — all resolve to Patient/<newid>
+    assert(refs.count(_.startsWith("Patient/")) == 15)
   }
 
   test("T4: backward and forward references resolve to the patient's new id") {
@@ -88,8 +88,10 @@ class FhirPipelineSpec extends AnyFunSuite {
       .groupBy("collection").count()
       .as[(String, Long)].collect().toMap
     assert(counts == Map(
-      "patients" -> 5L, "conditions" -> 7L, "encounters" -> 1L,
-      "observations" -> 1L, "medicationrequests" -> 1L, "procedures" -> 1L))
+      "patients" -> 6L, "conditions" -> 7L, "encounters" -> 2L,
+      "observations" -> 2L, "medicationrequests" -> 1L, "procedures" -> 1L,
+      "allergyintolerances" -> 1L, "careplans" -> 1L,
+      "immunizations" -> 1L, "diagnosticreports" -> 1L))
   }
 
   test("rawstat golden: demographics, dims, dedup arrays") {
@@ -103,7 +105,7 @@ class FhirPipelineSpec extends AnyFunSuite {
       col("uniqueconditions").as("uc"), col("uniquediseases").as("ud"))
       .as[RS].collect()
       .sortBy(r => (r.city, r.gender, r.age))
-    assert(rows.length == 5)
+    assert(rows.length == 6)
     val byAge = rows.map(r => r.age -> r).toMap
     // p1: Springfield female, 39 (birthday not yet at Jan 1)
     assert(byAge(39) == RS("female", 39, 1, None, "25001", "2500100001",
@@ -127,7 +129,7 @@ class FhirPipelineSpec extends AnyFunSuite {
       .orderBy("cs_fips")
       .as[(String, Int, Long, Long, Long)].collect().toSeq
     assert(pop == Seq(
-      ("", 1, 1L, 1L, 0L),
+      ("", 1, 2L, 2L, 0L), // p2 (Shelbyville) + p6 (Quincy): unmatched cities
       ("2500100001", 1, 1L, 0L, 1L),
       ("2500300002", 1, 1L, 0L, 1L)))
 
@@ -153,7 +155,7 @@ class FhirPipelineSpec extends AnyFunSuite {
       .toString
     BundleIngest.writeResources(BundleIngest.routeResources(rewritten), out)
     val back = spark.read.parquet(out)
-    assert(back.count() == 16)
-    assert(back.select("collection").distinct().count() == 6)
+    assert(back.count() == 23)
+    assert(back.select("collection").distinct().count() == 10)
   }
 }

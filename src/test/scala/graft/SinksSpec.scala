@@ -21,11 +21,11 @@ class SinksSpec extends AnyFunSuite {
     val routed = BundleIngest.routeResources(rewritten)
     sink.writeResources(routed)
     sink.writeResources(routed) // no -reset → duplicates, like the reference
-    assert(spark.read.parquet(s"$dir/resources").count() == 32)
+    assert(spark.read.parquet(s"$dir/resources").count() == 46)
     sink.reset()
     assert(!Files.exists(java.nio.file.Paths.get(dir, "resources")))
     sink.writeResources(routed)
-    assert(spark.read.parquet(s"$dir/resources").count() == 16)
+    assert(spark.read.parquet(s"$dir/resources").count() == 23)
   }
 
   test("ParquetSink fact write is idempotent per run (S8/S9 overwrite)") {

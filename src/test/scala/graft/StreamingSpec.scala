@@ -65,6 +65,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((20L, 1L, 4.0)))
   }
 
+  test("population facts run as a complete-mode streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Option[Boolean], String, String)]
+    val facts = graft.ops.CoreOps.factRollup(
+      src.toDF().toDF("deceasedboolean", "gender", "cs_fips"),
+      "deceasedboolean", "gender", Seq("cs_fips"))
+    val q = facts.writeStream.format("memory").queryName("pop_stream")
+      .outputMode(OutputMode.Complete()).start()
+    src.addData((None, "female", "A"), (Some(true), "male", "A"))
+    q.processAllAvailable()
+    src.addData((Some(false), "male", "A"), (None, "female", "B"))
+    q.processAllAvailable()
+    val rows = spark.table("pop_stream")
+      .as[(String, Long, Long, Long)].collect().toSet
+    q.stop()
+    // dead patient excluded; counts accumulate across micro-batches
+    assert(rows == Set(("A", 2L, 1L, 1L), ("B", 1L, 0L, 1L)))
+  }
+
   test("streaming bundle ingest fans out to the partitioned resource sink") {
     val tmp = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$tmp/in"; Files.createDirectories(Paths.get(inDir))
