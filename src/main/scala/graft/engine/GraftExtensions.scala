@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{FloatVecDot, MinHashSig}
+
+/** Registration of the engine's native expressions as SQL functions, so
+  * `SELECT vec_dot(a, b)` / `minhash_sig(hv, 128)` work from pure SQL.
+  * Deploy via `spark.sql.extensions=graft.engine.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numHashes must be a literal, got $other")
+        }
+        MinHashSig(children.head, n)
+      }))
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(id, info, builder)
+    }
+}

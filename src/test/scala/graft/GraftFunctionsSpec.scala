@@ -53,6 +53,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
     both.foreach { case (f, s) => assert(f == s) }
   }
 
+  test("extensions register vec_dot and minhash_sig for SQL use") {
+    graft.engine.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .as[Double].head()
+    assert(out == 11.0)
+    val sig = spark.sql(
+      "SELECT size(minhash_sig(array(1L, 2L, 3L), 16)) AS n")
+      .as[Int].head()
+    assert(sig == 16)
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     // needs a real source: projections over a LocalRelation are constant-
     // folded by ConvertToLocalRelation and never reach codegen
