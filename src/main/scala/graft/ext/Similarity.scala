@@ -94,6 +94,30 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Top-k via the bounded-heap [[graft.functions.TopKAgg]] — identical
+    * output to [[topKBrute]] (scores pre-rounded, id tie-break) but with
+    * partial aggregation: each map task reduces its scored slice to ≤ k
+    * pairs before the shuffle, so the exchange carries O(queries × k)
+    * rows instead of O(corpus × queries) — the difference between a
+    * viable and a doomed plan at 100 TB corpus scale.
+    */
+  def topKAggregated(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), norm(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cos"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scored
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("cid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("t._2").as("cid"), col("t._1").as("cos"))
+  }
+
   /** IVF-style top-k: a fixed set of coarse "centroid" vectors partitions
     * the corpus into cells (assignment = nearest centroid by cosine); a
     * query probes only its own `nprobe` nearest cells. At rest the cell id

@@ -66,9 +66,11 @@ object ExtQueries {
       Similarity.nearDupPairs(emb(s, dir), threshold = 0.4)
         .orderBy(col("va"), col("vb"))),
 
+    // bounded-heap aggregation form (shuffle carries queries×k, not all
+    // scored pairs); topKBrute is the window-rank cross-check in ExtSpec
     "x10_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.topKBrute(e, e.filter(col("vec_id") < 10), k = 10)
+      Similarity.topKAggregated(e, e.filter(col("vec_id") < 10), k = 10)
         .orderBy(col("qid"), col("rank"))
     }),
 

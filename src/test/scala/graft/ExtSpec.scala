@@ -51,6 +51,15 @@ class ExtSpec extends AnyFunSuite {
     shared.foreach { case ((q, c), s) => assert(brute((q, c)) == s) }
   }
 
+  test("bounded-heap top-k aggregator equals window-rank brute force") {
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.topKBrute(emb, queries, 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val agg = Similarity.topKAggregated(emb, queries, 10)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(agg == brute)
+  }
+
   test("IVF top-k cosine values agree with brute force on shared pairs") {
     val queries = emb.filter($"vec_id" < 5)
     val brute = Similarity.topKBrute(emb, queries, 10)
