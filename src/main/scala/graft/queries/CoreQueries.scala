@@ -160,6 +160,47 @@ object CoreQueries {
       sess.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), max(col("n")).as("max_len"))
         .orderBy(col("user_id"))
+    }),
+
+    // Q15 [engine surface: hierarchical aggregation]: ROLLUP with
+    // explicit null ordering (Spark defaults NULLS FIRST, DuckDB LAST —
+    // pinned in the oracle)
+    "q15_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Q16 [engine surface: anti join]: customers with no orders
+    "q16_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+        .limit(500)
+    }),
+
+    // Q17 [engine surface: set ops]: suppkeys appearing in lineitem but
+    // not in supplier (EXCEPT = distinct set difference in both engines)
+    "q17_set_except" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+      l.except(sup).orderBy(col("k"))
+    }),
+
+    // Q18 [engine surface: scalar subquery]: orders above the global
+    // average price — the average in exact decimal so the threshold is
+    // bit-identical across engines
+    "q18_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(
+        avg(col("o_totalprice").cast("decimal(18,2)")).as("ap"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice").cast("decimal(18,2)") > col("ap"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 
@@ -236,6 +277,21 @@ object CoreQueries {
            FROM flagged),
          per AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
          SELECT user_id, count(*) AS n_sessions, max(n) AS max_len
-         FROM per GROUP BY user_id ORDER BY user_id"""
+         FROM per GROUP BY user_id ORDER BY user_id""",
+    "q15_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q16_anti_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey LIMIT 500""",
+    "q17_set_except" ->
+      """SELECT l_suppkey AS k FROM lineitem
+         EXCEPT SELECT s_suppkey AS k FROM supplier ORDER BY k""",
+    "q18_scalar_subquery" ->
+      """SELECT count(*) AS n FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
+               (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)"""
   )
 }
