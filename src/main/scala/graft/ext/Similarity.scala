@@ -77,8 +77,10 @@ object Similarity {
     * the same bucket are near in angle w.h.p.; a multi-probe search scans
     * the query's bucket plus Hamming-1 neighbors.
     */
-  def hyperplaneBucket(e: Column, dim: Int, nbits: Int): Column = {
-    def planeWeight(bit: Int, d: Int): Double = {
+  def hyperplaneBucket(e: Column, dim: Int, nbits: Int,
+      planeOffset: Int = 0): Column = {
+    def planeWeight(bit0: Int, d: Int): Double = {
+      val bit = bit0 + planeOffset
       // fixed splitmix64-ish pseudo-random weight in [-1, 1)
       var z = (bit.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L)
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -87,11 +89,51 @@ object Similarity {
       (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
     }
     (0 until nbits).map { bit =>
-      val proj = (0 until dim).map { d =>
-        element_at(e, d + 1).cast(DoubleType) * lit(planeWeight(bit, d))
-      }.reduce(_ + _)
+      // the projection is a dot product against a literal weight vector —
+      // one codegen'd vec_dot per plane instead of dim scalar terms per
+      // plane (the scalar form made a 4k-node expression tree per sketch
+      // and measurably stressed codegen/driver heap)
+      val weights = (0 until dim).map(d => planeWeight(bit, d).toFloat)
+      val proj = dot(e, typedlit(weights))
       when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane bucketing with
+    * Hamming-1 multi-probe as the candidate generator, exact cosine as
+    * the verifier — same candidates-then-verify structure as MinHash-LSH
+    * for text (Dedup.jaccardPairsLsh). Cost is Σ bucket² instead of n²;
+    * every shuffle keys on the bucket id. Recall is probabilistic in the
+    * bucket bits (angle ≥ ~66° pairs may be missed), so: rows-only check,
+    * with the subset+agreement property asserted against the brute pairs
+    * in ExtSpec.
+    */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double,
+      dim: Int = 64, nbits: Int = 4, tables: Int = 16): DataFrame = {
+    // multi-table LSH (the banding trick in hyperplane space): T
+    // independent 4-bit sketches; a pair is a candidate if ANY table
+    // buckets it together. At cos=0.4 (~66°), P(all 4 planes agree) ≈
+    // 0.16 per table → ≥1-of-16 recall ≈ 0.94; near-dups at cos≥0.9 are
+    // caught w.p. ~1. Exact-verify keeps the output meaning exact.
+    val withMeta = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneBucket(col("embedding"), dim, nbits, t * nbits)
+            .as("b"))): _*).as("buckets"))
+    val banded = withMeta
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("buckets")).as("tb"))
+    val a = banded.select(col("tb"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = banded.select(col("tb"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("tb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
   }
 
   /** Top-k via the bounded-heap [[graft.functions.TopKAgg]] — identical
@@ -131,25 +173,32 @@ object Similarity {
     val cent = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
         norm(col("embedding")).as("cent_n"))
-    def assign(df: DataFrame, idCol: String, eCol: String, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(cent),
-          col(idCol) =!= col("cent_id") || lit(keep > 1))
-        .withColumn("cent_cos",
-          dot(col(eCol), col("cent_e")) / (col("nrm") * col("cent_n")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cent_cos").desc, col("cent_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cent_e", "cent_n", "cent_cos", "crank")
-    }
-    val c = assign(
-      corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        norm(col("embedding")).as("nrm")), "cid", "ce", 1)
-      .withColumnRenamed("cent_id", "cell").withColumnRenamed("nrm", "cn")
-    val q = assign(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm(col("embedding")).as("nrm")), "qid", "qe", nprobe)
-      .withColumnRenamed("cent_id", "cell").withColumnRenamed("nrm", "qn")
+    // cell assignment is an aggregation (max_by / bounded top-k), not a
+    // window rank: partial aggregation collapses the vectors×centroids
+    // product map-side instead of sorting it through a shuffle
+    val c = corpus
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(cent))
+      .withColumn("cent_cos",
+        dot(col("ce"), col("cent_e")) / (col("cn") * col("cent_n")))
+      .groupBy(col("cid"))
+      .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+        max_by(col("cent_id"), col("cent_cos")).as("cell"))
+    val probeAgg = udaf(new graft.functions.TopKAgg(nprobe))
+    val q = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+      .join(broadcast(cent))
+      .withColumn("cent_cos",
+        dot(col("qe"), col("cent_e")) / (col("qn") * col("cent_n")))
+      .groupBy(col("qid"))
+      .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
+        probeAgg(col("cent_cos"), col("cent_id")).as("cells"))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode(col("cells")).as("cellStruct"))
+      .withColumn("cell", col("cellStruct._2"))
+      .drop("cellStruct")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),

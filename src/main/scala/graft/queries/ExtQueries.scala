@@ -121,6 +121,12 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // hyperplane-LSH near-dup with multi-probe + exact verify —
+    // approximate recall, rows-only check (subset property in ExtSpec)
+    "x16_embedding_neardup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(emb(s, dir), threshold = 0.4)
+        .orderBy(col("va"), col("vb"))),
+
     // IVF-probed ANN — approximate by construction, rows-only check
     "x15_ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)

@@ -41,6 +41,25 @@ object Profile {
         .select(Dedup.minhashSignature(col("hv"), 128).as("sig"))
         .agg(sum(size(col("sig")))).head())
     timed("lsh pairs")(Dedup.jaccardPairsLsh(docs, 3, 0.5).count())
+    timed("prefix pairs")(Dedup.jaccardPairsPrefix(docs, 3, 0.5).count())
+
+    val emb = Tables.load(spark, sf, "embeddings")
+    import graft.ext.Similarity
+    timed("ivf warm scan")(emb.count())
+    val cent = emb.filter(col("vec_id") < 8)
+    timed("ivf corpus assign")(
+      emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"))
+        .join(broadcast(cent.select(col("vec_id").as("cent_id"),
+          col("embedding").as("cent_e"),
+          Similarity.norm(col("embedding")).as("cent_n"))))
+        .groupBy(col("cid"))
+        .agg(max_by(col("cent_id"),
+          Similarity.dot(col("ce"), col("cent_e")) /
+            (col("cn") * col("cent_n"))).as("cell"))
+        .count())
+    timed("ivf full")(Similarity.topKIvf(emb, emb.filter(col("vec_id") < 10), 10).count())
+    timed("neardup lsh full")(Similarity.nearDupPairsLsh(emb, 0.4).count())
     spark.stop()
   }
 }

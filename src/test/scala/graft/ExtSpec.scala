@@ -22,9 +22,12 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     val lsh = Dedup.jaccardPairsLsh(docs, 3, 0.5)
       .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefix(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
     assert(brute.nonEmpty, "testdata should contain planted near-dups")
     assert(index == brute)
     assert(lsh == brute)
+    assert(prefix == brute)
   }
 
   test("exact dedup groups by fingerprint, keeps min doc_id") {
@@ -73,6 +76,20 @@ class ExtSpec extends AnyFunSuite {
     val shared = ivf.filter { case ((q, c), _) => brute.contains((q, c)) }
     assert(shared.nonEmpty)
     shared.foreach { case ((q, c), s) => assert(brute((q, c)) == s) }
+  }
+
+  test("hyperplane-LSH near-dup pairs are a verified subset of brute force") {
+    val brute = Similarity.nearDupPairs(emb, 0.2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(brute.nonEmpty)
+    assert(lsh.nonEmpty)
+    // every LSH pair must exist in brute force with the identical cosine
+    lsh.foreach { case (a, b, c) => assert(brute((a, b)) == c) }
+    // 16 tables × 4 bits should catch a solid majority at this angle
+    assert(lsh.length.toDouble / brute.size > 0.5)
   }
 
   test("multimodal metadata is deterministic and schema-typed") {

@@ -83,6 +83,18 @@ class FhirPipelineSpec extends AnyFunSuite {
     assert(proc._2.forall(_.startsWith("Patient/")))
   }
 
+  test("T4 is idempotent: rewriting a rewritten bundle changes nothing") {
+    val once = rewritten
+    val twice = BundleIngest.rewriteBundle(once.drop("refmap"))
+    // already-rewritten refs ("Patient/<id>") match no refMap key and the
+    // new ids derive from the same (path, fullUrl) → byte-identical entries
+    val a = once.select(to_json(col("entry")).as("j")).orderBy("j")
+      .as[String].collect().toSeq
+    val b = twice.select(to_json(col("entry")).as("j")).orderBy("j")
+      .as[String].collect().toSeq
+    assert(a == b)
+  }
+
   test("T6: routing counts per collection") {
     val counts = BundleIngest.routeResources(rewritten)
       .groupBy("collection").count()
