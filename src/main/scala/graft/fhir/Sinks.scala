@@ -57,6 +57,40 @@ class ParquetSink(warehouseDir: String) extends ResourceSink with FactSink {
   def clearFactTables(tables: Seq[String]): Unit = ()
 }
 
+/** The reference's MongoDB resource surface (bundle.go:111-124): one
+  * collection per resource type, unordered bulk writes. Uses the
+  * DataSource V2 "mongodb" format, which resolves at runtime from the
+  * MongoDB Spark connector jar (not part of this build environment — the
+  * class compiles and is the documented deployment path; tests exercise
+  * the same DataFrames through [[ParquetSink]]).
+  *
+  * `ordered=false` reproduces the reference's `Bulk().Unordered()`; the
+  * per-collection loop mirrors its type routing, with each write a
+  * partition-parallel bulk insert.
+  */
+class MongoResourceSink(uri: String, database: String) extends ResourceSink {
+  def writeResources(routed: DataFrame): Unit =
+    Schemas.collections.values.toSeq.sorted.foreach { coll =>
+      routed.filter(col("collection") === coll)
+        .select(col("resource.*"))
+        .write.format("mongodb")
+        .mode("append")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", coll)
+        .option("ordered", "false")
+        .save()
+    }
+
+  /** S10: the connector has no drop API on the write path; reset via
+    * overwrite-with-empty on each collection at next write, or an admin
+    * command outside Spark — kept explicit rather than silently partial.
+    */
+  def reset(): Unit = throw new UnsupportedOperationException(
+    "drop Mongo collections via an admin command; the Spark connector " +
+      "write path only supports append/overwrite per write")
+}
+
 /** Relational implementation of the fact surface — the reference's
   * Postgres path. `reWriteBatchedInserts=true` turns executeBatch into
   * multi-row inserts (the practical COPY-speed JDBC setting); counts are

@@ -83,6 +83,21 @@ class PropertySpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("zip_with shingle construction equals sliding-window oracle") {
+    val wordGen = Gen.oneOf("aa", "b", "ccc", "dd", "e", "ff", "g")
+    val docs = sample(Gen.listOf(wordGen), 200) // includes <3-word docs
+    val got = docs.map(_.mkString(" ")).toDF("text")
+      .select(graft.ext.TextAnalysis.wordShingles($"text", 3).as("sg"))
+      .as[Seq[String]].collect()
+    val want = docs.map { ws =>
+      if (ws.length < 3) Seq.empty[String]
+      else ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    got.zip(want).zip(docs).foreach { case ((g, w), d) =>
+      assert(g == w, s"doc=$d")
+    }
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     // two near-dup shingle sets vs two unrelated ones
     val base = (1 to 100).map(i => s"sh$i")
