@@ -19,6 +19,16 @@ import graft.ops.CoreOps
   */
 object RawStats {
 
+  /** The typed view of the rawstat table (SURVEY §1.3: `Dataset[T]` where
+    * a case class models the row — compile-time field checks for the stat
+    * path while bundles/resources stay schema-dynamic DataFrames).
+    */
+  def typed(rawstat: DataFrame): org.apache.spark.sql.Dataset[Schemas.RawStat] = {
+    val spark = rawstat.sparkSession
+    import spark.implicits._
+    rawstat.as[Schemas.RawStat]
+  }
+
   /** S3 dim load: cousub city→FIPS with the `' Town'` suffix strip
     * (main.go:139-145). Expects (cs_name, ct_fips, cs_fips).
     */

@@ -162,6 +162,17 @@ class FhirPipelineSpec extends AnyFunSuite {
       ("2500300002", 2, 1, 1L, 0L, 1L)))
   }
 
+  test("rawstat round-trips through the typed Dataset[RawStat] encoder") {
+    val ds = graft.fhir.RawStats.typed(rawstat)
+    val rows = ds.collect()
+    assert(rows.length == 6)
+    val p2 = rows.find(_.age == 65).get
+    assert(p2.gender == "male" && p2.deceasedboolean.contains(false)
+      && p2.location.city == "Shelbyville"
+      && p2.conditions.map(_.conditionid) == Seq(0)
+      && p2.uniquediseases == Seq(0))
+  }
+
   test("S5: partitioned resource sink round-trips") {
     val out = java.nio.file.Files.createTempDirectory("graft-resources")
       .toString
