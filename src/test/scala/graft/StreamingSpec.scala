@@ -65,6 +65,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((20L, 1L, 4.0)))
   }
 
+  test("streaming windowed counts over the real events table equal batch q13") {
+    val sf = "/root/testdata/sf0.001"
+    val q = Streams.windowedEventCounts(
+      Streams.eventsStream(spark, sf), windowLen = "1 hour",
+      watermark = "2 hours")
+      .writeStream.format("memory").queryName("events_stream_counts")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val streamed = spark.table("events_stream_counts")
+      .select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    q.stop()
+    val batch = graft.queries.CoreQueries.queries("q13_windowed_events")(spark, sf)
+      .select($"win_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("population facts run as a complete-mode streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Option[Boolean], String, String)]
