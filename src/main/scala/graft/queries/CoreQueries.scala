@@ -201,6 +201,41 @@ object CoreQueries {
       o.crossJoin(broadcast(avgPrice))
         .filter(col("o_totalprice").cast("decimal(18,2)") > col("ap"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // Q19 [engine surface: CUBE]: all grouping-set combinations
+    "q19_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Q20 [engine surface: exact percentiles]: Spark `percentile` and
+    // DuckDB `quantile_cont` share the sorted-interpolation definition
+    "q20_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q21 [§2.4 scalar-function battery]: string ops over one projection
+    "q21_string_funcs" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          upper(col("n_name")).as("u"),
+          lpad(col("n_name"), 12, "*").as("lp"),
+          reverse(col("n_name")).as("rev"),
+          substring(col("n_name"), 2, 3).as("mid"),
+          length(col("n_name")).as("len"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("tr"),
+          concat_ws("-", col("n_name"), col("n_nationkey")).as("cw"))
+        .orderBy(col("n_nationkey"))
     })
   )
 
@@ -292,6 +327,26 @@ object CoreQueries {
     "q18_scalar_subquery" ->
       """SELECT count(*) AS n FROM orders
          WHERE CAST(o_totalprice AS DECIMAL(18,2)) >
-               (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)"""
+               (SELECT avg(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)""",
+    "q19_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q21_string_funcs" ->
+      """SELECT n_nationkey,
+                upper(n_name) AS u,
+                lpad(n_name, 12, '*') AS lp,
+                reverse(n_name) AS rev,
+                substring(n_name, 2, 3) AS mid,
+                CAST(length(n_name) AS INTEGER) AS len,
+                translate(n_name, 'AEIOU', 'aeiou') AS tr,
+                concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS cw
+         FROM nation ORDER BY n_nationkey"""
   )
 }
