@@ -103,6 +103,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("A", 2L, 1L, 1L), ("B", 1L, 0L, 1L)))
   }
 
+  test("streaming ingest resumes from checkpoint without reprocessing") {
+    val tmp = Files.createTempDirectory("graft-ckpt").toString
+    val inDir = s"$tmp/in"; Files.createDirectories(Paths.get(inDir))
+    def copyIn(name: String): Unit =
+      Files.copy(
+        Paths.get(getClass.getResource(s"/bundles/$name").getPath),
+        Paths.get(s"$inDir/$name"), StandardCopyOption.REPLACE_EXISTING)
+    copyIn("b1.json")
+    val q1 = Streams.ingestStream(spark, inDir, s"$tmp/out", s"$tmp/ckpt")
+    q1.processAllAvailable()
+    q1.stop()
+    // new file arrives while no query is running; a fresh query on the
+    // same checkpoint must process ONLY the new file (source offsets are
+    // durable — the reference's one-shot walk has no such story)
+    copyIn("b5.json")
+    val q2 = Streams.ingestStream(spark, inDir, s"$tmp/out", s"$tmp/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(s"$tmp/out/resources")
+    assert(out.count() == 10) // b1: 6 entries + b5: 4 — no duplicates
+  }
+
   test("streaming bundle ingest fans out to the partitioned resource sink") {
     val tmp = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$tmp/in"; Files.createDirectories(Paths.get(inDir))
