@@ -236,6 +236,36 @@ object CoreQueries {
           translate(col("n_name"), "AEIOU", "aeiou").as("tr"),
           concat_ws("-", col("n_name"), col("n_nationkey")).as("cw"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    // Q22 [custom operator: as-of join]: each purchase matched to the
+    // user's most recent strictly-earlier view (DuckDB native ASOF JOIN
+    // as the oracle; Spark side is the union+window composition)
+    "q22_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.ops.AsOfJoin.asOf(
+        purchases, views, "user_id", "ts", Seq("view_id", "view_value"))
+        .select(col("event_id"), col("view_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q23 [custom operator: range join]: same-order lineitem pairs
+    // shipped within 7 days of each other (equi key + interval predicate)
+    "q23_range_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("k"),
+        col("l_linenumber").as("la"), col("l_shipdate").as("da"))
+      val b = li.select(col("l_orderkey").as("k"),
+        col("l_linenumber").as("lb"), col("l_shipdate").as("db"))
+      a.join(b, Seq("k"))
+        .filter(col("la") < col("lb") &&
+          abs(datediff(col("db").cast("date"), col("da").cast("date"))) <= 7)
+        .select(col("k"), col("la"), col("lb"))
+        .orderBy(col("k"), col("la"), col("lb"))
     })
   )
 
@@ -347,6 +377,20 @@ object CoreQueries {
                 CAST(length(n_name) AS INTEGER) AS len,
                 translate(n_name, 'AEIOU', 'aeiou') AS tr,
                 concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS cw
-         FROM nation ORDER BY n_nationkey"""
+         FROM nation ORDER BY n_nationkey""",
+    "q22_asof_join" ->
+      """SELECT p.event_id, v.view_id, v.view_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_id,
+                                value AS view_value
+                         FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts > v.ts
+         ORDER BY p.event_id""",
+    "q23_range_join" ->
+      """SELECT a.l_orderkey AS k, a.l_linenumber AS la, b.l_linenumber AS lb
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+          AND abs(date_diff('day', a.l_shipdate, b.l_shipdate)) <= 7
+         ORDER BY k, la, lb"""
   )
 }

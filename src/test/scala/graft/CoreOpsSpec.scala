@@ -87,6 +87,24 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("asOfJoin: strict excludes equal timestamps, non-strict includes") {
+    import graft.ops.AsOfJoin
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "pid")
+    val right = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (3L, 10L, "rX"))
+      .toDF("k", "t", "rid")
+    def run(strict: Boolean) =
+      AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), strict)
+        .select($"pid", $"rid").as[(String, Option[String])]
+        .collect().toMap
+    val s = run(strict = true)
+    // p1 at t=100: the only right is AT 100 — strict finds nothing
+    assert(s == Map("p1" -> None, "p2" -> Some("r150"), "p3" -> None))
+    val ns = run(strict = false)
+    assert(ns == Map("p1" -> Some("r100"), "p2" -> Some("r150"),
+      "p3" -> None))
+  }
+
   test("factRollup: pop shape without explode, disease shape with explode") {
     val rs = Seq(
       // (deceased, gender, key, diseases)
