@@ -266,6 +266,24 @@ object CoreQueries {
           abs(datediff(col("db").cast("date"), col("da").cast("date"))) <= 7)
         .select(col("k"), col("la"), col("lb"))
         .orderBy(col("k"), col("la"), col("lb"))
+    }),
+
+    // Q24 [engine surface: JSON path extraction]: parse the props JSON
+    // column, bucket by the extracted value
+    "q24_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("kv"))
+        .groupBy((col("kv") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("kv")).as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Q25 [engine surface: multi-column exact distinct]
+    "q25_distinct_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("sp"),
+          countDistinct(col("l_returnflag")).as("rf"))
     })
   )
 
@@ -391,6 +409,15 @@ object CoreQueries {
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
           AND abs(date_diff('day', a.l_shipdate, b.l_shipdate)) <= 7
-         ORDER BY k, la, lb"""
+         ORDER BY k, la, lb""",
+    "q24_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS bucket,
+                count(*) AS n,
+                CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS total
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "q25_distinct_count" ->
+      """SELECT count(DISTINCT (l_suppkey, l_partkey)) AS sp,
+                count(DISTINCT l_returnflag) AS rf
+         FROM lineitem"""
   )
 }
