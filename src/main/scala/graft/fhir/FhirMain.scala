@@ -24,9 +24,17 @@ import graft.engine.GraftSession
 object FhirMain {
 
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("-") => k -> v
-    }.toMap
+    // Go-flag-style parsing: -key value pairs plus bare boolean flags
+    val boolFlags = Set("-reset", "-debug")
+    val opts = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (boolFlags(a)) { opts(a) = "true"; i += 1 }
+      else if (a.startsWith("-") && i + 1 < args.length) {
+        opts(a) = args(i + 1); i += 2
+      } else i += 1
+    }
     val path = opts.getOrElse("-path",
       sys.error("required: -path <bundle dir>"))
     val out = opts.getOrElse("-out", sys.error("required: -out <dir>"))
@@ -37,13 +45,14 @@ object FhirMain {
       master = s"local[$workers]", appName = "graft-fhir",
       shufflePartitions = workers)
     try run(spark, path, out, opts.get("-cousub"), opts.get("-disease"),
-      asOf, reset = args.contains("-reset"))
+      asOf, reset = opts.contains("-reset"),
+      debug = opts.contains("-debug"))
     finally spark.stop()
   }
 
   def run(spark: SparkSession, path: String, out: String,
       cousubPath: Option[String], diseasePath: Option[String],
-      asOf: String, reset: Boolean = true): Unit = {
+      asOf: String, reset: Boolean = true, debug: Boolean = false): Unit = {
     import spark.implicits._
 
     val sink = new ParquetSink(out)
@@ -76,7 +85,15 @@ object FhirMain {
       BundleIngest.readBundles(spark, path)).cache()
     val nBundles = bundles.count()
 
-    sink.writeResources(BundleIngest.routeResources(bundles))
+    val routed = BundleIngest.routeResources(bundles)
+    sink.writeResources(routed)
+    // -debug: per-collection routing counts (reference main.go:295-299
+    // prints per-bundle diagnostics behind the same flag)
+    if (debug)
+      routed.groupBy("collection").count().orderBy("collection")
+        .collect().foreach { r =>
+          println(s"[debug] ${r.getString(0)}: ${r.getLong(1)} resources")
+        }
 
     val rawstat = RawStats.build(
       bundles, cousubDim, diseaseDim, lit(asOf).cast("date"))
