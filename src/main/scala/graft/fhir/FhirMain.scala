@@ -10,21 +10,26 @@ import graft.engine.GraftSession
   * {{{
   * runMain graft.fhir.FhirMain -path <bundleDir> -out <outDir>
   *   [-cousub <parquet>] [-disease <parquet>] [-asof YYYY-MM-DD]
-  *   [-workers N] [-reset]
+  *   [-workers N] [-reset] [-debug]
+  *   [-pgurl jdbc:postgresql://…] [-mongo mongodb://…] [-dbname fhir]
   * }}}
   *
   * `-path` → bundle scan root (S1); `-out` → warehouse dir receiving
   * `resources/` (S5), `rawstat/` (S6) and the three fact tables (S8).
   * `-workers` → shuffle partitions (the reference's worker count);
   * `-reset` → overwrite instead of append, the analogue of dropping the
-  * Mongo collections + truncating fact tables (S9/S10). Dims default to
-  * empty when no parquet is given (every lookup takes the zero-value path,
-  * like an unseeded `synth_ma` schema).
+  * Mongo collections + truncating fact tables (S9/S10). `-pgurl` routes
+  * the three fact tables through [[JdbcFactSink]] (the reference's
+  * Postgres COPY path, db.go:139); `-mongo`/`-dbname` route the resource
+  * collections through [[MongoResourceSink]] (bundle.go:111-124). Absent
+  * flags fall back to the parquet warehouse, so `-out` alone is a fully
+  * local run. Dims default to empty when no parquet is given (every
+  * lookup takes the zero-value path, like an unseeded `synth_ma` schema).
   */
 object FhirMain {
 
-  def main(args: Array[String]): Unit = {
-    // Go-flag-style parsing: -key value pairs plus bare boolean flags
+  /** Go-flag-style parsing: -key value pairs plus bare boolean flags. */
+  def parseFlags(args: Array[String]): Map[String, String] = {
     val boolFlags = Set("-reset", "-debug")
     val opts = scala.collection.mutable.Map[String, String]()
     var i = 0
@@ -35,6 +40,31 @@ object FhirMain {
         opts(a) = args(i + 1); i += 2
       } else i += 1
     }
+    opts.toMap
+  }
+
+  /** Sink selection from the parsed flags — mirrors the reference wiring:
+    * resources go to Mongo when `-mongo` is given (main.go:54), facts to
+    * Postgres when `-pgurl` is given (main.go:61-69); otherwise both land
+    * in the parquet warehouse under `-out`.
+    */
+  def sinksFor(opts: Map[String, String], out: String)
+      : (ResourceSink, FactSink) = {
+    lazy val parquet = new ParquetSink(out)
+    val resources: ResourceSink = opts.get("-mongo") match {
+      case Some(uri) =>
+        new MongoResourceSink(uri, opts.getOrElse("-dbname", "fhir"))
+      case None => parquet
+    }
+    val facts: FactSink = opts.get("-pgurl") match {
+      case Some(url) => new JdbcFactSink(url)
+      case None => parquet
+    }
+    (resources, facts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseFlags(args)
     val path = opts.getOrElse("-path",
       sys.error("required: -path <bundle dir>"))
     val out = opts.getOrElse("-out", sys.error("required: -out <dir>"))
@@ -44,23 +74,29 @@ object FhirMain {
     val spark = GraftSession.build(
       master = s"local[$workers]", appName = "graft-fhir",
       shufflePartitions = workers)
+    val (resourceSink, factSink) = sinksFor(opts, out)
     try run(spark, path, out, opts.get("-cousub"), opts.get("-disease"),
       asOf, reset = opts.contains("-reset"),
-      debug = opts.contains("-debug"))
+      debug = opts.contains("-debug"),
+      resourceSink = Some(resourceSink), factSink = Some(factSink))
     finally spark.stop()
   }
 
   def run(spark: SparkSession, path: String, out: String,
       cousubPath: Option[String], diseasePath: Option[String],
-      asOf: String, reset: Boolean = true, debug: Boolean = false): Unit = {
+      asOf: String, reset: Boolean = true, debug: Boolean = false,
+      resourceSink: Option[ResourceSink] = None,
+      factSink: Option[FactSink] = None): Unit = {
     import spark.implicits._
 
-    val sink = new ParquetSink(out)
+    val parquet = new ParquetSink(out)
+    val resSink = resourceSink.getOrElse(parquet)
+    val fSink = factSink.getOrElse(parquet)
     // the reference always clears fact tables at startup (main.go:72-73)
     // and drops resource collections only under -reset (main.go:76-78)
-    sink.clearFactTables(Seq(
+    fSink.clearFactTables(Seq(
       "synth_pop_facts", "synth_disease_facts", "synth_condition_facts"))
-    if (reset) sink.reset()
+    if (reset) resSink.reset()
 
     // dims come from parquet paths or, like the reference (main.go:137-202),
     // straight from a relational store: pass "jdbc:<url>#<table>" to read
@@ -86,7 +122,7 @@ object FhirMain {
     val nBundles = bundles.count()
 
     val routed = BundleIngest.routeResources(bundles)
-    sink.writeResources(routed)
+    resSink.writeResources(routed)
     // -debug: per-collection routing counts (reference main.go:295-299
     // prints per-bundle diagnostics behind the same flag)
     if (debug)
@@ -103,7 +139,7 @@ object FhirMain {
     val rawstatBack = spark.read.parquet(s"$out/rawstat")
     def job(name: String, df: DataFrame): Unit = {
       val t = System.nanoTime()
-      sink.writeFacts(name, df)
+      fSink.writeFacts(name, df)
       println(f"$name calculated in ${(System.nanoTime() - t) / 1e9}%f seconds")
     }
     job("synth_pop_facts", FactJobs.populationFacts(rawstatBack))

@@ -69,8 +69,15 @@ class ParquetSink(warehouseDir: String) extends ResourceSink with FactSink {
   * partition-parallel bulk insert.
   */
 class MongoResourceSink(uri: String, database: String) extends ResourceSink {
-  def writeResources(routed: DataFrame): Unit =
-    Schemas.collections.values.toSeq.sorted.foreach { coll =>
+  def writeResources(routed: DataFrame): Unit = {
+    // The reference writes every collection it encounters (bundle.go:111-120)
+    // — including fallback lower(type)+"s" names for resource types outside
+    // the fixed 11 — so the collection list comes from the data, not from
+    // Schemas.collections. The distinct is over collection *names* (bounded
+    // by the number of resource types, dozens at most), not rows.
+    val colls = routed.select(col("collection")).distinct()
+      .collect().map(_.getString(0)).sorted
+    colls.foreach { coll =>
       routed.filter(col("collection") === coll)
         .select(col("resource.*"))
         .write.format("mongodb")
@@ -81,6 +88,7 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
         .option("ordered", "false")
         .save()
     }
+  }
 
   /** S10: the connector has no drop API on the write path; reset via
     * overwrite-with-empty on each collection at next write, or an admin
@@ -115,8 +123,14 @@ class JdbcFactSink(url: String, props: Properties = new Properties)
     val conn = DriverManager.getConnection(url, props)
     try tables.foreach { t =>
       val st = conn.createStatement()
+      // undefined-table SQLStates (Postgres 42P01, Derby 42X05, ANSI
+      // 42S02): a first run has nothing to truncate — not an error
       try st.executeUpdate(s"TRUNCATE TABLE $t")
-      finally st.close()
+      catch {
+        case e: java.sql.SQLException
+            if Seq("42P01", "42X05", "42S02", "42Y55")
+              .contains(e.getSQLState) => ()
+      } finally st.close()
     } finally conn.close()
   }
 }

@@ -60,13 +60,18 @@ object CoreQueries {
         .limit(1000)
     }),
 
-    // Q5 [T12+T13 ≈ per-patient collect + dedup], order-canonicalized
+    // Q5 [T12+T13 ≈ per-patient collect + dedup], order-canonicalized.
+    // Emitted as a joined string (not array<string>) so the driver's
+    // hash compare can lexsort the column; the array-typed operator
+    // itself stays covered by CoreOpsSpec/PropertySpec.
     "q05_collect_dedup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(distinctSorted(collect_list(col("l_linestatus"))).as("statuses"))
+        .agg(array_join(
+          distinctSorted(collect_list(col("l_linestatus"))), ",")
+          .as("statuses"))
         .orderBy(col("o_custkey"))
         .limit(1000)
     }),
@@ -307,7 +312,8 @@ object CoreQueries {
       """SELECT p_partkey, coalesce(NULLIF(p_size, 0), -999) AS sz
          FROM part ORDER BY p_partkey LIMIT 1000""",
     "q05_collect_dedup" ->
-      """SELECT o_custkey, list_sort(list_distinct(list(l_linestatus))) AS statuses
+      """SELECT o_custkey,
+                array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_custkey ORDER BY o_custkey LIMIT 1000""",
     "q06_unwind_refilter" ->

@@ -5,7 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.fhir.{BundleIngest, ParquetSink, ReferenceRewrite, Schemas}
+import graft.fhir.{BundleIngest, FhirMain, JdbcFactSink, MongoResourceSink,
+  ParquetSink, ReferenceRewrite, Schemas}
 
 class SinksSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -36,6 +37,56 @@ class SinksSpec extends AnyFunSuite {
     sink.writeFacts("synth_pop_facts", facts)
     sink.writeFacts("synth_pop_facts", facts)
     assert(spark.read.parquet(s"$dir/synth_pop_facts").count() == 1)
+  }
+
+  test("CLI flags parse Go-style: -key value pairs + bare booleans") {
+    val opts = FhirMain.parseFlags(Array(
+      "-path", "/in", "-out", "/w", "-reset", "-workers", "8",
+      "-pgurl", "jdbc:postgresql://h/db", "-mongo", "mongodb://h",
+      "-dbname", "fhir", "-debug"))
+    assert(opts("-path") == "/in")
+    assert(opts("-workers") == "8")
+    assert(opts.contains("-reset") && opts.contains("-debug"))
+    assert(opts("-pgurl") == "jdbc:postgresql://h/db")
+    assert(opts("-mongo") == "mongodb://h")
+    assert(opts("-dbname") == "fhir")
+    // bare boolean flags must not swallow the following flag
+    val opts2 = FhirMain.parseFlags(Array("-reset", "-path", "/p"))
+    assert(opts2("-path") == "/p")
+  }
+
+  test("sink selection mirrors the reference wiring (main.go:29-69)") {
+    val (r0, f0) = FhirMain.sinksFor(Map.empty, "/w")
+    assert(r0.isInstanceOf[ParquetSink] && f0.isInstanceOf[ParquetSink])
+    val (r1, f1) = FhirMain.sinksFor(
+      Map("-mongo" -> "mongodb://h", "-pgurl" -> "jdbc:derby:memory:x"),
+      "/w")
+    assert(r1.isInstanceOf[MongoResourceSink])
+    assert(f1.isInstanceOf[JdbcFactSink])
+  }
+
+  test("JdbcFactSink writes + truncates against embedded Derby (S8/S9)") {
+    val url = "jdbc:derby:memory:graftFacts;create=true"
+    val sink = new JdbcFactSink(url)
+    // first run: nothing to truncate — must be a no-op, not an error
+    sink.clearFactTables(Seq("synth_pop_facts"))
+    val facts = Seq(("25017", 1, 10L, 4L, 6L), ("25021", 1, 3L, 2L, 1L))
+      .toDF("cs_fips", "age_id", "pop", "pop_male", "pop_female")
+    sink.writeFacts("synth_pop_facts", facts)
+    val back = spark.read.jdbc(
+      url, "synth_pop_facts", new java.util.Properties)
+    assert(back.count() == 2)
+    // counts are narrowed to int at the relational boundary (db.go:35-37)
+    assert(back.schema("pop").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    sink.clearFactTables(Seq("synth_pop_facts"))
+    assert(spark.read.jdbc(
+      url, "synth_pop_facts", new java.util.Properties).count() == 0)
+    // append semantics across runs (reference COPYs into kept tables)
+    sink.writeFacts("synth_pop_facts", facts)
+    sink.writeFacts("synth_pop_facts", facts)
+    assert(spark.read.jdbc(
+      url, "synth_pop_facts", new java.util.Properties).count() == 4)
   }
 
   test("T5: legacy cid: references resolve behind the flag") {
