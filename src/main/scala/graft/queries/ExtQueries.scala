@@ -107,8 +107,9 @@ object ExtQueries {
         explode(tokens(col("text"))).as("word"))
       val tf = toks.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
-      val dfq = toks.select(col("doc_id"), col("word")).distinct()
-        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // (doc_id, word) is unique in tf, so df falls out of the tf
+      // aggregate — no second corpus-wide explode+distinct shuffle
+      val dfq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfq, "word")
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
