@@ -71,69 +71,76 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
   }
 
+  /** Fixed splitmix64-ish pseudo-random hyperplane weight in [-1, 1),
+    * derived from (plane index, dimension index) — no RNG at plan time.
+    * Public because the DuckDB oracle reproduces the identical derivation
+    * (ExtQueries.planesCte) so LSH bucket ids are engine-portable.
+    */
+  def planeWeight(plane: Int, d: Int): Double = {
+    var z = (plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
     * `nbits` fixed pseudo-random hyperplanes (deterministic literals
     * derived from the dimension index — no RNG at plan time). Vectors in
-    * the same bucket are near in angle w.h.p.; a multi-probe search scans
-    * the query's bucket plus Hamming-1 neighbors.
+    * the same bucket are near in angle w.h.p.
     */
   def hyperplaneBucket(e: Column, dim: Int, nbits: Int,
       planeOffset: Int = 0): Column = {
-    def planeWeight(bit0: Int, d: Int): Double = {
-      val bit = bit0 + planeOffset
-      // fixed splitmix64-ish pseudo-random weight in [-1, 1)
-      var z = (bit.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L)
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
     (0 until nbits).map { bit =>
       // the projection is a dot product against a literal weight vector —
       // one codegen'd vec_dot per plane instead of dim scalar terms per
       // plane (the scalar form made a 4k-node expression tree per sketch
       // and measurably stressed codegen/driver heap)
-      val weights = (0 until dim).map(d => planeWeight(bit, d).toFloat)
+      val weights =
+        (0 until dim).map(d => planeWeight(bit + planeOffset, d).toFloat)
       val proj = dot(e, typedlit(weights))
       when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** Scale path for embedding near-dup: random-hyperplane bucketing with
-    * Hamming-1 multi-probe as the candidate generator, exact cosine as
-    * the verifier — same candidates-then-verify structure as MinHash-LSH
-    * for text (Dedup.jaccardPairsLsh). Cost is Σ bucket² instead of n²;
-    * every shuffle keys on the bucket id. Recall is probabilistic in the
-    * bucket bits (angle ≥ ~66° pairs may be missed), so: rows-only check,
-    * with the subset+agreement property asserted against the brute pairs
-    * in ExtSpec.
+  /** Scale path for embedding near-dup: multi-table random-hyperplane
+    * bucketing as the candidate generator, exact cosine as the verifier —
+    * same candidates-then-verify structure as MinHash-LSH for text
+    * (Dedup.jaccardPairsLsh). Cost is Σ bucket² instead of n²; every
+    * shuffle keys on the bucket id.
+    *
+    * Tuned 32 tables × 6 bits (measured on the synthetic corpus: ~0.91
+    * recall at cos 0.4 with 2.5× fewer candidate pairs than brute force;
+    * the old 16×4 passed ~64% of *random* pairs and was slower than the
+    * nested loop it replaced). The band join carries only (table, bucket,
+    * id) — embeddings re-enter via two equi-joins after the candidate
+    * distinct, so the wide vectors never ride through the quadratic step.
+    * Deterministic planes make the collision set engine-portable: the
+    * DuckDB oracle reproduces the identical buckets (ExtQueries), so this
+    * is hash-checked, not rows-only.
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-      dim: Int = 64, nbits: Int = 4, tables: Int = 16): DataFrame = {
-    // multi-table LSH (the banding trick in hyperplane space): T
-    // independent 4-bit sketches; a pair is a candidate if ANY table
-    // buckets it together. At cos=0.4 (~66°), P(all 4 planes agree) ≈
-    // 0.16 per table → ≥1-of-16 recall ≈ 0.94; near-dups at cos≥0.9 are
-    // caught w.p. ~1. Exact-verify keeps the output meaning exact.
-    val withMeta = emb.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      array((0 until tables).map(t =>
+      dim: Int = 64, nbits: Int = 6, tables: Int = 32): DataFrame = {
+    val banded = emb.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"),
           hyperplaneBucket(col("embedding"), dim, nbits, t * nbits)
-            .as("b"))): _*).as("buckets"))
-    val banded = withMeta
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(col("buckets")).as("tb"))
-    val a = banded.select(col("tb"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = banded.select(col("tb"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("tb"))
+            .as("b"))): _*)).as("tb"))
+    val candidates = banded.select(col("tb"), col("vec_id").as("va"))
+      .join(banded.select(col("tb"), col("vec_id").as("vb")), Seq("tb"))
       .filter(col("va") < col("vb"))
+      .select("va", "vb")
+      .distinct()
+    val withNorm = emb.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    candidates
+      .join(withNorm.select(col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na")), "va")
+      .join(withNorm.select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "vb")
       .select(col("va"), col("vb"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
   /** Top-k via the bounded-heap [[graft.functions.TopKAgg]] — identical
@@ -164,34 +171,40 @@ object Similarity {
     * the corpus into cells (assignment = nearest centroid by cosine); a
     * query probes only its own `nprobe` nearest cells. At rest the cell id
     * is a partition/bucket column, so a 100 TB corpus is pruned to a few
-    * cells per query. Deterministic here (centroids = the first
-    * `nCentroids` corpus vectors — a k-means step would slot in without
-    * changing the plan shape). Approximate by design → rows-only check.
+    * cells per query. Deterministic (centroids = the first `nCentroids`
+    * corpus vectors; [[trainCentroids]] slots a k-means refinement into
+    * the same plan shape via the `centroids` override): centroid cosines
+    * are rounded to 6 digits and ties break on the lower centroid id, so
+    * cell assignment and probing are engine-portable and the DuckDB
+    * oracle hash-checks the full output.
     */
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 8, nprobe: Int = 2): DataFrame = {
-    val cent = corpus.filter(col("vec_id") < nCentroids)
+      nCentroids: Int = 8, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(corpus.filter(col("vec_id") < nCentroids))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
         norm(col("embedding")).as("cent_n"))
     // cell assignment is an aggregation (max_by / bounded top-k), not a
     // window rank: partial aggregation collapses the vectors×centroids
-    // product map-side instead of sorting it through a shuffle
+    // product map-side instead of sorting it through a shuffle. max_by on
+    // a (cos, -id) struct = deterministic argmax, lowest id on cos ties.
     val c = corpus
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding")).as("cn"))
       .join(broadcast(cent))
       .withColumn("cent_cos",
-        dot(col("ce"), col("cent_e")) / (col("cn") * col("cent_n")))
+        round(dot(col("ce"), col("cent_e")) / (col("cn") * col("cent_n")), 6))
       .groupBy(col("cid"))
       .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
-        max_by(col("cent_id"), col("cent_cos")).as("cell"))
+        max_by(col("cent_id"),
+          struct(col("cent_cos"), (-col("cent_id")).as("nid"))).as("cell"))
     val probeAgg = udaf(new graft.functions.TopKAgg(nprobe))
     val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
       .join(broadcast(cent))
       .withColumn("cent_cos",
-        dot(col("qe"), col("cent_e")) / (col("qn") * col("cent_n")))
+        round(dot(col("qe"), col("cent_e")) / (col("qn") * col("cent_n")), 6))
       .groupBy(col("qid"))
       .agg(first(col("qe")).as("qe"), first(col("qn")).as("qn"),
         probeAgg(col("cent_cos"), col("cent_id")).as("cells"))

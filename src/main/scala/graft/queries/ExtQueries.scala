@@ -11,8 +11,9 @@ import graft.ext.TextAnalysis._
   * BASELINE.json) over the `documents` and `embeddings` tables, each with a
   * DuckDB oracle where the semantics are SQL-expressible. MinHash-LSH
   * shares the brute-force oracle because its candidates are exact-verified
-  * (Dedup.scala); LSH top-k is approximate by construction and gets a
-  * rows-only check.
+  * (Dedup.scala); the hyperplane-LSH and IVF paths are deterministic in
+  * their fixed planes/centroids, so their oracles replicate the bucketing
+  * itself (bucketsCte) — every query here is hash-checked.
   */
 object ExtQueries {
 
@@ -74,7 +75,8 @@ object ExtQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // Approximate by construction (bucket pruning) — rows-only check.
+    // Bucket-pruned top-k; the oracle reproduces the deterministic
+    // hyperplane buckets (bucketsCte), so this is hash-checked.
     "x11_ann_topk_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.topKLsh(e, e.filter(col("vec_id") < 10), k = 10)
@@ -122,13 +124,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // hyperplane-LSH near-dup with multi-probe + exact verify —
-    // approximate recall, rows-only check (subset property in ExtSpec)
+    // multi-table hyperplane-LSH near-dup + exact verify; candidate set
+    // is deterministic in the fixed planes, so the oracle reproduces it
+    // exactly (hash-checked; subset property additionally in ExtSpec)
     "x16_embedding_neardup_lsh" -> ((s, dir) =>
       Similarity.nearDupPairsLsh(emb(s, dir), threshold = 0.4)
         .orderBy(col("va"), col("vb"))),
 
-    // IVF-probed ANN — approximate by construction, rows-only check
+    // IVF-probed ANN — deterministic centroids, rounded cosines, and id
+    // tie-breaks make cell assignment + probing engine-portable:
+    // hash-checked against the DuckDB replication below
     "x15_ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.topKIvf(e, e.filter(col("vec_id") < 10), k = 10)
@@ -156,6 +161,50 @@ object ExtQueries {
   private val cosSql =
     """round(list_dot_product(a.e, b.e) /
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"""
+
+  /** DuckDB CTE chain reproducing [[graft.ext.Similarity.planeWeight]] +
+    * `hyperplaneBucket` bit-exactly: splitmix64 weights (mod-2^64 via
+    * 32-bit split multiplication so HUGEINT intermediates never overflow),
+    * float32-rounded, bucket id = packed projection sign bits per table.
+    * Emits CTEs `e(vec_id, e)` and `buckets(vec_id, t, b)`.
+    */
+  private def bucketsCte(tables: Int, nbits: Int, dim: Int): String = {
+    // (expr * c) mod 2^64 with expr in [0, 2^64): hi/lo split keeps every
+    // intermediate below 2^65 (HUGEINT is signed 128-bit)
+    def mulmod(expr: String, c: BigInt): String = {
+      val ch = c >> 32
+      val cl = c & 0xFFFFFFFFL
+      s"((($expr) % 4294967296) * $cl + (((($expr) % 4294967296) * $ch + " +
+        s"(($expr) // 4294967296) * $cl) % 4294967296) * 4294967296) % 18446744073709551616"
+    }
+    val k1 = BigInt("9E3779B97F4A7C15", 16)
+    val k2 = BigInt("BF58476D1CE4E5B9", 16)
+    val k3 = BigInt("94D049BB133111EB", 16)
+    s"""z0 AS (
+         SELECT ts.t AS t, bs.bit AS bit, ds.d AS d,
+                (((bs.bit + ts.t*$nbits)::HUGEINT * $k1 + ds.d::HUGEINT * $k2)
+                 % 18446744073709551616) AS z
+         FROM generate_series(0, ${tables - 1}) AS ts(t),
+              generate_series(0, ${nbits - 1}) AS bs(bit),
+              generate_series(0, ${dim - 1}) AS ds(d)),
+       z1 AS (SELECT t, bit, d,
+                ${mulmod("xor(z::UBIGINT, (z::UBIGINT >> 30))::HUGEINT", k2)} AS z
+              FROM z0),
+       z2 AS (SELECT t, bit, d,
+                ${mulmod("xor(z::UBIGINT, (z::UBIGINT >> 27))::HUGEINT", k3)} AS z
+              FROM z1),
+       pw AS (SELECT t, bit, d,
+                CAST(CAST((xor(z::UBIGINT, (z::UBIGINT >> 31)) >> 11)::DOUBLE
+                          / 4503599627370496.0 - 1.0 AS REAL) AS DOUBLE) AS w
+              FROM z2),
+       pl AS (SELECT t, bit, list(w ORDER BY d) AS wv FROM pw GROUP BY t, bit),
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       proj AS (SELECT vec_id, t, bit, list_dot_product(e, wv) AS p
+                FROM e CROSS JOIN pl),
+       buckets AS (SELECT vec_id, t,
+                     sum(CASE WHEN p >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS b
+                   FROM proj GROUP BY vec_id, t)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x01_token_count" ->
@@ -217,6 +266,70 @@ object ExtQueries {
          SELECT * FROM (
            SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
            FROM e a JOIN e b ON a.vec_id < b.vec_id) t
+         WHERE cos >= 0.4 ORDER BY va, vb""",
+    "x11_ann_topk_lsh" ->
+      s"""WITH ${bucketsCte(tables = 1, nbits = 4, dim = 64)},
+         scored AS (
+           SELECT bq.vec_id AS qid, bc.vec_id AS cid,
+                  round(list_dot_product(eq.e, ec.e) /
+                        (sqrt(list_dot_product(eq.e, eq.e)) *
+                         sqrt(list_dot_product(ec.e, ec.e))), 6) AS cos
+           FROM buckets bq
+           JOIN buckets bc ON bq.t = bc.t AND bq.b = bc.b
+                           AND bq.vec_id != bc.vec_id
+           JOIN e eq ON eq.vec_id = bq.vec_id
+           JOIN e ec ON ec.vec_id = bc.vec_id
+           WHERE bq.vec_id < 10)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid) AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+    "x15_ann_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked WHERE rn = 1),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked
+                    WHERE rn <= 2 AND vid < 10),
+         scored AS (SELECT DISTINCT p.qid, ca.cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6) AS cos
+                    FROM probes p
+                    JOIN cells ca ON p.cell = ca.cell AND ca.cid != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.cid)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid) AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
+    "x16_embedding_neardup_lsh" ->
+      s"""WITH ${bucketsCte(tables = 32, nbits = 6, dim = 64)},
+         cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                  FROM buckets a
+                  JOIN buckets b ON a.t = b.t AND a.b = b.b
+                                 AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2)
+         SELECT * FROM (
+           SELECT c.va, c.vb,
+                  round(list_dot_product(ea.e, eb.e) /
+                        (sqrt(list_dot_product(ea.e, ea.e)) *
+                         sqrt(list_dot_product(eb.e, eb.e))), 6) AS cos
+           FROM cand c
+           JOIN e ea ON c.va = ea.vec_id
+           JOIN e eb ON c.vb = eb.vec_id) t
          WHERE cos >= 0.4 ORDER BY va, vb""",
     "x10_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -88,7 +88,7 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     // every LSH pair must exist in brute force with the identical cosine
     lsh.foreach { case (a, b, c) => assert(brute((a, b)) == c) }
-    // 16 tables × 4 bits should catch a solid majority at this angle
+    // 32 tables × 6 bits: simulated recall at this angle ≈ 0.72
     assert(lsh.length.toDouble / brute.size > 0.5)
   }
 
