@@ -11,7 +11,8 @@ import graft.engine.GraftSession
   * runMain graft.fhir.FhirMain -path <bundleDir> -out <outDir>
   *   [-cousub <parquet>] [-disease <parquet>] [-asof YYYY-MM-DD]
   *   [-workers N] [-reset] [-debug]
-  *   [-pgurl jdbc:postgresql://…] [-mongo mongodb://…] [-dbname fhir]
+  *   [-pgurl jdbc:postgresql://…] [-schema synth_ma]
+  *   [-mongo mongodb://…] [-dbname fhir]
   * }}}
   *
   * `-path` → bundle scan root (S1); `-out` → warehouse dir receiving
@@ -20,25 +21,35 @@ import graft.engine.GraftSession
   * `-reset` → overwrite instead of append, the analogue of dropping the
   * Mongo collections + truncating fact tables (S9/S10). `-pgurl` routes
   * the three fact tables through [[JdbcFactSink]] (the reference's
-  * Postgres COPY path, db.go:139); `-mongo`/`-dbname` route the resource
-  * collections through [[MongoResourceSink]] (bundle.go:111-124). Absent
+  * Postgres COPY path, db.go:139), qualified by `-schema` (defaults to
+  * the reference's `synth_ma` for Postgres, db.go:45-56); `-mongo`/
+  * `-dbname` route the resource collections through
+  * [[MongoResourceSink]] (bundle.go:111-124). Absent
   * flags fall back to the parquet warehouse, so `-out` alone is a fully
   * local run. Dims default to empty when no parquet is given (every
   * lookup takes the zero-value path, like an unseeded `synth_ma` schema).
   */
 object FhirMain {
 
-  /** Go-flag-style parsing: -key value pairs plus bare boolean flags. */
+  /** Go-flag-style parsing: -key value pairs plus bare boolean flags.
+    * Like Go's flag package, unknown flags, stray positional tokens, and
+    * a value-flag with no value are hard errors — a mistyped `-rest`
+    * must not silently swallow the next flag.
+    */
   def parseFlags(args: Array[String]): Map[String, String] = {
     val boolFlags = Set("-reset", "-debug")
+    val valueFlags = Set("-path", "-out", "-cousub", "-disease", "-asof",
+      "-workers", "-pgurl", "-mongo", "-dbname", "-schema")
     val opts = scala.collection.mutable.Map[String, String]()
     var i = 0
     while (i < args.length) {
-      val a = args(i)
-      if (boolFlags(a)) { opts(a) = "true"; i += 1 }
-      else if (a.startsWith("-") && i + 1 < args.length) {
-        opts(a) = args(i + 1); i += 2
-      } else i += 1
+      args(i) match {
+        case a if boolFlags(a) => opts(a) = "true"; i += 1
+        case a if valueFlags(a) =>
+          if (i + 1 >= args.length) sys.error(s"flag needs an argument: $a")
+          opts(a) = args(i + 1); i += 2
+        case a => sys.error(s"flag provided but not defined: $a")
+      }
     }
     opts.toMap
   }
@@ -57,7 +68,13 @@ object FhirMain {
       case None => parquet
     }
     val facts: FactSink = opts.get("-pgurl") match {
-      case Some(url) => new JdbcFactSink(url)
+      case Some(url) =>
+        // the reference lives in the synth_ma schema (db.go:45-56);
+        // -schema overrides, empty string opts out of qualification
+        val schema = opts.get("-schema").map(_.trim).filter(_.nonEmpty)
+          .orElse(if (url.startsWith("jdbc:postgresql")) Some("synth_ma")
+                  else None)
+        new JdbcFactSink(url, schema)
       case None => parquet
     }
     (resources, facts)
@@ -121,7 +138,10 @@ object FhirMain {
       BundleIngest.readBundles(spark, path)).cache()
     val nBundles = bundles.count()
 
-    val routed = BundleIngest.routeResources(bundles)
+    // persisted: MongoResourceSink runs one distinct + one filtered write
+    // per collection, and -debug adds a count — without the cache the
+    // explode + reference-rewrite lineage recomputes N+1 times
+    val routed = BundleIngest.routeResources(bundles).persist()
     resSink.writeResources(routed)
     // -debug: per-collection routing counts (reference main.go:295-299
     // prints per-bundle diagnostics behind the same flag)
@@ -130,6 +150,7 @@ object FhirMain {
         .collect().foreach { r =>
           println(s"[debug] ${r.getString(0)}: ${r.getLong(1)} resources")
         }
+    routed.unpersist()
 
     val rawstat = RawStats.build(
       bundles, cousubDim, diseaseDim, lit(asOf).cast("date"))

@@ -69,19 +69,29 @@ class ParquetSink(warehouseDir: String) extends ResourceSink with FactSink {
   * partition-parallel bulk insert.
   */
 class MongoResourceSink(uri: String, database: String) extends ResourceSink {
+
+  /** Set by [[reset]]; the next [[writeResources]] uses overwrite (the
+    * connector drops + recreates each collection) instead of append.
+    */
+  private var dropOnNextWrite = false
+
   def writeResources(routed: DataFrame): Unit = {
     // The reference writes every collection it encounters (bundle.go:111-120)
     // — including fallback lower(type)+"s" names for resource types outside
     // the fixed 11 — so the collection list comes from the data, not from
     // Schemas.collections. The distinct is over collection *names* (bounded
-    // by the number of resource types, dozens at most), not rows.
+    // by the number of resource types, dozens at most), not rows. Callers
+    // pass a cached `routed` (FhirMain persists it) so the ingest lineage
+    // is not recomputed once per collection.
+    val mode = if (dropOnNextWrite) "overwrite" else "append"
+    dropOnNextWrite = false
     val colls = routed.select(col("collection")).distinct()
       .collect().map(_.getString(0)).sorted
     colls.foreach { coll =>
       routed.filter(col("collection") === coll)
         .select(col("resource.*"))
         .write.format("mongodb")
-        .mode("append")
+        .mode(mode)
         .option("connection.uri", uri)
         .option("database", database)
         .option("collection", coll)
@@ -90,13 +100,14 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
     }
   }
 
-  /** S10: the connector has no drop API on the write path; reset via
-    * overwrite-with-empty on each collection at next write, or an admin
-    * command outside Spark — kept explicit rather than silently partial.
+  /** S10: the reference drops every collection up front and logs-and-
+    * continues on failure (db.go:63-75). The Spark connector exposes no
+    * drop on the write path, so reset is realized as overwrite-with-
+    * replace on the next write — same end state (collections contain
+    * exactly this run's resources), no mid-run crash after the fact
+    * tables were already truncated.
     */
-  def reset(): Unit = throw new UnsupportedOperationException(
-    "drop Mongo collections via an admin command; the Spark connector " +
-      "write path only supports append/overwrite per write")
+  def reset(): Unit = { dropOnNextWrite = true }
 }
 
 /** Relational implementation of the fact surface — the reference's
@@ -105,10 +116,19 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
   * cast to int to match the reference's int32 fact columns (db.go:35-37)
   * at the boundary only. Partition-parallel: each executor partition
   * opens its own connection via the standard `df.write.jdbc`.
+  *
+  * `schema` qualifies every table name (`schema.table`): the reference
+  * truncates/COPYs into the `synth_ma` schema (db.go:45-56), so pointing
+  * at a reference-provisioned Postgres must hit the same tables, not
+  * create fresh ones on the default search_path.
   */
-class JdbcFactSink(url: String, props: Properties = new Properties)
+class JdbcFactSink(url: String, schema: Option[String] = None,
+    props: Properties = new Properties)
     extends FactSink {
   props.setProperty("reWriteBatchedInserts", "true")
+
+  private def qualified(table: String): String =
+    schema.map(s => s"$s.$table").getOrElse(table)
 
   def writeFacts(table: String, facts: DataFrame): Unit = {
     val narrowed = facts.columns.foldLeft(facts) { (df, c) =>
@@ -116,19 +136,20 @@ class JdbcFactSink(url: String, props: Properties = new Properties)
         df.withColumn(c, col(c).cast("int"))
       else df
     }
-    narrowed.write.mode("append").jdbc(url, table, props)
+    narrowed.write.mode("append").jdbc(url, qualified(table), props)
   }
 
   def clearFactTables(tables: Seq[String]): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try tables.foreach { t =>
       val st = conn.createStatement()
-      // undefined-table SQLStates (Postgres 42P01, Derby 42X05, ANSI
-      // 42S02): a first run has nothing to truncate — not an error
-      try st.executeUpdate(s"TRUNCATE TABLE $t")
+      // undefined-table/schema SQLStates (Postgres 42P01/3F000, Derby
+      // 42X05/42Y07, ANSI 42S02): a first run has nothing to truncate —
+      // not an error
+      try st.executeUpdate(s"TRUNCATE TABLE ${qualified(t)}")
       catch {
         case e: java.sql.SQLException
-            if Seq("42P01", "42X05", "42S02", "42Y55")
+            if Seq("42P01", "42X05", "42S02", "42Y55", "42Y07", "3F000")
               .contains(e.getSQLState) => ()
       } finally st.close()
     } finally conn.close()

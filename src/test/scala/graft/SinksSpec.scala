@@ -53,6 +53,38 @@ class SinksSpec extends AnyFunSuite {
     // bare boolean flags must not swallow the following flag
     val opts2 = FhirMain.parseFlags(Array("-reset", "-path", "/p"))
     assert(opts2("-path") == "/p")
+    // Go-style hard errors: unknown flag, value-flag with no value
+    assertThrows[RuntimeException] {
+      FhirMain.parseFlags(Array("-rest", "-path", "/p"))
+    }
+    assertThrows[RuntimeException] {
+      FhirMain.parseFlags(Array("-path"))
+    }
+  }
+
+  test("-schema qualifies Postgres fact tables, defaults to synth_ma") {
+    // Derby's default schema is APP: the qualified write/truncate path
+    // must behave exactly like the bare-table one
+    val url = "jdbc:derby:memory:graftFactsQ;create=true"
+    val sink = new JdbcFactSink(url, Some("APP"))
+    sink.clearFactTables(Seq("synth_pop_facts"))
+    val facts = Seq(("25017", 1, 10L, 4L, 6L))
+      .toDF("cs_fips", "age_id", "pop", "pop_male", "pop_female")
+    sink.writeFacts("synth_pop_facts", facts)
+    assert(spark.read.jdbc(
+      url, "APP.synth_pop_facts", new java.util.Properties).count() == 1)
+    sink.clearFactTables(Seq("synth_pop_facts"))
+    assert(spark.read.jdbc(
+      url, "APP.synth_pop_facts", new java.util.Properties).count() == 0)
+    // a missing schema truncates to a no-op, like a missing table
+    new JdbcFactSink(url, Some("NO_SUCH_SCHEMA"))
+      .clearFactTables(Seq("synth_pop_facts"))
+  }
+
+  test("-mongo -reset no longer crashes after the fact truncate") {
+    // reset defers to overwrite-at-next-write (reference drops and
+    // logs-and-continues, db.go:63-75) — must not throw
+    new MongoResourceSink("mongodb://unused", "fhir").reset()
   }
 
   test("sink selection mirrors the reference wiring (main.go:29-69)") {
