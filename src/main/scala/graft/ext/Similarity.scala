@@ -73,15 +73,49 @@ object Similarity {
 
   /** Fixed splitmix64-ish pseudo-random hyperplane weight in [-1, 1),
     * derived from (plane index, dimension index) — no RNG at plan time.
-    * Public because the DuckDB oracle reproduces the identical derivation
-    * (ExtQueries.planesCte) so LSH bucket ids are engine-portable.
+    * Single source of truth lives with the codegen sketch expression; the
+    * DuckDB oracle reproduces the identical derivation
+    * (ExtQueries.bucketsCte) so LSH bucket ids are engine-portable.
     */
-  def planeWeight(plane: Int, d: Int): Double = {
-    var z = (plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L)
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  def planeWeight(plane: Int, d: Int): Double =
+    graft.functions.HyperplaneSketch.planeWeight(plane, d)
+
+  /** Exact all-pairs cosine ≥ threshold, distributed: the block-matrix
+    * formulation of [[nearDupPairs]]. Rows are hashed into `blocks` id
+    * blocks; a broadcast triangular (ba ≤ bb) grid replicates each side
+    * ~B/2×, and the pair work then flows through ONE equi shuffle join on
+    * the (ba, bb) composite key — B(B+1)/2 distinct keys, so every core
+    * gets block-pair tasks and per-task memory is bounded by 2·(n/B)
+    * vectors. Same n²/2 dot products as the nested loop (exact semantics
+    * can't avoid them) but no BroadcastNestedLoopJoin: at 1000 executors
+    * the blocks spread instead of serializing through one driver
+    * broadcast. Size B ∝ n/rowsPerBlock so a block fits an executor.
+    *
+    * Diagonal blocks emit both orders and dedup on ia < ib; off-diagonal
+    * pairs appear exactly once and are order-normalized with
+    * least/greatest. Output identical to [[nearDupPairs]].
+    */
+  def nearDupPairsBlocked(emb: DataFrame, threshold: Double,
+      blocks: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val grid = (for { ba <- 0 until blocks; bb <- ba until blocks }
+      yield (ba, bb)).toDF("ba", "bb")
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      pmod(col("vec_id"), lit(blocks)).cast("int").as("blk"))
+    val a = withNorm.join(broadcast(grid), col("blk") === col("ba"))
+      .select(col("ba"), col("bb"), col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.join(broadcast(grid), col("blk") === col("bb"))
+      .select(col("ba"), col("bb"), col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("ba") < col("bb") || col("ia") < col("ib"))
+      .select(least(col("ia"), col("ib")).as("va"),
+        greatest(col("ia"), col("ib")).as("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products with
@@ -121,13 +155,15 @@ object Similarity {
     */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
       dim: Int = 64, nbits: Int = 6, tables: Int = 32): DataFrame = {
+    // one codegen'd sketch expression per row (shared weight matrix, no
+    // inline literal planes) — the tables×nbits vec_dot-on-literal
+    // composition cost ~2.5 s/stage at sf0.1 in plan-tree evaluation
     val banded = emb.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          hyperplaneBucket(col("embedding"), dim, nbits, t * nbits)
-            .as("b"))): _*)).as("tb"))
-    val candidates = banded.select(col("tb"), col("vec_id").as("va"))
-      .join(banded.select(col("tb"), col("vec_id").as("vb")), Seq("tb"))
+      posexplode(graft.functions.HyperplaneSketch.hyperplane_sketch(
+        col("embedding"), dim, nbits, tables)).as(Seq("t", "b")))
+    val candidates = banded.select(col("t"), col("b"), col("vec_id").as("va"))
+      .join(banded.select(col("t"), col("b"), col("vec_id").as("vb")),
+        Seq("t", "b"))
       .filter(col("va") < col("vb"))
       .select("va", "vb")
       .distinct()
@@ -223,6 +259,47 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
+  /** Distributed Lloyd k-means refinement for IVF centroids. Init is the
+    * deterministic first-N (same as [[topKIvf]]'s default); each
+    * iteration assigns every vector to its nearest centroid by cosine
+    * (broadcast centroids + max_by partial aggregation — no window sort)
+    * and recomputes cell means per dimension (posexplode → per-(cell,
+    * dim) avg → array reassembly), i.e. two narrow shuffles per
+    * iteration keyed on (cell, dim) — the textbook scalable k-means
+    * shape (k-means|| init would slot in the same way). A cell that
+    * loses all members simply disappears (fewer, better-shaped cells).
+    * Output schema matches the corpus (`vec_id` = cell id, `embedding`),
+    * so it drops straight into [[topKIvf]]'s `centroids` override.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
+      iters: Int = 3): DataFrame = {
+    var cent = corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"))
+    for (_ <- 0 until iters) {
+      val c = cent.withColumn("cent_n", norm(col("cent_e")))
+      val assigned = corpus
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+        .join(broadcast(c))
+        .withColumn("cc",
+          dot(col("embedding"), col("cent_e")) / (col("nrm") * col("cent_n")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cent_id"),
+            struct(col("cc"), (-col("cent_id")).as("nid"))).as("cell"))
+      cent = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cent_e"))
+        .select(col("cell").as("cent_id"), col("cent_e"))
+    }
+    cent.select(col("cent_id").as("vec_id"), col("cent_e").as("embedding"))
   }
 
   /** Bucketed (LSH) top-k: candidates limited to the query's bucket; the

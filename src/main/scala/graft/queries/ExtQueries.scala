@@ -63,8 +63,11 @@ object ExtQueries {
       docs(s, dir).select(col("doc_id"), simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // exact semantics through the block-grid equi-join — identical output
+    // to the nested-loop nearDupPairs (the ExtSpec cross-check), but the
+    // declared plan distributes at scale instead of BNLJ-ing n²/2 pairs
     "x09_embedding_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(emb(s, dir), threshold = 0.4)
+      Similarity.nearDupPairsBlocked(emb(s, dir), threshold = 0.4)
         .orderBy(col("va"), col("vb"))),
 
     // bounded-heap aggregation form (shuffle carries queries×k, not all

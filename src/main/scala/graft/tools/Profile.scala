@@ -59,7 +59,19 @@ object Profile {
             (col("cn") * col("cent_n"))).as("cell"))
         .count())
     timed("ivf full")(Similarity.topKIvf(emb, emb.filter(col("vec_id") < 10), 10).count())
+    // hyperplane near-dup stage breakdown (codegen'd sketch expression)
+    val banded = emb.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneSketch.hyperplane_sketch(
+        col("embedding"), 64, 6, 32)).as(Seq("t", "b")))
+    timed("neardup sketch only")(banded.count())
+    val cand = banded.select(col("t"), col("b"), col("vec_id").as("va"))
+      .join(banded.select(col("t"), col("b"), col("vec_id").as("vb")),
+        Seq("t", "b"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    timed("neardup candidates")(println("cand rows: " + cand.count()))
     timed("neardup lsh full")(Similarity.nearDupPairsLsh(emb, 0.4).count())
+    timed("neardup blocked full")(Similarity.nearDupPairsBlocked(emb, 0.4).count())
     spark.stop()
   }
 }

@@ -78,6 +78,19 @@ class ExtSpec extends AnyFunSuite {
     shared.foreach { case ((q, c), s) => assert(brute((q, c)) == s) }
   }
 
+  test("block-grid near-dup pairs equal the nested-loop brute force") {
+    val brute = Similarity.nearDupPairs(emb, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Similarity.nearDupPairsBlocked(emb, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(blocked == brute)
+    // the declared plan must not contain a nested-loop join
+    val plan = Similarity.nearDupPairsBlocked(emb, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("hyperplane-LSH near-dup pairs are a verified subset of brute force") {
     val brute = Similarity.nearDupPairs(emb, 0.2)
       .as[(Long, Long, Double)].collect()
@@ -90,6 +103,23 @@ class ExtSpec extends AnyFunSuite {
     lsh.foreach { case (a, b, c) => assert(brute((a, b)) == c) }
     // 32 tables × 6 bits: simulated recall at this angle ≈ 0.72
     assert(lsh.length.toDouble / brute.size > 0.5)
+  }
+
+  test("k-means-trained IVF centroids improve recall@10 at same nprobe") {
+    val queries = emb.filter($"vec_id" < 20)
+    def recallOf(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val brute = Similarity.topKBrute(emb, queries, 10)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      val ivf = Similarity.topKIvf(emb, queries, 10, centroids = cent)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      (ivf & brute).size.toDouble / brute.size
+    }
+    val firstN = recallOf(None)
+    val trained = recallOf(Some(Similarity.trainCentroids(emb, 8, iters = 3)))
+    // measured on this corpus: 0.670 first-N → 0.695 after 3 Lloyd
+    // iterations (20 queries × k=10, nprobe=2)
+    assert(trained > firstN,
+      s"trained recall $trained should beat first-N $firstN")
   }
 
   test("multimodal metadata is deterministic and schema-typed") {

@@ -53,6 +53,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     both.foreach { case (f, s) => assert(f == s) }
   }
 
+  test("hyperplane_sketch is bit-identical to the per-bucket composition") {
+    val emb = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "embeddings")
+    val nbits = 6; val tables = 32
+    val both = emb.select(
+      graft.functions.HyperplaneSketch
+        .hyperplane_sketch($"embedding", 64, nbits, tables).as("fast"),
+      array((0 until tables).map(t =>
+        Similarity.hyperplaneBucket($"embedding", 64, nbits, t * nbits)): _*)
+        .as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (f, s) => assert(f == s) }
+  }
+
   test("extensions register vec_dot and minhash_sig for SQL use") {
     graft.engine.GraftExtensions.register(spark)
     val out = spark.sql(
