@@ -48,4 +48,66 @@ object AsOfJoin {
       df.withColumn(p, col(s"__match.$p"))
     }.drop("__pay", "__side", "__match")
   }
+
+  /** Skew-resistant as-of join: identical semantics to [[asOf]], but the
+    * big window partitions on (key, time-band) instead of the bare key,
+    * so one hot key no longer serializes through a single partition.
+    *
+    * band = floor(time / bandWidth). Within a band the usual
+    * union+carry-forward window applies; the match for rows before the
+    * band's first right is the *carry-in*: the last right payload of any
+    * earlier band, computed on the one-row-per-(key, band) aggregate —
+    * that tiny relation is the only thing still windowed per bare key, so
+    * the hot key costs O(#bands), not O(#rows). Every band boundary
+    * respects strictness by construction: a right in an earlier band is
+    * strictly before any left time in this band.
+    *
+    * Scale: all row-level shuffles key on (key, band); pick bandWidth so
+    * a hot key's densest band fits an executor partition (SCALE.md).
+    */
+  def asOfBanded(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      rightPayload: Seq[String],
+      bandWidth: Long,
+      strict: Boolean = true): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val pay = struct(rightPayload.map(col): _*)
+    val band = floor(col(time).cast("double") / bandWidth).cast("long")
+    val r0 = right.select(
+      col(key), col(time), pay.as("__pay"),
+      lit(if (strict) 1 else -1).as("__side"), band.as("__band"))
+    val l0 = left
+      .withColumn("__pay", lit(null).cast(r0.schema("__pay").dataType))
+      .withColumn("__side", lit(0))
+      .withColumn("__band", band)
+    val u = l0.unionByName(r0, allowMissingColumns = true)
+    val wIn = Window.partitionBy(col(key), col("__band"))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per (key, band) that contains a right: its last payload
+    val perBand = r0.groupBy(col(key), col("__band"))
+      .agg(max_by(col("__pay"), struct(col(time), col("__side")))
+        .as("__bandLast"))
+    // densify over every band seen on either side, then carry the last
+    // earlier-band payload forward — the bare-key window runs on band
+    // granularity only
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__band").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.select(col(key), col("__band")).distinct()
+      .join(perBand, Seq(key, "__band"), "left")
+      .withColumn("__carry", last(col("__bandLast"), ignoreNulls = true)
+        .over(wCarry))
+      .select(col(key), col("__band"), col("__carry"))
+    val matched = u
+      .withColumn("__in", last(col("__pay"), ignoreNulls = true).over(wIn))
+      .join(carry, Seq(key, "__band"), "left")
+      .filter(col("__side") === 0)
+      .withColumn("__match", coalesce(col("__in"), col("__carry")))
+    rightPayload.foldLeft(matched) { (df, p) =>
+      df.withColumn(p, col(s"__match.$p"))
+    }.drop("__pay", "__side", "__band", "__in", "__carry", "__match")
+  }
 }

@@ -105,6 +105,38 @@ class CoreOpsSpec extends AnyFunSuite {
       "p3" -> None))
   }
 
+  test("asOfBanded equals asOf under heavy key skew, with bounded bands") {
+    import graft.ops.AsOfJoin
+    val rnd = new scala.util.Random(13)
+    // one hot key holds 50% of all rows; times dense enough that matches
+    // regularly cross band boundaries (carry-in path exercised)
+    def mk(n: Int) = (1 to n).map { i =>
+      val k = if (i % 2 == 0) 0L else 1L + rnd.nextInt(20)
+      (k, rnd.nextInt(10000).toLong, s"v$i")
+    }
+    val left = mk(2000).toDF("k", "t", "pid")
+    val right = mk(2000).toDF("k", "t", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"t", $"pid", $"rid")
+        .as[(Long, Long, String, Option[String])].collect()
+        .sortBy(r => (r._1, r._2, r._3)).toSeq
+    for (strict <- Seq(true, false)) {
+      val plain = canon(AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), strict))
+      val banded = canon(AsOfJoin.asOfBanded(
+        left, right, "k", "t", Seq("rid"), bandWidth = 500L, strict))
+      assert(banded == plain)
+    }
+    // the banding must actually split the hot key: no (key, band)
+    // partition group sees more than a band's worth of rows
+    val hotPerBand = left.unionByName(right.withColumnRenamed("rid", "pid"))
+      .filter($"k" === 0L)
+      .groupBy(floor($"t" / 500L).as("band")).count()
+      .agg(max($"count")).as[Long].head()
+    val hotTotal = 2000L
+    assert(hotPerBand < hotTotal / 4,
+      s"hot key should spread over bands, max band=$hotPerBand")
+  }
+
   test("factRollup: pop shape without explode, disease shape with explode") {
     val rs = Seq(
       // (deceased, gender, key, diseases)
