@@ -11,35 +11,97 @@ import org.apache.spark.sql.functions._
   * The decode itself is imperative by nature (codec libraries), so this is
   * the one place the engine deliberately leaves Catalyst: a typed
   * `mapPartitions` whose iterator shape lets a real implementation batch
-  * frames into a native decoder. The decoder here is a clearly-marked
-  * deterministic STUB (this container ships no image/audio codecs); the
+  * frames into a native decoder. [[decodeBatch]] dispatches on magic
+  * bytes: BMP and WAV payloads get REAL pure-JVM header parses (no codec
+  * dependency needed for container metadata); anything else falls back to
+  * a clearly-marked deterministic STUB (this container ships no
+  * image/audio codecs), so the pipeline never throws on junk bytes. The
   * Spark-side plumbing — binary column, schema, encoders, partition-batch
-  * signature — is real and is what the 100 TB path needs: decode
-  * parallelism = partition count, no driver involvement, columnar binary
-  * at rest.
+  * signature — is what the 100 TB path needs: decode parallelism =
+  * partition count, no driver involvement, columnar binary at rest.
   */
 object Multimodal {
 
-  /** Typed media-metadata row produced by the decoder. */
+  /** Typed media-metadata row produced by the decoder. For audio (WAV)
+    * the image-shaped fields carry: width = sample rate, height =
+    * channel count, n_frames = sample frames (data bytes / block align).
+    */
   case class MediaMeta(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder: derives fake-but-deterministic media properties from an
-    * md5 of the payload. A real build swaps `decodeBatch` for a codec call
-    * with the identical signature; nothing upstream or downstream changes.
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real decode: BMP `BM` header — width/height from the DIB header
+    * (BITMAPINFOHEADER int32s; the legacy 12-byte BITMAPCOREHEADER
+    * uint16s). Height may be negative for top-down rows → abs.
+    */
+  private def decodeBmp(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
+    val dib = le32(b, 14)
+    if (dib >= 40)
+      Some(MediaMeta(id, b.length, le32(b, 18), math.abs(le32(b, 22)), 1))
+    else if (dib == 12)
+      Some(MediaMeta(id, b.length, le16(b, 18), le16(b, 20), 1))
+    else None
+  }
+
+  /** Real decode: WAV `RIFF….WAVE` — walk the chunk list for `fmt `
+    * (channels, sample rate, block align) and `data` (payload size);
+    * frames = data size / block align.
+    */
+  private def decodeWav(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var off = 12
+    var rate, channels, blockAlign, dataSize = -1
+    while (off + 8 <= b.length) {
+      val id4 = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (id4 == "fmt " && off + 8 + 16 <= b.length) {
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        blockAlign = le16(b, off + 20)
+      } else if (id4 == "data") dataSize = sz
+      if (sz < 0) return None // corrupt chunk size
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some(MediaMeta(id, b.length, rate, channels, dataSize / blockAlign))
+  }
+
+  /** STUB decode for payloads that are neither BMP nor WAV: derives
+    * fake-but-deterministic media properties from an md5 of the payload.
+    * A real build swaps this arm for a codec call; nothing upstream or
+    * downstream changes.
+    */
+  private def decodeStub(md: MessageDigest, id: Long,
+      bytes: Array[Byte]): MediaMeta = {
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    MediaMeta(
+      doc_id = id,
+      n_bytes = bytes.length,
+      width = (32 * (1 + hv % 8)).toInt,
+      height = (32 * (1 + (hv / 8) % 8)).toInt,
+      n_frames = (1 + hv % 16).toInt)
+  }
+
+  /** Partition-batch decoder: real BMP/WAV header parse when the magic
+    * matches, deterministic stub otherwise.
     */
   def decodeBatch(payloads: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
     val md = MessageDigest.getInstance("MD5") // one instance per partition batch
     payloads.map { case (id, bytes) =>
-      md.reset()
-      val hex = md.digest(bytes).map("%02x".format(_)).mkString
-      val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      MediaMeta(
-        doc_id = id,
-        n_bytes = bytes.length,
-        width = (32 * (1 + hv % 8)).toInt,
-        height = (32 * (1 + (hv / 8) % 8)).toInt,
-        n_frames = (1 + hv % 16).toInt)
+      decodeBmp(id, bytes)
+        .orElse(decodeWav(id, bytes))
+        .getOrElse(decodeStub(md, id, bytes))
     }
   }
 

@@ -122,6 +122,42 @@ class ExtSpec extends AnyFunSuite {
       s"trained recall $trained should beat first-N $firstN")
   }
 
+  test("multimodal decoder parses real BMP and WAV headers from bytes") {
+    // BMP: BITMAPINFOHEADER, 123 x 45 (height negative = top-down)
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    def putLe16(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 2).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    putLe32(bmp, 14, 40); putLe32(bmp, 18, 123); putLe32(bmp, 22, -45)
+    // WAV: 44100 Hz stereo 16-bit, 1000 sample frames
+    val dataBytes = 1000 * 4
+    val wav = new Array[Byte](44 + dataBytes)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    putLe32(wav, 4, 36 + dataBytes)
+    "WAVE".getBytes.copyToArray(wav, 8)
+    "fmt ".getBytes.copyToArray(wav, 12); putLe32(wav, 16, 16)
+    putLe16(wav, 20, 1); putLe16(wav, 22, 2) // PCM, stereo
+    putLe32(wav, 24, 44100); putLe32(wav, 28, 44100 * 4)
+    putLe16(wav, 32, 4); putLe16(wav, 34, 16) // block align, bits
+    "data".getBytes.copyToArray(wav, 36); putLe32(wav, 40, dataBytes)
+    // junk payload → deterministic stub fallback, no throw
+    val junk = "not a media file".getBytes
+    // pure-function path
+    val metas = Multimodal.decodeBatch(Iterator(
+      (1L, bmp), (2L, wav), (3L, junk))).toSeq
+    assert(metas(0) == Multimodal.MediaMeta(1L, 54, 123, 45, 1))
+    assert(metas(1) == Multimodal.MediaMeta(2L, 44 + dataBytes, 44100, 2, 1000))
+    assert(metas(2).width % 32 == 0 && metas(2).n_frames >= 1)
+    // Spark path: same results through the partition-batched plumbing
+    val df = Seq((1L, bmp), (2L, wav), (3L, junk)).toDF("doc_id", "payload")
+    val viaSpark = df.as[(Long, Array[Byte])]
+      .mapPartitions(Multimodal.decodeBatch)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(viaSpark == metas)
+  }
+
   test("multimodal metadata is deterministic and schema-typed") {
     val a = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
     val b = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
