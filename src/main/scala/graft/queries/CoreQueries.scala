@@ -289,6 +289,39 @@ object CoreQueries {
         .agg(
           countDistinct(col("l_suppkey"), col("l_partkey")).as("sp"),
           countDistinct(col("l_returnflag")).as("rf"))
+    }),
+
+    // Q26 [T1+T2+T3+T4+T6 ≈ the full ingest rewrite chain, driver-checked]:
+    // deterministic bundle JSON is built in-plan from `customer`, parsed
+    // against the declared bundle schema, run through surrogate-ID
+    // assignment + refmap + reference rewrite + type routing, and emitted
+    // as one row per routed resource. The surrogate IDs are
+    // sha256(path|fullUrl) prefixes (BundleIngest.newIdFor), so DuckDB
+    // recomputes the ENTIRE rewrite output — including the Observation's
+    // rewritten subject reference resolving to its bundle's new Patient id
+    // — from the same customer keys.
+    "q26_bundle_rewrite" -> ((s, dir) => {
+      import graft.fhir.{BundleIngest, Schemas}
+      val cust = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      val json = format_string(
+        """{"resourceType":"Bundle","type":"transaction","entry":[""" +
+          """{"fullUrl":"urn:uuid:p%1$d","resource":""" +
+          """{"resourceType":"Patient","gender":"female"}},""" +
+          """{"fullUrl":"urn:uuid:o%1$d","resource":""" +
+          """{"resourceType":"Observation","status":"final",""" +
+          """"subject":{"reference":"urn:uuid:p%1$d"}}}]}""",
+        col("c_custkey"))
+      val parsed = cust
+        .select(col("c_custkey"), from_json(json, Schemas.bundle).as("b"))
+        .select(col("c_custkey"), col("b.*"))
+        .withColumn("bundle_path", concat(lit("mem://"), col("c_custkey")))
+      BundleIngest.routeResources(BundleIngest.rewriteBundle(parsed))
+        .select(
+          col("bundle_path"),
+          col("collection"),
+          col("resource.id").as("rid"),
+          col("resource.subject.reference").as("subject_ref"))
+        .orderBy(col("bundle_path"), col("collection"))
     })
   )
 
@@ -424,6 +457,20 @@ object CoreQueries {
     "q25_distinct_count" ->
       """SELECT count(DISTINCT (l_suppkey, l_partkey)) AS sp,
                 count(DISTINCT l_returnflag) AS rf
-         FROM lineitem"""
+         FROM lineitem""",
+    "q26_bundle_rewrite" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 500),
+         r AS (
+           SELECT 'mem://' || k AS bundle_path, 'patients' AS collection,
+                  substr(sha256('mem://' || k || '|urn:uuid:p' || k), 1, 24) AS rid,
+                  CAST(NULL AS VARCHAR) AS subject_ref
+           FROM c
+           UNION ALL
+           SELECT 'mem://' || k, 'observations',
+                  substr(sha256('mem://' || k || '|urn:uuid:o' || k), 1, 24),
+                  'Patient/' || substr(sha256('mem://' || k || '|urn:uuid:p' || k), 1, 24)
+           FROM c)
+         SELECT bundle_path, collection, rid, subject_ref
+         FROM r ORDER BY bundle_path, collection"""
   )
 }
