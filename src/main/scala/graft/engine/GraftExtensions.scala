@@ -4,10 +4,11 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatVecDot, MinHashSig}
+import graft.functions.{FloatVecDot, HyperplaneSketch, MinHashSig}
 
 /** Registration of the engine's native expressions as SQL functions, so
-  * `SELECT vec_dot(a, b)` / `minhash_sig(hv, 128)` work from pure SQL.
+  * `SELECT vec_dot(a, b)` / `minhash_sig(hv, 128)` /
+  * `hyperplane_sketch(e, 64, 6, 32)` work from pure SQL.
   * Deploy via `spark.sql.extensions=graft.engine.GraftExtensions`, or call
   * [[GraftExtensions.register]] on a live session.
   */
@@ -32,6 +33,19 @@ object GraftExtensions {
             s"minhash_sig: numHashes must be a literal, got $other")
         }
         MinHashSig(children.head, n)
+      }),
+    (new FunctionIdentifier("hyperplane_sketch"),
+      new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_sketch: $what must be a literal, got $other")
+        }
+        HyperplaneSketch(children.head,
+          intLit(children(1), "dim"),
+          intLit(children(2), "nbits"),
+          intLit(children(3), "tables"))
       }))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -82,7 +82,11 @@ object Dedup {
     val l = inv.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
     val r = inv.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
     l.join(r, Seq("sh"))
-      .filter(col("da") < col("db"))
+      // the size-ratio prune (J ≤ min/max) is lossless and drops most
+      // mismatched-length pairs BEFORE the pair-key shuffle + aggregate
+      .filter(col("da") < col("db") &&
+        least(col("sza"), col("szb")).cast(DoubleType) /
+          greatest(col("sza"), col("szb")) >= threshold)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"),
         first(col("sza")).as("sza"), first(col("szb")).as("szb"))
@@ -169,6 +173,58 @@ object Dedup {
       array_min(transform(hv,
         h => pmod(h * lit(a) + lit(b), lit(MersennePrime31))))
     }.toSeq: _*)
+
+  /** Near-duplicate clustering: connected components over a verified
+    * pair graph, each document labeled with the min doc_id of its
+    * component (singletons label themselves). This is the step that turns
+    * pairwise near-dup output into actionable dedup groups ("keep the
+    * cluster representative, drop the rest").
+    *
+    * Shape: iterative min-label propagation — per iteration one equi-join
+    * of the (small) edge list against the labels and one groupBy(min),
+    * both keyed on doc_id, i.e. the standard large-graph CC pattern
+    * without a graph library. Converges in diameter(component)
+    * iterations; near-dup components are shallow clusters, so this is
+    * 2–4 rounds in practice. Convergence is detected from the label sum
+    * (labels only ever decrease, so an unchanged sum means a fixpoint).
+    *
+    * Each iteration ends in `localCheckpoint()`: persist alone is NOT
+    * enough for iterative plans — it caches execution but leaves the
+    * logical tree growing one join+aggregate layer per iteration, and
+    * Catalyst re-analysis over that nesting goes super-linear (measured:
+    * a 12-node chain pinned the driver for minutes). The checkpoint cuts
+    * the plan back to a flat scan of the materialized labels.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      val nmin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
+      val updated = labels
+        .join(nmin, labels("doc_id") === nmin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val s = labelSum(updated)
+      labels = updated
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
 
   /** MinHash + LSH banding near-dup: the scale path.
     *

@@ -322,6 +322,25 @@ object CoreQueries {
           col("resource.id").as("rid"),
           col("resource.subject.reference").as("subject_ref"))
         .orderBy(col("bundle_path"), col("collection"))
+    }),
+
+    // Q27 [engine surface: ordered analytics — running totals via an
+    // exact decimal frame sum, lead() inter-event gaps]
+    "q27_running_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          sum(col("value").cast(DecimalType(18, 2))).over(run)
+            .cast(DoubleType).as("running_total"),
+          (unix_timestamp(lead(col("ts"), 1).over(w)) -
+            unix_timestamp(col("ts"))).as("gap_s"))
+        .orderBy(col("user_id"), col("rn"))
     })
   )
 
@@ -471,6 +490,16 @@ object CoreQueries {
                   'Patient/' || substr(sha256('mem://' || k || '|urn:uuid:p' || k), 1, 24)
            FROM c)
          SELECT bundle_path, collection, rid, subject_ref
-         FROM r ORDER BY bundle_path, collection"""
+         FROM r ORDER BY bundle_path, collection""",
+    "q27_running_analytics" ->
+      """SELECT user_id, event_id,
+                CAST(row_number() OVER w AS INTEGER) AS rn,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+                date_diff('second', ts, lead(ts) OVER w) AS gap_s
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, rn"""
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ext.TextAnalysis._
 
 /** Extension queries: the LLM-data-pipeline operators (north star,
@@ -134,6 +134,23 @@ object ExtQueries {
       Similarity.nearDupPairsLsh(emb(s, dir), threshold = 0.4)
         .orderBy(col("va"), col("vb"))),
 
+    // near-dup clustering: connected components over the exact-verified
+    // pair graph (min-label propagation to fixpoint); the oracle computes
+    // true components with a recursive CTE over the same pairs
+    "x17_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupClusters(d, Dedup.jaccardPairsIndex(d, n = 3, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash-bucket train/val/test split — a function of the
+    // row id, reproducible across engines/runs/subsets (no rand())
+    "x18_hash_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), "split", 100).as("bucket"),
+        Sampling.split(col("doc_id")).as("split"))
+        .orderBy(col("doc_id"))),
+
     // IVF-probed ANN — deterministic centroids, rounded cosines, and id
     // tie-breaks make cell assignment + probing engine-portable:
     // hash-checked against the DuckDB replication below
@@ -248,6 +265,30 @@ object ExtQueries {
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
     "x06_ngram_jaccard_pairs" -> jaccardPairsSql,
+    "x17_dedup_clusters" ->
+      (shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster
+         FROM reach GROUP BY node ORDER BY doc_id"""),
+    "x18_hash_split" ->
+      """SELECT doc_id,
+                CAST('0x' || substr(md5('split:' || doc_id), 1, 8) AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                     WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     // LSH candidates are exact-verified, so the oracle is the same
     // brute-force set (miss probability ~1e-8 at j=0.5, ~0 at the planted
     // pairs' j>=0.9).

@@ -30,6 +30,41 @@ class ExtSpec extends AnyFunSuite {
     assert(prefix == brute)
   }
 
+  test("dedupClusters labels components with min doc_id, singletons self") {
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // components: {1,2,3} (chain), {5,6}, singletons {4}, {7}
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.8))
+      .toDF("da", "db", "j")
+    val out = graft.ext.Dedup.dedupClusters(d, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // a longer chain still converges (propagation, not one-hop)
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1), 0.9)).toSeq
+      .toDF("da", "db", "j")
+    val d2 = (1L to 12L).toDF("doc_id")
+    val out2 = graft.ext.Dedup.dedupClusters(d2, chain)
+      .as[(Long, Long)].collect()
+    assert(out2.forall(_._2 == 1L))
+  }
+
+  test("hash split is deterministic, uniform-ish, and rand()-free") {
+    val ids = (0L until 1000L).toDF("doc_id")
+    val a = ids.select($"doc_id",
+      graft.ext.Sampling.split($"doc_id").as("s")).collect()
+    val b = ids.select($"doc_id",
+      graft.ext.Sampling.split($"doc_id").as("s")).collect()
+    assert(a.toSeq == b.toSeq)
+    val byS = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byS("train") > 700 && byS("train") < 900)
+    assert(byS("val") > 50 && byS("val") < 150)
+    assert(byS("test") > 50 && byS("test") < 150)
+    // a different salt re-deals the assignment
+    val c = ids.select(
+      graft.ext.Sampling.split($"doc_id", "exp2").as("s")).collect()
+    assert(c.map(_.getString(0)).toSeq != a.map(_.getString(1)).toSeq)
+  }
+
   test("exact dedup groups by fingerprint, keeps min doc_id") {
     val twice = docs.select($"doc_id", $"text")
       .union(docs.select($"doc_id" + 10000, $"text"))
