@@ -341,6 +341,48 @@ object CoreQueries {
           (unix_timestamp(lead(col("ts"), 1).over(w)) -
             unix_timestamp(col("ts"))).as("gap_s"))
         .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // Q28 [skew lever at the gate: two-phase salted aggregation —
+    // identical result to a direct groupBy, asserted by the oracle; the
+    // grouping key has 3 values over 600k rows, the pathological shape]
+    "q28_salted_skew_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val l = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("k"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("q"))
+      saltedSumCount(l, Seq("k"), Seq("q"))
+        .select(col("k"), col("cnt"),
+          col("sum_q").cast(DoubleType).as("qty"))
+        .orderBy(col("k"))
+    }),
+
+    // Q29 [engine surface: pivot/crosstab — per-user event-type counts as
+    // columns; explicit value list keeps the plan one-pass (no distinct
+    // scan) and the output schema static]
+    "q29_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // Q30 [engine surface: grouped top-k through the bounded-heap
+    // aggregator — the partial-agg form whose shuffle carries groups × k
+    // rows, not the full corpus (same TopKAgg as the ANN path)]
+    "q30_grouped_topk" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAgg(3))
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(topk(col("n_chars").cast("double"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("t._2").as("doc_id"), col("t._1").cast("long").as("n_chars"))
+        .orderBy(col("lang"), col("rank"))
     })
   )
 
@@ -500,6 +542,26 @@ object CoreQueries {
                 date_diff('second', ts, lead(ts) OVER w) AS gap_s
          FROM events WHERE user_id < 20
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ORDER BY user_id, rn"""
+         ORDER BY user_id, rn""",
+    "q28_salted_skew_agg" ->
+      """SELECT l_returnflag AS k, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY 1 ORDER BY k""",
+    "q29_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events WHERE user_id < 50
+         GROUP BY user_id ORDER BY user_id""",
+    "q30_grouped_topk" ->
+      """SELECT lang, rank, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+           FROM documents) t
+         WHERE rank <= 3 ORDER BY lang, rank"""
   )
 }
