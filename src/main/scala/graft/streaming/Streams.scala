@@ -90,6 +90,41 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  // ---- streaming dedup --------------------------------------------------
+
+  /** At-ingest exact dedup on the event id: duplicates arriving within
+    * the watermark horizon are dropped and the id state is reclaimed once
+    * the watermark passes — the streaming analogue of
+    * [[graft.ext.Dedup.exact]], with state bounded by (arrival rate ×
+    * watermark) instead of corpus size. This is the dedup a 100 TB/day
+    * event firehose actually needs: at-least-once sources (Kafka, file
+    * redelivery) produce near-in-time duplicates, which is exactly the
+    * horizon the watermark bounds.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  // ---- stream-static enrichment -----------------------------------------
+
+  /** Stream-static dimension join: each micro-batch joins against the
+    * (bounded) static dim with a forced broadcast — stateless, no
+    * watermark needed, the static side re-resolves per batch. The
+    * streaming mirror of the rawstat path's T9/T11 dim joins.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : DataFrame = {
+    val joined = events.join(broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+    defaults.foldLeft(joined) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+
   // ---- stateful sessionization -----------------------------------------
 
   case class Event(

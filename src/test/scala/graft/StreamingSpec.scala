@@ -84,6 +84,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Event]
+    val q = Streams.dedupStream(src.toDF(), Seq("event_id"),
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(1, ts(1), 10, "click", 1.0), // exact redelivery
+      Event(2, ts(2), 10, "view", 2.0))
+    q.processAllAvailable()
+    src.addData(Event(1, ts(3), 10, "click", 1.0)) // late duplicate id
+    q.processAllAvailable()
+    src.addData(Event(3, ts(4), 11, "click", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream")
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    q.stop()
+    assert(rows == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static dim join enriches per micro-batch with defaults") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "boston"), (11L, "quincy")).toDF("dim_id", "city")
+    val src = MemoryStream[Event]
+    val q = Streams.enrichStream(src.toDF(), dim, "user_id", "dim_id",
+      defaults = Map("city" -> lit("")))
+      .select($"event_id", $"city")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 99, "view", 2.0)) // no dim row → default
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .as[(Long, String)].collect().toMap
+    q.stop()
+    assert(rows == Map(1L -> "boston", 2L -> ""))
+  }
+
   test("population facts run as a complete-mode streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Option[Boolean], String, String)]
