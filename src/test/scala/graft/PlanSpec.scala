@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression gate: the physical plans of every declared
+  * query, checked as tests so a refactor can't silently reintroduce a
+  * scale-killer (SCALE.md documents the reasoning per operator).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed to contain a BroadcastNestedLoopJoin — each is a
+    * bounded broadcast cartesian (a 1-row count/scalar subquery or the
+    * k-row ANN query side), not a data×data nested loop.
+    */
+  private val boundedBroadcastCartesian = Set(
+    "q18_scalar_subquery", // 1-row scalar subquery
+    "x10_ann_topk", // k-row query side vs corpus: inherent to exact scoring
+    "x11_ann_topk_lsh", // same, within-bucket
+    "x13_doc_frequency", // 1-row corpus count
+    "x14_tfidf_top_term", // 1-row corpus count
+    "x15_ann_topk_ivf") // k-row probe side
+
+  test("no declared query plans a data×data nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan: SparkPlan =
+          fn(spark, sf).queryExecution.executedPlan
+        val hasNlj = plan.toString.contains("BroadcastNestedLoopJoin")
+        if (hasNlj && !boundedBroadcastCartesian(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
+  }
+
+  test("dim joins broadcast the dim side (q02)") {
+    val plan = SparkEntry.queries("q02_dim_join_default")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("filters are pushed down to the parquet scan (q01)") {
+    val plan = SparkEntry.queries("q01_filter_onehot_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_acctbal), " +
+      "GreaterThanOrEqual(c_acctbal,0.0)]")
+      || plan.contains("GreaterThanOrEqual(c_acctbal"), plan.take(2000))
+  }
+
+  test("projection pruning reaches the scan: q03 reads 2 of 4 columns") {
+    val plan = SparkEntry.queries("q03_suffix_strip")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<n_nationkey:int,n_name:string>"),
+      plan.take(2000))
+  }
+
+  test("partial aggregation runs before the exchange (q01)") {
+    val plan = SparkEntry.queries("q01_filter_onehot_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // partial HashAggregate must appear below the shuffle (plan prints
+    // top-down: final agg, exchange, partial agg)
+    val iPartial = plan.indexOf("HashAggregate(keys=[c_nationkey")
+    val iExchange = plan.indexOf("Exchange hashpartitioning(c_nationkey")
+    assert(iPartial >= 0 && iExchange >= 0 && iPartial < iExchange,
+      plan.take(2000))
+  }
+}
