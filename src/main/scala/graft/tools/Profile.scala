@@ -72,6 +72,10 @@ object Profile {
     timed("neardup candidates")(println("cand rows: " + cand.count()))
     timed("neardup lsh full")(Similarity.nearDupPairsLsh(emb, 0.4).count())
     timed("neardup blocked full")(Similarity.nearDupPairsBlocked(emb, 0.4).count())
+    // x17 stage breakdown
+    val lshPairs = Dedup.jaccardPairsLsh(docs, 3, 0.5)
+    timed("cluster edges (lsh pairs)")(lshPairs.count())
+    timed("cluster full")(Dedup.dedupClusters(docs, lshPairs).count())
     spark.stop()
   }
 }
