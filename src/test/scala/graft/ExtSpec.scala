@@ -48,6 +48,29 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.forall(_._2 == 1L))
   }
 
+  test("dedupClusters equals union-find on random graphs") {
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.04
+      } yield (a, b, 1.0)).toSeq
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.ext.Dedup.dedupClusters(
+        (0L until n).toDF("doc_id"), edges.toDF("da", "db", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("hash split is deterministic, uniform-ish, and rand()-free") {
     val ids = (0L until 1000L).toDF("doc_id")
     val a = ids.select($"doc_id",
