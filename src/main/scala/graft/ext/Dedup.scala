@@ -203,10 +203,12 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
+    // empty corpus → sum() is null → already converged
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
-    var done = false
+    var done = labels.isEmpty
     var i = 0
     while (!done && i < maxIters) {
       val nmin = edges.join(labels, edges("src") === labels("doc_id"))

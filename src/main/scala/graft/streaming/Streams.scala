@@ -48,6 +48,26 @@ object Streams {
       }
       .start()
 
+  /** Streaming rawstat: the reference's per-patient pre-aggregate
+    * (SURVEY §3.2) computed incrementally. One bundle = one patient, so
+    * the rawstat build is batch-independent — each micro-batch appends
+    * its patients' rows with NO cross-batch state, watermark, or
+    * re-aggregation. The fact rollups then run over the growing rawstat
+    * table exactly as in batch mode (FactJobs), which is the
+    * pre-aggregate's whole point in the reference too.
+    */
+  def rawstatStream(spark: SparkSession, path: String,
+      cousubDim: DataFrame, diseaseDim: DataFrame, asOf: String,
+      outDir: String, checkpoint: String): StreamingQuery =
+    bundleStream(spark, path).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.fhir.RawStats
+          .build(batch, cousubDim, diseaseDim, lit(asOf).cast("date"))
+          .write.mode("append").parquet(s"$outDir/rawstat")
+      }
+      .start()
+
   // ---- events table as a stream ----------------------------------------
 
   /** The testdata `events` parquet as a file-source stream. Mirrors

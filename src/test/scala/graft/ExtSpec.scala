@@ -48,6 +48,17 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.forall(_._2 == 1L))
   }
 
+  test("dedupClusters handles empty corpus and empty edge set") {
+    val none = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).filter(lit(false))
+    val noEdges = Seq.empty[(Long, Long, Double)].toDF("da", "db", "j")
+    assert(graft.ext.Dedup.dedupClusters(none, noEdges).count() == 0)
+    val three = Seq(1L, 2L, 3L).toDF("doc_id")
+    val out = graft.ext.Dedup.dedupClusters(three, noEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("dedupClusters equals union-find on random graphs") {
     for (seed <- Seq(7, 23, 99)) {
       val rnd = new scala.util.Random(seed)

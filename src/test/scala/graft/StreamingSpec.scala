@@ -166,6 +166,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 10) // b1: 6 entries + b5: 4 — no duplicates
   }
 
+  test("streaming rawstat equals the batch pre-aggregate, incrementally") {
+    import graft.fhir.{BundleIngest, RawStats}
+    val tmp = Files.createTempDirectory("graft-rawstat-stream").toString
+    val inDir = s"$tmp/in"; Files.createDirectories(Paths.get(inDir))
+    def copyIn(name: String): Unit =
+      Files.copy(
+        Paths.get(getClass.getResource(s"/bundles/$name").getPath),
+        Paths.get(s"$inDir/$name"), StandardCopyOption.REPLACE_EXISTING)
+    val cousub = RawStats.loadCousubDim(Seq(
+      ("Springfield", "25001", "2500100001"))
+      .toDF("cs_name", "ct_fips", "cs_fips"))
+    val disease = RawStats.loadDiseaseDim(Seq(
+      ("http://snomed.info/sct", "44054006", 1, Some(10)))
+      .toDF("code_system", "code", "condition_id", "disease_id"))
+    copyIn("b1.json")
+    val q = Streams.rawstatStream(spark, inDir, cousub, disease,
+      "2020-01-01", s"$tmp/out", s"$tmp/ckpt")
+    q.processAllAvailable()
+    copyIn("b5.json") // second patient arrives later — incremental append
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out/rawstat")
+      .select($"patientid", $"gender", $"age")
+      .as[(String, String, Int)].collect().toSet
+    val batch = RawStats.build(
+      BundleIngest.rewriteBundle(BundleIngest.readBundles(spark, inDir)),
+      cousub, disease, lit("2020-01-01").cast("date"))
+      .select($"patientid", $"gender", $"age")
+      .as[(String, String, Int)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.map(r => (r._2, r._3)) == batch.map(r => (r._2, r._3)))
+  }
+
   test("streaming bundle ingest fans out to the partitioned resource sink") {
     val tmp = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$tmp/in"; Files.createDirectories(Paths.get(inDir))
