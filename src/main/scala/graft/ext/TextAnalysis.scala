@@ -112,6 +112,33 @@ object TextAnalysis {
     }
   }
 
+  /** Non-deduplicated word bigram array — the repetition-signal input
+    * (unlike [[shinglesFromTokens]], duplicates are the point here).
+    * `ws` must be a materialized token-array column (same lambda-capture
+    * rule as shingles).
+    */
+  def bigrams(ws: Column): Column = {
+    val joined = zip_with(ws, slice(ws, lit(2), size(ws)),
+      (a, b) => concat(a, lit(" "), b))
+    val sh = slice(joined, lit(1), greatest(size(ws) - 1, lit(0)))
+    when(size(ws) >= 2, sh).otherwise(array().cast("array<string>"))
+  }
+
+  /** Mean word length in characters, rounded to 6 — a Gopher-style
+    * quality gate input (word soup and OCR noise sit far from the 3–10
+    * band of natural prose).
+    */
+  def meanWordLen(ws: Column): Column =
+    round(aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast(DoubleType) / size(ws), 6)
+
+  /** Non-alphanumeric glyphs per token — high values flag markup/symbol
+    * noise.
+    */
+  def symbolRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(DoubleType) / tokenCount(text), 6)
+
   /** Canonical document fingerprint: md5 of whitespace-normalized,
     * lowercased text. The exact-dedup key.
     */

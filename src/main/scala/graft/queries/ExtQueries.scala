@@ -147,6 +147,31 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality gate: mean word length, symbol noise, and
+    // max-repeated-bigram ratio (the repetition rule) → keep/drop flag.
+    // Per-row signals are pure expressions; repetition is the classic
+    // explode → (doc, bigram) count → per-doc max/total two-shuffle.
+    "x19_quality_flags" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DoubleType
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        tokens(col("text")).as("ws"))
+      val base = d.select(col("doc_id"),
+        meanWordLen(col("ws")).as("mean_word_len"),
+        symbolRatio(col("text")).as("symbol_ratio"))
+      val rep = d.select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")), 6)
+          .as("max_bigram_ratio"))
+      base.join(rep, Seq("doc_id"), "left")
+        .withColumn("max_bigram_ratio",
+          coalesce(col("max_bigram_ratio"), lit(0.0)))
+        .withColumn("keep",
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+            col("symbol_ratio") <= 0.1 && col("max_bigram_ratio") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic hash-bucket train/val/test split — a function of the
     // row id, reproducible across engines/runs/subsets (no rand())
     "x18_hash_split" -> ((s, dir) =>
@@ -286,6 +311,28 @@ object ExtQueries {
            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
          SELECT node AS doc_id, min(lbl) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id"""),
+    "x19_quality_flags" ->
+      """WITH t AS (SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         base AS (SELECT doc_id,
+             round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                   / len(ws), 6) AS mean_word_len,
+             round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                   / len(ws), 6) AS symbol_ratio
+           FROM t),
+         bg AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1]
+                          for i in generate_series(1, len(ws)-1)]) AS bg
+                FROM t WHERE len(ws) >= 2),
+         cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6)
+                        AS max_bigram_ratio FROM cnt GROUP BY 1)
+         SELECT b.doc_id, b.mean_word_len, b.symbol_ratio,
+                coalesce(r.max_bigram_ratio, 0.0) AS max_bigram_ratio,
+                (b.mean_word_len >= 3 AND b.mean_word_len <= 10
+                 AND b.symbol_ratio <= 0.1
+                 AND coalesce(r.max_bigram_ratio, 0.0) <= 0.2) AS keep
+         FROM base b LEFT JOIN rep r USING (doc_id) ORDER BY doc_id""",
     "x18_hash_split" ->
       """SELECT doc_id,
                 CAST('0x' || substr(md5('split:' || doc_id), 1, 8) AS BIGINT) % 100 AS bucket,
