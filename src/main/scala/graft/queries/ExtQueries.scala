@@ -172,6 +172,44 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source corpus statistics — the mixing dashboard: volume, token
+    // mass, and char-length percentiles per provenance bucket
+    "x21_source_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(expr("percentile(length(text), 0.5)"), 6).as("p50_chars"),
+          round(expr("percentile(length(text), 0.95)"), 6).as("p95_chars"))
+        .orderBy(col("source"))),
+
+    // deterministic weighted dataset mixing: per-source keep rates
+    // realized as a hash-bucket threshold — the sampling decision is a
+    // pure function of (doc_id, salt), so a re-run, a different engine,
+    // or a partial re-process deals every document identically
+    "x22_weighted_mix" -> ((s, dir) => {
+      val weight = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1) * 25
+      docs(s, dir).select(col("doc_id"), col("source"),
+        weight.cast("int").as("keep_pct"),
+        (Sampling.hashBucket(col("doc_id"), "mix", 100) < weight)
+          .as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: train docs sharing any 5-gram with the
+    // eval set (doc_id < 10) — the asymmetric inverted-index join, same
+    // scale shape as x06 (shuffle on the shingle key, never pairwise)
+    "x23_contamination" -> ((s, dir) => {
+      val sg5 = Dedup.shingled(docs(s, dir), 5)
+      val ev = sg5.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("eval_id"), explode(col("sg")).as("sh"))
+      val tr = sg5.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("train_id"), explode(col("sg")).as("sh"))
+      ev.join(tr, Seq("sh"))
+        .groupBy(col("eval_id"), col("train_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("eval_id"), col("train_id"))
+    }),
+
     // deterministic hash-bucket train/val/test split — a function of the
     // row id, reproducible across engines/runs/subsets (no rand())
     "x18_hash_split" -> ((s, dir) =>
@@ -311,6 +349,29 @@ object ExtQueries {
            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
          SELECT node AS doc_id, min(lbl) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id"""),
+    "x21_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+                round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+                round(quantile_cont(length(text), 0.95), 6) AS p95_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "x22_weighted_mix" ->
+      """SELECT doc_id, source,
+                CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 25 AS INT) AS keep_pct,
+                (CAST('0x' || substr(md5('mix:' || doc_id), 1, 8) AS BIGINT) % 100
+                 < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25) AS kept
+         FROM documents ORDER BY doc_id""",
+    "x23_contamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                          for i in generate_series(1, len(ws)-4)])) AS s
+                FROM t WHERE len(ws) >= 5)
+         SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS n_shared
+         FROM sh e JOIN sh tr ON e.s = tr.s
+         WHERE e.doc_id < 10 AND tr.doc_id >= 10
+         GROUP BY 1, 2 ORDER BY eval_id, train_id""",
     "x19_quality_flags" ->
       """WITH t AS (SELECT doc_id, text,
                 regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
