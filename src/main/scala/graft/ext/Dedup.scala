@@ -198,9 +198,12 @@ object Dedup {
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint()
+    // materialize the pair list ONCE before mirroring: the union's two
+    // branches would otherwise each re-evaluate the (expensive)
+    // pair-generation lineage — measured 2× the whole LSH pipeline
+    val p = pairs.select(col("da"), col("db")).localCheckpoint()
+    val edges = p.toDF("src", "dst")
+      .union(p.select(col("db"), col("da")).toDF("src", "dst"))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
     // empty corpus → sum() is null → already converged
