@@ -86,6 +86,27 @@ object CoreOps {
       .filter(col(outCol) > lit(0))
       .drop(arrayCol)
 
+  /** Z-order (Morton) interleave key of two non-negative dimensions,
+    * `bits` bits each: bit b of x lands at position 2b, bit b of y at
+    * 2b+1. Sorting/range-partitioning data files by this key co-locates
+    * rows that are close in BOTH dimensions, so parquet min/max row-group
+    * stats prune scans filtered on either column — the standard
+    * data-layout lever for multi-dimensional pruning at 100 TB (a linear
+    * sort key only prunes its leading column). Pure HOF expression
+    * (variable-amount shifts via the SQL functions, like simhash), no
+    * UDF; DuckDB reproduces it bit-for-bit in the q31 oracle.
+    */
+  def zorderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    def shr(c: Column, b: Column) = call_function("shiftright", c, b)
+    def shl(c: Column, b: Column) = call_function("shiftleft", c, b)
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, b) =>
+        acc + shl(shr(x.cast("long"), b) % 2, b * 2) +
+          shl(shr(y.cast("long"), b) % 2, b * 2 + 1))
+  }
+
   /** Exact decimal sum of a double money/quantity column. Summing doubles is
     * order-dependent, and Spark's partial-agg order differs run to run; at
     * 2-decimal money scale a decimal sum is exact, associative, and

@@ -371,6 +371,18 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Q31 [engine surface: Z-order layout key — the multi-dimensional
+    // data-layout lever; sorting files by this key makes parquet min/max
+    // stats prunable on BOTH dimensions]
+    "q31_zorder_key" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"),
+          zorderKey(col("user_id"), pmod(col("event_id"), lit(65536)), 16)
+            .as("zkey"))
+        .orderBy(col("zkey"), col("event_id"))
+    }),
+
     // Q30 [engine surface: grouped top-k through the bounded-heap
     // aggregator — the partial-agg form whose shuffle carries groups × k
     // rows, not the full corpus (same TopKAgg as the ANN path)]
@@ -556,6 +568,13 @@ object CoreQueries {
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q31_zorder_key" ->
+      """SELECT event_id, user_id,
+                CAST((SELECT sum(((user_id // (1::BIGINT << b)) % 2) * (1::BIGINT << (2*b))
+                          + (((event_id % 65536) // (1::BIGINT << b)) % 2) * (1::BIGINT << (2*b+1)))
+                 FROM generate_series(0, 15) AS g(b)) AS BIGINT) AS zkey
+         FROM events WHERE event_id < 2000
+         ORDER BY zkey, event_id""",
     "q30_grouped_topk" ->
       """SELECT lang, rank, doc_id, n_chars FROM (
            SELECT lang, doc_id, n_chars,

@@ -105,6 +105,24 @@ class CoreOpsSpec extends AnyFunSuite {
       "p3" -> None))
   }
 
+  test("zorderKey interleaves bits like the reference Morton encode") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      }
+    val rnd = new scala.util.Random(3)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L)) ++
+      (1 to 50).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val out = rows.toDF("x", "y")
+      .select($"x", $"y", zorderKey($"x", $"y", 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, y, z) => assert(z == morton(x, y, 16), s"($x,$y)") }
+    // locality sanity: the 2x2 block around the origin packs into [0,4)
+    val block = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).toDF("x", "y")
+      .select(zorderKey($"x", $"y", 16)).as[Long].collect().toSet
+    assert(block == Set(0L, 1L, 2L, 3L))
+  }
+
   test("asOfBanded equals asOf under heavy key skew, with bounded bands") {
     import graft.ops.AsOfJoin
     val rnd = new scala.util.Random(13)
