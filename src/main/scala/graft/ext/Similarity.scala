@@ -302,6 +302,63 @@ object Similarity {
     cent.select(col("cent_id").as("vec_id"), col("cent_e").as("embedding"))
   }
 
+  /** Product-quantization top-k (the FAISS-style IVF-PQ scale path,
+    * minus the IVF gate which [[topKIvf]] already provides): vectors are
+    * split into `m` subvectors, each encoded as its nearest of
+    * `codebookSize` subspace centroids — 1 byte per subspace, a 64-dim
+    * float vector compresses 32× to an 8-byte code. Queries never touch
+    * the raw corpus vectors: a per-query lookup table of
+    * (subspace, code) → squared-L2 contributions is broadcast, and the
+    * approximate distance is the 8-term LUT sum (asymmetric distance
+    * computation). At 100 TB the corpus at rest is codes, not floats —
+    * the scan is 32× smaller and the per-candidate cost is m lookups,
+    * no dot products.
+    *
+    * Everything is relational: encode = explode-by-subspace + broadcast
+    * codebook join + min_by argmin; ADC = equi-join codes×LUT on
+    * (subspace, code) + decimal-exact sum. Codebooks are deterministic
+    * (subvectors of the first `codebookSize` corpus vectors —
+    * [[trainCentroids]]-style k-means would slot in per subspace), all
+    * distances are rounded and tie-broken on ids, so the DuckDB oracle
+    * reproduces the output exactly.
+    */
+  def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, m: Int = 8, codebookSize: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val sub = dim / m
+    def l2sq(a: Column, b: Column): Column =
+      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    def subspaces(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), col("embedding"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col(idAs), col("j"),
+        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val cb = subspaces(corpus.filter(col("vec_id") < codebookSize), "code_id")
+      .withColumnRenamed("sv", "cb_sub")
+    val codes = subspaces(corpus, "cid")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("cid"), col("j"), col("code_id"),
+        l2sq(col("sv"), col("cb_sub")).as("d"))
+      .groupBy(col("cid"), col("j"))
+      .agg(min_by(col("code_id"), struct(col("d"), col("code_id"))).as("code"))
+    val lut = subspaces(queries, "qid")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("code_id"),
+        l2sq(col("sv"), col("cb_sub")).as("d"))
+    val adist = codes
+      .join(broadcast(lut),
+        codes("j") === lut("j") && codes("code") === lut("code_id"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("cid").asc)
+    adist
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("adist"))
+  }
+
   /** Bucketed (LSH) top-k: candidates limited to the query's bucket; the
     * bucket column is groupable/bucketable at rest, so at scale the join
     * is partition-pruned instead of all-pairs. Approximate by design —

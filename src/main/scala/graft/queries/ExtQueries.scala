@@ -172,6 +172,15 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // product-quantization ANN: 8-byte codes + per-query LUT sums
+    // (asymmetric distance) — the compressed-at-rest scale path;
+    // deterministic codebooks make it hash-checkable
+    "x24_ann_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKPq(e, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // per-source corpus statistics — the mixing dashboard: volume, token
     // mass, and char-length percentiles per provenance bucket
     "x21_source_stats" -> ((s, dir) =>
@@ -349,6 +358,37 @@ object ExtQueries {
            SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
          SELECT node AS doc_id, min(lbl) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id"""),
+    "x24_ann_topk_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cb AS (SELECT vec_id AS code_id, j, list_slice(e, j*8+1, j*8+8) AS cb_sub
+                FROM e, js WHERE vec_id < 256),
+         cs AS (SELECT vec_id AS cid, j, list_slice(e, j*8+1, j*8+8) AS sv FROM e, js),
+         cd AS (SELECT cid, cs.j AS j, code_id,
+                  round(list_dot_product(sv, sv) - 2*list_dot_product(sv, cb_sub)
+                        + list_dot_product(cb_sub, cb_sub), 6) AS d
+                FROM cs JOIN cb ON cs.j = cb.j),
+         codes AS (SELECT cid, j, code_id AS code FROM (
+                     SELECT cid, j, code_id,
+                            row_number() OVER (PARTITION BY cid, j
+                                               ORDER BY d, code_id) AS rn
+                     FROM cd) t WHERE rn = 1),
+         qs AS (SELECT vec_id AS qid, j, list_slice(e, j*8+1, j*8+8) AS qv
+                FROM e, js WHERE vec_id < 10),
+         lut AS (SELECT qid, qs.j AS j, code_id,
+                   round(list_dot_product(qv, qv) - 2*list_dot_product(qv, cb_sub)
+                         + list_dot_product(cb_sub, cb_sub), 6) AS d
+                 FROM qs JOIN cb ON qs.j = cb.j),
+         ad AS (SELECT qid, cid,
+                  CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+                FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code_id
+                WHERE qid != cid GROUP BY 1, 2)
+         SELECT qid, rank, cid, adist FROM (
+           SELECT qid, cid, adist,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY adist, cid) AS INTEGER) AS rank
+           FROM ad) t
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "x21_source_stats" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

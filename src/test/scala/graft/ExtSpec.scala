@@ -174,6 +174,23 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.length.toDouble / brute.size > 0.5)
   }
 
+  test("PQ top-k is deterministic and overlaps brute-force neighbors") {
+    val queries = emb.filter($"vec_id" < 10)
+    val pq = Similarity.topKPq(emb, queries, 10)
+      .select($"qid", $"rank", $"cid").as[(Long, Int, Long)].collect()
+    val pq2 = Similarity.topKPq(emb, queries, 10)
+      .select($"qid", $"rank", $"cid").as[(Long, Int, Long)].collect()
+    assert(pq.toSeq == pq2.toSeq)
+    assert(pq.map(_._1).distinct.length == 10) // every query answered
+    assert(pq.length == 100)
+    // 32x-compressed codes still find a meaningful share of the true
+    // nearest neighbors (cosine-ranked brute force as the yardstick)
+    val brute = Similarity.topKBrute(emb, queries, 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val overlap = pq.map(r => (r._1, r._3)).count(brute.contains)
+    assert(overlap > 10, s"PQ recall@10 too low: $overlap/100")
+  }
+
   test("k-means-trained IVF centroids improve recall@10 at same nprobe") {
     val queries = emb.filter($"vec_id" < 20)
     def recallOf(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
