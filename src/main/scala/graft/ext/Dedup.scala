@@ -56,7 +56,7 @@ object Dedup {
     a.join(b, col("da") < col("db"))
       .filter(
         least(size(col("sga")), size(col("sgb"))).cast(DoubleType) /
-          greatest(size(col("sga")), size(col("sgb"))) >= threshold)
+          greatest(size(col("sga")), size(col("sgb"))) >= threshold - 1e-6)
       .select(col("da"), col("db"),
         round(jaccard(col("sga"), col("sgb")), 6).as("j"))
       .filter(col("j") >= threshold)
@@ -86,7 +86,7 @@ object Dedup {
       // mismatched-length pairs BEFORE the pair-key shuffle + aggregate
       .filter(col("da") < col("db") &&
         least(col("sza"), col("szb")).cast(DoubleType) /
-          greatest(col("sza"), col("szb")) >= threshold)
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"),
         first(col("sza")).as("sza"), first(col("szb")).as("szb"))
@@ -147,7 +147,7 @@ object Dedup {
         Seq("sh"))
       .filter(col("da") < col("db") &&
         least(col("sza"), col("szb")).cast(DoubleType) /
-          greatest(col("sza"), col("szb")) >= threshold)
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
       .select("da", "db")
       .distinct()
     val a = sg.select(col("doc_id").as("da"), col("sg").as("sga"))
@@ -196,7 +196,7 @@ object Dedup {
     * the plan back to a flat scan of the materialized labels.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // materialize the pair list ONCE before mirroring: the union's two
     // branches would otherwise each re-evaluate the (expensive)
@@ -228,6 +228,12 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // exhausting the cap means labels are still moving — failing loudly
+    // beats silently returning a split component (the caller can raise
+    // maxIters; diameter can't exceed the longest near-dup chain)
+    if (!done) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters iterations; " +
+        "raise maxIters for very long chain components")
     labels
   }
 
@@ -263,7 +269,7 @@ object Dedup {
       // false candidates from the short r=2 bands before the exact verify
       .filter(col("da") < col("db") &&
         least(col("sza"), col("szb")).cast(DoubleType) /
-          greatest(col("sza"), col("szb")) >= threshold)
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
       .select("da", "db")
       .distinct()
     val a = sg.select(col("doc_id").as("da"), col("sg").as("sga"))

@@ -44,11 +44,14 @@ object Multimodal {
   private def decodeBmp(id: Long, b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return None
     val dib = le32(b, 14)
-    if (dib >= 40)
-      Some(MediaMeta(id, b.length, le32(b, 18), math.abs(le32(b, 22)), 1))
-    else if (dib == 12)
-      Some(MediaMeta(id, b.length, le16(b, 18), le16(b, 20), 1))
-    else None
+    val meta =
+      if (dib >= 40)
+        Some(MediaMeta(id, b.length, le32(b, 18), math.abs(le32(b, 22)), 1))
+      else if (dib == 12)
+        Some(MediaMeta(id, b.length, le16(b, 18), le16(b, 20), 1))
+      else None
+    // corrupt headers (non-positive dimensions) fall through to the stub
+    meta.filter(m => m.width > 0 && m.height > 0)
   }
 
   /** Real decode: WAV `RIFF….WAVE` — walk the chunk list for `fmt `
@@ -68,8 +71,11 @@ object Multimodal {
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)
       } else if (id4 == "data") dataSize = sz
-      if (sz < 0) return None // corrupt chunk size
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      // a declared size past the payload end (corrupt/truncated) must not
+      // advance the walk: Int overflow on `off + sz` would turn the
+      // offset negative and crash the tag read instead of falling back
+      if (sz < 0 || sz > b.length - off - 8) off = b.length
+      else off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
     else Some(MediaMeta(id, b.length, rate, channels, dataSize / blockAlign))

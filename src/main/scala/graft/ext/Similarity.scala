@@ -157,10 +157,14 @@ object Similarity {
       dim: Int = 64, nbits: Int = 6, tables: Int = 32): DataFrame = {
     // one codegen'd sketch expression per row (shared weight matrix, no
     // inline literal planes) — the tables×nbits vec_dot-on-literal
-    // composition cost ~2.5 s/stage at sf0.1 in plan-tree evaluation
+    // composition cost ~2.5 s/stage at sf0.1 in plan-tree evaluation.
+    // Materialized before the self-join: both branches would otherwise
+    // re-scan the embeddings and re-evaluate the sketch; the
+    // checkpointed relation is just (id, table, bucket) — 3 smallints/row
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneSketch.hyperplane_sketch(
         col("embedding"), dim, nbits, tables)).as(Seq("t", "b")))
+      .localCheckpoint()
     val candidates = banded.select(col("t"), col("b"), col("vec_id").as("va"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("vb")),
         Seq("t", "b"))

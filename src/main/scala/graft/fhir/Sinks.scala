@@ -84,7 +84,6 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
     // pass a cached `routed` (FhirMain persists it) so the ingest lineage
     // is not recomputed once per collection.
     val mode = if (dropOnNextWrite) "overwrite" else "append"
-    dropOnNextWrite = false
     val colls = routed.select(col("collection")).distinct()
       .collect().map(_.getString(0)).sorted
     colls.foreach { coll =>
@@ -98,14 +97,21 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
         .option("ordered", "false")
         .save()
     }
+    // cleared only after every collection wrote: a mid-loop failure keeps
+    // the reset pending, so a retried writeResources overwrites again
+    // instead of appending duplicates into the collections that succeeded
+    dropOnNextWrite = false
   }
 
   /** S10: the reference drops every collection up front and logs-and-
     * continues on failure (db.go:63-75). The Spark connector exposes no
     * drop on the write path, so reset is realized as overwrite-with-
-    * replace on the next write — same end state (collections contain
-    * exactly this run's resources), no mid-run crash after the fact
-    * tables were already truncated.
+    * replace on the next write — collections present in the new run end
+    * up containing exactly this run's resources, with no mid-run crash
+    * after the fact tables were already truncated. Caveat vs the
+    * reference: a collection that receives NO resources in the new run
+    * is left untouched (the write path never sees it); a full-parity
+    * reset of such stragglers needs an admin drop outside Spark.
     */
   def reset(): Unit = { dropOnNextWrite = true }
 }

@@ -38,8 +38,11 @@ object AsOfJoin {
       .withColumn("__pay", lit(null).cast(r0.schema("__pay").dataType))
       .withColumn("__side", lit(0))
     val u = l0.unionByName(r0, allowMissingColumns = true)
+    // __pay as the final sort key pins which of several equal-time right
+    // rows wins (max payload struct) — without it the window-frame-last
+    // is partitioning-dependent
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(col(time).asc, col("__side").asc, col("__pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
@@ -84,12 +87,15 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .withColumn("__band", band)
     val u = l0.unionByName(r0, allowMissingColumns = true)
+    // __pay as the final sort / max_by key on BOTH paths: equal-time
+    // right rows then resolve identically (max payload struct) in the
+    // within-band window, the cross-band carry, and plain [[asOf]]
     val wIn = Window.partitionBy(col(key), col("__band"))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(col(time).asc, col("__side").asc, col("__pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // one row per (key, band) that contains a right: its last payload
     val perBand = r0.groupBy(col(key), col("__band"))
-      .agg(max_by(col("__pay"), struct(col(time), col("__side")))
+      .agg(max_by(col("__pay"), struct(col(time), col("__side"), col("__pay")))
         .as("__bandLast"))
     // densify over every band seen on either side, then carry the last
     // earlier-band payload forward — the bare-key window runs on band

@@ -123,6 +123,19 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(block == Set(0L, 1L, 2L, 3L))
   }
 
+  test("asOf and asOfBanded resolve equal-time right duplicates identically") {
+    import graft.ops.AsOfJoin
+    // two rights at the same timestamp; the match crosses a band boundary
+    // so banded takes the carry-in path — both must pick the max payload
+    val left = Seq((0L, 700L, "p")).toDF("k", "t", "pid")
+    val right = Seq((0L, 499L, "a"), (0L, 499L, "b")).toDF("k", "t", "rid")
+    val plain = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"))
+      .select($"rid").as[String].head()
+    val banded = AsOfJoin.asOfBanded(left, right, "k", "t", Seq("rid"), 500L)
+      .select($"rid").as[String].head()
+    assert(plain == "b" && banded == "b")
+  }
+
   test("asOfBanded equals asOf under heavy key skew, with bounded bands") {
     import graft.ops.AsOfJoin
     val rnd = new scala.util.Random(13)

@@ -209,14 +209,18 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("multimodal decoder parses real BMP and WAV headers from bytes") {
-    // BMP: BITMAPINFOHEADER, 123 x 45 (height negative = top-down)
-    val bmp = new Array[Byte](54)
-    bmp(0) = 'B'; bmp(1) = 'M'
     def putLe32(b: Array[Byte], off: Int, v: Int): Unit =
       (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
     def putLe16(b: Array[Byte], off: Int, v: Int): Unit =
       (0 until 2).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
-    putLe32(bmp, 14, 40); putLe32(bmp, 18, 123); putLe32(bmp, 22, -45)
+    def bmpLike(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](54)
+      b(0) = 'B'; b(1) = 'M'
+      putLe32(b, 14, 40); putLe32(b, 18, w); putLe32(b, 22, h)
+      b
+    }
+    // BMP: BITMAPINFOHEADER, 123 x 45 (height negative = top-down)
+    val bmp = bmpLike(123, -45)
     // WAV: 44100 Hz stereo 16-bit, 1000 sample frames
     val dataBytes = 1000 * 4
     val wav = new Array[Byte](44 + dataBytes)
@@ -230,6 +234,19 @@ class ExtSpec extends AnyFunSuite {
     "data".getBytes.copyToArray(wav, 36); putLe32(wav, 40, dataBytes)
     // junk payload → deterministic stub fallback, no throw
     val junk = "not a media file".getBytes
+    // corrupt WAV: declared chunk size near Int.MaxValue must not
+    // overflow the walk offset (stub fallback, no crash)
+    val hugeChunk = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(hugeChunk, 0)
+    "WAVE".getBytes.copyToArray(hugeChunk, 8)
+    "fmt ".getBytes.copyToArray(hugeChunk, 12)
+    putLe32(hugeChunk, 16, 0x7FFFFFF0)
+    assert(Multimodal.decodeBatch(Iterator((9L, hugeChunk))).next()
+      .width % 32 == 0) // stub path
+    // corrupt BMP: negative width falls back to the stub
+    val badBmp = bmpLike(-123, 45)
+    assert(Multimodal.decodeBatch(Iterator((8L, badBmp))).next()
+      .width % 32 == 0)
     // pure-function path
     val metas = Multimodal.decodeBatch(Iterator(
       (1L, bmp), (2L, wav), (3L, junk))).toSeq
