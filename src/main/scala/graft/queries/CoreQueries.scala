@@ -371,6 +371,21 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Q32 [engine surface: day-over-day retention — distinct actives per
+    // day plus the left-semi "also active yesterday" cohort]
+    "q32_retention" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val ret = du
+        .join(du.select(date_add(col("d"), 1).as("d"), col("user_id")),
+          Seq("d", "user_id"), "left_semi")
+        .groupBy(col("d")).agg(count(lit(1)).as("n_returning"))
+      du.groupBy(col("d")).agg(count(lit(1)).as("active"))
+        .join(ret, Seq("d"), "left")
+        .na.fill(0L, Seq("n_returning"))
+        .orderBy(col("d"))
+    }),
+
     // Q31 [engine surface: Z-order layout key — the multi-dimensional
     // data-layout lever; sorting files by this key makes parquet min/max
     // stats prunable on BOTH dimensions]
@@ -568,6 +583,15 @@ object CoreQueries {
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q32_retention" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+         SELECT d, active, coalesce(n_returning, 0) AS n_returning FROM
+           (SELECT d, count(*) AS active FROM du GROUP BY d) a
+           LEFT JOIN (SELECT du.d AS d, count(*) AS n_returning
+                      FROM du JOIN du p
+                        ON du.d = p.d + 1 AND du.user_id = p.user_id
+                      GROUP BY du.d) r USING (d)
+         ORDER BY d""",
     "q31_zorder_key" ->
       """SELECT event_id, user_id,
                 CAST((SELECT sum(((user_id // (1::BIGINT << b)) % 2) * (1::BIGINT << (2*b))

@@ -181,6 +181,23 @@ object ExtQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // int8 scalar quantization: per-vector max-abs scale + 127-step
+    // rounding — 4x embedding storage compression, the at-rest format
+    // cheap ANN serving uses. All arithmetic forced to double so the
+    // rounding boundary is engine-portable (float-vs-double near .5
+    // boundaries WOULD diverge); codes emitted as a joined string so the
+    // driver hash can lexsort the column (q05 lesson).
+    "x25_int8_quantize" -> ((s, dir) => {
+      val scale = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      emb(s, dir).select(col("vec_id"),
+        round(scale, 6).as("scale"),
+        array_join(transform(col("embedding"),
+          x => round(x.cast("double") / scale * 127, 0).cast("int")
+            .cast("string")), ",").as("qvec"))
+        .orderBy(col("vec_id"))
+    }),
+
     // per-source corpus statistics — the mixing dashboard: volume, token
     // mass, and char-length percentiles per provenance bucket
     "x21_source_stats" -> ((s, dir) =>
@@ -389,6 +406,15 @@ object ExtQueries {
                                           ORDER BY adist, cid) AS INTEGER) AS rank
            FROM ad) t
          WHERE rank <= 10 ORDER BY qid, rank""",
+    "x25_int8_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) AS scale
+               FROM e)
+         SELECT vec_id, round(scale, 6) AS scale,
+                array_to_string(list_transform(e,
+                  x -> CAST(round(x / scale * 127, 0) AS INT)), ',') AS qvec
+         FROM s ORDER BY vec_id""",
     "x21_source_stats" ->
       """SELECT source, count(*) AS n_docs,
                 CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
