@@ -181,6 +181,24 @@ object ExtQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // sequence packing: assign documents to fixed token-budget training
+    // bins (8192 here) with a running-sum window — greedy packing in
+    // doc_id order WITHIN each source shard, so the window parallelizes
+    // per source instead of serializing the corpus through one partition
+    "x26_sequence_packing" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tokens")) / 8192.0).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // int8 scalar quantization: per-vector max-abs scale + 127-step
     // rounding — 4x embedding storage compression, the at-rest format
     // cheap ANN serving uses. All arithmetic forced to double so the
@@ -406,6 +424,17 @@ object ExtQueries {
                                           ORDER BY adist, cid) AS INTEGER) AS rank
            FROM ad) t
          WHERE rank <= 10 ORDER BY qid, rank""",
+    "x26_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+         SELECT doc_id, source, n_tokens,
+                CAST(floor((cum - n_tokens) / 8192.0) AS BIGINT) AS bin
+         FROM c ORDER BY doc_id""",
     "x25_int8_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          s AS (SELECT vec_id, e,
