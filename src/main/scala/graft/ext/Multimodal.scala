@@ -70,12 +70,17 @@ object Multimodal {
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)
-      } else if (id4 == "data") dataSize = sz
-      // a declared size past the payload end (corrupt/truncated) must not
-      // advance the walk: Int overflow on `off + sz` would turn the
-      // offset negative and crash the tag read instead of falling back
+      }
+      // a declared size past the payload end (corrupt/truncated) must
+      // neither advance the walk (Int overflow on `off + sz` would turn
+      // the offset negative and crash the tag read) nor be TRUSTED: a
+      // fabricated data size would otherwise become a ~2^29 n_frames and
+      // explode sampleFrames
       if (sz < 0 || sz > b.length - off - 8) off = b.length
-      else off += 8 + sz + (sz & 1) // chunks are word-aligned
+      else {
+        if (id4 == "data") dataSize = sz
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
     }
     if (rate <= 0 || blockAlign <= 0 || dataSize < 0) None
     else Some(MediaMeta(id, b.length, rate, channels, dataSize / blockAlign))

@@ -329,6 +329,9 @@ object Similarity {
   def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, m: Int = 8, codebookSize: Int = 256): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(dim % m == 0,
+      s"dim ($dim) must divide evenly into $m subspaces — uneven slices " +
+        "would silently misread subvector windows")
     val sub = dim / m
     def l2sq(a: Column, b: Column): Column =
       round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * blow-up regardless of how many rights precede a left. Ties at equal
   * time are resolved by the side ordinal (right sorts after left under
   * strict semantics, so an equal-time right is not visible), which is
-  * exactly DuckDB's `ASOF JOIN ... ON l.t > r.t` contract.
+  * exactly DuckDB's `ASOF JOIN ... ON l.t > r.t` contract; among several
+  * RIGHT rows at the same time the max payload struct wins — a
+  * deliberate determinism guarantee, at the documented price that
+  * payload columns must be orderable types (structs/atoms, not maps).
   */
 object AsOfJoin {
 

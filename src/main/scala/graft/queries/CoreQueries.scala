@@ -249,9 +249,17 @@ object CoreQueries {
     "q22_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
+      // dedup the right side to one row per (user, ts) — max payload —
+      // BEFORE the as-of join: DuckDB's native ASOF picks an arbitrary
+      // row among equal-time rights, so tie-proofing both sides up front
+      // keeps the oracle parity independent of data regeneration
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts"),
           col("event_id").as("view_id"), col("value").as("view_value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("view_id"), col("view_value"))).as("v"))
+        .select(col("user_id"), col("ts"),
+          col("v.view_id").as("view_id"), col("v.view_value").as("view_value"))
       graft.ops.AsOfJoin.asOf(
         purchases, views, "user_id", "ts", Seq("view_id", "view_value"))
         .select(col("event_id"), col("view_id"), col("view_value"))
@@ -526,9 +534,13 @@ object CoreQueries {
     "q22_asof_join" ->
       """SELECT p.event_id, v.view_id, v.view_value
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_id,
-                                value AS view_value
-                         FROM events WHERE event_type = 'view') v
+         ASOF LEFT JOIN (SELECT user_id, ts, view_id, view_value FROM (
+                           SELECT user_id, ts, event_id AS view_id,
+                                  value AS view_value,
+                                  row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC, value DESC) AS rn
+                           FROM events WHERE event_type = 'view') d
+                         WHERE rn = 1) v
            ON p.user_id = v.user_id AND p.ts > v.ts
          ORDER BY p.event_id""",
     "q23_range_join" ->

@@ -181,6 +181,31 @@ object ExtQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // per-dimension embedding statistics — the feature-health / drift
+    // monitor: mean and variance of every embedding coordinate across
+    // the corpus, decimal-exact sums so the aggregation order can't
+    // shift the 6th digit between engines
+    "x20_dim_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 18)
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .withColumn("vd", col("v").cast(DoubleType))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vd").cast(dec)).as("s"),
+          sum((col("vd") * col("vd")).cast(dec)).as("sq"))
+        // exact decimal SUMS, then pure double arithmetic: decimal
+        // division/multiplication scale rules differ between engines,
+        // but double ops on identical operands are bit-identical
+        .select(col("d").cast("long").as("d"), col("n"),
+          round(col("s").cast(DoubleType) / col("n"), 6).as("mean"),
+          round((col("sq").cast(DoubleType) -
+            col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n"))
+            / (col("n") - 1), 6).as("variance"))
+        .orderBy(col("d"))
+    }),
+
     // sequence packing: assign documents to fixed token-budget training
     // bins (8192 here) with a running-sum window — greedy packing in
     // doc_id order WITHIN each source shard, so the window parallelizes
@@ -208,10 +233,14 @@ object ExtQueries {
     "x25_int8_quantize" -> ((s, dir) => {
       val scale = array_max(transform(col("embedding"),
         x => abs(x.cast("double"))))
+      // an all-zero vector has scale 0 — divide by 1 instead so codes
+      // stay 0 (NaN would null out array elements here and abort the
+      // oracle's CAST)
+      val safeScale = when(scale === 0.0, lit(1.0)).otherwise(scale)
       emb(s, dir).select(col("vec_id"),
         round(scale, 6).as("scale"),
         array_join(transform(col("embedding"),
-          x => round(x.cast("double") / scale * 127, 0).cast("int")
+          x => round(x.cast("double") / safeScale * 127, 0).cast("int")
             .cast("string")), ",").as("qvec"))
         .orderBy(col("vec_id"))
     }),
@@ -243,7 +272,9 @@ object ExtQueries {
     // eval set (doc_id < 10) — the asymmetric inverted-index join, same
     // scale shape as x06 (shuffle on the shingle key, never pairwise)
     "x23_contamination" -> ((s, dir) => {
-      val sg5 = Dedup.shingled(docs(s, dir), 5)
+      // materialized once: the eval and train branches would otherwise
+      // each re-tokenize + re-shingle the whole corpus
+      val sg5 = Dedup.shingled(docs(s, dir), 5).localCheckpoint()
       val ev = sg5.filter(col("doc_id") < 10)
         .select(col("doc_id").as("eval_id"), explode(col("sg")).as("sh"))
       val tr = sg5.filter(col("doc_id") >= 10)
@@ -424,6 +455,20 @@ object ExtQueries {
                                           ORDER BY adist, cid) AS INTEGER) AS rank
            FROM ad) t
          WHERE rank <= 10 ORDER BY qid, rank""",
+    "x20_dim_stats" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         x AS (SELECT g.d - 1 AS d, e[g.d] AS v
+               FROM e, generate_series(1, 64) AS g(d)),
+         a AS (SELECT d, count(*) AS n,
+                 sum(CAST(v AS DECIMAL(38,18))) AS s,
+                 sum(CAST(v*v AS DECIMAL(38,18))) AS sq
+               FROM x GROUP BY d)
+         SELECT d, n,
+                round(CAST(s AS DOUBLE) / n, 6) AS mean,
+                round((CAST(sq AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                      / (n - 1), 6) AS variance
+         FROM a ORDER BY d""",
     "x26_sequence_packing" ->
       """WITH t AS (SELECT doc_id, source,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -442,7 +487,8 @@ object ExtQueries {
                FROM e)
          SELECT vec_id, round(scale, 6) AS scale,
                 array_to_string(list_transform(e,
-                  x -> CAST(round(x / scale * 127, 0) AS INT)), ',') AS qvec
+                  x -> CAST(round(x / (CASE WHEN scale = 0 THEN 1 ELSE scale END)
+                                  * 127, 0) AS INT)), ',') AS qvec
          FROM s ORDER BY vec_id""",
     "x21_source_stats" ->
       """SELECT source, count(*) AS n_docs,
