@@ -19,14 +19,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, sig: String, n: Int)(
+      children: Seq[Expression]): Unit =
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$name: expected $n arguments — $name($sig) — got ${children.length}")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+      (children: Seq[Expression]) => {
+        arity("vec_dot", "a, b", 2)(children)
+        FloatVecDot(children(0), children(1))
+      }),
     (new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
+        arity("minhash_sig", "hashedShingles, numHashes", 2)(children)
         val n = children(1) match {
           case Literal(v, _) => v.toString.toInt
           case other => throw new IllegalArgumentException(
@@ -37,6 +46,7 @@ object GraftExtensions {
     (new FunctionIdentifier("hyperplane_sketch"),
       new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
       (children: Seq[Expression]) => {
+        arity("hyperplane_sketch", "vec, dim, nbits, tables", 4)(children)
         def intLit(e: Expression, what: String): Int = e match {
           case Literal(v, _) => v.toString.toInt
           case other => throw new IllegalArgumentException(

@@ -66,7 +66,10 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id4 = tag(b, off)
       val sz = le32(b, off + 4)
-      if (id4 == "fmt " && off + 8 + 16 <= b.length) {
+      // sz >= 16: a corrupt fmt chunk declaring fewer bytes must not have
+      // its fields read from the NEXT chunk's bytes (plausible-but-wrong
+      // meta); fall through to the stub instead
+      if (id4 == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
         channels = le16(b, off + 10)
         rate = le32(b, off + 12)
         blockAlign = le16(b, off + 20)

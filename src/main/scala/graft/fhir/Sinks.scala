@@ -70,10 +70,16 @@ class ParquetSink(warehouseDir: String) extends ResourceSink with FactSink {
   */
 class MongoResourceSink(uri: String, database: String) extends ResourceSink {
 
-  /** Set by [[reset]]; the next [[writeResources]] uses overwrite (the
-    * connector drops + recreates each collection) instead of append.
+  /** Set by [[reset]]; while pending, the FIRST write touching each
+    * collection name uses overwrite (the connector drops + recreates the
+    * collection), later writes to the same name append. Keyed per
+    * collection, not per call, so a multi-write caller (e.g. a per-batch
+    * streaming loop) accumulates correctly: each collection is replaced
+    * exactly once after a reset, including collections that first appear
+    * in a later batch.
     */
-  private var dropOnNextWrite = false
+  private var dropPending = false
+  private var overwritten: Set[String] = Set.empty
 
   def writeResources(routed: DataFrame): Unit = {
     // The reference writes every collection it encounters (bundle.go:111-120)
@@ -83,10 +89,12 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
     // by the number of resource types, dozens at most), not rows. Callers
     // pass a cached `routed` (FhirMain persists it) so the ingest lineage
     // is not recomputed once per collection.
-    val mode = if (dropOnNextWrite) "overwrite" else "append"
     val colls = routed.select(col("collection")).distinct()
       .collect().map(_.getString(0)).sorted
     colls.foreach { coll =>
+      val mode =
+        if (dropPending && !overwritten.contains(coll)) "overwrite"
+        else "append"
       routed.filter(col("collection") === coll)
         .select(col("resource.*"))
         .write.format("mongodb")
@@ -97,10 +105,11 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
         .option("ordered", "false")
         .save()
     }
-    // cleared only after every collection wrote: a mid-loop failure keeps
-    // the reset pending, so a retried writeResources overwrites again
-    // instead of appending duplicates into the collections that succeeded
-    dropOnNextWrite = false
+    // marked only after every collection in THIS call wrote: a mid-loop
+    // failure marks nothing, so a retried writeResources overwrites the
+    // whole call's collections again instead of appending duplicates into
+    // the ones that succeeded
+    if (dropPending) overwritten ++= colls
   }
 
   /** S10: the reference drops every collection up front and logs-and-
@@ -113,7 +122,7 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
     * is left untouched (the write path never sees it); a full-parity
     * reset of such stragglers needs an admin drop outside Spark.
     */
-  def reset(): Unit = { dropOnNextWrite = true }
+  def reset(): Unit = { dropPending = true; overwritten = Set.empty }
 }
 
 /** Relational implementation of the fact surface — the reference's

@@ -81,7 +81,13 @@ object AsOfJoin {
       strict: Boolean = true): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
     val pay = struct(rightPayload.map(col): _*)
-    val band = floor(col(time).cast("double") / bandWidth).cast("long")
+    // exact integer floor division: pmod is non-negative, so (t - pmod) is
+    // the floor multiple of bandWidth for negatives too, and SQL `div` on
+    // the exact multiple is precise over the full long range — a double
+    // division would misplace boundary rows for |t| > 2^53 (epoch-nanos)
+    val band = expr(
+      s"(cast(`$time` as bigint) - pmod(cast(`$time` as bigint), " +
+        s"cast($bandWidth as bigint))) div cast($bandWidth as bigint)")
     val r0 = right.select(
       col(key), col(time), pay.as("__pay"),
       lit(if (strict) 1 else -1).as("__side"), band.as("__band"))

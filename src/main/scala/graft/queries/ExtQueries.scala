@@ -134,16 +134,17 @@ object ExtQueries {
       Similarity.nearDupPairsLsh(emb(s, dir), threshold = 0.4)
         .orderBy(col("va"), col("vb"))),
 
-    // near-dup clustering: connected components over the exact-verified
-    // pair graph (min-label propagation to fixpoint); the oracle computes
-    // true components with a recursive CTE over the brute-force pairs.
-    // Edges come from the MinHash-LSH path — identical pair set to the
-    // inverted index w.h.p. (same shared-oracle argument as x07: exact
-    // verify makes LSH parameters recall-only, miss prob ~1e-8 at j=0.5)
-    // and ~2× cheaper at sf0.1.
+    // near-dup clustering: connected components over the exact pair graph
+    // (min-label propagation to fixpoint); the oracle computes true
+    // components with a recursive CTE over the brute-force pairs. Edges
+    // come from the EXACT inverted-index path, not LSH: CC amplifies a
+    // single missed pair into a split component that mismatches many
+    // output rows, so the declared query must not rest on a probabilistic
+    // recall bound (clustering cost dominates anyway; jaccardPairsLsh is
+    // the documented scale alternative for the edge step).
     "x17_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupClusters(d, Dedup.jaccardPairsLsh(d, n = 3, threshold = 0.5))
+      Dedup.dedupClusters(d, Dedup.jaccardPairsIndex(d, n = 3, threshold = 0.5))
         .orderBy(col("doc_id"))
     }),
 

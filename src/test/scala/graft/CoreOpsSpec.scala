@@ -168,6 +168,27 @@ class CoreOpsSpec extends AnyFunSuite {
       s"hot key should spread over bands, max band=$hotPerBand")
   }
 
+  test("asOfBanded bands exactly for long times beyond double precision") {
+    import graft.ops.AsOfJoin
+    // epoch-nano scale: 2^60 is far past double's 2^53 exact range, so a
+    // double-division band would collapse neighbouring timestamps; the
+    // integer floor-div must keep band boundaries exact. Negative times
+    // exercise the pmod floor handling.
+    val base = 1L << 60
+    val left = Seq((0L, base + 24, "pA"), (0L, base + 1024, "pB"),
+      (0L, -3L, "pNeg")).toDF("k", "t", "pid")
+    val right = Seq((0L, base + 23, "rA"), (0L, base + 1023, "rB"),
+      (0L, -500L, "rNeg")).toDF("k", "t", "rid")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"pid", $"rid").as[(String, Option[String])].collect().toMap
+    val plain = canon(AsOfJoin.asOf(left, right, "k", "t", Seq("rid")))
+    val banded = canon(AsOfJoin.asOfBanded(
+      left, right, "k", "t", Seq("rid"), bandWidth = 1000L))
+    assert(plain == Map("pA" -> Some("rA"), "pB" -> Some("rB"),
+      "pNeg" -> Some("rNeg")))
+    assert(banded == plain)
+  }
+
   test("factRollup: pop shape without explode, disease shape with explode") {
     val rs = Seq(
       // (deceased, gender, key, diseases)

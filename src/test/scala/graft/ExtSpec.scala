@@ -247,6 +247,19 @@ class ExtSpec extends AnyFunSuite {
     val badBmp = bmpLike(-123, 45)
     assert(Multimodal.decodeBatch(Iterator((8L, badBmp))).next()
       .width % 32 == 0)
+    // corrupt WAV: fmt chunk declaring sz=12 (< 16) — blockAlign would be
+    // read from the NEXT chunk's tag bytes, yielding plausible-but-wrong
+    // meta (rate 22050 is not a stub multiple of 32); must stub instead
+    val shortFmt = new Array[Byte](44 + 8)
+    "RIFF".getBytes.copyToArray(shortFmt, 0)
+    putLe32(shortFmt, 4, 44)
+    "WAVE".getBytes.copyToArray(shortFmt, 8)
+    "fmt ".getBytes.copyToArray(shortFmt, 12); putLe32(shortFmt, 16, 12)
+    putLe16(shortFmt, 20, 1); putLe16(shortFmt, 22, 2)
+    putLe32(shortFmt, 24, 22050) // rate — would parse if sz were trusted
+    "data".getBytes.copyToArray(shortFmt, 32); putLe32(shortFmt, 36, 16)
+    assert(Multimodal.decodeBatch(Iterator((10L, shortFmt))).next()
+      .width % 32 == 0) // stub path, not rate=22050
     // pure-function path
     val metas = Multimodal.decodeBatch(Iterator(
       (1L, bmp), (2L, wav), (3L, junk))).toSeq

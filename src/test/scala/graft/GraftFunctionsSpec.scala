@@ -81,6 +81,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(sig == 16)
   }
 
+  test("SQL registration rejects wrong arity with a clean error") {
+    graft.engine.GraftExtensions.register(spark)
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    val e = intercept[Throwable] {
+      spark.sql("SELECT hyperplane_sketch(array(cast(1.0 as float)))")
+        .collect()
+    }
+    assert(messageChain(e).contains("expected 4 arguments"))
+    val e2 = intercept[Throwable] {
+      spark.sql("SELECT vec_dot(array(cast(1.0 as float)))").collect()
+    }
+    assert(messageChain(e2).contains("expected 2 arguments"))
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     // needs a real source: projections over a LocalRelation are constant-
     // folded by ConvertToLocalRelation and never reach codegen
