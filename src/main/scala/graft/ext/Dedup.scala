@@ -96,6 +96,45 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** [[jaccardPairsIndex]] with 64-bit hashed shingle keys in the
+    * inverted index plus an exact set-verify on the candidates. Still
+    * EXACT, not probabilistic: equal shingles always hash equal, so the
+    * hashed intersection count can only over-count (a cross-doc hash
+    * collision inflates it) — the candidate set is a superset of the
+    * true qualifying set, and the final `jaccard` on the real shingle
+    * arrays decides membership. What changes is the shuffle: the
+    * inverted index carries 8-byte keys instead of ~25-byte 3-gram
+    * strings, and the quadratic join compares longs, not strings. The
+    * shingle relation is checkpointed once and feeds both the index and
+    * the (tiny) verify joins.
+    */
+  def jaccardPairsIndexHashed(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val sg = shingled(docs, n).localCheckpoint()
+    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
+      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
+    val l = inv.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
+    val r = inv.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
+    val cand = l.join(r, Seq("sh"))
+      .filter(col("da") < col("db") &&
+        least(col("sza"), col("szb")).cast(DoubleType) /
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter_hat"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      // hashed counts over-count only → this keeps a superset; the
+      // exact verify below is the decider
+      .filter(col("inter_hat").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter_hat")) >= threshold - 1e-6)
+      .select(col("da"), col("db"))
+    cand
+      .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .select(col("da"), col("db"),
+        round(jaccard(col("sga"), col("sgb")), 6).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
   /** MinHash signature as a per-row expression array: for hash i,
     * min over shingles of a universal hash of the shingle's 60-bit md5
     * value. Seeds are fixed literals → deterministic across runs (the
@@ -204,9 +243,15 @@ object Dedup {
     val p = pairs.select(col("da"), col("db")).localCheckpoint()
     val edges = p.toDF("src", "dst")
       .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    // propagate over edge-touched nodes ONLY: a node with no edge never
+    // changes label, so singletons (the overwhelming majority of a real
+    // corpus — near-dup graphs are sparse) stay out of every iteration's
+    // join + aggregate and re-enter once at the end via coalesce. The
+    // iterating relation is O(|edge endpoints|), not O(corpus).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
-    // empty corpus → sum() is null → already converged
+    // empty edge set → sum() is null → already converged
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("cluster").cast(DecimalType(38, 0))))
         .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
@@ -234,7 +279,11 @@ object Dedup {
     if (!done) throw new IllegalStateException(
       s"dedupClusters did not converge within $maxIters iterations; " +
         "raise maxIters for very long chain components")
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster", "edge_cluster"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
   }
 
   /** MinHash + LSH banding near-dup: the scale path.
@@ -251,7 +300,10 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val sg = shingled(docs, n)
+    // checkpointed: the banding side and BOTH exact-verify joins read
+    // the shingle relation; un-materialized they would each re-tokenize
+    // + re-shingle the corpus
+    val sg = shingled(docs, n).localCheckpoint()
     val withBands = sg
       .withColumn("hv", shingleHashes(col("sg"))) // md5 once per shingle
       .withColumn("sig", minhashSignature(col("hv"), numHashes))

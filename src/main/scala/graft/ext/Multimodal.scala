@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * the one place the engine deliberately leaves Catalyst: a typed
   * `mapPartitions` whose iterator shape lets a real implementation batch
   * frames into a native decoder. [[decodeBatch]] dispatches on magic
-  * bytes: BMP and WAV payloads get REAL pure-JVM header parses (no codec
+  * bytes: BMP, WAV, and PNG payloads get REAL pure-JVM header parses (no codec
   * dependency needed for container metadata); anything else falls back to
   * a clearly-marked deterministic STUB (this container ships no
   * image/audio codecs), so the pipeline never throws on junk bytes. The
@@ -89,6 +89,24 @@ object Multimodal {
     else Some(MediaMeta(id, b.length, rate, channels, dataSize / blockAlign))
   }
 
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** Real decode: PNG — the 8-byte signature followed by the IHDR chunk
+    * (big-endian width/height at fixed offsets 16/20; IHDR is required
+    * first by the spec). No codec needed for container metadata.
+    */
+  private def decodePng(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (b.length < 24 || !b.take(8).sameElements(sig)) return None
+    // first chunk must be IHDR; a non-conforming stream falls to the stub
+    if (tag(b, 12) != "IHDR" || be32(b, 8) < 13) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w > 0 && h > 0) Some(MediaMeta(id, b.length, w, h, 1)) else None
+  }
+
   /** STUB decode for payloads that are neither BMP nor WAV: derives
     * fake-but-deterministic media properties from an md5 of the payload.
     * A real build swaps this arm for a codec call; nothing upstream or
@@ -115,6 +133,7 @@ object Multimodal {
     payloads.map { case (id, bytes) =>
       decodeBmp(id, bytes)
         .orElse(decodeWav(id, bytes))
+        .orElse(decodePng(id, bytes))
         .getOrElse(decodeStub(md, id, bytes))
     }
   }

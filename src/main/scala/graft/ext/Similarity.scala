@@ -342,12 +342,7 @@ object Similarity {
         slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
     val cb = subspaces(corpus.filter(col("vec_id") < codebookSize), "code_id")
       .withColumnRenamed("sv", "cb_sub")
-    val codes = subspaces(corpus, "cid")
-      .join(broadcast(cb), Seq("j"))
-      .select(col("cid"), col("j"), col("code_id"),
-        l2sq(col("sv"), col("cb_sub")).as("d"))
-      .groupBy(col("cid"), col("j"))
-      .agg(min_by(col("code_id"), struct(col("d"), col("code_id"))).as("code"))
+    val codes = pqCodes(corpus, sub, m, codebookSize)
     val lut = subspaces(queries, "qid")
       .join(broadcast(cb), Seq("j"))
       .select(col("qid"), col("j"), col("code_id"),
@@ -364,6 +359,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("adist"))
+  }
+
+  /** PQ encode, expression path: one codegen'd argmin pass per row via
+    * [[graft.functions.PqEncode]] over a plan-time codebook. The codebook
+    * is a bounded collect (≤ `codebookSize` vectors — dim-table-sized, the
+    * same class of driver object as a broadcast dim or a trained k-means
+    * model), sorted by id so distance ties keep the lowest code id exactly
+    * like the relational `min_by`. Output (cid, j, code) row-equals
+    * [[pqCodesRelational]] (GraftFunctionsSpec).
+    */
+  def pqCodes(corpus: DataFrame, sub: Int, m: Int,
+      codebookSize: Int): DataFrame = {
+    val codebook = corpus.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    corpus.select(col("vec_id").as("cid"),
+      posexplode(graft.functions.PqEncode.pq_encode(
+        col("embedding"), sub, codebook, m)).as(Seq("j", "code")))
+      .select(col("cid"), col("j").cast("int").as("j"), col("code"))
+  }
+
+  /** The explode + broadcast-codebook-join + `min_by` encode — the
+    * relational cross-check for [[pqCodes]]; materializes
+    * corpus·m·|codebook| join rows, so the expression path backs the
+    * declared query.
+    */
+  def pqCodesRelational(corpus: DataFrame, dim: Int, m: Int,
+      codebookSize: Int): DataFrame = {
+    val sub = dim / m
+    def l2sq(a: Column, b: Column): Column =
+      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    def subspaces(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), col("embedding"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col(idAs), col("j"),
+        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val cb = subspaces(corpus.filter(col("vec_id") < codebookSize), "code_id")
+      .withColumnRenamed("sv", "cb_sub")
+    subspaces(corpus, "cid")
+      .join(broadcast(cb), Seq("j"))
+      .select(col("cid"), col("j"), col("code_id"),
+        l2sq(col("sv"), col("cb_sub")).as("d"))
+      .groupBy(col("cid"), col("j"))
+      .agg(min_by(col("code_id"), struct(col("d"), col("code_id"))).as("code"))
   }
 
   /** Bucketed (LSH) top-k: candidates limited to the query's bucket; the

@@ -379,6 +379,26 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Q33 [engine surface: CDC compaction / latest-record snapshot —
+    // whole-row max_by argmax per key with (ts, id) tie-break. The
+    // partial-aggregation form: each map task reduces its slice to one
+    // row per key before the exchange, vs. the window-rank form that
+    // shuffles and sorts the FULL change history — at 100 TB of CDC
+    // events that is the viable-vs-doomed difference.]
+    "q33_cdc_compact" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderstatus"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("r"))
+        .select(col("o_custkey"),
+          col("r.o_orderkey").as("last_orderkey"),
+          col("r.o_orderdate").as("last_orderdate"),
+          col("r.o_orderstatus").as("last_status"),
+          col("r.o_totalprice").as("last_totalprice"))
+        .orderBy(col("o_custkey"))),
+
     // Q32 [engine surface: day-over-day retention — distinct actives per
     // day plus the left-semi "also active yesterday" cohort]
     "q32_retention" -> ((s, dir) => {
@@ -595,6 +615,14 @@ object CoreQueries {
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q33_cdc_compact" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey,
+                o_orderdate AS last_orderdate, o_orderstatus AS last_status,
+                o_totalprice AS last_totalprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders) t
+         WHERE rn = 1 ORDER BY o_custkey""",
     "q32_retention" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
          SELECT d, active, coalesce(n_returning, 0) AS n_returning FROM

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -49,10 +49,14 @@ object ExtQueries {
     "x05_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy(col("fp"))),
 
-    // exact all-pairs semantics via the inverted shingle index (the
-    // O(n²) jaccardPairsBrute is its cross-check in ExtSpec)
+    // exact all-pairs semantics via the inverted shingle index with
+    // 64-bit hashed keys + exact set-verify — hash collisions can only
+    // ADD candidates, and the verify decides, so output stays exact
+    // while the quadratic shuffle carries longs instead of 3-gram
+    // strings (jaccardPairsBrute and the string-keyed index are the
+    // ExtSpec cross-checks)
     "x06_ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsIndex(docs(s, dir), n = 3, threshold = 0.5)
+      Dedup.jaccardPairsIndexHashed(docs(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("da"), col("db"))),
 
     "x07_minhash_lsh_pairs" -> ((s, dir) =>
@@ -144,7 +148,8 @@ object ExtQueries {
     // the documented scale alternative for the edge step).
     "x17_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupClusters(d, Dedup.jaccardPairsIndex(d, n = 3, threshold = 0.5))
+      Dedup.dedupClusters(d,
+        Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
         .orderBy(col("doc_id"))
     }),
 
@@ -301,7 +306,64 @@ object ExtQueries {
       val e = emb(s, dir)
       Similarity.topKIvf(e, e.filter(col("vec_id") < 10), k = 10)
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    // within-document repetition collapse: drop consecutive duplicate
+    // tokens (the stutter/boilerplate-run cleaning step) — pure per-row
+    // array expressions, zero shuffle. The index lambda reads the BOUND
+    // ws column (two-projection pattern), so the tokenizer runs once per
+    // doc, and the previous element comes from get() (0-based, null past
+    // the edge) because ANSI element_at(·, 0) would throw on the first
+    // slot even under a true left disjunct (no short-circuit guarantee).
+    "x27_repetition_collapse" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+          filter(col("ws"),
+            (w, i) => i === 0 || w =!= get(col("ws"), i - 1)).as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).as("n_kept"),
+          array_join(col("kept"), " ").as("collapsed"))
+        .orderBy(col("doc_id"))),
+
+    // per-label embedding centroids + inter-label cosine — the domain /
+    // class drift matrix. Centroid dims are decimal-exact sums rounded
+    // to 6 digits (x20 lesson), so the pairwise cosines are
+    // engine-portable; the pair join is |labels|²-bounded (a dim-sized
+    // broadcast cartesian, PlanSpec-allowlisted like the ANN query side).
+    "x28_label_centroid_sim" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(38, 18)
+      def dotD(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+          (acc, v) => acc + v)
+      val cent = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .withColumn("vd", col("v").cast(DoubleType))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(col("vd").cast(dec)).as("sv"), count(lit(1)).as("n"))
+        .select(col("label"), col("d"),
+          round(col("sv").cast(DoubleType) / col("n"), 6).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => x.getField("m")).as("c"))
+      val a = cent.select(col("label").as("la"), col("c").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("c").as("cb"))
+      a.join(b, col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          round(dotD(col("ca"), col("cb")) /
+            (sqrt(dotD(col("ca"), col("ca"))) *
+              sqrt(dotD(col("cb"), col("cb")))), 6).as("cos"))
+        .orderBy(col("la"), col("lb"))
+    }),
+
+    // x23's exact contamination join with a Bloom sketch of the eval
+    // shingles prefiltering the train side MAP-SIDE, before the shuffle
+    // — the 100 TB lever. False positives die in the exact join, so the
+    // output is bit-identical to x23 and shares its oracle shape.
+    "x29_bloom_contamination" -> ((s, dir) =>
+      graft.ext.Contamination.bloomPrefiltered(docs(s, dir),
+        col("doc_id") < 10)
+        .orderBy(col("eval_id"), col("train_id")))
   )
 
   private val shingleCte =
@@ -503,6 +565,42 @@ object ExtQueries {
                 (CAST('0x' || substr(md5('mix:' || doc_id), 1, 8) AS BIGINT) % 100
                  < (CAST(substr(source, 4) AS INT) % 4 + 1) * 25) AS kept
          FROM documents ORDER BY doc_id""",
+    "x27_repetition_collapse" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         c AS (SELECT doc_id, len(ws) AS n_tokens,
+                 [ws[i] for i in generate_series(1, len(ws))
+                  if i = 1 or ws[i] != ws[i-1]] AS kept
+               FROM t)
+         SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                CAST(len(kept) AS INTEGER) AS n_kept,
+                array_to_string(kept, ' ') AS collapsed
+         FROM c ORDER BY doc_id""",
+    "x28_label_centroid_sim" ->
+      """WITH x AS (SELECT label, g.d - 1 AS d, embedding[g.d]::DOUBLE AS v
+                    FROM embeddings, generate_series(1, 64) AS g(d)),
+         a AS (SELECT label, d, sum(CAST(v AS DECIMAL(38,18))) AS sv,
+                      count(*) AS n
+               FROM x GROUP BY 1, 2),
+         c AS (SELECT label,
+                      list(round(CAST(sv AS DOUBLE) / n, 6) ORDER BY d) AS c
+               FROM a GROUP BY label)
+         SELECT a.label AS la, b.label AS lb,
+                round(list_dot_product(a.c, b.c) /
+                      (sqrt(list_dot_product(a.c, a.c)) *
+                       sqrt(list_dot_product(b.c, b.c))), 6) AS cos
+         FROM c a JOIN c b ON a.label < b.label ORDER BY la, lb""",
+    "x29_bloom_contamination" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                  unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                          for i in generate_series(1, len(ws)-4)])) AS s
+                FROM t WHERE len(ws) >= 5)
+         SELECT e.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS n_shared
+         FROM sh e JOIN sh tr ON e.s = tr.s
+         WHERE e.doc_id < 10 AND tr.doc_id >= 10
+         GROUP BY 1, 2 ORDER BY eval_id, train_id""",
     "x23_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),

@@ -31,6 +31,8 @@ object Profile {
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1))).count())
     timed("full index pairs")(Dedup.jaccardPairsIndex(docs, 3, 0.5).count())
+    timed("index pairs hashed")(
+      Dedup.jaccardPairsIndexHashed(docs, 3, 0.5).count())
     timed("hashes only")(
       Dedup.shingled(docs, 3)
         .select(Dedup.shingleHashes(col("sg")).as("hv"))
@@ -76,6 +78,16 @@ object Profile {
     val lshPairs = Dedup.jaccardPairsLsh(docs, 3, 0.5)
     timed("cluster edges (lsh pairs)")(lshPairs.count())
     timed("cluster full")(Dedup.dedupClusters(docs, lshPairs).count())
+    timed("cluster full (index edges, x17 shape)")(
+      Dedup.dedupClusters(docs, Dedup.jaccardPairsIndex(docs, 3, 0.5)).count())
+    timed("cluster full (hashed edges)")(
+      Dedup.dedupClusters(docs,
+        Dedup.jaccardPairsIndexHashed(docs, 3, 0.5)).count())
+    timed("pq topk full (x24 shape)")(
+      graft.ext.Similarity.topKPq(
+        Tables.load(spark, sf, "embeddings"),
+        Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+        10).count())
     spark.stop()
   }
 }

@@ -24,10 +24,13 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     val prefix = Dedup.jaccardPairsPrefix(docs, 3, 0.5)
       .as[(Long, Long, Double)].collect().toSet
+    val hashed = Dedup.jaccardPairsIndexHashed(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
     assert(brute.nonEmpty, "testdata should contain planted near-dups")
     assert(index == brute)
     assert(lsh == brute)
     assert(prefix == brute)
+    assert(hashed == brute)
   }
 
   test("dedupClusters labels components with min doc_id, singletons self") {
@@ -208,7 +211,42 @@ class ExtSpec extends AnyFunSuite {
       s"trained recall $trained should beat first-N $firstN")
   }
 
-  test("multimodal decoder parses real BMP and WAV headers from bytes") {
+  test("bloom-prefiltered contamination equals the exact asymmetric join") {
+    val exact = {
+      val sg5 = Dedup.shingled(docs, 5)
+      val ev = sg5.filter($"doc_id" < 10)
+        .select($"doc_id".as("eval_id"), explode($"sg").as("sh"))
+      val tr = sg5.filter($"doc_id" >= 10)
+        .select($"doc_id".as("train_id"), explode($"sg").as("sh"))
+      ev.join(tr, Seq("sh"))
+        .groupBy($"eval_id", $"train_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val bloomed = graft.ext.Contamination
+      .bloomPrefiltered(docs, $"doc_id" < 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(bloomed == exact)
+  }
+
+  test("repetition collapse removes only consecutive duplicate tokens") {
+    val d = Seq(
+      (1L, "a a b a a a c"),
+      (2L, "x y x y"),
+      (3L, "z")).toDF("doc_id", "text")
+    import graft.ext.TextAnalysis.tokens
+    val collapsed = d
+      .select($"doc_id", tokens($"text").as("ws"))
+      .select($"doc_id",
+        filter($"ws", (w, i) => i === 0 || w =!= get($"ws", i - 1))
+          .as("kept"))
+      .select($"doc_id", array_join($"kept", " ").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(collapsed == Map(1L -> "a b a c", 2L -> "x y x y", 3L -> "z"))
+  }
+
+  test("multimodal decoder parses real BMP, WAV, and PNG headers from bytes") {
     def putLe32(b: Array[Byte], off: Int, v: Int): Unit =
       (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
     def putLe16(b: Array[Byte], off: Int, v: Int): Unit =
@@ -260,6 +298,20 @@ class ExtSpec extends AnyFunSuite {
     "data".getBytes.copyToArray(shortFmt, 32); putLe32(shortFmt, 36, 16)
     assert(Multimodal.decodeBatch(Iterator((10L, shortFmt))).next()
       .width % 32 == 0) // stub path, not rate=22050
+    // PNG: signature + IHDR, big-endian 640 x 480
+    def putBe32(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >> (8 * (3 - i))) & 0xFF).toByte)
+    val png = new Array[Byte](33)
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte).copyToArray(png, 0)
+    putBe32(png, 8, 13); "IHDR".getBytes.copyToArray(png, 12)
+    putBe32(png, 16, 640); putBe32(png, 20, 480)
+    assert(Multimodal.decodeBatch(Iterator((11L, png))).next()
+      == Multimodal.MediaMeta(11L, 33, 640, 480, 1))
+    // corrupt PNG: zero width → stub, not a 0-dim image
+    val badPng = png.clone(); putBe32(badPng, 16, 0)
+    assert(Multimodal.decodeBatch(Iterator((12L, badPng))).next()
+      .width % 32 == 0)
     // pure-function path
     val metas = Multimodal.decodeBatch(Iterator(
       (1L, bmp), (2L, wav), (3L, junk))).toSeq

@@ -97,6 +97,40 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(messageChain(e2).contains("expected 2 arguments"))
   }
 
+  test("pq_encode codes row-equal the relational min_by encode") {
+    val rnd = new scala.util.Random(11)
+    // includes short vectors so the slice-past-the-end window semantics
+    // (empty/truncated subvectors) are pinned against the relational form
+    val df = (0L until 40L).map { i =>
+      val len = if (i % 13 == 0) 52 else 64
+      (i, Array.fill(len)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val fast = Similarity.pqCodes(df, sub = 8, m = 8, codebookSize = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    val slow = Similarity.pqCodesRelational(df, dim = 64, m = 8, codebookSize = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fast == slow)
+    assert(fast.size == 40 * 8)
+  }
+
+  test("round6 fast path matches BigDecimal HALF_UP everywhere") {
+    def ref(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rnd = new scala.util.Random(3)
+    val probes =
+      Seq(0.0, 0.1234565, 0.12345649999999999, 1.0000005, 123.4567895,
+        9999.9999995, 1e4, 1e7, -0.1234565, -5.5e-7, 2.5e-7) ++
+        (1 to 20000).map(_ => rnd.nextDouble() * 200) ++
+        // adversarial: values manufactured at the .5 boundary
+        (0 to 2000).map(i => i / 2e6) ++
+        (0 to 2000).map(i => i / 2e6 + 1e-13)
+    probes.foreach { x =>
+      assert(graft.functions.PqEncode.round6(x) == ref(x),
+        s"round6 mismatch at $x")
+    }
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     // needs a real source: projections over a LocalRelation are constant-
     // folded by ConvertToLocalRelation and never reach codegen

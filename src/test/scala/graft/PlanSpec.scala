@@ -22,7 +22,8 @@ class PlanSpec extends AnyFunSuite {
     "x11_ann_topk_lsh", // same, within-bucket
     "x13_doc_frequency", // 1-row corpus count
     "x14_tfidf_top_term", // 1-row corpus count
-    "x15_ann_topk_ivf") // k-row probe side
+    "x15_ann_topk_ivf", // k-row probe side
+    "x28_label_centroid_sim") // |labels|²-bounded centroid pair matrix
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
