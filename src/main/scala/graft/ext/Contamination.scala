@@ -31,22 +31,42 @@ object Contamination {
         (bf, row) => { bf.putString(row.getString(0)); bf },
         (a, b) => { a.mergeInPlace(b); a })
 
-  /** Exact contamination join with a Bloom prefilter on the train side.
-    * `evalPred` splits the corpus (eval = benchmark docs, train = rest).
-    * Output = the exact asymmetric inverted-index join (x23).
+  /** Exploded (id, shingle) sides of the asymmetric join. The shingle
+    * relation is checkpointed so the eval branch (read twice when a
+    * Bloom build intervenes) and the train branch don't re-shingle.
     */
-  def bloomPrefiltered(docs: DataFrame, evalPred: Column, n: Int = 5,
-      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+  private def sides(docs: DataFrame, evalPred: Column,
+      n: Int): (DataFrame, DataFrame) = {
     val sg = Dedup.shingled(docs, n).localCheckpoint()
-    val ev = sg.filter(evalPred)
-      .select(col("doc_id").as("eval_id"), explode(col("sg")).as("sh"))
-    val bf = buildBloom(ev, "sh", expectedItems, fpp)
-    val tr = sg.filter(!evalPred)
-      .select(col("doc_id").as("train_id"), explode(col("sg")).as("sh"))
-      .filter(graft.functions.BloomMightContain.bloom_might_contain(
-        col("sh"), bf))
+    (sg.filter(evalPred)
+      .select(col("doc_id").as("eval_id"), explode(col("sg")).as("sh")),
+      sg.filter(!evalPred)
+        .select(col("doc_id").as("train_id"), explode(col("sg")).as("sh")))
+  }
+
+  private def sharedCountJoin(ev: DataFrame, tr: DataFrame): DataFrame =
     ev.join(tr, Seq("sh"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
+
+  /** The exact asymmetric inverted-index join — the declared x23 shape,
+    * in one place so the query, the Bloom variant, and the specs can't
+    * drift apart.
+    */
+  def exact(docs: DataFrame, evalPred: Column, n: Int = 5): DataFrame = {
+    val (ev, tr) = sides(docs, evalPred, n)
+    sharedCountJoin(ev, tr)
+  }
+
+  /** Exact contamination join with a Bloom prefilter on the train side.
+    * `evalPred` splits the corpus (eval = benchmark docs, train = rest).
+    * Output = the exact asymmetric inverted-index join ([[exact]]).
+    */
+  def bloomPrefiltered(docs: DataFrame, evalPred: Column, n: Int = 5,
+      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+    val (ev, tr) = sides(docs, evalPred, n)
+    val bf = buildBloom(ev, "sh", expectedItems, fpp)
+    sharedCountJoin(ev, tr.filter(
+      graft.functions.BloomMightContain.bloom_might_contain(col("sh"), bf)))
   }
 }

@@ -107,7 +107,8 @@ object Multimodal {
     if (w > 0 && h > 0) Some(MediaMeta(id, b.length, w, h, 1)) else None
   }
 
-  /** STUB decode for payloads that are neither BMP nor WAV: derives
+  /** STUB decode for payloads matching none of the real header parsers
+    * (BMP/WAV/PNG): derives
     * fake-but-deterministic media properties from an md5 of the payload.
     * A real build swaps this arm for a codec call; nothing upstream or
     * downstream changes.

@@ -326,6 +326,25 @@ object Similarity {
     * distances are rounded and tie-broken on ids, so the DuckDB oracle
     * reproduces the output exactly.
     */
+  /** Rounded squared-L2 between two subvectors — the single distance
+    * definition every PQ path (relational encode, query LUT, and the
+    * [[graft.functions.PqEncode]] loop, which hand-replicates it) must
+    * agree on byte-for-byte.
+    */
+  private def pqL2sq(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+
+  /** Explode a vector relation into its `m` `sub`-wide subvector windows
+    * — shared by the relational encode, the codebook, and the query LUT
+    * so the slice-window semantics live in exactly one place.
+    */
+  private def pqSubspaces(df: DataFrame, idAs: String, sub: Int,
+      m: Int): DataFrame = df
+    .select(col("vec_id").as(idAs), col("embedding"))
+    .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+    .select(col(idAs), col("j"),
+      slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
+
   def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, m: Int = 8, codebookSize: Int = 256): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -333,20 +352,13 @@ object Similarity {
       s"dim ($dim) must divide evenly into $m subspaces — uneven slices " +
         "would silently misread subvector windows")
     val sub = dim / m
-    def l2sq(a: Column, b: Column): Column =
-      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
-    def subspaces(df: DataFrame, idAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs), col("embedding"))
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col(idAs), col("j"),
-        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
-    val cb = subspaces(corpus.filter(col("vec_id") < codebookSize), "code_id")
-      .withColumnRenamed("sv", "cb_sub")
+    val cb = pqSubspaces(corpus.filter(col("vec_id") < codebookSize),
+      "code_id", sub, m).withColumnRenamed("sv", "cb_sub")
     val codes = pqCodes(corpus, sub, m, codebookSize)
-    val lut = subspaces(queries, "qid")
+    val lut = pqSubspaces(queries, "qid", sub, m)
       .join(broadcast(cb), Seq("j"))
       .select(col("qid"), col("j"), col("code_id"),
-        l2sq(col("sv"), col("cb_sub")).as("d"))
+        pqL2sq(col("sv"), col("cb_sub")).as("d"))
     val adist = codes
       .join(broadcast(lut),
         codes("j") === lut("j") && codes("code") === lut("code_id"))
@@ -375,10 +387,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq
-    corpus.select(col("vec_id").as("cid"),
+    val encoded = corpus.select(col("vec_id").as("cid"),
       posexplode(graft.functions.PqEncode.pq_encode(
         col("embedding"), sub, codebook, m)).as(Seq("j", "code")))
       .select(col("cid"), col("j").cast("int").as("j"), col("code"))
+    // empty codebook → the relational join yields zero rows; match that
+    // instead of emitting argmin-never-ran sentinel codes
+    if (codebook.isEmpty) encoded.limit(0) else encoded
   }
 
   /** The explode + broadcast-codebook-join + `min_by` encode — the
@@ -389,19 +404,12 @@ object Similarity {
   def pqCodesRelational(corpus: DataFrame, dim: Int, m: Int,
       codebookSize: Int): DataFrame = {
     val sub = dim / m
-    def l2sq(a: Column, b: Column): Column =
-      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
-    def subspaces(df: DataFrame, idAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs), col("embedding"))
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col(idAs), col("j"),
-        slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
-    val cb = subspaces(corpus.filter(col("vec_id") < codebookSize), "code_id")
-      .withColumnRenamed("sv", "cb_sub")
-    subspaces(corpus, "cid")
+    val cb = pqSubspaces(corpus.filter(col("vec_id") < codebookSize),
+      "code_id", sub, m).withColumnRenamed("sv", "cb_sub")
+    pqSubspaces(corpus, "cid", sub, m)
       .join(broadcast(cb), Seq("j"))
       .select(col("cid"), col("j"), col("code_id"),
-        l2sq(col("sv"), col("cb_sub")).as("d"))
+        pqL2sq(col("sv"), col("cb_sub")).as("d"))
       .groupBy(col("cid"), col("j"))
       .agg(min_by(col("code_id"), struct(col("d"), col("code_id"))).as("code"))
   }

@@ -170,6 +170,11 @@ object PqEncode {
     * HALF_UP-vs-floor asymmetry would bite.
     */
   def round6(x: Double): Double = {
+    // Spark's Round passes non-finite doubles through; BigDecimal.valueOf
+    // would throw NumberFormatException on them — one NaN embedding
+    // element must degrade (the argmin just never picks a NaN distance,
+    // matching NaN-sorts-last), not crash the query
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
     if (x >= 0 && x < 1e4) {
       val f = x * 1e6
       val fl = math.floor(f)

@@ -276,20 +276,12 @@ object ExtQueries {
 
     // benchmark decontamination: train docs sharing any 5-gram with the
     // eval set (doc_id < 10) — the asymmetric inverted-index join, same
-    // scale shape as x06 (shuffle on the shingle key, never pairwise)
-    "x23_contamination" -> ((s, dir) => {
-      // materialized once: the eval and train branches would otherwise
-      // each re-tokenize + re-shingle the whole corpus
-      val sg5 = Dedup.shingled(docs(s, dir), 5).localCheckpoint()
-      val ev = sg5.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("eval_id"), explode(col("sg")).as("sh"))
-      val tr = sg5.filter(col("doc_id") >= 10)
-        .select(col("doc_id").as("train_id"), explode(col("sg")).as("sh"))
-      ev.join(tr, Seq("sh"))
-        .groupBy(col("eval_id"), col("train_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .orderBy(col("eval_id"), col("train_id"))
-    }),
+    // scale shape as x06 (shuffle on the shingle key, never pairwise);
+    // Contamination.exact is the single definition x29 and the specs
+    // also build on
+    "x23_contamination" -> ((s, dir) =>
+      graft.ext.Contamination.exact(docs(s, dir), col("doc_id") < 10)
+        .orderBy(col("eval_id"), col("train_id"))),
 
     // deterministic hash-bucket train/val/test split — a function of the
     // row id, reproducible across engines/runs/subsets (no rand())

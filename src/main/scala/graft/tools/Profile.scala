@@ -84,10 +84,7 @@ object Profile {
       Dedup.dedupClusters(docs,
         Dedup.jaccardPairsIndexHashed(docs, 3, 0.5)).count())
     timed("pq topk full (x24 shape)")(
-      graft.ext.Similarity.topKPq(
-        Tables.load(spark, sf, "embeddings"),
-        Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 10),
-        10).count())
+      Similarity.topKPq(emb, emb.filter(col("vec_id") < 10), 10).count())
     spark.stop()
   }
 }

@@ -212,17 +212,8 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("bloom-prefiltered contamination equals the exact asymmetric join") {
-    val exact = {
-      val sg5 = Dedup.shingled(docs, 5)
-      val ev = sg5.filter($"doc_id" < 10)
-        .select($"doc_id".as("eval_id"), explode($"sg").as("sh"))
-      val tr = sg5.filter($"doc_id" >= 10)
-        .select($"doc_id".as("train_id"), explode($"sg").as("sh"))
-      ev.join(tr, Seq("sh"))
-        .groupBy($"eval_id", $"train_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .as[(Long, Long, Long)].collect().toSet
-    }
+    val exact = graft.ext.Contamination.exact(docs, $"doc_id" < 10)
+      .as[(Long, Long, Long)].collect().toSet
     val bloomed = graft.ext.Contamination
       .bloomPrefiltered(docs, $"doc_id" < 10)
       .as[(Long, Long, Long)].collect().toSet

@@ -129,6 +129,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
       assert(graft.functions.PqEncode.round6(x) == ref(x),
         s"round6 mismatch at $x")
     }
+    // non-finite inputs pass through (Spark's Round semantics) instead
+    // of hitting BigDecimal.valueOf's NumberFormatException
+    assert(graft.functions.PqEncode.round6(Double.NaN).isNaN)
+    assert(graft.functions.PqEncode.round6(Double.PositiveInfinity)
+      == Double.PositiveInfinity)
+    assert(graft.functions.PqEncode.round6(Double.NegativeInfinity)
+      == Double.NegativeInfinity)
   }
 
   test("vec_dot runs inside whole-stage codegen") {
