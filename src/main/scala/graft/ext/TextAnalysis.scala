@@ -142,6 +142,34 @@ object TextAnalysis {
   /** Canonical document fingerprint: md5 of whitespace-normalized,
     * lowercased text. The exact-dedup key.
     */
+  /** Gopher-style quality gate over a (doc_id, text) relation: mean word
+    * length, symbol-noise ratio, and max-repeated-bigram ratio → keep
+    * flag. Per-row signals are pure expressions; the repetition signal
+    * is the classic explode → (doc, bigram) count → per-doc max/total
+    * two-shuffle. Single definition backing the x19 query and the x32
+    * export composite.
+    */
+  def qualityFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("ws"))
+    val base = d.select(col("doc_id"),
+      meanWordLen(col("ws")).as("mean_word_len"),
+      symbolRatio(col("text")).as("symbol_ratio"))
+    val rep = d.select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")), 6)
+        .as("max_bigram_ratio"))
+    base.join(rep, Seq("doc_id"), "left")
+      .withColumn("max_bigram_ratio",
+        coalesce(col("max_bigram_ratio"), lit(0.0)))
+      .withColumn("keep",
+        col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") <= 0.1 && col("max_bigram_ratio") <= 0.2)
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

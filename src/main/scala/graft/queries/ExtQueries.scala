@@ -154,29 +154,48 @@ object ExtQueries {
     }),
 
     // Gopher-style quality gate: mean word length, symbol noise, and
-    // max-repeated-bigram ratio (the repetition rule) → keep/drop flag.
-    // Per-row signals are pure expressions; repetition is the classic
-    // explode → (doc, bigram) count → per-doc max/total two-shuffle.
-    "x19_quality_flags" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DoubleType
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        tokens(col("text")).as("ws"))
-      val base = d.select(col("doc_id"),
-        meanWordLen(col("ws")).as("mean_word_len"),
-        symbolRatio(col("text")).as("symbol_ratio"))
-      val rep = d.select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(max(col("c")).cast(DoubleType) / sum(col("c")), 6)
-          .as("max_bigram_ratio"))
-      base.join(rep, Seq("doc_id"), "left")
-        .withColumn("max_bigram_ratio",
-          coalesce(col("max_bigram_ratio"), lit(0.0)))
-        .withColumn("keep",
-          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
-            col("symbol_ratio") <= 0.1 && col("max_bigram_ratio") <= 0.2)
+    // max-repeated-bigram ratio (the repetition rule) → keep/drop flag
+    // (TextAnalysis.qualityFlags — shared with the x32 export composite)
+    "x19_quality_flags" -> ((s, dir) =>
+      qualityFlags(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // the end-to-end training-shard export composite: quality gate ∘
+    // exact-dedup representative ∘ deterministic split ∘ label join ∘
+    // token count — the materialization step a pipeline runs last. Each
+    // stage is the already-declared operator (x19/x05/x18/x01); the
+    // composite proves they chain in one plan. The near-dup variant
+    // slots dedupClusters (x17) into the is_rep step unchanged.
+    "x32_training_export" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val flags = qualityFlags(d).select(col("doc_id"), col("keep"))
+      val rep = d
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .withColumn("is_rep",
+          col("doc_id") === min(col("doc_id"))
+            .over(Window.partitionBy(col("fp"))))
+        .select(col("doc_id"), col("is_rep"))
+      val lab = emb(s, dir).select(col("vec_id").as("doc_id"), col("label"))
+      d.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(flags, Seq("doc_id"))
+        .join(rep, Seq("doc_id"))
+        .filter(col("keep") && col("is_rep"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          Sampling.split(col("doc_id")).as("split"),
+          col("n_tokens"), col("label"))
         .orderBy(col("doc_id"))
     }),
+
+    // shard-level manifest of the export: per (split, source) volume and
+    // token mass — what the writer uses to plan output files
+    "x33_shard_manifest" -> ((s, dir) =>
+      ExtQueries.queries("x32_training_export")(s, dir)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("split"), col("source"))),
 
     // product-quantization ANN: 8-byte codes + per-query LUT sums
     // (asymmetric distance) — the compressed-at-rest scale path;
@@ -458,6 +477,48 @@ object ExtQueries {
                    FROM proj GROUP BY vec_id, t)"""
   }
 
+  /** The x32 export lineage in DuckDB, shared by x32 (ordered per-doc)
+    * and x33 (shard aggregation). No trailing ORDER BY so it can nest.
+    */
+  private val trainingExportSql =
+    """WITH t AS (SELECT doc_id, source, text,
+            regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+     base AS (SELECT doc_id,
+         round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+               / len(ws), 6) AS mean_word_len,
+         round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+               / len(ws), 6) AS symbol_ratio
+       FROM t),
+     bg AS (SELECT doc_id,
+              unnest([ws[i] || ' ' || ws[i+1]
+                      for i in generate_series(1, len(ws)-1)]) AS bg
+            FROM t WHERE len(ws) >= 2),
+     cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+     rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6)
+                    AS max_bigram_ratio FROM cnt GROUP BY 1),
+     flags AS (SELECT b.doc_id,
+            (b.mean_word_len >= 3 AND b.mean_word_len <= 10
+             AND b.symbol_ratio <= 0.1
+             AND coalesce(r.max_bigram_ratio, 0.0) <= 0.2) AS keep
+            FROM base b LEFT JOIN rep r USING (doc_id)),
+     fps AS (SELECT doc_id,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents),
+     dd AS (SELECT doc_id,
+                 (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_rep
+               FROM fps)
+    SELECT d.doc_id, d.source,
+           CASE WHEN CAST('0x' || substr(md5('split:' || d.doc_id), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || d.doc_id), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+           e.label
+    FROM documents d
+    JOIN flags f ON d.doc_id = f.doc_id
+    JOIN dd ON d.doc_id = dd.doc_id
+    LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE f.keep AND dd.is_rep"""
+
   val oracleSql: Map[String, String] = Map(
     "x01_token_count" ->
       """SELECT doc_id,
@@ -617,6 +678,13 @@ object ExtQueries {
                       (sqrt(list_dot_product(a.c, a.c)) *
                        sqrt(list_dot_product(b.c, b.c))), 6) AS cos
          FROM c a JOIN c b ON a.label < b.label ORDER BY la, lb""",
+    "x32_training_export" -> (trainingExportSql +
+      "\n         ORDER BY d.doc_id"),
+    "x33_shard_manifest" ->
+      ("WITH exp AS (" + trainingExportSql + """)
+         SELECT split, source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM exp GROUP BY split, source ORDER BY split, source"""),
     "x30_quality_percentile" ->
       """WITH c AS (SELECT doc_id, source,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
