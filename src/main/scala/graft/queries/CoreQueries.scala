@@ -379,6 +379,52 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Q35 [engine surface: ordered funnel (view → click → purchase) —
+    // staged min-timestamp aggregation with strict-after joins, the
+    // product-analytics conversion query. Three filtered partial aggs +
+    // equi-joins on user_id; no per-user sequence materialization, so
+    // the plan carries one row per (user, stage), not the event log.]
+    "q35_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Q34 [engine surface: time-RANGE window frame — the rolling
+    // last-hour aggregate, complementing q27's ROWS frame. The frame is
+    // keyed on integer epoch-micros so the interval bound is exact
+    // arithmetic in both engines (no timestamp-truncation ambiguity);
+    // decimal-exact frame sums keep the doubles portable.]
+    "q34_rolling_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          round(sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType), 2))
+        .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Q33 [engine surface: CDC compaction / latest-record snapshot —
     // whole-row max_by argmax per key with (ts, id) tie-break. The
     // partial-aggregation form: each map task reduces its slice to one
@@ -615,6 +661,29 @@ object CoreQueries {
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q35_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+               JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+         SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+         FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+         ORDER BY v.user_id""",
+    "q34_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                    FROM events WHERE user_id < 20)
+         SELECT user_id, event_id, count(*) OVER w AS n_1h,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                      AS DOUBLE), 2) AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "q33_cdc_compact" ->
       """SELECT o_custkey, o_orderkey AS last_orderkey,
                 o_orderdate AS last_orderdate, o_orderstatus AS last_status,
