@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -139,9 +139,6 @@ object TextAnalysis {
     round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
       .cast(DoubleType) / tokenCount(text), 6)
 
-  /** Canonical document fingerprint: md5 of whitespace-normalized,
-    * lowercased text. The exact-dedup key.
-    */
   /** Gopher-style quality gate over a (doc_id, text) relation: mean word
     * length, symbol-noise ratio, and max-repeated-bigram ratio → keep
     * flag. Per-row signals are pure expressions; the repetition signal
@@ -149,9 +146,7 @@ object TextAnalysis {
     * two-shuffle. Single definition backing the x19 query and the x32
     * export composite.
     */
-  def qualityFlags(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+  def qualityFlags(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"),
       tokens(col("text")).as("ws"))
     val base = d.select(col("doc_id"),
@@ -170,6 +165,9 @@ object TextAnalysis {
           col("symbol_ratio") <= 0.1 && col("max_bigram_ratio") <= 0.2)
   }
 
+  /** Canonical document fingerprint: md5 of whitespace-normalized,
+    * lowercased text. The exact-dedup key.
+    */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

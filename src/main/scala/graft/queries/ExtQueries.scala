@@ -163,38 +163,19 @@ object ExtQueries {
     // exact-dedup representative ∘ deterministic split ∘ label join ∘
     // token count — the materialization step a pipeline runs last. Each
     // stage is the already-declared operator (x19/x05/x18/x01); the
-    // composite proves they chain in one plan. The near-dup variant
-    // slots dedupClusters (x17) into the is_rep step unchanged.
-    "x32_training_export" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir)
-      val flags = qualityFlags(d).select(col("doc_id"), col("keep"))
-      val rep = d
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .withColumn("is_rep",
-          col("doc_id") === min(col("doc_id"))
-            .over(Window.partitionBy(col("fp"))))
-        .select(col("doc_id"), col("is_rep"))
-      val lab = emb(s, dir).select(col("vec_id").as("doc_id"), col("label"))
-      d.select(col("doc_id"), col("source"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(flags, Seq("doc_id"))
-        .join(rep, Seq("doc_id"))
-        .filter(col("keep") && col("is_rep"))
-        .join(lab, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          Sampling.split(col("doc_id")).as("split"),
-          col("n_tokens"), col("label"))
-        .orderBy(col("doc_id"))
-    }),
+    // composite proves they chain in one plan (Export.trainingExport;
+    // drop/keep + missing-label semantics pinned by the ExtSpec fixture,
+    // since the gate corpus has no gate-failures/dups at gate SFs). The
+    // near-dup variant slots dedupClusters (x17) into is_rep unchanged.
+    "x32_training_export" -> ((s, dir) =>
+      graft.ext.Export.trainingExport(docs(s, dir), emb(s, dir))
+        .orderBy(col("doc_id"))),
 
     // shard-level manifest of the export: per (split, source) volume and
     // token mass — what the writer uses to plan output files
     "x33_shard_manifest" -> ((s, dir) =>
-      ExtQueries.queries("x32_training_export")(s, dir)
-        .groupBy(col("split"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"))
+      graft.ext.Export.shardManifest(
+        graft.ext.Export.trainingExport(docs(s, dir), emb(s, dir)))
         .orderBy(col("split"), col("source"))),
 
     // product-quantization ANN: 8-byte codes + per-query LUT sums

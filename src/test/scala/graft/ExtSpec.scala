@@ -221,6 +221,34 @@ class ExtSpec extends AnyFunSuite {
     assert(bloomed == exact)
   }
 
+  test("training export drops gated docs and non-reps, keeps null labels") {
+    // the gate corpus has no quality failures or exact duplicates at the
+    // gate SFs, so THIS fixture is what pins the composite's semantics:
+    // doc 1 = clean original; doc 2 = exact dup of 1 (whitespace/case
+    // only → same fingerprint, must drop); doc 3 = symbol noise (quality
+    // gate must drop); doc 4 = clean but absent from embeddings (must
+    // survive with null label)
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "srcA"),
+      (2L, "  The QUICK  brown fox jumps over the lazy dog ", "srcA"),
+      (3L, "@#$ %^& *() @#$ %^& *() @#$ %^&", "srcA"),
+      (4L, "plain sentence with several ordinary words inside", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val e = Seq((1L, 7), (2L, 7), (3L, 9)).toDF("vec_id", "label")
+    val out = graft.ext.Export.trainingExport(d, e)
+      .select($"doc_id", $"split", $"label".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 4L)) // 2 deduped, 3 gated out
+    assert(out(0)._3 == "7") // label joined
+    assert(out(1)._3 == null) // no embedding row → null label survives
+    val manifest = graft.ext.Export
+      .shardManifest(graft.ext.Export.trainingExport(d, e))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(manifest.map(_._2) == Set("srcA", "srcB"))
+    assert(manifest.toSeq.map(_._3).sum == 2) // n_docs over kept set only
+  }
+
   test("repetition collapse removes only consecutive duplicate tokens") {
     val d = Seq(
       (1L, "a a b a a a c"),
