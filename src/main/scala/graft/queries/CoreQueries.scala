@@ -379,6 +379,25 @@ object CoreQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Q36 [engine surface: GROUPING SETS with grouping() flags, driven
+    // through the SQL entry point (spark.sql over a temp view) — the one
+    // declared query exercising the engine's SQL-API surface alongside
+    // the DataFrame API. Per-column grouping() flags instead of a packed
+    // grouping_id keep the bit-order engine-portable; decimal-exact sum
+    // as everywhere.]
+    "q36_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                      CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                      count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+               FROM lineitem_v
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+               ORDER BY g_rf, g_ls,
+                        coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""")
+    }),
+
     // Q35 [engine surface: ordered funnel (view → click → purchase) —
     // staged min-timestamp aggregation with strict-after joins, the
     // product-analytics conversion query. Three filtered partial aggs +
@@ -661,6 +680,16 @@ object CoreQueries {
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
          FROM events WHERE user_id < 50
          GROUP BY user_id ORDER BY user_id""",
+    "q36_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g_rf, g_ls,
+                  coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""",
     "q35_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                     WHERE event_type = 'view' GROUP BY 1),
