@@ -383,6 +383,32 @@ object ExtQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    // MOSS scheme): hash every char 8-gram (rolling-hash semantics;
+    // hash60 keeps it engine-portable), take the min of each 4-window,
+    // dedup + sort. Guarantees any shared substring ≥ k+w-1 chars
+    // contributes a shared fingerprint — the substring-level dedup
+    // primitive, all pure per-row HOFs, zero shuffle. The two-projection
+    // pattern keeps hs/fps bound so nothing re-evaluates per element.
+    "x34_winnowing" -> ((s, dir) => {
+      val k = 8
+      val w = 4
+      docs(s, dir)
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => hash60(col("text").substr(i, lit(k)))).as("hs"))
+        .filter(size(col("hs")) >= w)
+        .select(col("doc_id"),
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+              j => array_min(slice(col("hs"), j, lit(w)))))).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          array_join(transform(col("fps"), x => x.cast("string")), ",")
+            .as("fp_set"))
+        .orderBy(col("doc_id"))
+    }),
+
     // x23's exact contamination join with a Bloom sketch of the eval
     // shingles prefiltering the train side MAP-SIDE, before the shuffle
     // — the 100 TB lever. False positives die in the exact join, so the
@@ -666,6 +692,19 @@ object ExtQueries {
          SELECT split, source, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          FROM exp GROUP BY split, source ORDER BY split, source"""),
+    "x34_winnowing" ->
+      """WITH g AS (SELECT doc_id,
+           [CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT)
+            for i in generate_series(1, length(text) - 7)] AS hs
+         FROM documents WHERE length(text) >= 8),
+         w AS (SELECT doc_id,
+           list_sort(list_distinct([list_min(hs[j:j+3])
+            for j in generate_series(1, len(hs) - 3)])) AS fps
+         FROM g WHERE len(hs) >= 4)
+         SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+                array_to_string(list_transform(fps,
+                  x -> CAST(x AS VARCHAR)), ',') AS fp_set
+         FROM w ORDER BY doc_id""",
     "x30_quality_percentile" ->
       """WITH c AS (SELECT doc_id, source,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
