@@ -113,6 +113,39 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(fast.size == 40 * 8)
   }
 
+  test("rolling_winnow equals the direct per-position polynomial form") {
+    import graft.functions.RollingWinnow.{B, M, rolling_winnow}
+    val k = 8
+    val w = 4
+    // direct (non-rolling) HOF reference: hash(i) = Σ code·B^(k-1-t) mod M
+    val pows = (0 until k).map { t =>
+      var p = 1L; (0 until (k - 1 - t)).foreach(_ => p = p * B % M); p
+    }
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaa"),
+      (3L, "exactly11ch"), // one window, len = k+w-1
+      (4L, "short")) // below k → empty
+      .toDF("doc_id", "text")
+    val viaExpr = df.select($"doc_id",
+      rolling_winnow($"text", k, w).as("mins"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hsDf = df.filter(length($"text") >= k)
+      .select($"doc_id", $"text",
+        transform(sequence(lit(1), length($"text") - (k - 1)),
+          i => (0 until k).map(t =>
+            ascii($"text".substr(i + t, lit(1))).cast("long") * pows(t))
+            .reduce(_ + _) % M).as("hs"))
+      .filter(size($"hs") >= w)
+      .select($"doc_id",
+        transform(sequence(lit(1), size($"hs") - (w - 1)),
+          j => array_min(slice($"hs", j, lit(w)))).as("mins"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaExpr(4L).isEmpty)
+    assert(viaExpr(3L).length == 1)
+    Seq(1L, 2L, 3L).foreach(id => assert(viaExpr(id) == hsDf(id), s"doc $id"))
+  }
+
   test("round6 fast path matches BigDecimal HALF_UP everywhere") {
     def ref(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
