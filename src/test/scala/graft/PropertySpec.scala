@@ -98,6 +98,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling winnow equals an independent direct computation") {
+    // independent oracle: per-position polynomial via BigInt modpow —
+    // no shared code with RollingWinnow.winnow's rolling recurrence
+    val M = BigInt(1000000007L)
+    def direct(s: String, k: Int, w: Int): Seq[Long] = {
+      val n = s.length - k + 1
+      if (n < w) return Seq.empty
+      val hs = (0 until n).map { i =>
+        (0 until k).map { t =>
+          BigInt(s.charAt(i + t).toInt) * BigInt(257).modPow(k - 1 - t, M)
+        }.sum.mod(M).toLong
+      }
+      (0 to n - w).map(j => hs.slice(j, j + w).min)
+    }
+    val charGen = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf(' ', '.', ',', '!')))
+    val strGen = for {
+      len <- Gen.choose(0, 80)
+      cs <- Gen.listOfN(len, charGen)
+    } yield cs.mkString
+    sample(strGen, 200).foreach { s =>
+      assert(
+        graft.functions.RollingWinnow.winnow(s, 8, 4).toSeq ==
+          direct(s, 8, 4),
+        s"winnow mismatch on ${s.take(40)}… (len ${s.length})")
+    }
+    // the exact boundary lengths around k and k+w-1
+    Seq(0, 7, 8, 10, 11, 12).foreach { len =>
+      val s = "abcdefghijklmnop".take(len)
+      assert(graft.functions.RollingWinnow.winnow(s, 8, 4).toSeq ==
+        direct(s, 8, 4), s"boundary len $len")
+    }
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     // two near-dup shingle sets vs two unrelated ones
     val base = (1 to 100).map(i => s"sh$i")
