@@ -395,11 +395,16 @@ object ExtQueries {
     // Exchange in the plan is the declared-output orderBy.
     "x34_winnowing" -> ((s, dir) =>
       docs(s, dir)
+        // length ≥ k+w-1 is the expression's documented empty-array
+        // condition — filtering on the CHEAP predicate before the
+        // projection (not on size(fps) after) keeps Catalyst's
+        // filter-through-project pushdown from substituting the whole
+        // winnow expression into the predicate and running it twice
+        .filter(length(col("text")) >= 8 + 4 - 1)
         .select(col("doc_id"),
           array_sort(array_distinct(
             graft.functions.RollingWinnow.rolling_winnow(col("text"), 8, 4)))
             .as("fps"))
-        .filter(size(col("fps")) > 0)
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
           array_join(transform(col("fps"), x => x.cast("string")), ",")
             .as("fp_set"))

@@ -171,6 +171,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
       == Double.NegativeInfinity)
   }
 
+  test("rolling_winnow runs inside whole-stage codegen, equal to eval") {
+    // real file source: Seq-based frames are constant-folded by
+    // ConvertToLocalRelation and never reach doGenCode (vec_dot lesson)
+    import graft.functions.RollingWinnow.rolling_winnow
+    val df = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length($"text") >= 11)
+      .select($"doc_id", rolling_winnow($"text", 8, 4).as("mins"))
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty)
+    val viaCodegen = df.as[(Long, Seq[Long])].collect().toMap
+    assert(viaCodegen.nonEmpty)
+    // interpreted path on the same rows (local relation → no codegen)
+    val local = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length($"text") >= 11)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .toDF("doc_id", "text")
+      .select($"doc_id", rolling_winnow($"text", 8, 4).as("mins"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaCodegen == local)
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     // needs a real source: projections over a LocalRelation are constant-
     // folded by ConvertToLocalRelation and never reach codegen
