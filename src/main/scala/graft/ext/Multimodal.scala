@@ -150,6 +150,38 @@ object Multimodal {
       .mapPartitions(decodeBatch)
   }
 
+  /** Feature row: a fixed-width float vector per payload, the shape an
+    * embedding/similarity stage consumes downstream.
+    */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature extraction over binary payloads: a REAL 16-bin byte
+    * histogram, L1-normalized — deterministic, codec-free, and the same
+    * partition-batched plumbing a learned feature extractor (the
+    * obvious swap-in) would use. Output plugs directly into the
+    * [[Similarity]] operators (`Array[Float]` column).
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = new Array[Float](16)
+          var i = 0
+          while (i < bytes.length) {
+            h((bytes(i) & 0xFF) >>> 4) += 1f
+            i += 1
+          }
+          val n = math.max(1, bytes.length).toFloat
+          var b = 0
+          while (b < 16) { h(b) /= n; b += 1 }
+          MediaFeatures(id, h)
+        }
+      }
+  }
+
   /** Resized media row: payload stays binary, dimensions carried as typed
     * metadata next to it — the at-rest shape for multimodal training data.
     */

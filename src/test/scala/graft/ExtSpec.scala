@@ -353,6 +353,24 @@ class ExtSpec extends AnyFunSuite {
     assert(a.forall(m => m.n_bytes > 0))
   }
 
+  test("multimodal feature extraction: normalized byte histogram") {
+    val d = Seq((1L, "\u0020\u0020\u00ff"), (2L, "AAAA"))
+      .toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(spark, d)
+      .collect().map(m => m.doc_id -> m.features).toMap
+    // doc 1: utf-8 bytes 20 20 c3 bf → bin 2 (×2), bin 12, bin 11
+    assert(f(1L)(2) == 0.5f && f(1L)(12) == 0.25f && f(1L)(11) == 0.25f)
+    assert(math.abs(f(1L).sum - 1.0f) < 1e-6f)
+    // doc 2: 'A' = 0x41 → all mass in bin 4
+    assert(f(2L)(4) == 1.0f)
+    // plugs into the Similarity operators as an embedding column
+    val emb = Multimodal.extractFeatures(spark, d).toDF()
+      .select($"doc_id".as("vec_id"), $"features".as("embedding"))
+    val pairs = graft.ext.Similarity.nearDupPairs(emb, threshold = -1.0)
+      .collect()
+    assert(pairs.length == 1) // the one (1,2) pair scores
+  }
+
   test("multimodal resize bounds dimensions, preserves payload") {
     val metas = Multimodal.extractMeta(spark, docs).collect()
       .map(m => m.doc_id -> m).toMap
