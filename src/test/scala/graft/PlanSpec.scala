@@ -68,4 +68,25 @@ class PlanSpec extends AnyFunSuite {
     assert(iPartial >= 0 && iExchange >= 0 && iPartial < iExchange,
       plan.take(2000))
   }
+
+  test("PQ corpus encode stays join-free (x24 regression guard)") {
+    // the round-4 win: corpus codes come from the PqEncode expression,
+    // not the corpus×codebook min_by join — the corpus side of the plan
+    // must contain pq_encode and no join underneath the codes aggregate
+    val plan = graft.ext.Similarity
+      .pqCodes(graft.engine.Tables.load(spark, sf, "embeddings"),
+        sub = 8, m = 8, codebookSize = 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PqEncode") || plan.contains("pqencode"),
+      plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
+  test("x34 winnowing plans exactly one Exchange (the output order)") {
+    // string count: AdaptiveSparkPlanExec does not expose the inner plan
+    // through collect() before execution
+    val plan = SparkEntry.queries("x34_winnowing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(plan).length == 1, plan.take(1500))
+  }
 }
