@@ -12,7 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.engine.GraftSession.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures a bounded log window around the
+    // one-line JSON result; Spark WARN chatter (broadcast-size warnings ×70
+    // queries) overflowed it in round 4 and truncated the artifact
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen/file-listing paths so the first timed query
     // doesn't absorb session startup — includes a 64-doc pass over the
     // shingle + hashed-index codegen (the heaviest generated classes;
@@ -23,15 +26,24 @@ object Bench {
       val d = graft.engine.Tables.load(spark, sfDir, "documents").limit(64)
       graft.ext.Dedup.jaccardPairsIndexHashed(d, 3, 0.5).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query-name filter for targeted re-measures
+    // under the one-JVM-at-a-time protocol (BASELINE.md)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding halves the line length (70 queries × full-precision
+    // doubles overflowed the driver's capture window in round 4)
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,11 +29,26 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules", excludedOptimizerRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** InferFiltersFromGenerate synthesizes `size(arr) > 0 AND
+    * isnotnull(arr)` under every explode and pushes it below the
+    * projection that computes `arr` — for computed arrays (shingles,
+    * signatures: interpreted higher-order functions, no codegen CSE)
+    * that re-evaluates the whole array expression once per inferred
+    * conjunct on every row. Measured: 2–3× the corpus shingle cost on
+    * the contamination/inverted-index paths. The rule only prunes rows
+    * early (never changes results), and every explode in this engine
+    * either already filters empties or tolerates them, so it is excluded
+    * session-wide. Arrays read from storage lose nothing measurable.
+    */
+  private val excludedOptimizerRules =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
   /** Apply graft defaults to an externally created session (driver-owned
     * sessions in Verify/Bench). Safe: only sets runtime-settable confs. */
@@ -41,6 +56,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.optimizer.excludedRules", excludedOptimizerRules)
     spark
   }
 }

@@ -40,8 +40,16 @@ object Dedup {
   def shingled(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("ws"))
+      // the empty-set filter tests the TOKEN count, not size(sg) > 0,
+      // deliberately: the two are equivalent (shinglesFromTokens is empty
+      // iff there are fewer than n tokens), but a predicate on sg gets
+      // pushed below the projection and re-inlines the whole interpreted
+      // zip_with shingle chain into the Filter (higher-order functions
+      // don't codegen, so no subexpression elimination saves it) —
+      // measured 3× the corpus shingle cost on every consumer. The
+      // token-count form pushes down as one extra split — cheap.
+      .filter(size(col("ws")) >= n)
       .select(col("doc_id"), shinglesFromTokens(col("ws"), n).as("sg"))
-      .filter(size(col("sg")) > 0)
 
   /** Brute-force all-pairs n-gram Jaccard ≥ threshold. O(n²) pairs — kept
     * as the cross-check oracle for [[jaccardPairsIndex]]; only sane when

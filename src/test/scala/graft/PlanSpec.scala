@@ -82,6 +82,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
+  test("x23/x29 contamination broadcasts the eval side (no corpus shuffle)") {
+    // round-4 regression guard: the exploded train corpus must stream
+    // through a BroadcastHashJoin against the bounded eval side — a
+    // SortMergeJoin here means the whole exploded corpus shuffles
+    for (q <- Seq("x23_contamination", "x29_bloom_contamination")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
   test("x34 winnowing plans exactly one Exchange (the output order)") {
     // string count: AdaptiveSparkPlanExec does not expose the inner plan
     // through collect() before execution
