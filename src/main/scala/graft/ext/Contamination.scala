@@ -1,6 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -17,19 +20,50 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Contamination {
 
+  /** Typed Aggregator wrapping the Bloom build so it runs INSIDE the SQL
+    * engine (partial per-partition buffers, merge at the final agg —
+    * visible in the plan and the SQL metrics) instead of dropping to the
+    * RDD API. The buffer is the mutable BloomFilter itself
+    * (java-serialized only when partials cross the partition boundary);
+    * the output is its portable byte form.
+    */
+  private class BloomAgg(expectedItems: Long, fpp: Double)
+      extends Aggregator[String, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    def reduce(bf: BloomFilter, s: String): BloomFilter = {
+      if (s != null) bf.putString(s)
+      bf
+    }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+      a.mergeInPlace(b); a
+    }
+    def finish(bf: BloomFilter): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] =
+      Encoders.javaSerialization[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   /** Distributed Bloom build over a string column: `putString` per row,
-    * `mergeInPlace` per partition pair. Build and probe
+    * `mergeInPlace` per partition pair, as a DataFrame-native typed
+    * [[Aggregator]] (one partial-agg pass, no RDD API). Build and probe
     * ([[graft.functions.BloomMightContain]], `mightContainString`) both
     * live in this codebase so the hashing contract can't drift. The
     * filter is bounded driver state (~1.2 MB at 1M items / 1% fpp) — the
     * eval set is small by definition; the *train* side never collects.
     */
   def buildBloom(df: DataFrame, colName: String, expectedItems: Long,
-      fpp: Double): BloomFilter =
-    df.select(col(colName)).na.drop().rdd
-      .treeAggregate(BloomFilter.create(expectedItems, fpp))(
-        (bf, row) => { bf.putString(row.getString(0)); bf },
-        (a, b) => { a.mergeInPlace(b); a })
+      fpp: Double): BloomFilter = {
+    val agg = new BloomAgg(expectedItems, fpp).toColumn.name("bloom")
+    val bytes = df.select(col(colName)).na.drop()
+      .as[String](Encoders.STRING)
+      .select(agg)
+      .head()
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
 
   /** Exploded (id, shingle) sides of the asymmetric join. NEVER
     * materialize the train branch: it is the whole corpus, and an eager
