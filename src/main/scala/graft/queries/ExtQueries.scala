@@ -300,6 +300,29 @@ object ExtQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF recall audit: recall@10 of the probed IVF path against the
+    // exact brute-force ranking, in ONE composed plan — the measurement
+    // a user runs before trusting the approximate index (and the gate
+    // for swapping trained k-means centroids into x15: rerun with
+    // centroids = trainCentroids(e) and compare). n_hit counts brute
+    // top-10 rows the IVF result also returned for that query; both
+    // branches share the corpus scan and the oracle replicates both
+    // rankings in SQL.
+    "x35_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val brute = Similarity.topKBrute(e, q, k = 10)
+        .select(col("qid"), col("cid"))
+      val ivf = Similarity.topKIvf(e, q, k = 10)
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
+      brute.join(ivf, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit").cast("double") / 10, 6).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
     // within-document repetition collapse: drop consecutive duplicate
     // tokens (the stutter/boilerplate-run cleaning step) — pure per-row
     // array expressions, zero shuffle. The index lambda reads the BOUND
@@ -855,6 +878,47 @@ object ExtQueries {
                                           ORDER BY cos DESC, cid) AS INTEGER) AS rank
            FROM scored) t
          WHERE rank <= 10 ORDER BY qid, rank""",
+    "x35_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         bscored AS (
+           SELECT a.vec_id AS qid, b.vec_id AS cid,
+                  round(list_dot_product(a.e, b.e) /
+                        (sqrt(list_dot_product(a.e, a.e)) *
+                         sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+           FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id),
+         brute AS (SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                                 ORDER BY cos DESC, cid) AS rank
+             FROM bscored) t WHERE rank <= 10),
+         cent AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked WHERE rn = 1),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked
+                    WHERE rn <= 2 AND vid < 10),
+         iscored AS (SELECT DISTINCT p.qid, ca.cid,
+                            round(list_dot_product(eq.e, ec.e) /
+                                  (sqrt(list_dot_product(eq.e, eq.e)) *
+                                   sqrt(list_dot_product(ec.e, ec.e))), 6) AS cos
+                     FROM probes p
+                     JOIN cells ca ON p.cell = ca.cell AND ca.cid != p.qid
+                     JOIN e eq ON eq.vec_id = p.qid
+                     JOIN e ec ON ec.vec_id = ca.cid),
+         ivf AS (SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                                 ORDER BY cos DESC, cid) AS rank
+             FROM iscored) t WHERE rank <= 10)
+         SELECT b.qid AS qid, count(i.cid) AS n_hit,
+                round(count(i.cid) / 10.0, 6) AS recall
+         FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.cid = i.cid
+         GROUP BY b.qid ORDER BY b.qid""",
     "x16_embedding_neardup_lsh" ->
       s"""WITH ${bucketsCte(tables = 32, nbits = 6, dim = 64)},
          cand AS (SELECT a.vec_id AS va, b.vec_id AS vb

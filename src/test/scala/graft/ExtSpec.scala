@@ -211,6 +211,25 @@ class ExtSpec extends AnyFunSuite {
       s"trained recall $trained should beat first-N $firstN")
   }
 
+  test("x35 declared recall query matches set-computed recall@10") {
+    val declared = graft.queries.ExtQueries
+      .queries("x35_ann_recall")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (qid, nHit, recall) => qid -> ((nHit, recall)) }.toMap
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = Similarity.topKBrute(emb, queries, 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+    val ivf = Similarity.topKIvf(emb, queries, 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(declared.keySet == brute.keySet)
+    brute.foreach { case (qid, rows) =>
+      val hits = rows.count(ivf.contains)
+      assert(declared(qid) ==
+        ((hits.toLong, math.rint(hits / 10.0 * 1e6) / 1e6)),
+        s"qid $qid")
+    }
+  }
+
   test("bloom-prefiltered contamination equals the exact asymmetric join") {
     val exact = graft.ext.Contamination.exact(docs, $"doc_id" < 10)
       .as[(Long, Long, Long)].collect().toSet
