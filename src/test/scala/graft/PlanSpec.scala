@@ -23,7 +23,8 @@ class PlanSpec extends AnyFunSuite {
     "x13_doc_frequency", // 1-row corpus count
     "x14_tfidf_top_term", // 1-row corpus count
     "x15_ann_topk_ivf", // k-row probe side
-    "x28_label_centroid_sim") // |labels|²-bounded centroid pair matrix
+    "x28_label_centroid_sim", // |labels|²-bounded centroid pair matrix
+    "x35_ann_recall") // composes topKBrute: same bounded k-row query side
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
