@@ -27,9 +27,17 @@ object Bench {
       graft.ext.Dedup.jaccardPairsIndexHashed(d, 3, 0.5).count()
     } catch { case _: Throwable => () }
     // optional comma-separated query-name filter for targeted re-measures
-    // under the one-JVM-at-a-time protocol (BASELINE.md)
+    // under the one-JVM-at-a-time protocol (BASELINE.md). Unknown names
+    // fail loudly: a typo would otherwise time zero queries and emit a
+    // total of 0.0 that a consumer could mistake for a full-bench result.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -38,12 +46,24 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // 3-decimal rounding halves the line length (70 queries × full-precision
-    // doubles overflowed the driver's capture window in round 4)
-    def r3(v: Double): String = f"$v%.3f"
+    // doubles overflowed the driver's capture window in round 4); explicit
+    // ROOT locale so a comma-decimal host locale can't corrupt the JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a filtered run is flagged so its total can't be ingested as a
+    // full-bench total
+    val partial = if (only.isDefined) ""","partial":true""" else ""
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$partial}"""
+    // stdout (the driver's capture) AND a stable file, so the artifact
+    // survives even if the log window around stdout truncates
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_result.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
     spark.stop()
   }
 }

@@ -232,10 +232,20 @@ object Dedup {
     * both keyed on doc_id, i.e. the standard large-graph CC pattern
     * without a graph library. Converges in diameter(component)
     * iterations; near-dup components are shallow clusters, so this is
-    * 2–4 rounds in practice. Convergence is detected from the label sum
-    * (labels only ever decrease, so an unchanged sum means a fixpoint).
+    * 2–4 rounds in practice. The FIRST propagation round is fused into
+    * the init: before any iteration, every neighbor's label is just its
+    * id, so `min(self, neighbors)` is a single groupBy over the edge
+    * list — no join — and the loop starts one round ahead.
     *
-    * Each iteration ends in `localCheckpoint()`: persist alone is NOT
+    * Each iteration is exactly ONE driver action: the `localCheckpoint`
+    * job both materializes the new labels and carries the convergence
+    * signal through an [[org.apache.spark.sql.Observation]] metric
+    * (count of labels that changed this round — labels only ever
+    * decrease, so zero changes means a fixpoint). The previous shape ran
+    * a separate label-sum aggregate per round, doubling the driver
+    * round-trips on a path whose per-job cost is scheduling-dominated.
+    *
+    * `localCheckpoint()` rather than persist: persist alone is NOT
     * enough for iterative plans — it caches execution but leaves the
     * logical tree growing one join+aggregate layer per iteration, and
     * Catalyst re-analysis over that nesting goes super-linear (measured:
@@ -244,41 +254,32 @@ object Dedup {
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     // materialize the pair list ONCE before mirroring: the union's two
     // branches would otherwise each re-evaluate the (expensive)
     // pair-generation lineage — measured 2× the whole LSH pipeline
     val p = pairs.select(col("da"), col("db")).localCheckpoint()
+    // mirrored edges, materialized so every iteration re-reads a flat
+    // cached relation instead of re-running the union over p
     val edges = p.toDF("src", "dst")
       .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+      .localCheckpoint()
     // propagate over edge-touched nodes ONLY: a node with no edge never
     // changes label, so singletons (the overwhelming majority of a real
     // corpus — near-dup graphs are sparse) stay out of every iteration's
     // join + aggregate and re-enter once at the end via coalesce. The
-    // iterating relation is O(|edge endpoints|), not O(corpus).
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster"))
+    // iterating relation is O(|edge endpoints|), not O(corpus). Init =
+    // round one: label(v) = min(v, neighbors(v)) via one groupBy.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
+      .select(col("src").as("doc_id"), col("cluster"))
       .localCheckpoint()
-    // empty edge set → sum() is null → already converged
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster").cast(DecimalType(38, 0))))
-        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
     var done = labels.isEmpty
     var i = 0
     while (!done && i < maxIters) {
-      val nmin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
-      val updated = labels
-        .join(nmin, labels("doc_id") === nmin("dst"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      val s = labelSum(updated)
-      labels = updated
-      done = s.compareTo(prevSum) == 0
-      prevSum = s
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
+      labels = ccStep(edges, labels, obs).localCheckpoint()
+      done = Option(obs.get("n_changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
       i += 1
     }
     // exhausting the cap means labels are still moving — failing loudly
@@ -292,6 +293,27 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** One min-label propagation round, pre-checkpoint: join the mirrored
+    * edges against the current labels, take the per-node neighbor min,
+    * and observe the changed-label count so convergence rides the same
+    * job that materializes the result (PlanSpec asserts this plan stays
+    * flat — one fresh join over a checkpointed scan — per iteration).
+    */
+  private[graft] def ccStep(edges: DataFrame, labels: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val nmin = edges.join(labels, edges("src") === labels("doc_id"))
+      .groupBy(col("dst")).agg(min(col("cluster")).as("nmin"))
+    labels
+      .join(nmin, labels("doc_id") === nmin("dst"), "left")
+      .select(col("doc_id"),
+        least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+          .as("cluster"),
+        (coalesce(col("nmin"), col("cluster")) < col("cluster"))
+          .as("chg"))
+      .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("n_changed"))
+      .select(col("doc_id"), col("cluster"))
   }
 
   /** MinHash + LSH banding near-dup: the scale path.

@@ -270,15 +270,24 @@ object Similarity {
     * iteration assigns every vector to its nearest centroid by cosine
     * (broadcast centroids + max_by partial aggregation — no window sort)
     * and recomputes cell means per dimension (posexplode → per-(cell,
-    * dim) avg → array reassembly), i.e. two narrow shuffles per
+    * dim) mean → array reassembly), i.e. two narrow shuffles per
     * iteration keyed on (cell, dim) — the textbook scalable k-means
     * shape (k-means|| init would slot in the same way). A cell that
     * loses all members simply disappears (fewer, better-shaped cells).
     * Output schema matches the corpus (`vec_id` = cell id, `embedding`),
     * so it drops straight into [[topKIvf]]'s `centroids` override.
+    *
+    * Fully engine-portable so the DuckDB oracle can unroll the identical
+    * iterations (ExtQueries.kmeansCte): assignment cosines are rounded to
+    * 6 digits with the low-id tie-break (same convention as [[topKIvf]]),
+    * and the per-dimension mean is computed over values quantized to 1e-6
+    * — an exact BIGINT sum (order-independent, unlike a parallel double
+    * sum) followed by two IEEE double divisions and a float cast, each
+    * bit-deterministic in both engines.
     */
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
     var cent = corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"))
     for (_ <- 0 until iters) {
@@ -287,8 +296,9 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           norm(col("embedding")).as("nrm"))
         .join(broadcast(c))
-        .withColumn("cc",
-          dot(col("embedding"), col("cent_e")) / (col("nrm") * col("cent_n")))
+        .withColumn("cc", round(
+          dot(col("embedding"), col("cent_e")) / (col("nrm") * col("cent_n")),
+          6))
         .groupBy(col("vec_id"))
         .agg(first(col("embedding")).as("embedding"),
           max_by(col("cent_id"),
@@ -296,11 +306,14 @@ object Similarity {
       cent = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sum(round(col("v").cast(DoubleType) * 1e6, 0).cast(LongType))
+          .as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("s").cast(DoubleType) / col("n") / 1e6).cast(FloatType).as("m"))
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("cent_e"))
+          s => s.getField("m")).as("cent_e"))
         .select(col("cell").as("cent_id"), col("cent_e"))
     }
     cent.select(col("cent_id").as("vec_id"), col("cent_e").as("embedding"))

@@ -291,29 +291,35 @@ object ExtQueries {
         Sampling.split(col("doc_id")).as("split"))
         .orderBy(col("doc_id"))),
 
-    // IVF-probed ANN — deterministic centroids, rounded cosines, and id
-    // tie-breaks make cell assignment + probing engine-portable:
-    // hash-checked against the DuckDB replication below
+    // IVF-probed ANN over k-means-TRAINED centroids — the trained index
+    // a production deployment runs (x35 is the recall gate proving the
+    // training does not lower recall@10). Deterministic throughout:
+    // quantized Lloyd means, rounded cosines, and id tie-breaks make
+    // training + cell assignment + probing engine-portable, so the
+    // DuckDB oracle below unrolls the identical iterations (kmeansCte)
+    // and this stays hash-checked, not rows-only.
     "x15_ann_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.topKIvf(e, e.filter(col("vec_id") < 10), k = 10)
+      Similarity.topKIvf(e, e.filter(col("vec_id") < 10), k = 10,
+        centroids = Some(Similarity.trainCentroids(e, nCentroids = 8)))
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // IVF recall audit: recall@10 of the probed IVF path against the
-    // exact brute-force ranking, in ONE composed plan — the measurement
-    // a user runs before trusting the approximate index (and the gate
-    // for swapping trained k-means centroids into x15: rerun with
-    // centroids = trainCentroids(e) and compare). n_hit counts brute
-    // top-10 rows the IVF result also returned for that query; both
-    // branches share the corpus scan and the oracle replicates both
-    // rankings in SQL.
+    // IVF recall audit: recall@10 of the probed IVF path (trained
+    // centroids, exactly the x15 index) against the exact brute-force
+    // ranking, in ONE composed plan — the measurement a user runs
+    // before trusting the approximate index, and the declared gate for
+    // x15's trained centroids (ExtSpec additionally asserts trained ≥
+    // first-N recall). n_hit counts brute top-10 rows the IVF result
+    // also returned for that query; both branches share the corpus
+    // scan and the oracle replicates both rankings in SQL.
     "x35_ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
       val brute = Similarity.topKBrute(e, q, k = 10)
         .select(col("qid"), col("cid"))
-      val ivf = Similarity.topKIvf(e, q, k = 10)
+      val ivf = Similarity.topKIvf(e, q, k = 10,
+        centroids = Some(Similarity.trainCentroids(e, nCentroids = 8)))
         .select(col("qid"), col("cid"), lit(1).as("hit"))
       brute.join(ivf, Seq("qid", "cid"), "left")
         .groupBy(col("qid"))
@@ -506,6 +512,46 @@ object ExtQueries {
        buckets AS (SELECT vec_id, t,
                      sum(CASE WHEN p >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS b
                    FROM proj GROUP BY vec_id, t)"""
+  }
+
+  /** DuckDB CTE chain replicating [[graft.ext.Similarity.trainCentroids]]
+    * bit-exactly — the unrolled Lloyd iterations (no recursion: `iters`
+    * is a fixed plan-time constant on both sides). Per iteration:
+    * assignment = rounded-cosine argmax with the low-id tie-break
+    * (row_number ORDER BY ccos DESC, cent_id ≡ Spark's max_by on
+    * (cc, -cent_id)); new centroid = per-dimension mean over values
+    * quantized to 1e-6 — an exact BIGINT sum, then DOUBLE/n/1e6 (two
+    * IEEE-correctly-rounded divisions) cast through REAL exactly like
+    * Spark's float centroid array. Emits `cent(cent_id, ce)`; expects a
+    * preceding `e(vec_id, e DOUBLE[])` CTE.
+    */
+  private def kmeansCte(nCent: Int, iters: Int, dim: Int): String = {
+    val init =
+      s"cent0 AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $nCent)"
+    val steps = (0 until iters).map { i =>
+      s"""cc$i AS (SELECT x.vec_id AS vid, c.cent_id,
+                round(list_dot_product(x.e, c.ce) /
+                      (sqrt(list_dot_product(x.e, x.e)) *
+                       sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+              FROM e x CROSS JOIN cent$i c),
+       asg$i AS (SELECT vid, cent_id AS cell FROM (
+                SELECT vid, cent_id,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY ccos DESC, cent_id) AS rn
+                FROM cc$i) t WHERE rn = 1),
+       m$i AS (SELECT a.cell, g.d AS d,
+                 sum(CAST(round(x.e[g.d] * 1000000.0) AS BIGINT)) AS s,
+                 count(*) AS n
+               FROM asg$i a JOIN e x ON x.vec_id = a.vid,
+                    generate_series(1, $dim) AS g(d)
+               GROUP BY 1, 2),
+       cent${i + 1} AS (SELECT cell AS cent_id,
+                 list(CAST(CAST(CAST(s AS DOUBLE) / n / 1000000.0 AS REAL)
+                           AS DOUBLE) ORDER BY d) AS ce
+               FROM m$i GROUP BY cell)"""
+    }
+    (init +: steps).mkString(",\n       ") +
+      s",\n       cent AS (SELECT cent_id, ce FROM cent$iters)"
   }
 
   /** The x32 export lineage in DuckDB, shared by x32 (ordered per-doc)
@@ -850,8 +896,8 @@ object ExtQueries {
            FROM scored) t
          WHERE rank <= 10 ORDER BY qid, rank""",
     "x15_ann_topk_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         cent AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                        round(list_dot_product(x.e, c.ce) /
                              (sqrt(list_dot_product(x.e, x.e)) *
@@ -877,9 +923,10 @@ object ExtQueries {
                   CAST(row_number() OVER (PARTITION BY qid
                                           ORDER BY cos DESC, cid) AS INTEGER) AS rank
            FROM scored) t
-         WHERE rank <= 10 ORDER BY qid, rank""",
+         WHERE rank <= 10 ORDER BY qid, rank"""),
     "x35_ann_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
          bscored AS (
            SELECT a.vec_id AS qid, b.vec_id AS cid,
                   round(list_dot_product(a.e, b.e) /
@@ -890,7 +937,6 @@ object ExtQueries {
              SELECT qid, cid, row_number() OVER (PARTITION BY qid
                                                  ORDER BY cos DESC, cid) AS rank
              FROM bscored) t WHERE rank <= 10),
-         cent AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                        round(list_dot_product(x.e, c.ce) /
                              (sqrt(list_dot_product(x.e, x.e)) *
@@ -918,7 +964,7 @@ object ExtQueries {
          SELECT b.qid AS qid, count(i.cid) AS n_hit,
                 round(count(i.cid) / 10.0, 6) AS recall
          FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.cid = i.cid
-         GROUP BY b.qid ORDER BY b.qid""",
+         GROUP BY b.qid ORDER BY b.qid"""),
     "x16_embedding_neardup_lsh" ->
       s"""WITH ${bucketsCte(tables = 32, nbits = 6, dim = 64)},
          cand AS (SELECT a.vec_id AS va, b.vec_id AS vb

@@ -219,7 +219,9 @@ class ExtSpec extends AnyFunSuite {
     val queries = emb.filter($"vec_id" < 10)
     val brute = Similarity.topKBrute(emb, queries, 10)
       .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
-    val ivf = Similarity.topKIvf(emb, queries, 10)
+    // same trained index as the declared x15/x35 queries
+    val ivf = Similarity.topKIvf(emb, queries, 10,
+      centroids = Some(Similarity.trainCentroids(emb, 8)))
       .select($"qid", $"cid").as[(Long, Long)].collect().toSet
     assert(declared.keySet == brute.keySet)
     brute.foreach { case (qid, rows) =>

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-quality regression gate: the physical plans of every declared
@@ -93,6 +94,31 @@ class PlanSpec extends AnyFunSuite {
       assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1500)}")
       assert(!plan.contains("SortMergeJoin"), s"$q: ${plan.take(1500)}")
     }
+  }
+
+  test("x17 CC iteration plan stays flat across checkpointed rounds") {
+    // regression guard for the iterative-lineage trap: every round's plan
+    // must be ONE fresh join pair over a flat checkpointed scan — if the
+    // localCheckpoint between rounds is lost, round 2's plan inherits
+    // round 1's joins and the join count grows per iteration
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.min(col("dst")), col("src"))
+        .as("cluster"))
+      .select(col("src").as("doc_id"), col("cluster")).localCheckpoint()
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    val s1 = graft.ext.Dedup.ccStep(edges, labels,
+      org.apache.spark.sql.Observation("plan_cc_1"))
+    val n1 = joins(s1)
+    labels = s1.localCheckpoint()
+    val s2 = graft.ext.Dedup.ccStep(edges, labels,
+      org.apache.spark.sql.Observation("plan_cc_2"))
+    assert(joins(s2) == n1,
+      s"round-2 plan has ${joins(s2)} joins vs round-1 $n1 — lineage is accumulating")
   }
 
   test("x34 winnowing plans exactly one Exchange (the output order)") {
