@@ -84,38 +84,52 @@ object Contamination {
     (if (materializeEval) ev.localCheckpoint() else ev, tr)
   }
 
-  /** Join the big exploded train side against the small eval side. The
-    * eval side is broadcast-hinted: the benchmark set is bounded, so the
-    * train side streams through a BroadcastHashJoin with NO shuffle of
-    * the exploded corpus — the property that makes this shape survive a
-    * 100× scale-up (the only exchange left carries the grouped
-    * (eval_id, train_id) pairs, kilobytes).
+  /** Join the big exploded train side against the small eval side. With
+    * `broadcastEval` the eval side is broadcast-hinted: the train side
+    * streams through a BroadcastHashJoin with NO shuffle of the exploded
+    * corpus — the property that makes this shape survive a 100× scale-up
+    * (the only exchange left carries the grouped (eval_id, train_id)
+    * pairs, kilobytes).
     */
-  private def sharedCountJoin(ev: DataFrame, tr: DataFrame): DataFrame =
-    tr.join(broadcast(ev), Seq("sh"))
+  private def sharedCountJoin(ev: DataFrame, tr: DataFrame,
+      broadcastEval: Boolean): DataFrame =
+    tr.join(if (broadcastEval) broadcast(ev) else ev, Seq("sh"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
 
   /** The exact asymmetric inverted-index join — the declared x23 shape,
     * in one place so the query, the Bloom variant, and the specs can't
     * drift apart. Reads each branch exactly once: no checkpoint.
+    *
+    * HARD REQUIREMENT: with `broadcastEval` (the default, and the shape
+    * PlanSpec gates), `evalPred` must select a BOUNDED benchmark-sized
+    * slice — its exploded shingles are collected to the driver and
+    * shipped to every executor, so an eval side beyond broadcast scale
+    * (~eval docs × shingles ≈ tens of MB) fails the build or OOMs. For
+    * an oversized eval set pass `broadcastEval = false` to fall back to
+    * a shuffle join of both exploded sides.
     */
-  def exact(docs: DataFrame, evalPred: Column, n: Int = 5): DataFrame = {
+  def exact(docs: DataFrame, evalPred: Column, n: Int = 5,
+      broadcastEval: Boolean = true): DataFrame = {
     val (ev, tr) = sides(docs, evalPred, n, materializeEval = false)
-    sharedCountJoin(ev, tr)
+    sharedCountJoin(ev, tr, broadcastEval)
   }
 
   /** Exact contamination join with a Bloom prefilter on the train side.
     * `evalPred` splits the corpus (eval = benchmark docs, train = rest).
     * Output = the exact asymmetric inverted-index join ([[exact]]).
     * The eval branch is read twice (Bloom build + join), so only that
-    * branch is checkpointed.
+    * branch is checkpointed. The [[exact]] `broadcastEval` bound applies
+    * identically — and the Bloom build additionally holds the eval
+    * shingle sketch (~1.2 MB at 1M items) on the driver.
     */
   def bloomPrefiltered(docs: DataFrame, evalPred: Column, n: Int = 5,
-      expectedItems: Long = 1 << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1 << 20, fpp: Double = 0.01,
+      broadcastEval: Boolean = true): DataFrame = {
     val (ev, tr) = sides(docs, evalPred, n, materializeEval = true)
     val bf = buildBloom(ev, "sh", expectedItems, fpp)
     sharedCountJoin(ev, tr.filter(
-      graft.functions.BloomMightContain.bloom_might_contain(col("sh"), bf)))
+      graft.functions.BloomMightContain.bloom_might_contain(col("sh"), bf)),
+      broadcastEval)
   }
 }

@@ -74,7 +74,11 @@ object FhirMain {
         val schema = opts.get("-schema").map(_.trim).filter(_.nonEmpty)
           .orElse(if (url.startsWith("jdbc:postgresql")) Some("synth_ma")
                   else None)
-        new JdbcFactSink(url, schema)
+        // Postgres gets the reference's actual wire path — COPY FROM
+        // STDIN per partition (db.go:139/235/330); other JDBC engines
+        // (no COPY protocol) get batched inserts
+        if (url.startsWith("jdbc:postgresql")) new CopyFactSink(url, schema)
+        else new JdbcFactSink(url, schema)
       case None => parquet
     }
     (resources, facts)

@@ -95,15 +95,9 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
       val mode =
         if (dropPending && !overwritten.contains(coll)) "overwrite"
         else "append"
-      routed.filter(col("collection") === coll)
-        .select(col("resource.*"))
-        .write.format("mongodb")
-        .mode(mode)
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", coll)
-        .option("ordered", "false")
-        .save()
+      writeCollection(
+        routed.filter(col("collection") === coll).select(col("resource.*")),
+        coll, mode)
     }
     // marked only after every collection in THIS call wrote: a mid-loop
     // failure marks nothing, so a retried writeResources overwrites the
@@ -111,6 +105,23 @@ class MongoResourceSink(uri: String, database: String) extends ResourceSink {
     // the ones that succeeded
     if (dropPending) overwritten ++= colls
   }
+
+  /** The one connector touchpoint — the mode/bookkeeping logic above is
+    * connector-independent and runtime-tested through this seam
+    * (SinksSpec subclasses it with a recording implementation; the real
+    * connector write itself needs the MongoDB Spark connector jar on the
+    * runtime classpath, which this build environment doesn't ship).
+    */
+  protected def writeCollection(resources: DataFrame, collection: String,
+      mode: String): Unit =
+    resources
+      .write.format("mongodb")
+      .mode(mode)
+      .option("connection.uri", uri)
+      .option("database", database)
+      .option("collection", collection)
+      .option("ordered", "false")
+      .save()
 
   /** S10: the reference drops every collection up front and logs-and-
     * continues on failure (db.go:63-75). The Spark connector exposes no
@@ -145,28 +156,223 @@ class JdbcFactSink(url: String, schema: Option[String] = None,
   private def qualified(table: String): String =
     schema.map(s => s"$s.$table").getOrElse(table)
 
-  def writeFacts(table: String, facts: DataFrame): Unit = {
-    val narrowed = facts.columns.foldLeft(facts) { (df, c) =>
+  def writeFacts(table: String, facts: DataFrame): Unit =
+    FactSinks.narrowCounts(facts)
+      .write.mode("append").jdbc(url, qualified(table), props)
+
+  def clearFactTables(tables: Seq[String]): Unit =
+    FactSinks.truncate(url, props, tables.map(qualified))
+}
+
+/** Shared pieces of the relational fact surface. */
+private[fhir] object FactSinks {
+  /** Counts are cast to int at the relational boundary only, matching the
+    * reference's int32 fact columns (db.go:35-37).
+    */
+  def narrowCounts(facts: DataFrame): DataFrame =
+    facts.columns.foldLeft(facts) { (df, c) =>
       if (Seq("pop", "pop_male", "pop_female").contains(c))
         df.withColumn(c, col(c).cast("int"))
       else df
     }
-    narrowed.write.mode("append").jdbc(url, qualified(table), props)
-  }
 
-  def clearFactTables(tables: Seq[String]): Unit = {
+  def truncate(url: String, props: Properties, tables: Seq[String]): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try tables.foreach { t =>
       val st = conn.createStatement()
       // undefined-table/schema SQLStates (Postgres 42P01/3F000, Derby
       // 42X05/42Y07, ANSI 42S02): a first run has nothing to truncate —
       // not an error
-      try st.executeUpdate(s"TRUNCATE TABLE ${qualified(t)}")
+      try st.executeUpdate(s"TRUNCATE TABLE $t")
       catch {
         case e: java.sql.SQLException
             if Seq("42P01", "42X05", "42S02", "42Y55", "42Y07", "3F000")
               .contains(e.getSQLState) => ()
       } finally st.close()
     } finally conn.close()
+  }
+}
+
+/** True COPY-protocol fact sink — the faithful mapping of the reference's
+  * `pq.CopyInSchema` path (db.go:139/235/330): each executor partition
+  * opens its own connection and STREAMS its rows as Postgres COPY TEXT
+  * (`COPY schema.table (cols…) FROM STDIN`) instead of batched INSERTs.
+  * At scale this is the difference between per-statement parse/plan
+  * overhead and the bulk-ingest wire protocol; parallelism = partition
+  * count, no driver involvement.
+  *
+  * The COPY entry point is pluggable ([[CopyFactSink.CopyIn]]): the
+  * default [[CopyFactSink.pgCopyIn]] reaches pgjdbc's `CopyManager` via
+  * reflection (the Postgres driver is a runtime-classpath deployment
+  * dependency, same stance as the Mongo connector), so the class compiles
+  * and its row encoding + partition plumbing are fully testable without
+  * the driver — SinksSpec runs the identical pipeline against embedded
+  * Derby through a COPY-TEXT-parsing fallback and asserts row identity by
+  * JDBC read-back.
+  */
+class CopyFactSink(url: String, schema: Option[String] = None,
+    props: Properties = new Properties,
+    copyIn: CopyFactSink.CopyIn = CopyFactSink.pgCopyIn)
+    extends FactSink with Serializable {
+
+  private def qualified(table: String): String =
+    schema.map(s => s"$s.$table").getOrElse(table)
+
+  def writeFacts(table: String, facts: DataFrame): Unit = {
+    val narrowed = FactSinks.narrowCounts(facts)
+    // columns are quoted like the reference's pq.QuoteIdentifier — and
+    // Spark's JDBC writer creates them quoted (case-sensitive), so the
+    // unquoted form would not resolve against a Spark-created table
+    val sql = s"COPY ${qualified(table)} " +
+      s"(${narrowed.columns.map(CopyFactSink.quoteIdent).mkString(", ")}) " +
+      "FROM STDIN"
+    // locals only: the partition closure must not capture the DataFrame
+    val (u, p, ci) = (url, props, copyIn)
+    narrowed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(u, p)
+        try { ci.copyIn(conn, sql, rows.map(CopyFactSink.encodeRow)); () }
+        finally conn.close()
+      }
+    }
+  }
+
+  def clearFactTables(tables: Seq[String]): Unit =
+    FactSinks.truncate(url, props, tables.map(qualified))
+}
+
+object CopyFactSink {
+  /** Per-partition COPY executor: consumes already-encoded COPY TEXT
+    * lines (no trailing newline) for the given `COPY … FROM STDIN`
+    * statement. Serializable — it ships inside the foreachPartition
+    * closure.
+    */
+  trait CopyIn extends Serializable {
+    def copyIn(conn: java.sql.Connection, copySql: String,
+        lines: Iterator[String]): Long
+  }
+
+  /** The real COPY protocol via pgjdbc: unwrap the connection to
+    * `PGConnection`, obtain its `CopyManager`, and stream the lines
+    * through `copyIn(sql, Reader)`. Reflection keeps the Postgres driver
+    * a runtime-only dependency.
+    */
+  object pgCopyIn extends CopyIn {
+    def copyIn(conn: java.sql.Connection, copySql: String,
+        lines: Iterator[String]): Long = {
+      val pgIface = Class.forName("org.postgresql.PGConnection")
+      val pg = conn.unwrap(pgIface.asInstanceOf[Class[AnyRef]])
+      val cm = pgIface.getMethod("getCopyAPI").invoke(pg)
+      val text = new java.io.StringReader(
+        lines.map(_ + "\n").mkString) // rows are small; facts are rollups
+      cm.getClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+        .invoke(cm, copySql, text).asInstanceOf[java.lang.Long].longValue()
+    }
+  }
+
+  /** Double-quoted SQL identifier with embedded quotes doubled — the
+    * `pq.QuoteIdentifier` contract.
+    */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** One row as a COPY TEXT line: tab-delimited fields, `\N` for NULL,
+    * with the format's backslash escapes (backslash, tab, newline,
+    * carriage return) applied to string data.
+    */
+  def encodeRow(row: org.apache.spark.sql.Row): String =
+    (0 until row.length).map { i =>
+      if (row.isNullAt(i)) "\\N" else escape(String.valueOf(row.get(i)))
+    }.mkString("\t")
+
+  private def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\t' => sb.append("\\t")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[encodeRow]]'s escaping — used by the test fallback
+    * [[jdbcCopyIn]] to materialize COPY TEXT into any JDBC database, and
+    * the round-trip proof that the encoding is valid COPY TEXT.
+    */
+  def decodeField(s: String): Option[String] =
+    if (s == "\\N") None
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\')
+            case 't' => sb.append('\t')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case o => sb.append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      Some(sb.toString)
+    }
+
+  /** Portable fallback CopyIn for engines without the COPY protocol
+    * (embedded Derby in tests): parses the `COPY table (cols) FROM
+    * STDIN` statement it is handed, decodes each COPY TEXT line, and
+    * applies it as parameterized INSERTs on the same connection — so the
+    * test path exercises the exact statement and line format the
+    * Postgres path streams.
+    */
+  object jdbcCopyIn extends CopyIn {
+    private val CopyStmt =
+      """(?s)COPY\s+(\S+)\s*\(([^)]*)\)\s+FROM\s+STDIN""".r
+    def copyIn(conn: java.sql.Connection, copySql: String,
+        lines: Iterator[String]): Long = {
+      val (table, cols) = copySql match {
+        case CopyStmt(t, cs) => (t, cs.split(",").map(_.trim))
+        case _ => throw new IllegalArgumentException(
+          s"not a COPY statement: $copySql")
+      }
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $table (${cols.mkString(", ")}) " +
+          s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+      try {
+        // text→column-type conversion happens server-side under real
+        // COPY; here ParameterMetaData drives the same conversion
+        val meta = ps.getParameterMetaData
+        val types = cols.indices.map(i => meta.getParameterType(i + 1))
+        var n = 0L
+        lines.foreach { line =>
+          // -1 keeps trailing empty fields (a NULL-free schema never
+          // emits them, but the format allows empty strings at line end)
+          val fields = line.split("\t", -1)
+          fields.zipWithIndex.foreach { case (f, i) =>
+            decodeField(f) match {
+              case Some(v) =>
+                import java.sql.Types._
+                types(i) match {
+                  case TINYINT | SMALLINT | INTEGER | BIGINT =>
+                    ps.setLong(i + 1, v.toLong)
+                  case FLOAT | REAL | DOUBLE | NUMERIC | DECIMAL =>
+                    ps.setBigDecimal(i + 1, new java.math.BigDecimal(v))
+                  case BOOLEAN | BIT => ps.setBoolean(i + 1, v.toBoolean)
+                  case _ => ps.setString(i + 1, v)
+                }
+              case None => ps.setNull(i + 1, types(i))
+            }
+          }
+          ps.addBatch()
+          n += 1
+        }
+        ps.executeBatch()
+        n
+      } finally ps.close()
+    }
   }
 }

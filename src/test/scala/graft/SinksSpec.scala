@@ -5,8 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.fhir.{BundleIngest, FhirMain, JdbcFactSink, MongoResourceSink,
-  ParquetSink, ReferenceRewrite, Schemas}
+import graft.fhir.{BundleIngest, CopyFactSink, FhirMain, JdbcFactSink,
+  MongoResourceSink, ParquetSink, ReferenceRewrite, Schemas}
 
 class SinksSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -95,6 +95,10 @@ class SinksSpec extends AnyFunSuite {
       "/w")
     assert(r1.isInstanceOf[MongoResourceSink])
     assert(f1.isInstanceOf[JdbcFactSink])
+    // a real Postgres URL selects the reference's COPY wire path
+    val (_, f2) = FhirMain.sinksFor(
+      Map("-pgurl" -> "jdbc:postgresql://h/db"), "/w")
+    assert(f2.isInstanceOf[CopyFactSink])
   }
 
   test("JdbcFactSink writes + truncates against embedded Derby (S8/S9)") {
@@ -119,6 +123,155 @@ class SinksSpec extends AnyFunSuite {
     sink.writeFacts("synth_pop_facts", facts)
     assert(spark.read.jdbc(
       url, "synth_pop_facts", new java.util.Properties).count() == 4)
+  }
+
+  test("CopyFactSink streams COPY TEXT per partition; rows identical to " +
+    "the insert sink via JDBC read-back (S8 true-COPY path)") {
+    val url = "jdbc:derby:memory:graftCopy;create=true"
+    val facts = Seq(
+      ("25017", 1, 10L, 4L, 6L), ("25021", 1, 3L, 2L, 1L),
+      ("25025", 2, 7L, 3L, 4L), ("25027", 3, 9L, 5L, 4L))
+      .toDF("cs_fips", "age_id", "pop", "pop_male", "pop_female")
+      .repartition(3) // multiple partitions → multiple COPY connections
+    // the insert sink creates the table and provides the comparison rows
+    val insertSink = new JdbcFactSink(url)
+    insertSink.writeFacts("facts_ref", facts)
+    insertSink.writeFacts("facts_copy", facts)
+    insertSink.clearFactTables(Seq("facts_copy"))
+    // same pipeline, COPY wire format, portable executor (Derby has no
+    // COPY protocol; Postgres deployments get pgCopyIn by default)
+    val copySink = new CopyFactSink(url, None, new java.util.Properties,
+      CopyFactSink.jdbcCopyIn)
+    copySink.writeFacts("facts_copy", facts)
+    val props = new java.util.Properties
+    val ref = spark.read.jdbc(url, "facts_ref", props)
+    val got = spark.read.jdbc(url, "facts_copy", props)
+    assert(got.schema == ref.schema)
+    assert(got.orderBy("cs_fips").collect().toSeq ==
+      ref.orderBy("cs_fips").collect().toSeq)
+    // truncate works through the same sink
+    copySink.clearFactTables(Seq("facts_copy"))
+    assert(spark.read.jdbc(url, "facts_copy", props).count() == 0)
+  }
+
+  test("COPY TEXT encoding round-trips nulls, tabs, newlines, backslashes") {
+    import org.apache.spark.sql.Row
+    val row = Row("plain", "tab\there", "nl\nthere", "back\\slash",
+      "cr\rreturn", null)
+    val line = CopyFactSink.encodeRow(row)
+    assert(!line.contains('\n') && !line.contains('\r'),
+      "encoded line must not contain raw record/field terminators")
+    assert(line.split("\t", -1).length == 6,
+      "raw tabs in data must be escaped, not split fields")
+    val back = line.split("\t", -1).toSeq.map(CopyFactSink.decodeField)
+    assert(back == Seq(Some("plain"), Some("tab\there"), Some("nl\nthere"),
+      Some("back\\slash"), Some("cr\rreturn"), None))
+  }
+
+  /** In-memory [[MongoResourceSink]]: the connector write is replaced by
+    * a recording map honoring overwrite/append, so the reset→overwrite-
+    * once-per-collection→append bookkeeping (bundle.go:111-124 semantics)
+    * runs for real against real DataFrames.
+    */
+  private class RecordingMongoSink extends MongoResourceSink(
+    "mongodb://unused", "fhir") {
+    val db = scala.collection.mutable.Map[String, Seq[String]]()
+    val calls = scala.collection.mutable.Buffer[(String, String)]()
+    var failOn: Set[String] = Set.empty
+    override protected def writeCollection(
+        resources: org.apache.spark.sql.DataFrame,
+        collection: String, mode: String): Unit = {
+      calls += ((collection, mode))
+      if (failOn(collection))
+        throw new RuntimeException(s"injected failure on $collection")
+      val rows = resources.as[String].collect().toSeq
+      db(collection) =
+        if (mode == "overwrite") rows
+        else db.getOrElse(collection, Seq.empty) ++ rows
+    }
+  }
+
+  private def routed(rows: (String, String)*) =
+    rows.toSeq.toDF("collection", "id")
+      .select($"collection", struct($"id").as("resource"))
+
+  test("MongoResourceSink reset→write→append bookkeeping across batches " +
+    "(S5/S10 runtime semantics)") {
+    val sink = new RecordingMongoSink
+    sink.reset()
+    // batch 1: both collections replaced (reset pending)
+    sink.writeResources(routed(
+      "patients" -> "p1", "patients" -> "p2", "conditions" -> "c1"))
+    assert(sink.calls.toSeq ==
+      Seq(("conditions", "overwrite"), ("patients", "overwrite")))
+    // batch 2: seen collection appends; collection first appearing AFTER
+    // the reset still gets its one overwrite
+    sink.calls.clear()
+    sink.writeResources(routed(
+      "patients" -> "p3", "observations" -> "o1"))
+    assert(sink.calls.toSeq ==
+      Seq(("observations", "overwrite"), ("patients", "append")))
+    assert(sink.db("patients") == Seq("p1", "p2", "p3"))
+    assert(sink.db("conditions") == Seq("c1"))
+    assert(sink.db("observations") == Seq("o1"))
+    // a later reset arms the replace again
+    sink.reset()
+    sink.calls.clear()
+    sink.writeResources(routed("patients" -> "p9"))
+    assert(sink.calls.toSeq == Seq(("patients", "overwrite")))
+    assert(sink.db("patients") == Seq("p9"))
+  }
+
+  test("MongoResourceSink without reset appends from the first write, " +
+    "like the reference without -reset") {
+    val sink = new RecordingMongoSink
+    sink.writeResources(routed("patients" -> "p1"))
+    sink.writeResources(routed("patients" -> "p2"))
+    assert(sink.calls.toSeq ==
+      Seq(("patients", "append"), ("patients", "append")))
+    assert(sink.db("patients") == Seq("p1", "p2"))
+  }
+
+  test("MongoResourceSink mid-batch failure marks nothing: the retry " +
+    "overwrites again instead of appending duplicates") {
+    val sink = new RecordingMongoSink
+    sink.reset()
+    // collections write in sorted order → conditions succeeds, then
+    // patients fails: the whole call must stay unmarked
+    sink.failOn = Set("patients")
+    assertThrows[RuntimeException] {
+      sink.writeResources(routed("conditions" -> "c1", "patients" -> "p1"))
+    }
+    sink.failOn = Set.empty
+    sink.writeResources(routed("conditions" -> "c1", "patients" -> "p1"))
+    // both re-ran as overwrite — no duplicate c1 from the half-done call
+    assert(sink.db("conditions") == Seq("c1"))
+    assert(sink.db("patients") == Seq("p1"))
+    assert(sink.calls.toSeq == Seq(
+      ("conditions", "overwrite"), ("patients", "overwrite"),
+      ("conditions", "overwrite"), ("patients", "overwrite")))
+  }
+
+  test("MongoResourceSink real connector write (runtime-classpath path)") {
+    // the connector jar is a deployment dependency (Sinks.scala scaladoc);
+    // when present plus GRAFT_MONGO_URI, this exercises the real write
+    val connectorPresent =
+      try {
+        Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider")
+        true
+      } catch { case _: ClassNotFoundException => false }
+    assume(connectorPresent,
+      "MongoDB Spark connector not on the runtime classpath")
+    val uri = sys.env.get("GRAFT_MONGO_URI")
+    assume(uri.isDefined, "GRAFT_MONGO_URI not set")
+    val sink = new MongoResourceSink(uri.get, "graft_test")
+    sink.reset()
+    sink.writeResources(routed("patients" -> "p1", "patients" -> "p2"))
+    val back = spark.read.format("mongodb")
+      .option("connection.uri", uri.get)
+      .option("database", "graft_test")
+      .option("collection", "patients").load()
+    assert(back.count() == 2)
   }
 
   test("T5: legacy cid: references resolve behind the flag") {
