@@ -188,25 +188,105 @@ object Multimodal {
   case class ResizedMedia(
       doc_id: Long, width: Int, height: Int, payload: Array[Byte])
 
-  /** STUB resize: a real implementation decodes, scales to
-    * (maxW, maxH)-bounded dimensions, re-encodes. The stub preserves the
-    * payload and computes the bounded dimensions deterministically from
-    * the decoder metadata — batch shape, schema, and partition parallelism
-    * are the real thing.
+  /** Uncompressed BMP opened for pixel access: BITMAPINFOHEADER, BI_RGB,
+    * 24 or 32 bpp — the subset a pure-JVM resize can decode without any
+    * codec dependency. `bgr` addresses pixels with y = 0 at the TOP row
+    * regardless of the file's row order (negative height = top-down).
+    */
+  private case class BmpPixels(w: Int, h: Int, bpp: Int, topDown: Boolean,
+      dataOffset: Int, bytes: Array[Byte]) {
+    val rowStride: Int = ((w * (bpp / 8)) + 3) & ~3
+    def bgr(x: Int, y: Int): (Byte, Byte, Byte) = {
+      val row = if (topDown) y else h - 1 - y
+      val off = dataOffset + row * rowStride + x * (bpp / 8)
+      (bytes(off), bytes(off + 1), bytes(off + 2))
+    }
+  }
+
+  private def decodeBmpPixels(b: Array[Byte]): Option[BmpPixels] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (le32(b, 14) < 40) return None // info-header family only
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bpp = le16(b, 28)
+    if (le32(b, 30) != 0 || (bpp != 24 && bpp != 32)) return None // BI_RGB
+    val h = math.abs(hRaw)
+    val dataOffset = le32(b, 10)
+    if (w <= 0 || h <= 0) return None
+    val stride = ((w * (bpp / 8)) + 3) & ~3
+    // a truncated payload must fall to the stub, not crash the executor
+    if (dataOffset < 54 || dataOffset.toLong + stride.toLong * h > b.length)
+      return None
+    Some(BmpPixels(w, h, bpp, hRaw < 0, dataOffset, b))
+  }
+
+  /** Minimal 24-bpp bottom-up BI_RGB encoder (54-byte header + padded
+    * rows) — the re-encode half of the BMP resize path.
+    */
+  private def encodeBmp24(w: Int, h: Int,
+      bgrAt: (Int, Int) => (Byte, Byte, Byte)): Array[Byte] = {
+    val stride = ((w * 3) + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def le32w(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32w(2, out.length); le32w(10, 54)
+    le32w(14, 40); le32w(18, w); le32w(22, h)
+    out(26) = 1; out(28) = 24 // planes, bpp (le16, high bytes zero)
+    le32w(34, stride * h)
+    le32w(38, 2835); le32w(42, 2835) // 72 DPI
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (bb, g, r) = bgrAt(x, y)
+        val off = 54 + (h - 1 - y) * stride + x * 3
+        out(off) = bb; out(off + 1) = g; out(off + 2) = r
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Media resize to (maxW, maxH)-bounded dimensions: REAL for
+    * uncompressed 24/32-bpp BI_RGB BMP payloads — pure-JVM nearest-
+    * neighbor downscale, re-encoded 24-bpp — and a payload-preserving
+    * STUB for formats needing a codec (PNG/JPEG/…; this container ships
+    * none), which carries the bounded dimensions as metadata only. Batch
+    * shape, schema, and partition parallelism are identical on both arms,
+    * so a codec build swaps the stub without touching anything upstream
+    * or downstream.
     */
   def resize(spark: SparkSession, docs: DataFrame,
       maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
+    def bounded(w: Int, h: Int): (Int, Int) = {
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / w, maxH.toDouble / h))
+      (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+    }
     docs
       .select(col("doc_id").cast("long"), col("text").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val m = decodeBatch(Iterator((id, bytes))).next()
-          val scale = math.min(1.0,
-            math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
-          ResizedMedia(id, (m.width * scale).toInt, (m.height * scale).toInt,
-            bytes)
+          decodeBmpPixels(bytes) match {
+            case Some(px) =>
+              val (dw, dh) = bounded(px.w, px.h)
+              if (dw == px.w && dh == px.h) ResizedMedia(id, dw, dh, bytes)
+              else ResizedMedia(id, dw, dh,
+                encodeBmp24(dw, dh,
+                  (x, y) => px.bgr(x * px.w / dw, y * px.h / dh)))
+            case None =>
+              val m = decodeBatch(Iterator((id, bytes))).next()
+              val (dw, dh) = bounded(m.width, m.height)
+              ResizedMedia(id, dw, dh, bytes)
+          }
         }
       }
   }

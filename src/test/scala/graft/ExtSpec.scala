@@ -403,6 +403,48 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal resize REALLY downscales an uncompressed BMP payload") {
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    // 4×2 bottom-up 24-bpp BI_RGB BMP; pixel (x, topRow y) gets
+    // B = 10x + y, G = 100 + x, R = 200 + y so every pixel is unique
+    val (w, h) = (4, 2)
+    val stride = ((w * 3) + 3) & ~3 // 12, no padding at w=4
+    val src = new Array[Byte](54 + stride * h)
+    src(0) = 'B'; src(1) = 'M'
+    putLe32(src, 2, src.length); putLe32(src, 10, 54)
+    putLe32(src, 14, 40); putLe32(src, 18, w); putLe32(src, 22, h)
+    src(26) = 1; src(28) = 24
+    for (y <- 0 until h; x <- 0 until w) {
+      val off = 54 + (h - 1 - y) * stride + x * 3
+      src(off) = (10 * x + y).toByte
+      src(off + 1) = (100 + x).toByte
+      src(off + 2) = (200 + y).toByte
+    }
+    val df = Seq((7L, src)).toDF("doc_id", "text")
+    val out = Multimodal.resize(spark, df, 2, 1).collect().head
+    // bounded dims: scale = min(2/4, 1/2) = 0.5 → 2×1
+    assert(out.width == 2 && out.height == 1)
+    assert(!(out.payload sameElements src), "payload must be re-encoded")
+    // the output is itself a valid BMP of the new dimensions…
+    val meta = Multimodal.decodeBatch(Iterator((7L, out.payload))).next()
+    assert(meta.width == 2 && meta.height == 1)
+    // …whose pixels are the nearest-neighbor picks: dst (0,0) ← src
+    // (0,0), dst (1,0) ← src (2,0) (x*srcW/dstW with top-row y)
+    val outStride = ((2 * 3) + 3) & ~3 // 8
+    def px(x: Int): (Int, Int, Int) = {
+      val off = 54 + 0 * outStride + x * 3 // h=1: bottom row IS the top row
+      (out.payload(off) & 0xFF, out.payload(off + 1) & 0xFF,
+        out.payload(off + 2) & 0xFF)
+    }
+    assert(px(0) == ((0, 100, 200)))
+    assert(px(1) == ((20, 102, 200)))
+    // an already-in-bounds BMP passes through byte-identical
+    val same = Multimodal.resize(spark, df, 8, 8).collect().head
+    assert(same.width == 4 && same.height == 2)
+    assert(same.payload sameElements src)
+  }
+
   test("multimodal frame sampling strides over fake frames") {
     val metas = Multimodal.extractMeta(spark, docs).collect()
       .map(m => m.doc_id -> m).toMap
