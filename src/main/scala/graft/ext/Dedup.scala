@@ -119,14 +119,7 @@ object Dedup {
   def jaccardPairsIndexHashed(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
     val sg = shingled(docs, n).localCheckpoint()
-    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
-      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
-    val l = inv.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
-    val r = inv.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
-    val cand = l.join(r, Seq("sh"))
-      .filter(col("da") < col("db") &&
-        least(col("sza"), col("szb")).cast(DoubleType) /
-          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+    val cand = indexCollisions(sg, threshold)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter_hat"),
         first(col("sza")).as("sza"), first(col("szb")).as("szb"))
@@ -178,23 +171,8 @@ object Dedup {
     * is the documented escape hatch for skewed corpora.
     */
   def jaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sg = shingled(docs, n)
-    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
-      explode(col("sg")).as("sh"))
-    val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("f"))
-    // canonical order: rarest first, shingle text as tie-break
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
-    val prefix = inv.join(freq, "sh")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("sh"), col("doc_id"), col("sz"))
-    val candidates = prefix.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
-      .join(prefix.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb")),
-        Seq("sh"))
-      .filter(col("da") < col("db") &&
-        least(col("sza"), col("szb")).cast(DoubleType) /
-          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+    val candidates = prefixCollisions(sg, threshold)
       .select("da", "db")
       .distinct()
     val a = sg.select(col("doc_id").as("da"), col("sg").as("sga"))
@@ -205,6 +183,51 @@ object Dedup {
       .select(col("da"), col("db"),
         round(jaccard(col("sga"), col("sgb")), 6).as("j"))
       .filter(col("j") >= threshold)
+  }
+
+  /** The collision relation feeding [[jaccardPairsPrefix]]'s candidate
+    * set — prefix-index self-join output, post size-ratio prune, BEFORE
+    * the pair distinct/aggregate. Its row count is the quantity the
+    * prefix filter exists to shrink (the rows crossing the pair-key
+    * shuffle), so SkewSpec counts it against [[indexCollisions]] on a
+    * hot-shingle corpus.
+    */
+  private[graft] def prefixCollisions(sg: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
+      explode(col("sg")).as("sh"))
+    val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    // canonical order: rarest first, shingle text as tie-break
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
+    val prefix = inv.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("sh"), col("doc_id"), col("sz"))
+    prefix.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
+      .join(prefix.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb")),
+        Seq("sh"))
+      .filter(col("da") < col("db") &&
+        least(col("sza"), col("szb")).cast(DoubleType) /
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+  }
+
+  /** The corresponding collision relation of the plain (hashed) inverted
+    * index — what [[jaccardPairsIndexHashed]] shuffles into its pair
+    * aggregate. Σ_shingle freq² shaped: a hot shingle contributes
+    * quadratically, which is exactly the skew blow-up the prefix filter
+    * avoids.
+    */
+  private[graft] def indexCollisions(sg: DataFrame,
+      threshold: Double): DataFrame = {
+    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
+      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
+    val l = inv.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
+    val r = inv.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
+    l.join(r, Seq("sh"))
+      .filter(col("da") < col("db") &&
+        least(col("sza"), col("szb")).cast(DoubleType) /
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
   }
 
   /** MinHash signature: the codegen'd [[graft.functions.MinHashSig]]. */
