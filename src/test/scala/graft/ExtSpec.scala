@@ -445,6 +445,46 @@ class ExtSpec extends AnyFunSuite {
     assert(same.payload sameElements src)
   }
 
+  test("multimodal frame sampling REALLY extracts AVI movi video chunks") {
+    // minimal RIFF AVI: hdrl/avih (16×8, 3 frames) + movi with three
+    // video chunks (00dc/00db) and one audio chunk (01wb) to skip
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xFF).toByte)
+    val avih = new Array[Byte](56)
+    le32(3).copyToArray(avih, 16) // dwTotalFrames
+    le32(16).copyToArray(avih, 32) // dwWidth
+    le32(8).copyToArray(avih, 36) // dwHeight
+    val f0 = Array[Byte](1, 2, 3, 4)
+    val f1 = Array[Byte](5, 6, 7) // odd size → word-align padding
+    val f2 = Array[Byte](8, 9, 10, 11, 12)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val hdrl = "hdrl".getBytes ++ chunk("avih", avih)
+    val movi = "movi".getBytes ++ chunk("00dc", f0) ++
+      chunk("01wb", Array[Byte](9, 9)) ++ chunk("00dc", f1) ++
+      chunk("00db", f2)
+    val body = "AVI ".getBytes ++ chunk("LIST", hdrl) ++ chunk("LIST", movi)
+    val avi = "RIFF".getBytes ++ le32(body.length) ++ body
+
+    // header decode is real: avih dims + declared frame count
+    val meta = Multimodal.decodeBatch(Iterator((5L, avi))).next()
+    assert(meta.width == 16 && meta.height == 8 && meta.n_frames == 3)
+
+    // stride-2 sampling emits the ACTUAL video chunk bytes, idx 0 and 2
+    val df = Seq((5L, avi)).toDF("doc_id", "text")
+    val sampled = Multimodal.sampleFrames(spark, df, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(sampled(0).frame sameElements f0)
+    assert(sampled(1).frame sameElements f2)
+    // stride 1: all three, audio chunk skipped, odd-size chunk intact
+    val all = Multimodal.sampleFrames(spark, df, stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(all.length == 3)
+    assert(all(1).frame sameElements f1)
+  }
+
   test("multimodal frame sampling strides over fake frames") {
     val metas = Multimodal.extractMeta(spark, docs).collect()
       .map(m => m.doc_id -> m).toMap
