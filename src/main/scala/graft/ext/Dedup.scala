@@ -51,6 +51,32 @@ object Dedup {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), shinglesFromTokens(col("ws"), n).as("sg"))
 
+  /** Cross-source overlap matrix: for every pair of provenance buckets,
+    * how many distinct word n-gram shingles they share — the
+    * corpus-planning view (which sources duplicate each other enough
+    * that near-dedup across them is worth the shuffle, which eval
+    * sources are contaminated by which train sources). Same inverted
+    * shape as [[jaccardPairsIndex]] lifted from doc pairs to source
+    * pairs: distinct (source, shingle) → equi self-join on the shingle
+    * key → count per pair. Never materializes doc×doc pairs, and the
+    * pair fan-out per shingle is bounded by |sources|² — sources are a
+    * dim-class column, so at 100 TB the only corpus-scale shuffle is
+    * the (source, shingle) distinct.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val ssg = docs
+      .select(col("source"), tokens(col("text")).as("ws"))
+      // token-count filter, not size(sg) — see [[shingled]]
+      .filter(size(col("ws")) >= n)
+      .select(col("source"), explode(shinglesFromTokens(col("ws"), n)).as("sg"))
+      .distinct()
+    ssg.select(col("sg"), col("source").as("sa"))
+      .join(ssg.select(col("sg"), col("source").as("sb")), Seq("sg"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Brute-force all-pairs n-gram Jaccard ≥ threshold. O(n²) pairs — kept
     * as the cross-check oracle for [[jaccardPairsIndex]]; only sane when
     * one side fits in a broadcast. A lossless size-ratio prune

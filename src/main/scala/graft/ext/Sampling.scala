@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus splitting/sampling for training-data pipelines.
@@ -27,5 +28,28 @@ object Sampling {
   def split(id: Column, salt: String = "split"): Column = {
     val b = hashBucket(id, salt, 100)
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  /** Deterministic stratified sample: EXACTLY `n` rows per stratum
+    * (fewer only if the stratum is smaller) — the eval-set / human-audit
+    * draw, where "about n" (a Bernoulli rate) is not acceptable. Rank =
+    * row_number over md5("salt:id") within the stratum with an id
+    * tie-break, so the draw is a pure function of the row: every engine,
+    * run, and data subset re-deals identically, and growing a stratum
+    * only ever *displaces* ranks (a kept row can drop out, but the draw
+    * never reshuffles randomly).
+    *
+    * Scale shape: one hash-partitioned window per stratum. A stratum
+    * skewed to billions of rows serializes its sort through one
+    * partition — there, pre-filter with [[hashBucket]] to a generous
+    * super-sample (bucket < B where B·|stratum|/buckets ≫ n) first and
+    * rank only the survivors; the two-phase draw is identical as long
+    * as the prefilter keeps ≥ n rows per stratum.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, id: Column, n: Int,
+      salt: String = "sample"): DataFrame = {
+    val w = Window.partitionBy(strata)
+      .orderBy(md5(concat(lit(salt + ":"), id.cast("string"))), id)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 }

@@ -183,6 +183,57 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * embeddings are bucketed into k-means cells, and near-duplicate
+    * detection runs only WITHIN each cell — the pruning that makes
+    * embedding dedup tractable at corpus scale, since the quadratic
+    * verify is Σ|cell|² instead of n². A row is the representative of
+    * its duplicate group iff no lower-id vector in the same cell has
+    * rounded cosine ≥ threshold with it (min-id keep rule, same
+    * convention as [[graft.ext.Dedup.exact]]).
+    *
+    * Plan shape: cell assignment is the [[topKIvf]] broadcast-centroid
+    * max_by aggregation; the within-cell pair step is an equi self-join
+    * keyed on the cell id (never a cross join), and the duplicate flag
+    * is a left join against the distinct higher-id pair ends. Skewed
+    * cells bound the worst task (|cell|² work) — the standard remedy is
+    * more/better centroids ([[trainCentroids]]), which this takes as an
+    * input. Deterministic throughout (trained centroids, rounded
+    * cosines, id tie-breaks), so the DuckDB oracle replicates cells and
+    * pairs exactly and x39 is hash-checked.
+    *
+    * Approximate by design at cell boundaries: a true near-dup split
+    * across two cells is missed — the documented SemDeDup trade; raise
+    * recall with more probes/tables via [[nearDupPairsLsh]] instead.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_e"), norm(col("embedding")).as("cent_n"))
+    val cells = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(cent))
+      .withColumn("cent_cos",
+        round(dot(col("embedding"), col("cent_e")) /
+          (col("nrm") * col("cent_n")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("e"), first(col("nrm")).as("nrm"),
+        max_by(col("cent_id"),
+          struct(col("cent_cos"), (-col("cent_id")).as("nid"))).as("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("va"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("vb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(round(dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")), 6) >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("is_dup").isNull.as("is_rep"))
+  }
+
   /** Top-k via the bounded-heap [[graft.functions.TopKAgg]] — identical
     * output to [[topKBrute]] (scores pre-rounded, id tie-break) but with
     * partial aggregation: each map task reduces its scored slice to ≤ k

@@ -171,6 +171,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Scrub patterns: the PII/noise classes a pre-training cleaner masks
+    * or strips. Kept to the regex subset Java and RE2 (DuckDB) agree on —
+    * character classes, `\b`, bounded alternation — so the x40 oracle
+    * replicates the pass byte-for-byte.
+    */
+  val scrubEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val scrubUrl   = "https?://[^\\s]+"
+  val scrubNum   = "\\b[0-9]+\\b"
+  val scrubStop  = "\\b(the|and|of|to|a|in|is|it|for|on)\\b"
+
+  /** Count of matches of a scrub pattern in the raw text — the audit
+    * column emitted next to the scrubbed output.
+    */
+  def scrubCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(IntegerType)
+
+  /** The scrub pass itself: emails → `<EMAIL>`, URLs → `<URL>`, free
+    * numbers → `<NUM>`, stopwords dropped, whitespace re-collapsed.
+    * Order matters (an email contains digits; a URL may contain an
+    * email) and is part of the operator contract: email, URL, number,
+    * stopword, collapse. Pure per-row regexp_replace chain — zero
+    * shuffle, whole-stage codegen, linear to 100 TB.
+    */
+  def scrub(text: Column): Column = {
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, scrubEmail, "<EMAIL>"),
+        scrubUrl, "<URL>"),
+      scrubNum, "<NUM>")
+    trim(regexp_replace(regexp_replace(masked, scrubStop, ""), "\\s+", " "))
+  }
+
   /** 60-bit word hash used by SimHash: first 15 hex chars of md5, parsed
     * base-16. 15 chars keep it positive in a signed 64-bit integer in every
     * engine (Spark `conv`, DuckDB `CAST('0x…')`), which pins cross-engine

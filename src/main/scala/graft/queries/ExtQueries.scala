@@ -446,7 +446,67 @@ object ExtQueries {
     "x29_bloom_contamination" -> ((s, dir) =>
       graft.ext.Contamination.bloomPrefiltered(docs(s, dir),
         col("doc_id") < 10)
-        .orderBy(col("eval_id"), col("train_id")))
+        .orderBy(col("eval_id"), col("train_id"))),
+
+    // corpus-level heavy hitters: the 20 most frequent word bigrams —
+    // the boilerplate detector (a bigram carried by a large corpus
+    // fraction is template noise, not language). Partial aggregation
+    // collapses counts map-side; orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-20 heaps, a k-row merge
+    // at the driver — no global sort shuffle), so the plan ships
+    // O(partitions × 20) rows regardless of corpus size. Tie-break on
+    // the bigram makes the cut deterministic.
+    "x36_ngram_topk" -> ((s, dir) =>
+      docs(s, dir).select(tokens(col("text")).as("ws"))
+        .select(explode(bigrams(col("ws"))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg").asc)
+        .limit(20)),
+
+    // cross-source shingle-overlap matrix — which provenance buckets
+    // duplicate each other (Dedup.sourceOverlap: inverted index on the
+    // shingle, source-pair fan-out bounded by the dim-class source
+    // column, no doc×doc step)
+    "x37_source_overlap" -> ((s, dir) =>
+      graft.ext.Dedup.sourceOverlap(docs(s, dir), n = 3)
+        .orderBy(col("sa"), col("sb"))),
+
+    // deterministic stratified sample: exactly 5 docs per source, drawn
+    // by hash rank — the eval-set / human-audit draw (Sampling
+    // .stratifiedSample; rank is a pure function of the row, so every
+    // engine and re-run deals the same hand)
+    "x38_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), n = 5)
+        .select(col("doc_id"), col("source"), col("rn").cast("int").as("rn"))
+        .orderBy(col("doc_id"))),
+
+    // SemDeDup: near-dup representatives WITHIN k-means cells — the
+    // embedding-dedup scale path (Σ|cell|² verify instead of n²),
+    // sharing x15/x35's trained centroids so the oracle replicates the
+    // cells via the same unrolled-Lloyd CTE
+    "x39_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.semanticDedup(e, threshold = 0.4,
+        centroids = Similarity.trainCentroids(e, nCentroids = 8))
+        .orderBy(col("vec_id"))
+    }),
+
+    // PII/noise scrub pass: emails → <EMAIL>, URLs → <URL>, free
+    // numbers → <NUM>, stopwords dropped, whitespace re-collapsed, with
+    // per-class audit counts — a pure regexp_replace chain (zero
+    // shuffle). On this synthetic corpus the email/URL/number classes
+    // count 0 (there are none to find — the columns prove it); the
+    // stopword rule rewrites nearly every row.
+    "x40_text_scrub" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        scrubCount(col("text"), scrubEmail).as("n_email"),
+        scrubCount(col("text"), scrubUrl).as("n_url"),
+        scrubCount(col("text"), scrubNum).as("n_num"),
+        scrubCount(col("text"), scrubStop).as("n_stop"),
+        scrub(col("text")).as("scrubbed"))
+        .orderBy(col("doc_id")))
   )
 
   private val shingleCte =
@@ -1007,6 +1067,71 @@ object ExtQueries {
          SELECT word, count(*) AS df,
                 round(ln((SELECT count(*) FROM documents)::DOUBLE / count(*)), 6) AS idf
          FROM w GROUP BY word ORDER BY word""",
+    "x36_ngram_topk" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                               for i in generate_series(1, len(ws)-1)]) AS bg
+                FROM t WHERE len(ws) >= 2)
+         SELECT bg, count(*) AS n FROM bg
+         GROUP BY bg ORDER BY n DESC, bg LIMIT 20""",
+    "x37_source_overlap" ->
+      """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         ssg AS (SELECT DISTINCT source,
+                   unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                           for i in generate_series(1, len(ws)-2)])) AS sg
+                 FROM t WHERE len(ws) >= 3)
+         SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+         FROM ssg a JOIN ssg b ON a.sg = b.sg AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY sa, sb""",
+    "x38_stratified_sample" ->
+      """SELECT doc_id, source, rn FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5('sample:' || doc_id), doc_id) AS INTEGER) AS rn
+           FROM documents) t
+         WHERE rn <= 5 ORDER BY doc_id""",
+    "x39_semantic_dedup" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid, cent_id AS cell FROM ranked WHERE rn = 1),
+         dups AS (SELECT DISTINCT b.vid AS vec_id
+                  FROM cells a
+                  JOIN cells b ON a.cell = b.cell AND a.vid < b.vid
+                  JOIN e ea ON ea.vec_id = a.vid
+                  JOIN e eb ON eb.vec_id = b.vid
+                  WHERE round(list_dot_product(ea.e, eb.e) /
+                              (sqrt(list_dot_product(ea.e, ea.e)) *
+                               sqrt(list_dot_product(eb.e, eb.e))), 6) >= 0.4)
+         SELECT c.vid AS vec_id, c.cell, (d.vec_id IS NULL) AS is_rep
+         FROM cells c LEFT JOIN dups d ON c.vid = d.vec_id
+         ORDER BY vec_id"""),
+    "x40_text_scrub" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INTEGER) AS n_url,
+           CAST(len(regexp_extract_all(text, '\b[0-9]+\b')) AS INTEGER) AS n_num,
+           CAST(len(regexp_extract_all(text,
+             '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS INTEGER) AS n_stop,
+           trim(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\b[0-9]+\b', '<NUM>', 'g'),
+               '\b(the|and|of|to|a|in|is|it|for|on)\b', '', 'g'),
+             '\s+', ' ', 'g')) AS scrubbed
+         FROM documents ORDER BY doc_id""",
     "x14_tfidf_top_term" ->
       """WITH toks AS (SELECT doc_id,
              unnest(regexp_split_to_array(trim(text), '\s+')) AS word

@@ -25,7 +25,8 @@ class PlanSpec extends AnyFunSuite {
     "x14_tfidf_top_term", // 1-row corpus count
     "x15_ann_topk_ivf", // k-row probe side
     "x28_label_centroid_sim", // |labels|²-bounded centroid pair matrix
-    "x35_ann_recall") // composes topKBrute: same bounded k-row query side
+    "x35_ann_recall", // composes topKBrute: same bounded k-row query side
+    "x39_semantic_dedup") // k-row centroid side: the x15 cell assignment
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -127,5 +128,15 @@ class PlanSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("x34_winnowing")(spark, sf)
       .queryExecution.executedPlan.toString
     assert("Exchange ".r.findAllIn(plan).length == 1, plan.take(1500))
+  }
+
+  test("x36 top-k bigrams plans TakeOrderedAndProject, not a global sort") {
+    // orderBy+limit must fuse into per-partition top-k heaps merged at
+    // the driver; a Sort over a single-partition Exchange would pull the
+    // whole bigram histogram through one task
+    val plan = SparkEntry.queries("x36_ngram_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 }
