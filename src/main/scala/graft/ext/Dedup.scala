@@ -61,19 +61,32 @@ object Dedup {
     * key → count per pair. Never materializes doc×doc pairs, and the
     * pair fan-out per shingle is bounded by |sources|² — sources are a
     * dim-class column, so at 100 TB the only corpus-scale shuffle is
-    * the (source, shingle) distinct.
+    * the per-shingle source-set aggregation.
+    *
+    * Shape: ONE pass — `collect_set(source)` per shingle (partial sets
+    * merge map-side; the set is dim-bounded), then the pair expansion is
+    * a per-row array expression over the sorted set, and the final
+    * count is a |sources|²-key aggregate. The self-join formulation
+    * planned the corpus-scale distinct TWICE (Spark does not reuse the
+    * subplan across self-join branches before AQE kicks in) and pushed
+    * it through a join; this computes it once and joins nothing.
     */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
-    val ssg = docs
+    val srcsPerShingle = docs
       .select(col("source"), tokens(col("text")).as("ws"))
       // token-count filter, not size(sg) — see [[shingled]]
       .filter(size(col("ws")) >= n)
       .select(col("source"), explode(shinglesFromTokens(col("ws"), n)).as("sg"))
-      .distinct()
-    ssg.select(col("sg"), col("source").as("sa"))
-      .join(ssg.select(col("sg"), col("source").as("sb")), Seq("sg"))
-      .filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb"))
+      .groupBy(col("sg"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    // all ordered pairs (srcs[i], srcs[j]) with i < j: sorted input makes
+    // sa < sb by construction, matching the join formulation's output
+    val pairs = flatten(transform(col("srcs"), (sa, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        sb => struct(sa.as("sa"), sb.as("sb")))))
+    srcsPerShingle
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
