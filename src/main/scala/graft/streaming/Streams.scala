@@ -127,6 +127,32 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  // ---- streaming decontamination ----------------------------------------
+
+  /** Map-side streaming decontamination: flag arriving documents whose
+    * word n-grams hit a Bloom sketch of the (bounded, batch-built) eval
+    * set — the streaming face of [[graft.ext.Contamination]]. The sketch
+    * is closed over as a plan literal, so this is STATELESS: no state
+    * store, no stream-stream join, no watermark; each micro-batch (or a
+    * plain batch frame — the plan is mode-agnostic) filters at full scan
+    * speed. `might_hit = true` carries the Bloom false-positive rate;
+    * quarantine-then-exact-join downstream when exactness matters
+    * (false NEGATIVES cannot occur — [[graft.functions.BloomMightContain]]
+    * shares the build's hash contract).
+    */
+  def decontaminateStream(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 5): DataFrame = {
+    import graft.ext.TextAnalysis.{shinglesFromTokens, tokens}
+    docs
+      .withColumn("ws", tokens(col("text")))
+      .withColumn("might_hit",
+        exists(shinglesFromTokens(col("ws"), n),
+          sh => graft.functions.BloomMightContain.bloom_might_contain(
+            sh, bloom)))
+      .drop("ws")
+  }
+
   // ---- stream-static enrichment -----------------------------------------
 
   /** Stream-static dimension join: each micro-batch joins against the

@@ -570,6 +570,26 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0)._3 && out(1)._3 && out(5)._3)
   }
 
+  test("count-min sketch brackets the exact bigram counts (x36 lever)") {
+    import graft.ext.{Sketches, TextAnalysis}
+    val bg = docs.select(TextAnalysis.tokens(col("text")).as("ws"))
+      .select(explode(TextAnalysis.bigrams(col("ws"))).as("bg"))
+    val exact = bg.groupBy(col("bg")).count()
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val cms = Sketches.countMin(bg, "bg", eps = 1e-4, confidence = 0.99)
+    assert(cms.totalCount() == total)
+    // one-sided error: never undercounts, overcounts by <= eps*N (the
+    // guarantee holds w.p. 0.99 per item; the fixed seed makes this
+    // deterministic, so a pass here stays a pass)
+    val slack = math.ceil(1e-4 * total).toLong
+    exact.foreach { case (b, n) =>
+      val est = cms.estimateCount(b)
+      assert(est >= n, s"undercount for '$b': $est < $n")
+      assert(est <= n + slack, s"overcount beyond eps*N for '$b'")
+    }
+  }
+
   test("text scrub masks emails/urls/numbers and strips stopwords") {
     import graft.ext.TextAnalysis
     val d = Seq(

@@ -106,6 +106,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(1L, 2L, 3L))
   }
 
+  test("streaming Bloom decontamination flags every true hit (no false negatives)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    // ground truth + sketch both come from the batch path: eval = doc_id
+    // < 10, truth = train docs sharing a 5-gram with the eval set
+    val truth = graft.ext.Contamination.exact(docs, col("doc_id") < 10)
+      .select("train_id").as[Long].collect().toSet
+    val evalSh = graft.ext.Dedup.shingled(docs.filter(col("doc_id") < 10), 5)
+      .select(explode(col("sg")).as("sh"))
+    val bloom = graft.ext.Contamination.buildBloom(evalSh, "sh", 1 << 20, 0.01)
+    // train docs arrive as a stream; the filter is stateless map-side
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateStream(
+      src.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    val train = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    src.addData(train.take(train.length / 2).toIndexedSeq)
+    src.addData(train.drop(train.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    val flagged = spark.table("decon").filter(col("might_hit"))
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(truth.nonEmpty, "fixture should contain contaminated docs")
+    // Bloom contract: false positives allowed, false negatives never
+    assert(truth.subsetOf(flagged),
+      s"missed true hits: ${(truth -- flagged).take(5)}")
+    // and the prefilter actually prunes (not everything might_hit)
+    assert(flagged.size < train.length)
+  }
+
   test("stream-static dim join enriches per micro-batch with defaults") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((10L, "boston"), (11L, "quincy")).toDF("dim_id", "city")
