@@ -4,11 +4,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatVecDot, HyperplaneSketch, MinHashSig}
+import graft.functions.{FloatVecDot, HyperplaneSketch, MinHashSig, RollingWinnow}
 
 /** Registration of the engine's native expressions as SQL functions, so
   * `SELECT vec_dot(a, b)` / `minhash_sig(hv, 128)` /
-  * `hyperplane_sketch(e, 64, 6, 32)` work from pure SQL.
+  * `hyperplane_sketch(e, 64, 6, 32)` / `rolling_winnow(text, 8, 4)`
+  * work from pure SQL.
   * Deploy via `spark.sql.extensions=graft.engine.GraftExtensions`, or call
   * [[GraftExtensions.register]] on a live session.
   */
@@ -56,6 +57,19 @@ object GraftExtensions {
           intLit(children(1), "dim"),
           intLit(children(2), "nbits"),
           intLit(children(3), "tables"))
+      }),
+    (new FunctionIdentifier("rolling_winnow"),
+      new ExpressionInfo(classOf[RollingWinnow].getName, "rolling_winnow"),
+      (children: Seq[Expression]) => {
+        arity("rolling_winnow", "text, k, w", 3)(children)
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"rolling_winnow: $what must be a literal, got $other")
+        }
+        RollingWinnow(children.head,
+          intLit(children(1), "k"),
+          intLit(children(2), "w"))
       }))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline CLI — the corpus-side counterpart of
+  * `graft.fhir.FhirMain` (which drives the reference-parity ingest): one
+  * invocation takes a raw documents+embeddings directory to training
+  * shards on disk.
+  *
+  *   runMain graft.ext.PipelineMain <inDir> <outDir> [-scrub] [-semdedup]
+  *
+  * Stages (each an already-declared operator, chained in ONE plan up to
+  * the shard write — nothing is materialized in between):
+  *   1. optional PII/noise scrub        (TextAnalysis.scrub, x40)
+  *   2. quality gate                    (TextAnalysis.qualityFlags, x19)
+  *   3. exact-dedup representatives     (fingerprint min-id rule, x05)
+  *   4. deterministic train/val/test    (Sampling.split, x18)
+  *   5. label join from embeddings      (x32 composite, Export)
+  *   6. optional semantic-dedup flag    (Similarity.semanticDedup, x39)
+  *   7. sharded parquet write, partitioned by split — partition pruning
+  *      for downstream readers — plus the (split, source) manifest (x33)
+  *
+  * Output layout: `<outDir>/shards/split=train|val|test/…parquet` with
+  * (doc_id, source, n_tokens, label, text) and `<outDir>/manifest/`.
+  */
+object PipelineMain {
+
+  def run(spark: SparkSession, inDir: String, outDir: String,
+      scrubText: Boolean, semDedup: Boolean): (Long, Long) = {
+    import graft.engine.Tables
+    val raw = Tables.load(spark, inDir, "documents")
+    val emb = Tables.load(spark, inDir, "embeddings")
+    val docs =
+      if (scrubText)
+        raw.withColumn("text", TextAnalysis.scrub(col("text")))
+      else raw
+    val decided = Export.trainingExport(docs, emb)
+    val shards0 = decided
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val shards =
+      if (semDedup)
+        shards0.join(
+          Similarity.semanticDedup(emb, threshold = 0.4,
+            centroids = Similarity.trainCentroids(emb, nCentroids = 8))
+            .select(col("vec_id").as("doc_id"),
+              col("is_rep").as("sem_rep")),
+          Seq("doc_id"), "left")
+          .filter(coalesce(col("sem_rep"), lit(true)))
+          .drop("sem_rep")
+      else shards0
+    shards.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/shards")
+    // the manifest aggregates the WRITTEN shards, not the pre-write
+    // plan, so it documents what is actually on disk
+    val written = spark.read.parquet(s"$outDir/shards")
+    Export.shardManifest(written)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    (written.count(), raw.count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("-"))
+    require(pos.length == 2,
+      "usage: PipelineMain <inDir> <outDir> [-scrub] [-semdedup]")
+    val Array(inDir, outDir) = pos
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.engine.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val (kept, total) = run(spark, inDir, outDir,
+      scrubText = args.contains("-scrub"),
+      semDedup = args.contains("-semdedup"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[pipeline] $kept of $total docs exported to $outDir " +
+      f"in $secs%.1f s")
+    spark.stop()
+  }
+}

@@ -570,6 +570,34 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0)._3 && out(1)._3 && out(5)._3)
   }
 
+  test("pipeline main writes split-partitioned shards and a true manifest") {
+    import graft.ext.{Export, PipelineMain}
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe")
+      .toString
+    val (kept, total) = PipelineMain.run(spark, sf, out,
+      scrubText = false, semDedup = false)
+    assert(total == docs.count())
+    val expected = Export.trainingExport(docs, emb).count()
+    assert(kept == expected && kept > 0)
+    // layout: split is a partition column on disk
+    val splitDirs = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splitDirs.forall(_.startsWith("split=")) && splitDirs.nonEmpty)
+    // the manifest matches a re-aggregation of what was written
+    val written = spark.read.parquet(s"$out/shards")
+    val manifest = spark.read.parquet(s"$out/manifest")
+      .as[(String, String, Long, Long)].collect().toSet
+    val recomputed = Export.shardManifest(written)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(manifest == recomputed)
+    // semantic dedup can only shrink the export
+    val out2 = java.nio.file.Files.createTempDirectory("graft_pipe2")
+      .toString
+    val (kept2, _) = PipelineMain.run(spark, sf, out2,
+      scrubText = false, semDedup = true)
+    assert(kept2 <= kept && kept2 > 0)
+  }
+
   test("count-min sketch brackets the exact bigram counts (x36 lever)") {
     import graft.ext.{Sketches, TextAnalysis}
     val bg = docs.select(TextAnalysis.tokens(col("text")).as("ws"))

@@ -79,6 +79,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
       "SELECT size(minhash_sig(array(1L, 2L, 3L), 16)) AS n")
       .as[Int].head()
     assert(sig == 16)
+    // rolling_winnow from SQL equals the Column API on the same input
+    val sqlFps = spark.sql(
+      "SELECT rolling_winnow('abcdefghijklmno', 8, 4) AS fps")
+      .select(col("fps")).as[Seq[Long]].head()
+    val colFps = Seq("abcdefghijklmno").toDF("t")
+      .select(graft.functions.RollingWinnow.rolling_winnow(col("t"), 8, 4)
+        .as("fps")).as[Seq[Long]].head()
+    assert(sqlFps == colFps && sqlFps.nonEmpty)
   }
 
   test("SQL registration rejects wrong arity with a clean error") {
