@@ -102,4 +102,59 @@ class SkewSpec extends AnyFunSuite {
     assert(maxBanded * 10 <= maxBare,
       s"banding stopped bounding the hot key: bare=$maxBare banded=$maxBanded")
   }
+
+  test("semantic dedup on a skewed corpus: more trained centroids bound " +
+    "the hot cell, clone recall stays total") {
+    import graft.ext.Similarity
+    // hot region: 400 unit vectors fanning 90° in the (e0, e1) plane —
+    // one dense angular blob; 100 cold vectors on the other axes; 20
+    // planted exact clones of hot vectors. All deterministic.
+    val dim = 8
+    def arc(i: Int): Seq[Float] = {
+      // scatter angles across ids (151 coprime to 400) so the first-N
+      // Lloyd init starts spread over the blob instead of huddled at
+      // its edge — the deterministic stand-in for k-means++ seeding
+      val theta = ((i * 151) % 400) * (math.Pi / 2) / 400
+      Seq(math.cos(theta).toFloat, math.sin(theta).toFloat) ++
+        Seq.fill(dim - 2)(0.0f)
+    }
+    // distinct e0 jitter per id — no accidental clones among the cold
+    // vectors (a modular-only jitter repeats every lcm cycle), and the
+    // spacing keeps every cold-cold rounded cosine below the threshold
+    def cold(i: Int): Seq[Float] =
+      (0 until dim).map(d =>
+        if (d == 2 + i % 6) 1.0f
+        else if (d == 0) i * 0.01f
+        else 0.0f)
+    val vecs = (0 until 400).map(i => (i.toLong, arc(i))) ++
+      (0 until 100).map(i => (400L + i, cold(i))) ++
+      (0 until 20).map(j => (1000L + j, arc(j * 20)))
+    val e = vecs.toDF("vec_id", "embedding")
+    // threshold admits ONLY exact clones: adjacent arc vectors are
+    // 0.225° apart (rounded cos 0.999992 < 0.999999 <= clone 1.0)
+    val th = 0.999999
+    def run(k: Int) = Similarity.semanticDedup(e, th,
+      Similarity.trainCentroids(e, nCentroids = k))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+
+    val out2 = run(2)
+    val out8 = run(8)
+    // identical vectors share rounded centroid cosines, so a clone and
+    // its original always land in the same cell — clone recall is total
+    // at ANY centroid count, and nothing else passes the threshold
+    for ((out, k) <- Seq((out2, 2), (out8, 8))) {
+      val nonReps = out.filterNot(_._3).map(_._1).toSet
+      assert(nonReps == (0 until 20).map(j => 1000L + j).toSet,
+        s"k=$k: flagged $nonReps")
+    }
+    // the scale claim: the quadratic within-cell verify is bounded by
+    // the LARGEST cell; training more centroids splits the hot blob
+    def maxCell(out: Array[(Long, Long, Boolean)]): Int =
+      out.groupBy(_._2).values.map(_.length).max
+    val (m2, m8) = (maxCell(out2), maxCell(out8))
+    assert(m2 >= 250, s"fixture lost its skew: max cell k=2 is $m2")
+    assert(m8 * 2 <= m2,
+      s"more centroids stopped bounding the hot cell: k=2 max $m2, " +
+        s"k=8 max $m8")
+  }
 }
