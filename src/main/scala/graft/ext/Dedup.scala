@@ -90,6 +90,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Substring-level near-dup pairs: documents sharing ≥ `minShared`
+    * winnowing fingerprints ([[graft.functions.RollingWinnow]], the MOSS
+    * scheme) — the character-level complement of the word-shingle
+    * Jaccard paths, catching shared boilerplate/quotation runs that
+    * word-level n-grams dilute. Any shared substring of ≥ k+w-1 chars
+    * contributes a shared fingerprint, so `minShared` is a direct knob
+    * on the shared-substring mass required.
+    *
+    * Scale shape = the x06 inverted index with 8-byte keys: fingerprints
+    * per row from ONE codegen expression (no shuffle), a self-join
+    * keyed on the fingerprint (Σ freq² pair rows — k chars of gram
+    * length is the selectivity knob that keeps hot fingerprints rare),
+    * and a pair-count aggregate. The (doc_id, fp) relation is
+    * localCheckpoint'd so both join branches read 16-byte rows instead
+    * of re-winnowing the corpus ([[jaccardPairsLsh]]'s pattern).
+    */
+  def substringOverlapPairs(docs: DataFrame, k: Int = 16, w: Int = 8,
+      minShared: Long = 10): DataFrame = {
+    val fps = docs
+      // cheap pushdown-able length filter, same reasoning as x34's
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.RollingWinnow.rolling_winnow(col("text"), k, w)))
+          .as("fp"))
+      .localCheckpoint()
+    fps.select(col("fp"), col("doc_id").as("da"))
+      .join(fps.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Brute-force all-pairs n-gram Jaccard ≥ threshold. O(n²) pairs — kept
     * as the cross-check oracle for [[jaccardPairsIndex]]; only sane when
     * one side fits in a broadcast. A lossless size-ratio prune

@@ -506,7 +506,37 @@ object ExtQueries {
         scrubCount(col("text"), scrubNum).as("n_num"),
         scrubCount(col("text"), scrubStop).as("n_stop"),
         scrub(col("text")).as("scrubbed"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // substring-level near-dup pairs via shared winnowing fingerprints
+    // (Dedup.substringOverlapPairs) — the character-level complement of
+    // x06's word-shingle Jaccard; k=16-char grams keep hot fingerprints
+    // rare so the inverted index's Σ freq² stays linear-ish
+    "x41_substring_overlap" -> ((s, dir) =>
+      graft.ext.Dedup.substringOverlapPairs(docs(s, dir),
+        k = 16, w = 8, minShared = 10)
+        .orderBy(col("da"), col("db"))),
+
+    // domain-mixing planner: per-source token mass, corpus share, and
+    // the keep fraction that equalizes shares (the dial a weighted-mix
+    // run like x22 takes as input). Pure two-level aggregation; all
+    // post-agg arithmetic is IEEE double on identical operands, so the
+    // 6-digit rounding is engine-portable.
+    "x42_mix_plan" -> ((s, dir) => {
+      val stats = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val tot = stats.agg(
+        sum(col("n_tokens")).cast("double").as("total"),
+        count(lit(1)).cast("double").as("n_sources"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens") / col("total"), 6).as("token_share"),
+          round(least(lit(1.0),
+            (col("total") / col("n_sources")) / col("n_tokens")), 6)
+            .as("keep_frac"))
+        .orderBy(col("source"))
+    })
   )
 
   private val shingleCte =
@@ -612,6 +642,47 @@ object ExtQueries {
     }
     (init +: steps).mkString(",\n       ") +
       s",\n       cent AS (SELECT cent_id, ce FROM cent$iters)"
+  }
+
+  /** DuckDB replication of [[graft.ext.Dedup.substringOverlapPairs]] —
+    * the RollingWinnow polynomial k-gram hashes computed RELATIONALLY
+    * (positions unnested to rows, the k-term sum as a join against a
+    * literal (t, B^(k-1-t) mod M) table, window minima as a grouped min
+    * over w shifted copies): DuckDB executes this vectorized form ~60×
+    * faster than the equivalent list comprehensions (x34's direct form
+    * at k=16 cost ~18 s at sf0.01; this runs in ~0.3 s). Every
+    * intermediate stays < 2^47, plain BIGINT arithmetic.
+    */
+  private def winnowPairsSql(k: Int, w: Int, minShared: Long): String = {
+    val M = BigInt(1000000007L)
+    val lits = (0 until k).map(t => BigInt(257).modPow(BigInt(k - 1 - t), M))
+    val litrows = lits.zipWithIndex
+      .map { case (l, t) => s"($t, $l)" }.mkString(", ")
+    s"""WITH pos AS (
+         SELECT doc_id, text, length(text) AS len,
+                unnest(generate_series(1, length(text))) AS i
+         FROM documents WHERE length(text) >= ${k + w - 1}),
+       chars AS (SELECT doc_id, i, ord(substr(text, i, 1))::BIGINT AS o, len
+                 FROM pos),
+       lt AS (SELECT * FROM (VALUES $litrows) AS t(t, lw)),
+       h AS (SELECT doc_id, i - t AS s, sum(o * lw) % $M AS hv
+             FROM chars CROSS JOIN lt
+             WHERE i - t >= 1 AND i - t <= len - ${k - 1}
+             GROUP BY doc_id, i - t),
+       ofs AS (SELECT unnest(generate_series(0, ${w - 1})) AS x),
+       wmin AS (SELECT doc_id, s - x AS j, min(hv) AS fp
+                FROM h CROSS JOIN ofs
+                WHERE s - x >= 1
+                GROUP BY doc_id, s - x),
+       nw AS (SELECT doc_id, max(s) AS smax FROM h GROUP BY doc_id),
+       f AS (SELECT DISTINCT w2.doc_id, w2.fp
+             FROM wmin w2 JOIN nw ON w2.doc_id = nw.doc_id
+             WHERE w2.j <= nw.smax - ${w - 1})
+       SELECT da, db, n_shared FROM (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2) t
+       WHERE n_shared >= $minShared ORDER BY da, db"""
   }
 
   /** The x32 export lineage in DuckDB, shared by x32 (ordered per-doc)
@@ -1132,6 +1203,19 @@ object ExtQueries {
                '\b(the|and|of|to|a|in|is|it|for|on)\b', '', 'g'),
              '\s+', ' ', 'g')) AS scrubbed
          FROM documents ORDER BY doc_id""",
+    "x41_substring_overlap" -> winnowPairsSql(k = 16, w = 8, minShared = 10),
+    "x42_mix_plan" ->
+      """WITH s AS (SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY source),
+         t AS (SELECT sum(n_tokens)::DOUBLE AS total,
+                      count(*)::DOUBLE AS n_sources FROM s)
+         SELECT source, n_tokens,
+                round(n_tokens / total, 6) AS token_share,
+                round(least(1.0, (total / n_sources) / n_tokens), 6)
+                  AS keep_frac
+         FROM s CROSS JOIN t ORDER BY source""",
     "x14_tfidf_top_term" ->
       """WITH toks AS (SELECT doc_id,
              unnest(regexp_split_to_array(trim(text), '\s+')) AS word

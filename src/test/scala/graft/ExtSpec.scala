@@ -570,6 +570,27 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0)._3 && out(1)._3 && out(5)._3)
   }
 
+  test("substring overlap pairs documents by shared winnow fingerprints") {
+    // docs 1/2 share a 40-char run (>= k+w-1 = 23, so it MUST contribute
+    // shared fingerprints); doc 3 shares nothing that long
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon zeta"),
+      (2L, s"one two three $shared four five six seven"),
+      (3L, "completely different content with no common runs at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(d, k = 16, w = 8, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // cross-check the count against a direct fingerprint intersection
+    val fps = d.select(col("doc_id"),
+      array_distinct(graft.functions.RollingWinnow
+        .rolling_winnow(col("text"), 16, 8)).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expect = fps(1L).toSet.intersect(fps(2L).toSet).size
+    assert(got.head._3 == expect && expect >= 1)
+  }
+
   test("pipeline main writes split-partitioned shards and a true manifest") {
     import graft.ext.{Export, PipelineMain}
     val out = java.nio.file.Files.createTempDirectory("graft_pipe")

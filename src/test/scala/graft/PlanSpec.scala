@@ -26,7 +26,8 @@ class PlanSpec extends AnyFunSuite {
     "x15_ann_topk_ivf", // k-row probe side
     "x28_label_centroid_sim", // |labels|²-bounded centroid pair matrix
     "x35_ann_recall", // composes topKBrute: same bounded k-row query side
-    "x39_semantic_dedup") // k-row centroid side: the x15 cell assignment
+    "x39_semantic_dedup", // k-row centroid side: the x15 cell assignment
+    "x42_mix_plan") // 1-row corpus total, the x13/x14 pattern
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
