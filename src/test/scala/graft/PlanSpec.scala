@@ -131,6 +131,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange ".r.findAllIn(plan).length == 1, plan.take(1500))
   }
 
+  test("x37 source overlap plans no join (one corpus pass)") {
+    // regression guard for the collect_set rewrite: the self-join form
+    // computed the corpus-scale (source, shingle) distinct twice and
+    // joined it — the aggregate form must keep the plan join-free
+    val plan = SparkEntry.queries("x37_source_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("x36 top-k bigrams plans TakeOrderedAndProject, not a global sort") {
     // orderBy+limit must fuse into per-partition top-k heaps merged at
     // the driver; a Sort over a single-partition Exchange would pull the

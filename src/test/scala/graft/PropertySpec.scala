@@ -132,6 +132,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("text scrub matches an independent JVM regex reference on " +
+    "arbitrary strings") {
+    import graft.ext.TextAnalysis._
+    // the same pass, written directly against java.util.regex — an
+    // implementation-independent statement of the scrub contract
+    def ref(s: String): String = {
+      var t = s.replaceAll(scrubEmail, "<EMAIL>")
+      t = t.replaceAll(scrubUrl, "<URL>")
+      t = t.replaceAll(scrubNum, "<NUM>")
+      t = t.replaceAll(scrubStop, "")
+      t.replaceAll("\\s+", " ").trim
+    }
+    val word = Gen.oneOf("the", "a", "on", "table", "scan42", "42",
+      "bob@x.io", "http://a.b/c?d=1", "x.y+z@mail.org", "...", "a1b2")
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    val texts = sample(textGen, 300).distinct
+    val got = texts.toDF("text")
+      .select(col("text"), scrub(col("text")).as("s"))
+      .as[(String, String)].collect().toMap
+    texts.foreach { t =>
+      assert(got(t) == ref(t), s"scrub mismatch on '$t'")
+    }
+    // idempotence: a scrubbed document passes through unchanged (the
+    // masks contain no scrubbable material)
+    val once = got.values.toSeq.distinct
+    val twice = once.toDF("text")
+      .select(col("text"), scrub(col("text")).as("s"))
+      .as[(String, String)].collect().toMap
+    once.foreach(s => assert(twice(s) == s, s"not idempotent on '$s'"))
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     // two near-dup shingle sets vs two unrelated ones
     val base = (1 to 100).map(i => s"sh$i")
