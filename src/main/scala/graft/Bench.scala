@@ -33,6 +33,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // empty/whitespace values parse to an empty set, which would time
+      // zero queries and emit a 0.0 total — the exact silent failure
+      // this guard exists for
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +

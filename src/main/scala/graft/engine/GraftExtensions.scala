@@ -25,6 +25,17 @@ object GraftExtensions {
     if (children.length != n) throw new IllegalArgumentException(
       s"$name: expected $n arguments — $name($sig) — got ${children.length}")
 
+  /** Plan-time int parameter of a registered function — the constructor
+    * args custom expressions take as Scala Ints, so they must be SQL
+    * literals.
+    */
+  private def intLit(fn: String, what: String)(e: Expression): Int =
+    e match {
+      case Literal(v, _) => v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a literal, got $other")
+    }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("vec_dot"),
@@ -37,39 +48,25 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
         arity("minhash_sig", "hashedShingles, numHashes", 2)(children)
-        val n = children(1) match {
-          case Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig: numHashes must be a literal, got $other")
-        }
-        MinHashSig(children.head, n)
+        MinHashSig(children.head,
+          intLit("minhash_sig", "numHashes")(children(1)))
       }),
     (new FunctionIdentifier("hyperplane_sketch"),
       new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
       (children: Seq[Expression]) => {
         arity("hyperplane_sketch", "vec, dim, nbits, tables", 4)(children)
-        def intLit(e: Expression, what: String): Int = e match {
-          case Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"hyperplane_sketch: $what must be a literal, got $other")
-        }
+        val p = intLit("hyperplane_sketch", _: String)(_: Expression)
         HyperplaneSketch(children.head,
-          intLit(children(1), "dim"),
-          intLit(children(2), "nbits"),
-          intLit(children(3), "tables"))
+          p("dim", children(1)), p("nbits", children(2)),
+          p("tables", children(3)))
       }),
     (new FunctionIdentifier("rolling_winnow"),
       new ExpressionInfo(classOf[RollingWinnow].getName, "rolling_winnow"),
       (children: Seq[Expression]) => {
         arity("rolling_winnow", "text, k, w", 3)(children)
-        def intLit(e: Expression, what: String): Int = e match {
-          case Literal(v, _) => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"rolling_winnow: $what must be a literal, got $other")
-        }
         RollingWinnow(children.head,
-          intLit(children(1), "k"),
-          intLit(children(2), "w"))
+          intLit("rolling_winnow", "k")(children(1)),
+          intLit("rolling_winnow", "w")(children(2)))
       }))
 
   /** Register on an already-built session (tests, notebooks). */

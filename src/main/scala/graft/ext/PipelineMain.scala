@@ -29,8 +29,13 @@ object PipelineMain {
   def run(spark: SparkSession, inDir: String, outDir: String,
       scrubText: Boolean, semDedup: Boolean): (Long, Long) = {
     import graft.engine.Tables
-    val raw = Tables.load(spark, inDir, "documents")
-    val emb = Tables.load(spark, inDir, "embeddings")
+    runFrames(spark, Tables.load(spark, inDir, "documents"),
+      Tables.load(spark, inDir, "embeddings"), outDir, scrubText, semDedup)
+  }
+
+  /** [[run]] over already-loaded relations — the testable seam. */
+  def runFrames(spark: SparkSession, raw: DataFrame, emb: DataFrame,
+      outDir: String, scrubText: Boolean, semDedup: Boolean): (Long, Long) = {
     val docs =
       if (scrubText)
         raw.withColumn("text", TextAnalysis.scrub(col("text")))
@@ -39,16 +44,24 @@ object PipelineMain {
     val shards0 = decided
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
     val shards =
-      if (semDedup)
+      if (semDedup) {
+        // dedup among the SURVIVORS of the gate/exact-dedup stages, not
+        // the whole corpus: a group whose min-id representative was
+        // already dropped upstream would otherwise lose every copy (the
+        // survivor is flagged non-rep against a ghost), exporting zero
+        // copies of that content
+        val survivingEmb = emb.join(decided.select(col("doc_id")),
+          emb("vec_id") === col("doc_id"), "left_semi")
         shards0.join(
-          Similarity.semanticDedup(emb, threshold = 0.4,
-            centroids = Similarity.trainCentroids(emb, nCentroids = 8))
+          Similarity.semanticDedup(survivingEmb, threshold = 0.4,
+            centroids = Similarity.trainCentroids(survivingEmb,
+              nCentroids = 8))
             .select(col("vec_id").as("doc_id"),
               col("is_rep").as("sem_rep")),
           Seq("doc_id"), "left")
           .filter(coalesce(col("sem_rep"), lit(true)))
           .drop("sem_rep")
-      else shards0
+      } else shards0
     shards.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/shards")
     // the manifest aggregates the WRITTEN shards, not the pre-write
@@ -60,7 +73,14 @@ object PipelineMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val pos = args.filterNot(_.startsWith("-"))
+    val known = Set("-scrub", "-semdedup")
+    val (flags, pos) = args.partition(_.startsWith("-"))
+    // a mistyped flag must not silently change what gets exported
+    // (FhirMain.parseFlags's convention)
+    val unknown = flags.filterNot(known)
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} — " +
+        s"usage: PipelineMain <inDir> <outDir> [-scrub] [-semdedup]")
     require(pos.length == 2,
       "usage: PipelineMain <inDir> <outDir> [-scrub] [-semdedup]")
     val Array(inDir, outDir) = pos

@@ -41,10 +41,14 @@ object Sampling {
     *
     * Scale shape: one hash-partitioned window per stratum. A stratum
     * skewed to billions of rows serializes its sort through one
-    * partition — there, pre-filter with [[hashBucket]] to a generous
-    * super-sample (bucket < B where B·|stratum|/buckets ≫ n) first and
-    * rank only the survivors; the two-phase draw is identical as long
-    * as the prefilter keeps ≥ n rows per stratum.
+    * partition — there, pre-filter on a PREFIX RANGE of the same sort
+    * key (`md5("salt:id") < T` for a hex threshold T expected to keep
+    * ≫ n rows per stratum) and rank only the survivors: the window
+    * orders by that very key ascending, so the true top-n all satisfy
+    * any prefix range that retains ≥ n rows, and the two-phase draw is
+    * identical. (A [[hashBucket]]-style modular prefilter does NOT
+    * commute with the rank — bucket membership is uncorrelated with the
+    * key's lexicographic order, so it silently changes the sample.)
     */
   def stratifiedSample(df: DataFrame, strata: Column, id: Column, n: Int,
       salt: String = "sample"): DataFrame = {

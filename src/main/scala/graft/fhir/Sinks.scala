@@ -220,6 +220,11 @@ class CopyFactSink(url: String, schema: Option[String] = None,
 
   def writeFacts(table: String, facts: DataFrame): Unit = {
     val narrowed = FactSinks.narrowCounts(facts)
+    // the JDBC-append path auto-creates missing tables (Spark's .jdbc
+    // write); COPY issues no DDL, so a first run against a fresh
+    // database must bootstrap here or die mid-ingest on
+    // relation-does-not-exist
+    CopyFactSink.ensureTable(url, props, schema, table, narrowed.schema)
     // columns are quoted like the reference's pq.QuoteIdentifier — and
     // Spark's JDBC writer creates them quoted (case-sensitive), so the
     // unquoted form would not resolve against a Spark-created table
@@ -255,7 +260,10 @@ object CopyFactSink {
   /** The real COPY protocol via pgjdbc: unwrap the connection to
     * `PGConnection`, obtain its `CopyManager`, and stream the lines
     * through `copyIn(sql, Reader)`. Reflection keeps the Postgres driver
-    * a runtime-only dependency.
+    * a runtime-only dependency. The Reader pulls from the row iterator
+    * lazily — per-partition heap stays O(one line), never O(partition)
+    * (an eager mkString would double-buffer the whole partition's COPY
+    * payload and contradict the class's streaming contract).
     */
   object pgCopyIn extends CopyIn {
     def copyIn(conn: java.sql.Connection, copySql: String,
@@ -263,11 +271,75 @@ object CopyFactSink {
       val pgIface = Class.forName("org.postgresql.PGConnection")
       val pg = conn.unwrap(pgIface.asInstanceOf[Class[AnyRef]])
       val cm = pgIface.getMethod("getCopyAPI").invoke(pg)
-      val text = new java.io.StringReader(
-        lines.map(_ + "\n").mkString) // rows are small; facts are rollups
+      val text = linesReader(lines)
       cm.getClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
         .invoke(cm, copySql, text).asInstanceOf[java.lang.Long].longValue()
     }
+  }
+
+  /** A Reader view over encoded COPY lines: each line is served with its
+    * trailing newline, advancing the iterator only as the consumer reads.
+    */
+  def linesReader(lines: Iterator[String]): java.io.Reader =
+    new java.io.Reader {
+      private var cur: String = ""
+      private var pos = 0
+      override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
+        while (pos >= cur.length) {
+          if (!lines.hasNext) return -1
+          cur = lines.next() + "\n"
+          pos = 0
+        }
+        val n = math.min(len, cur.length - pos)
+        cur.getChars(pos, pos + n, cbuf, off)
+        pos += n
+        n
+      }
+      override def close(): Unit = ()
+    }
+
+  /** Driver-side DDL bootstrap for the COPY path: create the schema and
+    * table if missing (COPY, unlike Spark's JDBC append, issues no DDL).
+    * Portable across Postgres/Derby by attempting the CREATE and
+    * swallowing the already-exists SQLStates — neither engine supports
+    * the other's IF-NOT-EXISTS spelling. Columns are created quoted
+    * (matching [[quoteIdent]] and Spark's JDBC writer), the table name
+    * unquoted so case-folding engines resolve the COPY statement's
+    * unquoted reference.
+    */
+  def ensureTable(url: String, props: Properties, schemaName: Option[String],
+      table: String, rowSchema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    def sqlType(dt: DataType): String = dt match {
+      case IntegerType | ShortType | ByteType => "integer"
+      case LongType => "bigint"
+      case DoubleType => "double precision"
+      case FloatType => "real"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamp"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case _ => "varchar(4096)"
+    }
+    val alreadyExists = // PG: table 42P07 / schema 42P06; Derby: X0Y32 /
+      Seq("42P07", "42P06", "X0Y32", "X0Y68", "42S01") // X0Y68; ANSI 42S01
+    def attempt(conn: java.sql.Connection, ddl: String): Unit = {
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl)
+      catch {
+        case e: java.sql.SQLException
+            if alreadyExists.contains(e.getSQLState) => ()
+      } finally st.close()
+    }
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      schemaName.foreach(s => attempt(conn, s"CREATE SCHEMA $s"))
+      val cols = rowSchema.fields
+        .map(f => s"${quoteIdent(f.name)} ${sqlType(f.dataType)}")
+        .mkString(", ")
+      val qualified = schemaName.map(s => s"$s.$table").getOrElse(table)
+      attempt(conn, s"CREATE TABLE $qualified ($cols)")
+    } finally conn.close()
   }
 
   /** Double-quoted SQL identifier with embedded quotes doubled — the

@@ -619,6 +619,37 @@ class ExtSpec extends AnyFunSuite {
     assert(kept2 <= kept && kept2 > 0)
   }
 
+  test("pipeline -semdedup never drops content whose semantic rep was " +
+    "gate-filtered") {
+    import graft.ext.PipelineMain
+    // doc 1 fails the quality gate (symbol noise); doc 2 passes; their
+    // embeddings are identical, so a corpus-wide semantic dedup would
+    // flag 2 as a duplicate of the ghost 1 and export NOTHING of this
+    // content — dedup must run among gate survivors only
+    val raw = Seq(
+      (1L, "!!! ### $$$ %%% ^^^ &&&", "srcA"),
+      (2L, "perfectly reasonable wholesome training text right here okay",
+        "srcA"),
+      (3L, "another quite distinct good document with different words",
+        "srcB")
+    ).toDF("doc_id", "text", "source")
+    val v = (0 until 8).map(_ * 0.1f)
+    val em = Seq(
+      (1L, v, "lab"), (2L, v, "lab"),
+      (3L, (0 until 8).map(d => if (d == 7) 1.0f else 0.0f), "lab")
+    ).toDF("vec_id", "embedding", "label")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe3")
+      .toString
+    val (kept, total) = PipelineMain.runFrames(spark, raw, em, out,
+      scrubText = false, semDedup = true)
+    assert(total == 3)
+    val ids = spark.read.parquet(s"$out/shards")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L, 3L),
+      s"doc 2 must survive (its semantic twin was gate-dropped): $ids")
+    assert(kept == 2)
+  }
+
   test("count-min sketch brackets the exact bigram counts (x36 lever)") {
     import graft.ext.{Sketches, TextAnalysis}
     val bg = docs.select(TextAnalysis.tokens(col("text")).as("ws"))

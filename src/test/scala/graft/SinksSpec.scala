@@ -154,6 +154,48 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "facts_copy", props).count() == 0)
   }
 
+  test("CopyFactSink bootstraps a fresh database: schema + table created " +
+    "before the first COPY") {
+    // the JDBC-append path auto-creates tables; the COPY path must match
+    // or a first run against an empty database dies mid-ingest
+    val url = "jdbc:derby:memory:graftCopyFresh;create=true"
+    val facts = Seq(("25017", 1, 10L, 4L, 6L), ("25021", 2, 3L, 2L, 1L))
+      .toDF("cs_fips", "age_id", "pop", "pop_male", "pop_female")
+    val sink = new CopyFactSink(url, Some("synth_ma"),
+      new java.util.Properties, CopyFactSink.jdbcCopyIn)
+    // nothing pre-created: truncate of the missing table must no-op,
+    // then the write must create schema + table and land the rows
+    sink.clearFactTables(Seq("pop_facts"))
+    sink.writeFacts("pop_facts", facts)
+    val got = spark.read.jdbc(url, "synth_ma.pop_facts",
+      new java.util.Properties)
+    assert(got.count() == 2)
+    assert(got.select("cs_fips").as[String].collect().toSet ==
+      Set("25017", "25021"))
+    // int narrowing happened in the created table too
+    assert(got.schema("pop").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // second write appends against the now-existing table (create is
+    // swallowed, not an error)
+    sink.writeFacts("pop_facts", facts)
+    assert(spark.read.jdbc(url, "synth_ma.pop_facts",
+      new java.util.Properties).count() == 4)
+  }
+
+  test("COPY linesReader streams lazily — no eager drain of the iterator") {
+    var pulled = 0
+    val lines = Iterator.continually { pulled += 1; "x" * 10 }.take(1000)
+    val r = CopyFactSink.linesReader(lines)
+    val buf = new Array[Char](8)
+    assert(r.read(buf, 0, 8) == 8)
+    assert(pulled == 1, s"reader drained $pulled lines for an 8-char read")
+    // draining the rest yields every line + newline
+    var total = 8
+    var n = r.read(buf, 0, 8)
+    while (n != -1) { total += n; n = r.read(buf, 0, 8) }
+    assert(total == 1000 * 11 && pulled == 1000)
+  }
+
   test("COPY TEXT encoding round-trips nulls, tabs, newlines, backslashes") {
     import org.apache.spark.sql.Row
     val row = Row("plain", "tab\there", "nl\nthere", "back\\slash",
