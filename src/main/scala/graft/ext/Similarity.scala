@@ -348,8 +348,33 @@ object Similarity {
     * sum) followed by two IEEE double divisions and a float cast, each
     * bit-deterministic in both engines.
     */
+  /** Session-lifetime memo of trained centroid sets, keyed by the
+    * corpus's canonicalized plan hash + hyperparameters. Training is
+    * deterministic, so reuse is exact — the trained index is the same
+    * class of artifact as a broadcast dim, and consumers that share a
+    * corpus (x15's probe, x35's recall audit, PipelineMain's SemDeDup)
+    * should pay for it once per JVM, not once per query. Values are
+    * k×dim floats — bounded driver state.
+    */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), Seq[(Long, Seq[Float])]]()
+
+  private[graft] def trainCacheSize: Int = centroidCache.size()
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val key = (corpus.queryExecution.analyzed.semanticHash(),
+      nCentroids, iters)
+    centroidCache
+      .computeIfAbsent(key, _ => trainCentroidsUncached(corpus,
+        nCentroids, iters))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def trainCentroidsUncached(corpus: DataFrame, nCentroids: Int,
+      iters: Int): Seq[(Long, Seq[Float])] = {
     import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -385,7 +410,7 @@ object Similarity {
         .select(col("cell"), col("cent_e"))
         .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
     }
-    cent.toDF("vec_id", "embedding")
+    cent
   }
 
   /** Product-quantization top-k (the FAISS-style IVF-PQ scale path,

@@ -211,6 +211,25 @@ class ExtSpec extends AnyFunSuite {
       s"trained recall $trained should beat first-N $firstN")
   }
 
+  test("trained centroids are session-cached: identical inputs reuse, " +
+    "different params don't collide") {
+    val before = Similarity.trainCacheSize
+    val a = Similarity.trainCentroids(emb, nCentroids = 7, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val afterFirst = Similarity.trainCacheSize
+    val b = Similarity.trainCentroids(emb, nCentroids = 7, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(Similarity.trainCacheSize == afterFirst,
+      "identical (corpus, params) must hit the cache, not retrain")
+    assert(afterFirst > before, "first call must populate the cache")
+    val c = Similarity.trainCentroids(emb, nCentroids = 6, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(Similarity.trainCacheSize > afterFirst,
+      "different params are a different index")
+    assert(c != a)
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)
