@@ -167,6 +167,44 @@ object Multimodal {
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
 
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  /** Real decode: JPEG — walk the marker segments from SOI (FFD8) to the
+    * first frame header (SOF0–SOF15, excluding the DHT/JPG/DAC table
+    * markers FFC4/FFC8/FFCC), whose payload carries height then width as
+    * big-endian uint16s after the 1-byte sample precision. Standalone
+    * markers (TEM, RSTn) and FF fill bytes are skipped per the spec;
+    * hitting SOS/EOI before any SOF, losing marker sync, or a truncated
+    * segment falls through to the stub.
+    */
+  private def decodeJpeg(id: Long, b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return None
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return None // lost marker sync
+      val m = b(i + 1) & 0xFF
+      if (m == 0xFF) i += 1 // fill byte before the marker
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2 // standalone
+      else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before SOF
+      else {
+        if (i + 3 >= b.length) return None
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (len < 7) return None
+          val h = be16(b, i + 5)
+          val w = be16(b, i + 7)
+          return if (w > 0 && h > 0) Some(MediaMeta(id, b.length, w, h, 1))
+          else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** Real decode: PNG — the 8-byte signature followed by the IHDR chunk
     * (big-endian width/height at fixed offsets 16/20; IHDR is required
     * first by the spec). No codec needed for container metadata.
@@ -182,7 +220,7 @@ object Multimodal {
   }
 
   /** STUB decode for payloads matching none of the real header parsers
-    * (BMP/WAV/PNG): derives
+    * (BMP/WAV/PNG/JPEG/AVI): derives
     * fake-but-deterministic media properties from an md5 of the payload.
     * A real build swaps this arm for a codec call; nothing upstream or
     * downstream changes.
@@ -200,8 +238,8 @@ object Multimodal {
       n_frames = (1 + hv % 16).toInt)
   }
 
-  /** Partition-batch decoder: real BMP/WAV/PNG/AVI header parse when the
-    * magic matches, deterministic stub otherwise.
+  /** Partition-batch decoder: real BMP/WAV/PNG/JPEG/AVI header parse
+    * when the magic matches, deterministic stub otherwise.
     */
   def decodeBatch(payloads: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
     val md = MessageDigest.getInstance("MD5") // one instance per partition batch
@@ -209,6 +247,7 @@ object Multimodal {
       decodeBmp(id, bytes)
         .orElse(decodeWav(id, bytes))
         .orElse(decodePng(id, bytes))
+        .orElse(decodeJpeg(id, bytes))
         .orElse(decodeAvi(id, bytes))
         .getOrElse(decodeStub(md, id, bytes))
     }

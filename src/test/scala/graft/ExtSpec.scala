@@ -385,6 +385,43 @@ class ExtSpec extends AnyFunSuite {
     assert(viaSpark == metas)
   }
 
+  test("multimodal decoder parses real JPEG SOF dimensions from bytes") {
+    def putBe16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >> 8) & 0xFF).toByte; b(off + 1) = (v & 0xFF).toByte
+    }
+    // SOI, APP0 (JFIF), DHT (must be skipped — FFC4 is in the SOF range
+    // numerically), SOF0 with 640x480, EOI
+    def seg(marker: Int, payload: Int): Int = 2 + 2 + payload
+    val jpg = new Array[Byte](2 + seg(0xE0, 14) + seg(0xC4, 3) +
+      seg(0xC0, 15) + 2)
+    var o = 0
+    def marker(m: Int, payloadLen: Int): Int = {
+      jpg(o) = 0xFF.toByte; jpg(o + 1) = m.toByte
+      putBe16(jpg, o + 2, 2 + payloadLen)
+      val data = o + 4; o += 4 + payloadLen; data
+    }
+    jpg(0) = 0xFF.toByte; jpg(1) = 0xD8.toByte; o = 2
+    val app0 = marker(0xE0, 14)
+    "JFIF".getBytes.copyToArray(jpg, app0)
+    marker(0xC4, 3) // DHT: would be misread as SOF if not excluded
+    val sof = marker(0xC0, 15)
+    jpg(sof) = 8 // precision
+    putBe16(jpg, sof + 1, 480) // height
+    putBe16(jpg, sof + 3, 640) // width
+    jpg(o) = 0xFF.toByte; jpg(o + 1) = 0xD9.toByte
+    val meta = Multimodal.decodeBatch(Iterator((42L, jpg))).next()
+    assert(meta.width == 640 && meta.height == 480 && meta.n_frames == 1)
+    // truncated mid-segment → stub (dimensions are the stub's 32-grid)
+    val cut = jpg.take(10)
+    val stub = Multimodal.decodeBatch(Iterator((43L, cut))).next()
+    assert(stub.width % 32 == 0 && stub.height % 32 == 0)
+    // SOS before any SOF → stub, no infinite walk
+    val sos = Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x02)
+      .map(_.toByte)
+    val stub2 = Multimodal.decodeBatch(Iterator((44L, sos))).next()
+    assert(stub2.width % 32 == 0)
+  }
+
   test("multimodal metadata is deterministic and schema-typed") {
     val a = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
     val b = Multimodal.extractMeta(spark, docs).collect().sortBy(_.doc_id)
