@@ -25,6 +25,11 @@ object Bench {
       graft.engine.Tables.load(spark, sfDir, "lineitem").count()
       val d = graft.engine.Tables.load(spark, sfDir, "documents").limit(64)
       graft.ext.Dedup.jaccardPairsIndexHashed(d, 3, 0.5).count()
+      // x37's lineage shares no generated classes with the index path
+      // (ObjectHashAggregate collect_set + the interpreted pair-expansion
+      // HOFs) — measured ~1.3 s of one-time JIT landing on the recorded
+      // x37 row without this 64-doc pass
+      graft.ext.Dedup.sourceOverlap(d, 3).count()
     } catch { case _: Throwable => () }
     // optional comma-separated query-name filter for targeted re-measures
     // under the one-JVM-at-a-time protocol (BASELINE.md). Unknown names

@@ -70,6 +70,19 @@ object Dedup {
     * planned the corpus-scale distinct TWICE (Spark does not reuse the
     * subplan across self-join branches before AQE kicks in) and pushed
     * it through a join; this computes it once and joins nothing.
+    *
+    * The one corpus-scale shuffle is keyed on the shingle's 16-byte md5
+    * fingerprint, not the raw n-gram string — the [[jaccardPairsIndexHashed]]
+    * lesson applied to the aggregate: at sf0.1 the map-side partial sets
+    * hide the difference, but at 100 TB most shingles are partition-unique
+    * and the exchange carries nearly every occurrence, so fixed-width
+    * 16-byte keys (vs ~25-byte-and-unbounded strings) cut the wire volume
+    * and compare as two longs. Unlike the candidate paths there is no
+    * exact-verify stage to absorb collisions, so the fingerprint IS the
+    * contract: n_shared counts distinct shared *fingerprints*, documented
+    * as such, with 128 bits keeping the expected collision count ~1e-13
+    * even at 10^13 distinct shingles (birthday bound) — and md5 (not
+    * xxhash64) so the DuckDB oracle replicates the key bit-exactly.
     */
   def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
     val srcsPerShingle = docs
@@ -77,16 +90,21 @@ object Dedup {
       // token-count filter, not size(sg) — see [[shingled]]
       .filter(size(col("ws")) >= n)
       .select(col("source"), explode(shinglesFromTokens(col("ws"), n)).as("sg"))
-      .groupBy(col("sg"))
-      .agg(array_sort(collect_set(col("source"))).as("srcs"))
-    // all ordered pairs (srcs[i], srcs[j]) with i < j: sorted input makes
-    // sa < sb by construction, matching the join formulation's output
-    val pairs = flatten(transform(col("srcs"), (sa, i) =>
-      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
-        sb => struct(sa.as("sa"), sb.as("sb")))))
+      .groupBy(unhex(md5(col("sg"))).as("h"))
+      .agg(collect_set(col("source")).as("srcs"))
+    // ordered pairs via two chained explodes + sa < sb — NOT a nested
+    // transform/slice/flatten lambda chain: higher-order functions are
+    // interpreted (no codegen, per-element closure dispatch and array
+    // copies per prefix slice), measured 0.7-1.3 s over just 27 k
+    // aggregated rows at sf0.1 where the explode form runs in the same
+    // codegen stage as the aggregate read-out. Fan-out is |srcs|² per
+    // shingle before the filter — bounded by the dim-class source column,
+    // so the extra rows are dim², not corpus-scale.
     srcsPerShingle
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .select(explode(col("srcs")).as("sa"), col("srcs"))
+      .select(col("sa"), explode(col("srcs")).as("sb"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
       .agg(count(lit(1)).as("n_shared"))
   }
 

@@ -1146,15 +1146,18 @@ object ExtQueries {
                 FROM t WHERE len(ws) >= 2)
          SELECT bg, count(*) AS n FROM bg
          GROUP BY bg ORDER BY n DESC, bg LIMIT 20""",
+    // the engine's shuffle key is the shingle's 16-byte md5 fingerprint
+    // (Dedup.sourceOverlap), so the oracle dedups and joins on the same
+    // unhex(md5(...)) key — the fingerprint is the documented contract
     "x37_source_overlap" ->
       """WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
                     FROM documents),
          ssg AS (SELECT DISTINCT source,
-                   unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
-                           for i in generate_series(1, len(ws)-2)])) AS sg
+                   unhex(md5(unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                           for i in generate_series(1, len(ws)-2)])))) AS h
                  FROM t WHERE len(ws) >= 3)
          SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
-         FROM ssg a JOIN ssg b ON a.sg = b.sg AND a.source < b.source
+         FROM ssg a JOIN ssg b ON a.h = b.h AND a.source < b.source
          GROUP BY 1, 2 ORDER BY sa, sb""",
     "x38_stratified_sample" ->
       """SELECT doc_id, source, rn FROM (
