@@ -84,6 +84,18 @@ object FhirMain {
     (resources, facts)
   }
 
+  /** S6/S7 store selection: with `-mongo` the rawstat materialized view
+    * round-trips through the Mongo `rawstat` collection like the
+    * reference (bundle.go:122-124 write, db.go:129-130 read); otherwise
+    * it lives as a parquet table under `-out`.
+    */
+  def rawstatStoreFor(opts: Map[String, String], out: String): RawstatStore =
+    opts.get("-mongo") match {
+      case Some(uri) =>
+        new MongoRawstatStore(uri, opts.getOrElse("-dbname", "fhir"))
+      case None => new ParquetRawstatStore(out)
+    }
+
   def main(args: Array[String]): Unit = {
     val opts = parseFlags(args)
     val path = opts.getOrElse("-path",
@@ -99,7 +111,8 @@ object FhirMain {
     try run(spark, path, out, opts.get("-cousub"), opts.get("-disease"),
       asOf, reset = opts.contains("-reset"),
       debug = opts.contains("-debug"),
-      resourceSink = Some(resourceSink), factSink = Some(factSink))
+      resourceSink = Some(resourceSink), factSink = Some(factSink),
+      rawstatStore = Some(rawstatStoreFor(opts, out)))
     finally spark.stop()
   }
 
@@ -107,7 +120,8 @@ object FhirMain {
       cousubPath: Option[String], diseasePath: Option[String],
       asOf: String, reset: Boolean = true, debug: Boolean = false,
       resourceSink: Option[ResourceSink] = None,
-      factSink: Option[FactSink] = None): Unit = {
+      factSink: Option[FactSink] = None,
+      rawstatStore: Option[RawstatStore] = None): Unit = {
     import spark.implicits._
 
     val parquet = new ParquetSink(out)
@@ -158,10 +172,17 @@ object FhirMain {
 
     val rawstat = RawStats.build(
       bundles, cousubDim, diseaseDim, lit(asOf).cast("date"))
-    rawstat.write.mode("overwrite").parquet(s"$out/rawstat")
+    // S6 → S7: rawstat persists through the configured store and the
+    // rollups read it BACK from storage (never the live lineage) — the
+    // reference's action boundary between ingest and stats
+    // (main.go:118-125): the three rollup jobs must not re-run the
+    // bundle-scan plan, and a crash between here and the facts leaves a
+    // queryable rawstat behind.
+    val store = rawstatStore.getOrElse(new ParquetRawstatStore(out))
+    store.write(rawstat)
     println(f"$nBundles FHIR bundles read in ${(System.nanoTime() - t0) / 1e9}%f seconds")
 
-    val rawstatBack = spark.read.parquet(s"$out/rawstat")
+    val rawstatBack = store.read(spark)
     def job(name: String, df: DataFrame): Unit = {
       val t = System.nanoTime()
       fSink.writeFacts(name, df)

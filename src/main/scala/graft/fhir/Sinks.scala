@@ -34,6 +34,74 @@ trait FactSink {
   def clearFactTables(tables: Seq[String]): Unit
 }
 
+/** S6/S7 — the rawstat materialized view's storage seam: where the
+  * per-patient pre-aggregate persists between ingest and the three fact
+  * rollups. The reference stores it as a Mongo collection (bundle.go:
+  * 122-124) and executes the rollups against that collection server-side
+  * (db.go:129-130, 225-226, 320-321); the engine's rollups are Spark
+  * plans, so "source" here means the table read feeding [[FactJobs]] —
+  * the plans themselves are storage-agnostic.
+  */
+trait RawstatStore {
+  /** S6: persist the rawstat table produced by [[RawStats.build]]. */
+  def write(rawstat: DataFrame): Unit
+
+  /** S7: read the persisted rawstat back as the rollup input. */
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame
+}
+
+/** Default store: a parquet table in the warehouse dir (the engine's
+  * local materialized-view shape).
+  */
+class ParquetRawstatStore(warehouseDir: String) extends RawstatStore {
+  def write(rawstat: DataFrame): Unit =
+    rawstat.write.mode("overwrite").parquet(s"$warehouseDir/rawstat")
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(s"$warehouseDir/rawstat")
+}
+
+/** S6+S7 in their reference form: rawstat lives in a Mongo collection.
+  * The read supplies the explicit [[Schemas.RawStat]] schema, which both
+  * skips the connector's sampling pass and gives DataSource V2 a fixed
+  * relation to prune against — the rollups' column selections and
+  * filters reach the server as `$project`/`$match` through the
+  * connector's pushdown (SURVEY §2.1 S7), so a 3-column rollup never
+  * ships whole documents. Like [[MongoResourceSink]], the connector
+  * calls sit behind protected seams: the wiring is runtime-tested by
+  * substituting them (SinksSpec / FhirPipelineSpec), the real connector
+  * path needs the MongoDB Spark connector jar on the classpath.
+  */
+class MongoRawstatStore(uri: String, database: String,
+    collection: String = "rawstat") extends RawstatStore {
+
+  def write(rawstat: DataFrame): Unit = writeSeam(rawstat)
+
+  def read(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    readSeam(spark)
+
+  /** rawstat is a per-run materialized view: overwrite, not append —
+    * re-running ingest replaces the summary (the reference reaches the
+    * same end state by dropping collections under `-reset` and
+    * re-inserting every bundle, db.go:63-75 + bundle.go:122-124).
+    */
+  protected def writeSeam(rawstat: DataFrame): Unit =
+    rawstat.write.format("mongodb")
+      .mode("overwrite")
+      .option("connection.uri", uri)
+      .option("database", database)
+      .option("collection", collection)
+      .option("ordered", "false")
+      .save()
+
+  protected def readSeam(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.format("mongodb")
+      .option("connection.uri", uri)
+      .option("database", database)
+      .option("collection", collection)
+      .schema(org.apache.spark.sql.Encoders.product[Schemas.RawStat].schema)
+      .load()
+}
+
 /** Columnar warehouse implementation — collections become partition
   * directories, facts become parquet tables. Used by tests and FhirMain.
   */

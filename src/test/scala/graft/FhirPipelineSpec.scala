@@ -181,4 +181,59 @@ class FhirPipelineSpec extends AnyFunSuite {
     assert(back.count() == 23)
     assert(back.select("collection").distinct().count() == 10)
   }
+
+  test("S6/S7: the three rollups through the Mongo rawstat store seam " +
+      "produce facts identical to the parquet path") {
+    import java.nio.file.{Files, Paths}
+    import graft.fhir.{FhirMain, MongoRawstatStore}
+    val outParquet = Files.createTempDirectory("graft-rs-pq").toString
+    val outMongo = Files.createTempDirectory("graft-rs-mg").toString
+    // connector seams replaced by a parquet round-trip in the store's OWN
+    // location — proving run() persists and re-reads rawstat through the
+    // store, not through the warehouse path
+    val storeDir = Files.createTempDirectory("graft-rs-store").toString
+    var seamWrites = 0
+    var seamReads = 0
+    val fake = new MongoRawstatStore("mongodb://unused", "fhir") {
+      override protected def writeSeam(rawstat: DataFrame): Unit = {
+        seamWrites += 1
+        rawstat.write.mode("overwrite").parquet(s"$storeDir/rawstat_coll")
+      }
+      override protected def readSeam(
+          spark: org.apache.spark.sql.SparkSession): DataFrame = {
+        seamReads += 1
+        spark.read.parquet(s"$storeDir/rawstat_coll")
+      }
+    }
+    FhirMain.run(spark, bundlesPath, outParquet, None, None, "2020-01-01")
+    FhirMain.run(spark, bundlesPath, outMongo, None, None, "2020-01-01",
+      rawstatStore = Some(fake))
+    assert(seamWrites == 1 && seamReads == 1)
+    // the Mongo-store run wrote no warehouse rawstat: the collection is
+    // the system of record (reference bundle.go:122-124)
+    assert(!Files.exists(Paths.get(outMongo, "rawstat")))
+    for (t <- Seq("synth_pop_facts", "synth_disease_facts",
+        "synth_condition_facts")) {
+      val a = spark.read.parquet(s"$outParquet/$t")
+        .collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$outMongo/$t")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"fact table $t differs across rawstat stores")
+    }
+  }
+
+  test("S7: the Mongo read schema matches the rawstat the pipeline builds") {
+    // the explicit schema handed to the connector (skips sampling, anchors
+    // $project pushdown) must track RawStats.build's output — a drift here
+    // would surface as silently-null columns on a real cluster
+    val enc = org.apache.spark.sql.Encoders.product[
+      graft.fhir.Schemas.RawStat].schema
+    // nullability is normalized away: the encoder marks primitive case-
+    // class fields NOT NULL where the relational plan can't, and a
+    // nullable read schema is always the safe direction for storage
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f =>
+        (f.name, f.dataType.sql.replace(" NOT NULL", "")))
+    assert(shape(enc) == shape(rawstat.schema))
+  }
 }

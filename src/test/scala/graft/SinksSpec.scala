@@ -316,6 +316,30 @@ class SinksSpec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("MongoRawstatStore real connector round-trip (runtime-classpath path)") {
+    val connectorPresent =
+      try {
+        Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider")
+        true
+      } catch { case _: ClassNotFoundException => false }
+    assume(connectorPresent,
+      "MongoDB Spark connector not on the runtime classpath")
+    val uri = sys.env.get("GRAFT_MONGO_URI")
+    assume(uri.isDefined, "GRAFT_MONGO_URI not set")
+    import graft.fhir.Schemas.{ConditionCode, Location, RawStat}
+    val store = new graft.fhir.MongoRawstatStore(uri.get, "graft_test")
+    store.write(Seq(
+      RawStat("p1", Location("25001", "2500100001", "Springfield", "01101"),
+        "female", 1, 34, Some(false),
+        Seq(ConditionCode("sct", "44054006", 1, 10)), Seq(1), Seq(10)),
+      RawStat("p2", Location("", "", "Nowhere", "00000"),
+        "male", 1, 65, None, Seq.empty, Seq.empty, Seq.empty)).toDF())
+    val back = store.read(spark)
+    assert(back.count() == 2)
+    assert(back.select("patientid").as[String].collect().toSet ==
+      Set("p1", "p2"))
+  }
+
   test("T5: legacy cid: references resolve behind the flag") {
     val df = Seq(("cid:p9", "urn:uuid:p9"), ("cid:nope", "urn:uuid:p9"))
       .toDF("ref", "key")
