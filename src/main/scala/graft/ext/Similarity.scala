@@ -272,14 +272,25 @@ object Similarity {
   def topKIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 8, nprobe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(corpus.filter(col("vec_id") < nCentroids))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_e"),
-        norm(col("embedding")).as("cent_n"))
-    // cell assignment is an aggregation (max_by / bounded top-k), not a
-    // window rank: partial aggregation collapses the vectors×centroids
-    // product map-side instead of sorting it through a shuffle. max_by on
-    // a (cos, -id) struct = deterministic argmax, lowest id on cos ties.
-    val c = corpus
+    val cent = centroidRelation(
+      centroids.getOrElse(corpus.filter(col("vec_id") < nCentroids)))
+    val c = assignCells(corpus, cent)
+    val q = probeCells(queries, cent, nprobe)
+    rankProbed(c, q, k)
+  }
+
+  /** (cent_id, cent_e, cent_n) view of a centroid relation. */
+  private def centroidRelation(centroids: DataFrame): DataFrame =
+    centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_e"), norm(col("embedding")).as("cent_n"))
+
+  /** Cell assignment as an aggregation (max_by / bounded top-k), not a
+    * window rank: partial aggregation collapses the vectors×centroids
+    * product map-side instead of sorting it through a shuffle. max_by on
+    * a (cos, -id) struct = deterministic argmax, lowest id on cos ties.
+    */
+  private def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         norm(col("embedding")).as("cn"))
       .join(broadcast(cent))
@@ -289,8 +300,14 @@ object Similarity {
       .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
         max_by(col("cent_id"),
           struct(col("cent_cos"), (-col("cent_id")).as("nid"))).as("cell"))
+
+  /** Per-query probed cells: each query exploded to its `nprobe` nearest
+    * centroid ids, carrying its embedding and norm for the scoring join.
+    */
+  private def probeCells(queries: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeAgg = udaf(new graft.functions.TopKAgg(nprobe))
-    val q = queries
+    queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
       .join(broadcast(cent))
@@ -303,6 +320,13 @@ object Similarity {
         explode(col("cells")).as("cellStruct"))
       .withColumn("cell", col("cellStruct._2"))
       .drop("cellStruct")
+  }
+
+  /** Score assigned corpus rows against probing queries on the shared
+    * cell key and rank per query — [[topKIvf]]'s tail, shared with the
+    * persisted-index probe.
+    */
+  private def rankProbed(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -314,6 +338,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
+  }
+
+  /** IVF index *at rest*: the corpus written ONCE, partitioned on its
+    * trained cell id, with the trained centroids alongside as an
+    * underscore-named sidecar table (which parquet directory reads skip).
+    * This is what makes [[topKIvf]]'s design real at 100 TB: in-query
+    * assignment re-scores the whole corpus per query batch, while the
+    * persisted form pays assignment once at write time and every probe
+    * afterwards reads only `nprobe` `cell=` partition directories —
+    * partition pruning in the scan itself, asserted by PlanSpec.
+    *
+    * Write shape: one corpus pass (broadcast centroid argmax, no
+    * shuffle) into a partitioned write; re-cluster cadence is an offline
+    * rebuild, the standard IVF maintenance trade.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
+      iters: Int = 3): Unit = {
+    val trained = trainCentroids(corpus, nCentroids, iters)
+    assignCells(corpus, centroidRelation(trained))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    trained.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Probe a [[writeIvfIndex]] table. The probed cell ids are collected
+    * to literals — nprobe × |query batch| longs, the same bounded driver
+    * state as the centroid collect — so the `cell IN (...)` filter is
+    * static at planning time and the scan touches only the probed
+    * partition directories. Output is identical to [[topKIvf]] with the
+    * same trained centroids (ExtSpec asserts row equality).
+    */
+  def topKIvfIndexed(indexPath: String, queries: DataFrame, k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cent = centroidRelation(spark.read.parquet(s"$indexPath/_centroids"))
+    // checkpointed: evaluated once for the cell-id collect and once as
+    // the scoring join's broadcast side
+    val q = probeCells(queries, cent, nprobe).localCheckpoint()
+    val cells = q.select(col("cell")).distinct().as[Long].collect().sorted
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cid"), col("ce"), col("cn"),
+        col("cell").cast("long").as("cell"))
+    rankProbed(idx, q, k)
   }
 
   /** Distributed Lloyd k-means refinement for IVF centroids. Init is the

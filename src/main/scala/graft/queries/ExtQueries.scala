@@ -536,6 +536,21 @@ object ExtQueries {
             (col("total") / col("n_sources")) / col("n_tokens")), 6)
             .as("keep_frac"))
         .orderBy(col("source"))
+    }),
+
+    // IVF index AT REST: corpus written once partitioned by trained cell
+    // id, probes prune to the nprobe probed `cell=` directories
+    // (Similarity.writeIvfIndex / topKIvfIndexed; PlanSpec asserts the
+    // PartitionFilters). Same trained centroids and probe params as x15,
+    // so the output — and the oracle — are identical; only the plan
+    // differs, which is the entire point of an index.
+    "x44_ann_topk_ivf_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_index_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.writeIvfIndex(e, path, nCentroids = 8)
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -684,6 +699,41 @@ object ExtQueries {
          GROUP BY 1, 2) t
        WHERE n_shared >= $minShared ORDER BY da, db"""
   }
+
+  /** The trained-IVF probe in DuckDB, shared verbatim by x15 (in-query
+    * assignment) and x44 (persisted index): the two engine paths differ
+    * only in WHERE the cell assignment lives (per-query plan vs `cell=`
+    * partition directories), never in what they return.
+    */
+  private val ivfProbeOracleSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked WHERE rn = 1),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked
+                    WHERE rn <= 2 AND vid < 10),
+         scored AS (SELECT DISTINCT p.qid, ca.cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6) AS cos
+                    FROM probes p
+                    JOIN cells ca ON p.cell = ca.cell AND ca.cid != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.cid)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid) AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank"""
 
   /** The x32 export lineage in DuckDB, shared by x32 (ordered per-doc)
     * and x33 (shard aggregation). No trailing ORDER BY so it can nest.
@@ -1026,35 +1076,8 @@ object ExtQueries {
                                           ORDER BY cos DESC, cid) AS INTEGER) AS rank
            FROM scored) t
          WHERE rank <= 10 ORDER BY qid, rank""",
-    "x15_ann_topk_ivf" ->
-      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
-         cc AS (SELECT x.vec_id AS vid, c.cent_id,
-                       round(list_dot_product(x.e, c.ce) /
-                             (sqrt(list_dot_product(x.e, x.e)) *
-                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
-                FROM e x CROSS JOIN cent c),
-         ranked AS (SELECT vid, cent_id,
-                           row_number() OVER (PARTITION BY vid
-                                              ORDER BY ccos DESC, cent_id) AS rn
-                    FROM cc),
-         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked WHERE rn = 1),
-         probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked
-                    WHERE rn <= 2 AND vid < 10),
-         scored AS (SELECT DISTINCT p.qid, ca.cid,
-                           round(list_dot_product(eq.e, ec.e) /
-                                 (sqrt(list_dot_product(eq.e, eq.e)) *
-                                  sqrt(list_dot_product(ec.e, ec.e))), 6) AS cos
-                    FROM probes p
-                    JOIN cells ca ON p.cell = ca.cell AND ca.cid != p.qid
-                    JOIN e eq ON eq.vec_id = p.qid
-                    JOIN e ec ON ec.vec_id = ca.cid)
-         SELECT qid, rank, cid, cos FROM (
-           SELECT qid, cid, cos,
-                  CAST(row_number() OVER (PARTITION BY qid
-                                          ORDER BY cos DESC, cid) AS INTEGER) AS rank
-           FROM scored) t
-         WHERE rank <= 10 ORDER BY qid, rank"""),
+    "x15_ann_topk_ivf" -> ivfProbeOracleSql,
+    "x44_ann_topk_ivf_indexed" -> ivfProbeOracleSql,
     "x35_ann_recall" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ${kmeansCte(nCent = 8, iters = 3, dim = 64)},

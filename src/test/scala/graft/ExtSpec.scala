@@ -230,6 +230,48 @@ class ExtSpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("persisted IVF index probe equals the in-query IVF path and " +
+      "prunes to the probed cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+      .toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 8)
+    val queries = emb.filter($"vec_id" < 10)
+    val indexed = Similarity.topKIvfIndexed(dir, queries, 10)
+    val inQuery = Similarity.topKIvf(emb, queries, 10,
+      centroids = Some(Similarity.trainCentroids(emb, 8)))
+    assert(indexed.as[(Long, Int, Long, Double)].collect().toSet ==
+      inQuery.as[(Long, Int, Long, Double)].collect().toSet)
+    // a small probe batch must select ONLY its probed cell= directories —
+    // a strict subset of what the index holds (the point of the at-rest
+    // layout). AQE wraps scans in adaptive/query-stage nodes, so walk.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val allCells = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(allCells.size > 2, s"fixture should train >2 cells: $allCells")
+    val narrow = Similarity.topKIvfIndexed(
+      dir, emb.filter($"vec_id" === 0), 10)
+    narrow.collect() // finalize the adaptive plan
+    val indexScans = scans(narrow.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "cell"))
+    assert(indexScans.nonEmpty, "probe should scan the partitioned index")
+    indexScans.foreach { scan =>
+      assert(scan.partitionFilters.nonEmpty,
+        "probe scan carries no partition filter: full index scan")
+      val selected = scan.selectedPartitions.partitionCount
+      assert(selected <= 2 && selected < allCells.size,
+        s"scan selected $selected of ${allCells.size} cells — no pruning " +
+          "(nprobe=2 with one query must touch at most 2)")
+    }
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)
