@@ -425,20 +425,69 @@ object Similarity {
     * k×dim floats — bounded driver state.
     */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Int), Seq[(Long, Seq[Float])]]()
+    (Int, Int, Int, Int), Seq[(Long, Seq[Float])]]()
 
   private[graft] def trainCacheSize: Int = centroidCache.size()
+
+  /** Driver-side fingerprint of the corpus's underlying DATA, folded into
+    * the cache key beside the plan hash: the plan hash of a file-based
+    * relation reduces to its input path, so a long-lived session that
+    * rewrites files under the same path (notebook, regenerated pipeline
+    * output) would otherwise silently reuse centroids trained on the old
+    * bytes. Hashes every leaf file's (path, length, mtime) from the
+    * relation's file index — a metadata walk of the already-cached
+    * listing, no Spark job — plus a marker per non-file leaf (whose data,
+    * e.g. a LocalRelation's rows, the plan hash already covers).
+    */
+  private[graft] def corpusFingerprint(corpus: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val entries: Seq[(String, Long, Long)] =
+      corpus.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            h.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => (f.getPath.toString, f.getLen,
+                f.getModificationTime))
+          case other => Seq((other.getClass.getName, 0L, 0L))
+        }
+      }.flatten.sortBy(_._1)
+    scala.util.hashing.MurmurHash3.seqHash(entries)
+  }
+
+  /** Invalidation hook for callers that mutate inputs out-of-band in ways
+    * the (plan, file-metadata) key cannot see — e.g. an object store that
+    * preserves mtimes on restore.
+    */
+  def invalidateTrainedCentroids(): Unit = centroidCache.clear()
+
+  private[graft] def trainCacheKey(corpus: DataFrame, nCentroids: Int,
+      iters: Int): (Int, Int, Int, Int) =
+    (corpus.queryExecution.analyzed.semanticHash(),
+      corpusFingerprint(corpus), nCentroids, iters)
+
+  private[graft] def trainCacheContains(corpus: DataFrame, nCentroids: Int,
+      iters: Int): Boolean =
+    centroidCache.containsKey(trainCacheKey(corpus, nCentroids, iters))
 
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val key = (corpus.queryExecution.analyzed.semanticHash(),
-      nCentroids, iters)
-    centroidCache
-      .computeIfAbsent(key, _ => trainCentroidsUncached(corpus,
-        nCentroids, iters))
-      .toDF("vec_id", "embedding")
+    val key = trainCacheKey(corpus, nCentroids, iters)
+    // NOT computeIfAbsent: training runs multi-job Spark work, and doing
+    // that inside the map's bin lock would block an unrelated key hashing
+    // to the same bin for the whole run. Training is deterministic, so
+    // the putIfAbsent race is harmless — a rare duplicate run, same value.
+    val cached = centroidCache.get(key)
+    val cent =
+      if (cached != null) cached
+      else {
+        val trained = trainCentroidsUncached(corpus, nCentroids, iters)
+        val prior = centroidCache.putIfAbsent(key, trained)
+        if (prior != null) prior else trained
+      }
+    cent.toDF("vec_id", "embedding")
   }
 
   private def trainCentroidsUncached(corpus: DataFrame, nCentroids: Int,

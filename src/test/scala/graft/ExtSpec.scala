@@ -213,21 +213,54 @@ class ExtSpec extends AnyFunSuite {
 
   test("trained centroids are session-cached: identical inputs reuse, " +
     "different params don't collide") {
-    val before = Similarity.trainCacheSize
-    val a = Similarity.trainCentroids(emb, nCentroids = 7, iters = 2)
+    // fixture data unique to this test (no other suite trains on these
+    // values), and assertions are per-KEY presence + result identity —
+    // global cache-size deltas were order/concurrency-dependent
+    val fix = Seq(
+      (0L, Seq(0.731f, 0.114f)), (1L, Seq(0.249f, 0.867f)),
+      (2L, Seq(0.555f, 0.391f)), (3L, Seq(0.102f, 0.944f)),
+      (4L, Seq(0.803f, 0.622f))).toDF("vec_id", "embedding")
+    assert(!Similarity.trainCacheContains(fix, 3, 2),
+      "fixture key must start absent — is another test training on it?")
+    val a = Similarity.trainCentroids(fix, nCentroids = 3, iters = 2)
       .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
-    val afterFirst = Similarity.trainCacheSize
-    val b = Similarity.trainCentroids(emb, nCentroids = 7, iters = 2)
+    assert(Similarity.trainCacheContains(fix, 3, 2),
+      "first call must populate the key")
+    val b = Similarity.trainCentroids(fix, nCentroids = 3, iters = 2)
       .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
     assert(a == b)
-    assert(Similarity.trainCacheSize == afterFirst,
-      "identical (corpus, params) must hit the cache, not retrain")
-    assert(afterFirst > before, "first call must populate the cache")
-    val c = Similarity.trainCentroids(emb, nCentroids = 6, iters = 2)
-      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
-    assert(Similarity.trainCacheSize > afterFirst,
+    assert(Similarity.trainCacheKey(fix, 2, 2) !=
+      Similarity.trainCacheKey(fix, 3, 2),
       "different params are a different index")
+    val c = Similarity.trainCentroids(fix, nCentroids = 2, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
     assert(c != a)
+  }
+
+  test("rewriting a corpus's files under the same path invalidates the " +
+      "centroid cache key (data fingerprint)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cent-fp")
+      .toString
+    def writeCorpus(scale: Float): Unit = Seq(
+      (0L, Seq(1f * scale, 0f)), (1L, Seq(0f, 1f * scale)),
+      (2L, Seq(1f * scale, 1f)), (3L, Seq(0.2f, 0.9f * scale)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    writeCorpus(1.0f)
+    val v1 = spark.read.parquet(dir)
+    val k1 = Similarity.trainCacheKey(v1, 2, 1)
+    val a = Similarity.trainCentroids(v1, nCentroids = 2, iters = 1)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    writeCorpus(3.0f)
+    val v2 = spark.read.parquet(dir)
+    // the plan hash alone reduces to the path and would collide; the
+    // file-metadata fingerprint must separate the two corpus versions
+    assert(Similarity.trainCacheKey(v2, 2, 1) != k1,
+      "rewritten files under the same path must change the cache key")
+    assert(!Similarity.trainCacheContains(v2, 2, 1))
+    val b = Similarity.trainCentroids(v2, nCentroids = 2, iters = 1)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(a != b, "retraining on the rewritten corpus must see new data")
   }
 
   test("persisted IVF index probe equals the in-query IVF path and " +
