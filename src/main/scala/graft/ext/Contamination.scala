@@ -7,6 +7,8 @@ import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
+import graft.engine.Checkpoints.MaterializeOps
+
 /** Benchmark decontamination: which training documents share an n-gram
   * with the (bounded) evaluation set. The exact inverted-index join is
   * the declared x23 shape; [[bloomPrefiltered]] puts a Bloom sketch of
@@ -81,7 +83,7 @@ object Contamination {
       .select(col("doc_id").as("eval_id"), explode(col("sg")).as("sh"))
     val tr = sg.filter(!evalPred)
       .select(col("doc_id").as("train_id"), explode(col("sg")).as("sh"))
-    (if (materializeEval) ev.localCheckpoint() else ev, tr)
+    (if (materializeEval) ev.materialized else ev, tr)
   }
 
   /** Join the big exploded train side against the small eval side. With

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.engine.Checkpoints.MaterializeOps
 import graft.ext.TextAnalysis._
 
 /** Deduplication operators for LLM training-data pipelines: exact
@@ -133,7 +134,7 @@ object Dedup {
         explode(array_distinct(
           graft.functions.RollingWinnow.rolling_winnow(col("text"), k, w)))
           .as("fp"))
-      .localCheckpoint()
+      .materialized
     fps.select(col("fp"), col("doc_id").as("da"))
       .join(fps.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
       .filter(col("da") < col("db"))
@@ -209,7 +210,7 @@ object Dedup {
     */
   def jaccardPairsIndexHashed(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
-    val sg = shingled(docs, n).localCheckpoint()
+    val sg = shingled(docs, n).materialized
     val cand = indexCollisions(sg, threshold)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter_hat"),
@@ -371,12 +372,12 @@ object Dedup {
     // materialize the pair list ONCE before mirroring: the union's two
     // branches would otherwise each re-evaluate the (expensive)
     // pair-generation lineage — measured 2× the whole LSH pipeline
-    val p = pairs.select(col("da"), col("db")).localCheckpoint()
+    val p = pairs.select(col("da"), col("db")).materialized
     // mirrored edges, materialized so every iteration re-reads a flat
     // cached relation instead of re-running the union over p
     val edges = p.toDF("src", "dst")
       .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-      .localCheckpoint()
+      .materialized
     // propagate over edge-touched nodes ONLY: a node with no edge never
     // changes label, so singletons (the overwhelming majority of a real
     // corpus — near-dup graphs are sparse) stay out of every iteration's
@@ -386,12 +387,12 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("cluster"))
       .select(col("src").as("doc_id"), col("cluster"))
-      .localCheckpoint()
+      .materialized
     var done = labels.isEmpty
     var i = 0
     while (!done && i < maxIters) {
       val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
-      labels = ccStep(edges, labels, obs).localCheckpoint()
+      labels = ccStep(edges, labels, obs).materialized
       done = Option(obs.get("n_changed"))
         .forall(_.asInstanceOf[Long] == 0L)
       i += 1
@@ -447,7 +448,7 @@ object Dedup {
     // checkpointed: the banding side and BOTH exact-verify joins read
     // the shingle relation; un-materialized they would each re-tokenize
     // + re-shingle the corpus
-    val sg = shingled(docs, n).localCheckpoint()
+    val sg = shingled(docs, n).materialized
     val withBands = sg
       .withColumn("hv", shingleHashes(col("sg"))) // md5 once per shingle
       .withColumn("sig", minhashSignature(col("hv"), numHashes))

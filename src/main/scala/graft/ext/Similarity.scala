@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.engine.Checkpoints.MaterializeOps
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Brute-force cosine top-k is the correctness baseline; the scale path is
@@ -164,7 +166,7 @@ object Similarity {
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneSketch.hyperplane_sketch(
         col("embedding"), dim, nbits, tables)).as(Seq("t", "b")))
-      .localCheckpoint()
+      .materialized
     val candidates = banded.select(col("t"), col("b"), col("vec_id").as("va"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("vb")),
         Seq("t", "b"))
@@ -375,7 +377,7 @@ object Similarity {
     val cent = centroidRelation(spark.read.parquet(s"$indexPath/_centroids"))
     // checkpointed: evaluated once for the cell-id collect and once as
     // the scoring join's broadcast side
-    val q = probeCells(queries, cent, nprobe).localCheckpoint()
+    val q = probeCells(queries, cent, nprobe).materialized
     val cells = q.select(col("cell")).distinct().as[Long].collect().sorted
     val idx = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))

@@ -305,6 +305,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable checkpoint mode: LSH pairs and CC clusters identical " +
+      "to the local-checkpoint default") {
+    import graft.engine.Checkpoints
+    val localPairs = Dedup.jaccardPairsLsh(docs, 3, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val localCc = Dedup.dedupClusters(docs,
+      Dedup.jaccardPairsLsh(docs, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(Checkpoints.ModeKey, "reliable")
+    try {
+      val relPairs = Dedup.jaccardPairsLsh(docs, 3, 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      val relCc = Dedup.dedupClusters(docs,
+        Dedup.jaccardPairsLsh(docs, 3, 0.5))
+        .collect().map(_.toString).sorted.toSeq
+      assert(relPairs == localPairs)
+      assert(relCc == localCc)
+      // the mode actually wrote reliable checkpoints, not local blocks
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.isDefined && new java.io.File(
+        new java.net.URI(dir.get)).exists())
+    } finally spark.conf.unset(Checkpoints.ModeKey)
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)
