@@ -122,12 +122,25 @@ object Dedup {
     * keyed on the fingerprint (Σ freq² pair rows — k chars of gram
     * length is the selectivity knob that keeps hot fingerprints rare),
     * and a pair-count aggregate. The (doc_id, fp) relation is
-    * localCheckpoint'd so both join branches read 16-byte rows instead
+    * checkpointed so both join branches read 16-byte rows instead
     * of re-winnowing the corpus ([[jaccardPairsLsh]]'s pattern).
+    *
+    * `maxDf` is the skew hatch for corpus-wide boilerplate (a license
+    * header in every document is ONE fingerprint with freq = corpus
+    * size, and freq² of that is the end of the job): fingerprints whose
+    * document frequency exceeds the cap are dropped from the index
+    * before the self-join — the winnowing-literature move (ubiquitous
+    * grams carry no discriminative signal). A documented approximation:
+    * n_shared no longer counts the dropped boilerplate fingerprints, so
+    * pairs whose overlap is ONLY boilerplate disappear — which is
+    * exactly the pair population the operator exists to ignore. The
+    * default (None) stays exact and backs the declared query; SkewSpec
+    * proves the capped path collapses the hot fingerprint's freq² rows
+    * without touching true heavy-overlap pairs.
     */
   def substringOverlapPairs(docs: DataFrame, k: Int = 16, w: Int = 8,
-      minShared: Long = 10): DataFrame = {
-    val fps = docs
+      minShared: Long = 10, maxDf: Option[Long] = None): DataFrame = {
+    val all = docs
       // cheap pushdown-able length filter, same reasoning as x34's
       .filter(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
@@ -135,6 +148,18 @@ object Dedup {
           graft.functions.RollingWinnow.rolling_winnow(col("text"), k, w)))
           .as("fp"))
       .materialized
+    val fps = maxDf match {
+      case Some(cap) =>
+        // df ≤ cap via a left-semi against the per-fp doc count: one
+        // extra shuffle on the SAME 8-byte key the pair join uses, and
+        // the semi side is (fp) only — never the corpus rows
+        val rare = all.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select(col("fp"))
+        all.join(rare, Seq("fp"), "left_semi")
+      case None => all
+    }
     fps.select(col("fp"), col("doc_id").as("da"))
       .join(fps.select(col("fp"), col("doc_id").as("db")), Seq("fp"))
       .filter(col("da") < col("db"))

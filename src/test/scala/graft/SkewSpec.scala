@@ -103,6 +103,116 @@ class SkewSpec extends AnyFunSuite {
       s"banding stopped bounding the hot key: bare=$maxBare banded=$maxBanded")
   }
 
+  test("source overlap on a stopword shingle: pair fan-out stays " +
+    "|sources|^2-bounded, never doc^2") {
+    // every doc in every source opens with the same hot 3-gram — the
+    // worst case for any doc-level formulation (freq = corpus size) —
+    // plus one shingle shared only by sources s0/s1 and unique tails
+    val hot = "the of and"
+    def doc(src: Int, i: Int) = {
+      val shared = if (src <= 1) " common a b" else ""
+      (src * 1000L + i, s"$hot$shared u${src}x$i y${src}x$i z${src}x$i",
+        s"s$src")
+    }
+    val sources = 5
+    def corpus(docsPerSource: Int) =
+      (for (s <- 0 until sources; i <- 0 until docsPerSource)
+        yield doc(s, i)).toDF("doc_id", "text", "source")
+
+    val small = corpus(40) // 200 docs
+    val big = corpus(400) // 2000 docs — 10× the corpus, same sources
+    val out = Dedup.sourceOverlap(big, 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // the hot shingle contributes exactly 1 to every source pair;
+    // "common a b"-region shingles add s0-s1-only counts on top
+    assert(out.size == sources * (sources - 1) / 2)
+    assert(out.filter { case ((a, b), _) => a != "s0" || b != "s1" }
+      .forall(_._2 == 1L), s"cross-pair counts must be hot-shingle only: $out")
+    assert(out(("s0", "s1")) > 1L)
+
+    // the scale claim: rows entering the pair expansion are per-shingle
+    // source SETS (≤ |sources| each), so the fan-out is identical at 10×
+    // the corpus — while any doc-level self-join would grow ~100×
+    def pairFanout(docs: org.apache.spark.sql.DataFrame): Long = {
+      val srcsPerShingle = docs
+        .select(col("source"),
+          graft.ext.TextAnalysis.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          explode(graft.ext.TextAnalysis.shinglesFromTokens(col("ws"), 3))
+            .as("sg"))
+        .groupBy(unhex(md5(col("sg"))).as("h"))
+        .agg(collect_set(col("source")).as("srcs"))
+      srcsPerShingle
+        .agg(sum(size(col("srcs")) * size(col("srcs")))).as[Long].head()
+    }
+    def docFanout(docs: org.apache.spark.sql.DataFrame): Long = {
+      // what a doc-level inverted self-join would shuffle: Σ freq²
+      val freqs = docs
+        .select(graft.ext.TextAnalysis.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(
+          graft.ext.TextAnalysis.shinglesFromTokens(col("ws"), 3)).as("sg"))
+        .groupBy(col("sg")).agg(count(lit(1)).as("f"))
+      freqs.agg(sum(col("f") * col("f"))).as[Long].head()
+    }
+    val (fanSmall, fanBig) = (pairFanout(small), pairFanout(big))
+    val docBig = docFanout(big)
+    assert(docBig > 4000000L, s"fixture lost its skew: doc-level $docBig")
+    assert(fanBig <= fanSmall * 12,
+      s"pair fan-out must track shingle vocabulary, not corpus size: " +
+        s"small=$fanSmall big=$fanBig")
+    assert(fanBig * 100 < docBig,
+      s"source-set fan-out stopped beating doc-level freq²: " +
+        s"pairs=$fanBig docLevel=$docBig")
+  }
+
+  test("substring overlap with a boilerplate header: maxDf collapses the " +
+    "hot fingerprint's freq² rows, planted pairs unchanged") {
+    // every doc carries the same 40-char header → a handful of hot
+    // fingerprints with df = corpus size; 10 planted pairs share a long
+    // rare tail (≥ minShared rare fingerprints each)
+    val header = "THIS SOFTWARE IS PROVIDED AS IS WITHOUT WARRANTY "
+    def tail(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 160).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val base = (0 until 300).map(i => (i.toLong, header + tail(i)))
+    val clones = (0 until 10).map(j => (2000L + j, header + tail(j)))
+    val d = (base ++ clones).toDF("doc_id", "text")
+
+    val exact = Dedup.substringOverlapPairs(d, k = 16, w = 8,
+      minShared = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.substringOverlapPairs(d, k = 16, w = 8,
+      minShared = 10, maxDf = Some(50L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == (0 until 10).map(j => (j.toLong, 2000L + j)).toSet,
+      s"planted tail-sharing pairs: $exact")
+    assert(capped == exact,
+      "the df cap must only drop boilerplate fingerprints, not pairs")
+
+    // the scale claim: rows crossing the fingerprint self-join = Σ df².
+    // The boilerplate fingerprints put ~corpus² rows into the exact
+    // join; the cap removes exactly them
+    val fps = d
+      .filter(length(col("text")) >= 16 + 8 - 1)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.RollingWinnow.rolling_winnow(col("text"), 16, 8)))
+        .as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val joinRowsExact = fps.agg(sum(col("df") * col("df")))
+      .as[Long].head()
+    val joinRowsCapped = fps.filter(col("df") <= 50)
+      .agg(sum(col("df") * col("df"))).as[Long].head()
+    assert(joinRowsExact > 300L * 300L,
+      s"fixture lost its boilerplate skew: $joinRowsExact")
+    assert(joinRowsCapped * 20 < joinRowsExact,
+      s"df cap stopped collapsing the hot fingerprint: " +
+        s"capped=$joinRowsCapped exact=$joinRowsExact")
+  }
+
   test("semantic dedup on a skewed corpus: more trained centroids bound " +
     "the hot cell, clone recall stays total") {
     import graft.ext.Similarity
