@@ -33,9 +33,16 @@ object PipelineMain {
       Tables.load(spark, inDir, "embeddings"), outDir, scrubText, semDedup)
   }
 
-  /** [[run]] over already-loaded relations — the testable seam. */
-  def runFrames(spark: SparkSession, raw: DataFrame, emb: DataFrame,
-      outDir: String, scrubText: Boolean, semDedup: Boolean): (Long, Long) = {
+  /** The full pipeline lineage as ONE DataFrame — everything
+    * [[runFrames]] writes, before the write: scrub → quality gate →
+    * exact-dedup representatives → split → label → semantic-dedup
+    * filter. Declared as x43 so the bench records a wall-time row for
+    * the composed plan (a regression in any stage's lineage shows up
+    * here even when the per-stage queries stay green) and the DuckDB
+    * oracle hash-checks the composition end-to-end.
+    */
+  def pipelinePlan(raw: DataFrame, emb: DataFrame, scrubText: Boolean,
+      semDedup: Boolean): DataFrame = {
     val docs =
       if (scrubText)
         raw.withColumn("text", TextAnalysis.scrub(col("text")))
@@ -43,25 +50,30 @@ object PipelineMain {
     val decided = Export.trainingExport(docs, emb)
     val shards0 = decided
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-    val shards =
-      if (semDedup) {
-        // dedup among the SURVIVORS of the gate/exact-dedup stages, not
-        // the whole corpus: a group whose min-id representative was
-        // already dropped upstream would otherwise lose every copy (the
-        // survivor is flagged non-rep against a ghost), exporting zero
-        // copies of that content
-        val survivingEmb = emb.join(decided.select(col("doc_id")),
-          emb("vec_id") === col("doc_id"), "left_semi")
-        shards0.join(
-          Similarity.semanticDedup(survivingEmb, threshold = 0.4,
-            centroids = Similarity.trainCentroids(survivingEmb,
-              nCentroids = 8))
-            .select(col("vec_id").as("doc_id"),
-              col("is_rep").as("sem_rep")),
-          Seq("doc_id"), "left")
-          .filter(coalesce(col("sem_rep"), lit(true)))
-          .drop("sem_rep")
-      } else shards0
+    if (semDedup) {
+      // dedup among the SURVIVORS of the gate/exact-dedup stages, not
+      // the whole corpus: a group whose min-id representative was
+      // already dropped upstream would otherwise lose every copy (the
+      // survivor is flagged non-rep against a ghost), exporting zero
+      // copies of that content
+      val survivingEmb = emb.join(decided.select(col("doc_id")),
+        emb("vec_id") === col("doc_id"), "left_semi")
+      shards0.join(
+        Similarity.semanticDedup(survivingEmb, threshold = 0.4,
+          centroids = Similarity.trainCentroids(survivingEmb,
+            nCentroids = 8))
+          .select(col("vec_id").as("doc_id"),
+            col("is_rep").as("sem_rep")),
+        Seq("doc_id"), "left")
+        .filter(coalesce(col("sem_rep"), lit(true)))
+        .drop("sem_rep")
+    } else shards0
+  }
+
+  /** [[run]] over already-loaded relations — the testable seam. */
+  def runFrames(spark: SparkSession, raw: DataFrame, emb: DataFrame,
+      outDir: String, scrubText: Boolean, semDedup: Boolean): (Long, Long) = {
+    val shards = pipelinePlan(raw, emb, scrubText, semDedup)
     shards.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/shards")
     // the manifest aggregates the WRITTEN shards, not the pre-write

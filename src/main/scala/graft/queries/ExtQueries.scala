@@ -538,6 +538,15 @@ object ExtQueries {
         .orderBy(col("source"))
     }),
 
+    // the end-to-end pipeline composite (PipelineMain's lineage minus
+    // the shard write): scrub → quality gate → exact-dedup reps → split
+    // → label → semantic-dedup filter, ONE plan. Benches the full
+    // composition; the oracle chains the x40/x32/x39 oracle bodies
+    "x43_pipeline" -> ((s, dir) =>
+      graft.ext.PipelineMain.pipelinePlan(
+        docs(s, dir), emb(s, dir), scrubText = true, semDedup = true)
+        .orderBy(col("doc_id"))),
+
     // IVF index AT REST: corpus written once partitioned by trained cell
     // id, probes prune to the nprobe probed `cell=` directories
     // (Similarity.writeIvfIndex / topKIvfIndexed; PlanSpec asserts the
@@ -698,6 +707,57 @@ object ExtQueries {
          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2) t
        WHERE n_shared >= $minShared ORDER BY da, db"""
+  }
+
+  /** The x43 composite in DuckDB: the x40 scrub chain feeding the x32
+    * export lineage (every `FROM documents` retargeted to the scrubbed
+    * CTE), then the x39 semantic-dedup CTEs over the SURVIVING
+    * embeddings — the same composition [[graft.ext.PipelineMain]]
+    * executes, so the end-to-end pipeline is hash-checked, not just its
+    * stages.
+    */
+  private def pipelineOracleSql: String = {
+    val scrubbed =
+      """scrubbed AS (SELECT doc_id, source,
+           trim(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\b[0-9]+\b', '<NUM>', 'g'),
+               '\b(the|and|of|to|a|in|is|it|for|on)\b', '', 'g'),
+             '\s+', ' ', 'g')) AS text
+         FROM documents)"""
+    val export = trainingExportSql.replace("FROM documents", "FROM scrubbed")
+    s"""WITH $scrubbed,
+       exp AS ($export),
+       e AS (SELECT em.vec_id, em.embedding::DOUBLE[] AS e
+             FROM embeddings em JOIN exp ON em.vec_id = exp.doc_id),
+       ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+       cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                     round(list_dot_product(x.e, c.ce) /
+                           (sqrt(list_dot_product(x.e, x.e)) *
+                            sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+              FROM e x CROSS JOIN cent c),
+       ranked AS (SELECT vid, cent_id,
+                         row_number() OVER (PARTITION BY vid
+                                            ORDER BY ccos DESC, cent_id) AS rn
+                  FROM cc),
+       cells AS (SELECT vid, cent_id AS cell FROM ranked WHERE rn = 1),
+       dups AS (SELECT DISTINCT b.vid AS vec_id
+                FROM cells a
+                JOIN cells b ON a.cell = b.cell AND a.vid < b.vid
+                JOIN e ea ON ea.vec_id = a.vid
+                JOIN e eb ON eb.vec_id = b.vid
+                WHERE round(list_dot_product(ea.e, eb.e) /
+                            (sqrt(list_dot_product(ea.e, ea.e)) *
+                             sqrt(list_dot_product(eb.e, eb.e))), 6) >= 0.4)
+       SELECT exp.doc_id, exp.source, exp.split, exp.n_tokens, exp.label,
+              sd.text
+       FROM exp
+       JOIN scrubbed sd ON sd.doc_id = exp.doc_id
+       LEFT JOIN dups d ON d.vec_id = exp.doc_id
+       WHERE d.vec_id IS NULL
+       ORDER BY exp.doc_id"""
   }
 
   /** The trained-IVF probe in DuckDB, shared verbatim by x15 (in-query
@@ -1077,6 +1137,7 @@ object ExtQueries {
            FROM scored) t
          WHERE rank <= 10 ORDER BY qid, rank""",
     "x15_ann_topk_ivf" -> ivfProbeOracleSql,
+    "x43_pipeline" -> pipelineOracleSql,
     "x44_ann_topk_ivf_indexed" -> ivfProbeOracleSql,
     "x35_ann_recall" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

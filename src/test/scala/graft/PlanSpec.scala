@@ -28,6 +28,7 @@ class PlanSpec extends AnyFunSuite {
     "x35_ann_recall", // composes topKBrute: same bounded k-row query side
     "x39_semantic_dedup", // k-row centroid side: the x15 cell assignment
     "x42_mix_plan", // 1-row corpus total, the x13/x14 pattern
+    "x43_pipeline", // composes x39's k-row centroid side
     "x44_ann_topk_ivf_indexed") // k-row probe side against k-row centroids
 
   test("no declared query plans a data×data nested-loop join") {
