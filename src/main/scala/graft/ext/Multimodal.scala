@@ -367,12 +367,153 @@ object Multimodal {
     out
   }
 
+  /** Straight-line PNG pixel decode — signature + chunk walk, IDAT
+    * concatenation, `java.util.zip.Inflater` (zlib ships in the JDK; no
+    * codec dependency), then per-scanline unfilter of all five standard
+    * filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supported
+    * subset: 8-bit-depth truecolor (color type 2, RGB) and
+    * truecolor+alpha (type 6, RGBA), non-interlaced — what encoders
+    * actually emit for photographic training data. Anything else
+    * (palette, 16-bit, Adam7) falls to the metadata-only stub arm.
+    */
+  private case class PngPixels(w: Int, h: Int, channels: Int,
+      data: Array[Byte]) {
+    def bgr(x: Int, y: Int): (Byte, Byte, Byte) = {
+      val off = (y * w + x) * channels
+      (data(off + 2), data(off + 1), data(off)) // RGB(A) order at rest
+    }
+  }
+
+  private def decodePngPixels(b: Array[Byte]): Option[PngPixels] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (b.length < 45 || !b.take(8).sameElements(sig)) return None
+    if (tag(b, 12) != "IHDR" || be32(b, 8) < 13) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    val bitDepth = b(24) & 0xFF
+    val colorType = b(25) & 0xFF
+    val interlace = b(28) & 0xFF
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
+        (colorType != 2 && colorType != 6)) return None
+    val channels = if (colorType == 2) 3 else 4
+    // concatenate IDAT chunk payloads (the zlib stream may be split)
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= b.length) {
+      val len = be32(b, pos)
+      val typ = tag(b, pos + 4)
+      if (len < 0 || pos + 12L + len > b.length) return None
+      if (typ == "IDAT") idat.write(b, pos + 8, len)
+      if (typ == "IEND") sawEnd = true
+      pos += 12 + len
+    }
+    if (idat.size() == 0) return None
+    val stride = 1 + w * channels // filter byte + scanline
+    val raw = new Array[Byte](h * stride)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into the output plane
+    val out = new Array[Byte](w * h * channels)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * stride) & 0xFF
+      val rowIn = y * stride + 1
+      val rowOut = y * w * channels
+      val prevOut = rowOut - w * channels
+      var i = 0
+      while (i < w * channels) {
+        val x = raw(rowIn + i) & 0xFF
+        val a = if (i >= bpp) out(rowOut + i - bpp) & 0xFF else 0
+        val up = if (y > 0) out(prevOut + i) & 0xFF else 0
+        val c = if (y > 0 && i >= bpp) out(prevOut + i - bpp) & 0xFF else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) / 2)
+          case 4 => // Paeth predictor
+            val p = a + up - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        out(rowOut + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(PngPixels(w, h, channels, out))
+  }
+
+  /** Minimal PNG encoder (filter-0 scanlines, one deflated IDAT,
+    * `java.util.zip.Deflater` + `CRC32` from the JDK) — the re-encode
+    * half of the PNG resize path. Emits 8-bit color type 2/6 to match
+    * [[decodePngPixels]]'s subset.
+    */
+  private def encodePng(w: Int, h: Int, channels: Int,
+      rgbaAt: (Int, Int) => Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be32w(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      bos.write(be32w(body.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      bos.write(tb); bos.write(body); bos.write(be32w(crc.getValue.toInt))
+    }
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    val colorType = if (channels == 3) 2 else 6
+    chunk("IHDR", be32w(w) ++ be32w(h) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte))
+    val raw = new Array[Byte](h * (1 + w * channels))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = rgbaAt(x, y)
+        System.arraycopy(px, 0, raw, y * (1 + w * channels) + 1 + x * channels,
+          channels)
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val zs = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zs.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zs.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
   /** Media resize to (maxW, maxH)-bounded dimensions: REAL for
-    * uncompressed 24/32-bpp BI_RGB BMP payloads — pure-JVM nearest-
-    * neighbor downscale, re-encoded 24-bpp — and a payload-preserving
-    * STUB for formats needing a codec (PNG/JPEG/…; this container ships
-    * none), which carries the bounded dimensions as metadata only. Batch
-    * shape, schema, and partition parallelism are identical on both arms,
+    * uncompressed 24/32-bpp BI_RGB BMP payloads (pure-JVM nearest-
+    * neighbor downscale, re-encoded 24-bpp) and for 8-bit RGB/RGBA
+    * non-interlaced PNG ([[decodePngPixels]]'s JDK-Inflater decode,
+    * re-encoded through [[encodePng]]) — and a payload-preserving
+    * STUB for formats still needing a codec (JPEG entropy decode, …),
+    * which carries the bounded dimensions as metadata only. Batch
+    * shape, schema, and partition parallelism are identical on all arms,
     * so a codec build swaps the stub without touching anything upstream
     * or downstream.
     */
@@ -396,10 +537,23 @@ object Multimodal {
               else ResizedMedia(id, dw, dh,
                 encodeBmp24(dw, dh,
                   (x, y) => px.bgr(x * px.w / dw, y * px.h / dh)))
-            case None =>
-              val m = decodeBatch(Iterator((id, bytes))).next()
-              val (dw, dh) = bounded(m.width, m.height)
-              ResizedMedia(id, dw, dh, bytes)
+            case None => decodePngPixels(bytes) match {
+              case Some(px) =>
+                val (dw, dh) = bounded(px.w, px.h)
+                if (dw == px.w && dh == px.h) ResizedMedia(id, dw, dh, bytes)
+                else ResizedMedia(id, dw, dh,
+                  encodePng(dw, dh, px.channels, (x, y) => {
+                    val sx = x * px.w / dw
+                    val sy = y * px.h / dh
+                    val off = (sy * px.w + sx) * px.channels
+                    java.util.Arrays.copyOfRange(px.data, off,
+                      off + px.channels)
+                  }))
+              case None =>
+                val m = decodeBatch(Iterator((id, bytes))).next()
+                val (dw, dh) = bounded(m.width, m.height)
+                ResizedMedia(id, dw, dh, bytes)
+            }
           }
         }
       }

@@ -600,6 +600,39 @@ class ExtSpec extends AnyFunSuite {
     assert(same.payload sameElements src)
   }
 
+  test("multimodal resize REALLY decodes and re-encodes PNG pixels " +
+      "(JDK Inflater path, verified against the independent ImageIO codec)") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 8×4 truecolor PNG crafted by ImageIO — an independent encoder the
+    // hand-rolled chunk-walk/unfilter decode must agree with
+    val (w, h) = (8, 4)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 << 16) | (y * 63 << 8) | (x * 16 + y * 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val src = bos.toByteArray
+
+    val df = Seq((11L, src)).toDF("doc_id", "text")
+    val out = Multimodal.resize(spark, df, 4, 2).collect().head
+    assert(out.width == 4 && out.height == 2)
+    assert(!(out.payload sameElements src), "payload must be re-encoded")
+    // the re-encoded payload is a valid PNG ImageIO can read back, and
+    // its pixels are the nearest-neighbor picks from the source
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(back != null, "re-encoded payload must be a decodable PNG")
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xFFFFFF) ==
+        (img.getRGB(x * 2, y * 2) & 0xFFFFFF),
+        s"pixel ($x,$y) must be the nearest-neighbor source pick")
+    // an already-in-bounds PNG passes through byte-identical
+    val same = Multimodal.resize(spark, df, 16, 16).collect().head
+    assert(same.width == 8 && same.height == 4)
+    assert(same.payload sameElements src)
+  }
+
   test("multimodal frame sampling REALLY extracts AVI movi video chunks") {
     // minimal RIFF AVI: hdrl/avih (16×8, 3 frames) + movi with three
     // video chunks (00dc/00db) and one audio chunk (01wb) to skip
