@@ -378,6 +378,12 @@ object CopyFactSink {
   def ensureTable(url: String, props: Properties, schemaName: Option[String],
       table: String, rowSchema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types._
+    // strings must be UNBOUNDED, matching the DDL Spark's own JDBC append
+    // path would issue (TEXT on Postgres, CLOB on Derby/ANSI): a
+    // varchar(N) bound here would let the same fact row succeed through
+    // the JDBC sink but fail mid-COPY on a bootstrap-created table
+    val stringType =
+      if (url.startsWith("jdbc:postgresql")) "text" else "clob"
     def sqlType(dt: DataType): String = dt match {
       case IntegerType | ShortType | ByteType => "integer"
       case LongType => "bigint"
@@ -387,7 +393,7 @@ object CopyFactSink {
       case DateType => "date"
       case TimestampType => "timestamp"
       case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
-      case _ => "varchar(4096)"
+      case _ => stringType
     }
     val alreadyExists = // PG: table 42P07 / schema 42P06; Derby: X0Y32 /
       Seq("42P07", "42P06", "X0Y32", "X0Y68", "42S01") // X0Y68; ANSI 42S01
