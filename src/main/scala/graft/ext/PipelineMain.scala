@@ -43,11 +43,26 @@ object PipelineMain {
     */
   def pipelinePlan(raw: DataFrame, emb: DataFrame, scrubText: Boolean,
       semDedup: Boolean): DataFrame = {
+    import graft.engine.Checkpoints.MaterializeOps
+    // the scrub output is materialized, not inlined: trainingExport
+    // references the text column from five places (token split, symbol
+    // ratio, bigrams, fingerprint, final projection) and an inlined
+    // five-level regexp chain re-runs per reference — measured 2.5 s of
+    // the composite at sf0.1
     val docs =
       if (scrubText)
-        raw.withColumn("text", TextAnalysis.scrub(col("text")))
+        raw.withColumn("text", TextAnalysis.scrub(col("text"))).materialized
       else raw
-    val decided = Export.trainingExport(docs, emb)
+    // with the semantic-dedup stage on, the export lineage (scrub +
+    // quality metrics + window dedup) is referenced from BOTH the shard
+    // branch and the survivor semi-join — and the survivor relation then
+    // feeds k-means training, which runs 2 actions per Lloyd iteration.
+    // Without the lineage cuts the export plan re-evaluates ~8× (measured
+    // 11.5 s vs 6.5 s one-shot for the identical x43 result at sf0.1;
+    // the remainder decomposes as export ~1.3 s + 3-iteration training
+    // ~1.2 s + composite codegen, per the profiled warm plan at ~3.1 s)
+    val decided0 = Export.trainingExport(docs, emb)
+    val decided = if (semDedup) decided0.materialized else decided0
     val shards0 = decided
       .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
     if (semDedup) {
@@ -57,7 +72,7 @@ object PipelineMain {
       // survivor is flagged non-rep against a ghost), exporting zero
       // copies of that content
       val survivingEmb = emb.join(decided.select(col("doc_id")),
-        emb("vec_id") === col("doc_id"), "left_semi")
+        emb("vec_id") === col("doc_id"), "left_semi").materialized
       shards0.join(
         Similarity.semanticDedup(survivingEmb, threshold = 0.4,
           centroids = Similarity.trainCentroids(survivingEmb,
