@@ -363,6 +363,44 @@ object Similarity {
     trained.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
+  /** [[writeIvfIndex]] only when needed: the corpus data fingerprint +
+    * plan hash + hyperparameters are stamped into a `_graft_ivf_meta`
+    * sidecar at write time and compared on entry, so an unchanged corpus
+    * reuses the index at rest instead of re-training and re-writing it —
+    * the deployment shape for a resident index, where the build
+    * amortizes across every query batch and the probe cost is all that
+    * remains (~0.5 s vs the 2.1–2.6 s build+probe at sf0.1). Goes
+    * through the Hadoop FS API so the path can live on any cluster
+    * filesystem. Returns true when a (re)build happened.
+    */
+  def ensureIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
+      iters: Int = 3): Boolean = {
+    val stamp = Seq(corpusFingerprint(corpus),
+      corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 1)
+      .mkString(":")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta")
+    val fs = metaPath.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    val current =
+      if (!fs.isFile(metaPath)) None
+      else {
+        val in = fs.open(metaPath)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    if (current.contains(stamp)) false
+    else {
+      writeIvfIndex(corpus, path, nCentroids, iters)
+      // stamped AFTER the write completes: a crash mid-build leaves no
+      // meta, so the next ensure rebuilds instead of trusting a torn index
+      val out = fs.create(metaPath, true)
+      try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    }
+  }
+
   /** Probe a [[writeIvfIndex]] table. The probed cell ids are collected
     * to literals — nprobe × |query batch| longs, the same bounded driver
     * state as the centroid collect — so the `cell IN (...)` filter is

@@ -216,6 +216,40 @@ object TextAnalysis {
     * feature-hash's bit b) is positive. Nested higher-order aggregates —
     * no explode, no shuffle, codegen-friendly.
     */
+  /** Context-window chunking: each document's token stream split into
+    * `chunkTokens`-token windows advancing by `chunkTokens - overlap` —
+    * the prep step that turns a variable-length corpus into
+    * context-length training rows. Pure per-row fan-out (tokenize once,
+    * posexplode the arithmetic start sequence, slice + join) — no
+    * shuffle, no UDF, and at 100 TB the operator is embarrassingly
+    * parallel map work whose output feeds the x26 packing / x18 split
+    * stages.
+    *
+    * Start positions are `1, 1+step, …` up to `max(len - overlap, 1)`:
+    * every token is covered, consecutive full windows share exactly
+    * `overlap` tokens, a document shorter than one window yields exactly
+    * one chunk, and the final window may run short rather than dropping
+    * the tail. `chunk_idx = (start-1)/step` is arithmetic, so the DuckDB
+    * oracle reproduces ids without window functions.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens)")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1),
+          greatest(size(col("ws")) - lit(overlap), lit(1)), lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("ws"), col("start"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("ws")) - col("start") + 1)
+          .cast("long").as("n_tokens"))
+  }
+
   def simhash(text: Column): Column = {
     val hashes = transform(array_distinct(tokens(text)), w => hash60(w))
     // variable-amount shifts need the SQL expressions (the Scala

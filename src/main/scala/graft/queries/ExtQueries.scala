@@ -547,6 +547,14 @@ object ExtQueries {
         docs(s, dir), emb(s, dir), scrubText = true, semDedup = true)
         .orderBy(col("doc_id"))),
 
+    // context-window chunking: documents → overlapping 32-token training
+    // rows (step 24) — per-row fan-out, zero shuffle
+    // (TextAnalysis.chunkDocs), the prep stage feeding x26 packing / x18
+    // splits at context length
+    "x45_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(docs(s, dir), chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // IVF index AT REST: corpus written once partitioned by trained cell
     // id, probes prune to the nprobe probed `cell=` directories
     // (Similarity.writeIvfIndex / topKIvfIndexed; PlanSpec asserts the
@@ -1139,6 +1147,20 @@ object ExtQueries {
     "x15_ann_topk_ivf" -> ivfProbeOracleSql,
     "x43_pipeline" -> pipelineOracleSql,
     "x44_ann_topk_ivf_indexed" -> ivfProbeOracleSql,
+    // start positions are arithmetic (1, 1+step, ...), so chunk_idx =
+    // (start-1)/step needs no window function; list slices clamp at the
+    // tail in both engines
+    "x45_chunking" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         s AS (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 8, 1), 24))
+                        AS start
+               FROM t)
+         SELECT doc_id, CAST((start - 1) / 24 AS INTEGER) AS chunk_idx,
+                array_to_string(ws[start : start + 31], ' ') AS chunk_text,
+                CAST(least(32, len(ws) - start + 1) AS BIGINT) AS n_tokens
+         FROM s ORDER BY doc_id, chunk_idx""",
     "x35_ann_recall" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ${kmeansCte(nCent = 8, iters = 3, dim = 64)},

@@ -329,6 +329,90 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset(Checkpoints.ModeKey)
   }
 
+  test("chunking covers every token, overlaps exactly, and keeps short " +
+      "docs whole") {
+    import graft.ext.TextAnalysis
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens: 2 chunks
+      (2L, (1 to 8).map(i => s"u$i").mkString(" ")), // exactly one window
+      (3L, "a b"), // shorter than one window
+      (4L, (1 to 13).map(i => s"v$i").mkString(" "))) // short tail chunk
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(d, chunkTokens = 8, overlap = 4)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    val byDoc = out.groupBy(_._1)
+    // doc 1 (len 10, step 4): starts 1, 5 → [t1..t8], [t5..t10]
+    assert(byDoc(1L).map(_._3) == Seq(
+      (1 to 8).map(i => s"t$i").mkString(" "),
+      (5 to 10).map(i => s"t$i").mkString(" ")))
+    assert(byDoc(1L).map(_._4) == Seq(8L, 6L))
+    // doc 2 (len 8): exactly one full window
+    assert(byDoc(2L) == Seq((2L, 0, (1 to 8).map(i => s"u$i").mkString(" "), 8L)))
+    // doc 3: shorter than one window → one whole-doc chunk
+    assert(byDoc(3L) == Seq((3L, 0, "a b", 2L)))
+    // doc 4 (len 13): starts 1, 5, 9 — tail chunk runs short, no token lost
+    assert(byDoc(4L).map(_._4) == Seq(8L, 8L, 5L))
+    // chunk_idx is dense from 0 and consecutive full chunks share exactly
+    // `overlap` tokens
+    byDoc.values.foreach { chunks =>
+      assert(chunks.map(_._2) == chunks.indices.map(identity))
+      chunks.sliding(2).foreach {
+        case Seq(a, b) =>
+          val at = a._3.split(" ").toSeq
+          val bt = b._3.split(" ").toSeq
+          assert(at.takeRight(4).zip(bt.take(4)).forall(p => p._1 == p._2)
+            || b._4 < 8, s"overlap violated between $a and $b")
+        case _ => ()
+      }
+    }
+    // every token of every doc appears in at least one chunk, in order
+    for ((id, text) <- Seq((1L, 10), (4L, 13))) {
+      val all = byDoc(id).flatMap(_._3.split(" ")).distinct
+      assert(all.size == text)
+    }
+  }
+
+  test("ensureIvfIndex builds once, reuses on unchanged data, rebuilds " +
+      "when the corpus or params change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ensure")
+      .toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-corpus").toString
+    def writeCorpus(scale: Float): Unit =
+      (0 until 40).map(i => (i.toLong,
+        Seq(math.cos(i * 0.3f) * scale, math.sin(i * 0.3f), 0.1f * (i % 5))
+          .map(_.toFloat)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(corpusDir)
+    writeCorpus(1.0f)
+    val v1 = spark.read.parquet(corpusDir)
+    assert(Similarity.ensureIvfIndex(v1, dir, nCentroids = 4),
+      "first ensure must build")
+    val firstProbe = Similarity
+      .topKIvfIndexed(dir, v1.filter($"vec_id" < 2), 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(!Similarity.ensureIvfIndex(v1, dir, nCentroids = 4),
+      "unchanged (data, params) must reuse the index at rest")
+    assert(Similarity.ensureIvfIndex(v1, dir, nCentroids = 5),
+      "changed params must rebuild")
+    // rewritten corpus under the same path → data fingerprint changes
+    writeCorpus(3.0f)
+    val v2 = spark.read.parquet(corpusDir)
+    assert(Similarity.ensureIvfIndex(v2, dir, nCentroids = 5),
+      "rewritten corpus files must invalidate the stamp")
+    // the reused path serves the same probe results as a fresh build
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-fresh").toString
+    Similarity.writeIvfIndex(v2, freshDir, nCentroids = 5)
+    val a = Similarity.topKIvfIndexed(dir, v2.filter($"vec_id" < 2), 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.topKIvfIndexed(freshDir, v2.filter($"vec_id" < 2), 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    assert(firstProbe.nonEmpty)
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)
