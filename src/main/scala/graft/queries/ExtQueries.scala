@@ -555,6 +555,23 @@ object ExtQueries {
       TextAnalysis.chunkDocs(docs(s, dir), chunkTokens = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // chunk-level exact dedup — x45's windows under x05's min-id rule:
+    // the C4-style boilerplate detector at sub-document granularity
+    // (repeated spans surface as duplicate chunks even when whole-doc
+    // fingerprints differ). One shuffle on the 16-byte chunk fingerprint;
+    // only groups with >1 copy are reported
+    "x46_chunk_dedup" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(docs(s, dir), chunkTokens = 32, overlap = 0)
+        .select(unhex(md5(col("chunk_text"))).as("fp"),
+          col("doc_id"), col("chunk_idx"))
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("keep"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep.doc_id").as("keep_doc"),
+          col("keep.chunk_idx").as("keep_chunk"), col("n_copies"))
+        .orderBy(col("keep_doc"), col("keep_chunk"))),
+
     // IVF index AT REST: corpus written once partitioned by trained cell
     // id, probes prune to the nprobe probed `cell=` directories
     // (Similarity.writeIvfIndex / topKIvfIndexed; PlanSpec asserts the
@@ -1161,6 +1178,29 @@ object ExtQueries {
                 array_to_string(ws[start : start + 31], ' ') AS chunk_text,
                 CAST(least(32, len(ws) - start + 1) AS BIGINT) AS n_tokens
          FROM s ORDER BY doc_id, chunk_idx""",
+    // Spark's min(struct(doc_id, chunk_idx)) is the lexicographic pair
+    // min; with both components non-negative and chunk_idx < 2^32 it
+    // equals min(doc_id * 2^32 + chunk_idx), decomposed after the agg
+    "x46_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         s AS (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws), 1), 32))
+                        AS start
+               FROM t),
+         c AS (SELECT doc_id,
+                      CAST((start - 1) // 32 AS INTEGER) AS chunk_idx,
+                      unhex(md5(array_to_string(ws[start : start + 31], ' ')))
+                        AS fp
+               FROM s),
+         g AS (SELECT fp,
+                      min(doc_id * 4294967296 + chunk_idx) AS k,
+                      count(*) AS n_copies
+               FROM c GROUP BY fp)
+         SELECT CAST(k // 4294967296 AS BIGINT) AS keep_doc,
+                CAST(k % 4294967296 AS INTEGER) AS keep_chunk,
+                n_copies
+         FROM g WHERE n_copies > 1 ORDER BY keep_doc, keep_chunk""",
     "x35_ann_recall" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
