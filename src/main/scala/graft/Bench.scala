@@ -71,11 +71,12 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
-    // line eats ~85 of them — 78 full query names (~2.9 KB) can never fit,
-    // which is why rounds 1-6 all recorded parsed=null. Stdout therefore
-    // carries each query's unique 3-char id prefix (q01..q36, x01..x43 —
-    // the driver contract's own example uses {"q1":sec,...}), keeping the
-    // line ~1 KB; the full-name map goes to bench_result.json for
+    // line eats ~85 of them — the full query names (~35 bytes/entry,
+    // ~3 KB for the suite) can never fit, which is why rounds 1-6 all
+    // recorded parsed=null. Stdout therefore carries each query's unique
+    // 3-char id prefix (qNN/xNN — the driver contract's own example uses
+    // {"q1":sec,...}), ~14 bytes/entry so the suite fits the window
+    // several times over; the full-name map goes to bench_result.json for
     // BASELINE.md. require() guards the prefix-uniqueness assumption so a
     // future name collision fails the run instead of merging timings.
     val shortIds = results.map(_._1.take(3))

@@ -33,10 +33,22 @@ object Checkpoints {
     df.sparkSession.conf.get(ModeKey, "local") match {
       case "reliable" =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(df.sparkSession.conf.get(DirKey,
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = df.sparkSession.conf.getOption(DirKey).getOrElse {
+            // a driver-local tmpdir default is only correct when
+            // executors share the driver's filesystem — on a real
+            // cluster each executor would write ReliableCheckpointRDD
+            // blocks to its OWN local disk and downstream tasks on other
+            // executors would FileNotFound, silently defeating the
+            // durability the mode exists for. Fail fast instead.
+            require(sc.isLocal,
+              s"$ModeKey=reliable on a cluster needs $DirKey (or an " +
+                "already-set SparkContext checkpoint dir) on shared storage")
             new java.io.File(sys.props("java.io.tmpdir"),
-              "graft-checkpoints").toString))
+              "graft-checkpoints").toString
+          }
+          sc.setCheckpointDir(dir)
+        }
         df.checkpoint()
       case "local" => df.localCheckpoint()
       case other => throw new IllegalArgumentException(

@@ -377,12 +377,15 @@ object Multimodal {
     * (palette, 16-bit, Adam7) falls to the metadata-only stub arm.
     */
   private case class PngPixels(w: Int, h: Int, channels: Int,
-      data: Array[Byte]) {
-    def bgr(x: Int, y: Int): (Byte, Byte, Byte) = {
-      val off = (y * w + x) * channels
-      (data(off + 2), data(off + 1), data(off)) // RGB(A) order at rest
-    }
-  }
+      data: Array[Byte])
+
+  /** Dimension cap for the pixel decode: declared w×h beyond this (256 MB
+    * of scanline bytes) falls to the metadata stub instead of allocating —
+    * a few-hundred-byte payload can declare 2^30-pixel dimensions, and
+    * unchecked Int arithmetic on them throws NegativeArraySizeException
+    * (or OOMs) out of the executor task.
+    */
+  private val MaxPngDecodeBytes = 256L << 20
 
   private def decodePngPixels(b: Array[Byte]): Option[PngPixels] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -396,6 +399,8 @@ object Multimodal {
     if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0 ||
         (colorType != 2 && colorType != 6)) return None
     val channels = if (colorType == 2) 3 else 4
+    if (h.toLong * (1L + w.toLong * channels) > MaxPngDecodeBytes)
+      return None
     // concatenate IDAT chunk payloads (the zlib stream may be split)
     val idat = new java.io.ByteArrayOutputStream()
     var pos = 8
@@ -417,7 +422,10 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // any zero-progress state bails: truncated stream (needsInput),
+        // but also a preset-dictionary header (needsDictionary) — looping
+        // on the latter would spin the executor task forever
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.ext.PipelineMain <inDir> <outDir> [-scrub] [-semdedup]
   *
-  * Stages (each an already-declared operator, chained in ONE plan up to
-  * the shard write — nothing is materialized in between):
+  * Stages (each an already-declared operator, chained into one lineage
+  * with three eager cuts when the semantic-dedup stage is on — scrubbed
+  * text, the export decision, and the survivor embeddings route through
+  * `Checkpoints.materialize` because later stages re-read them; see
+  * [[pipelinePlan]]):
   *   1. optional PII/noise scrub        (TextAnalysis.scrub, x40)
   *   2. quality gate                    (TextAnalysis.qualityFlags, x19)
   *   3. exact-dedup representatives     (fingerprint min-id rule, x05)

@@ -510,22 +510,38 @@ object Similarity {
       iters: Int): Boolean =
     centroidCache.containsKey(trainCacheKey(corpus, nCentroids, iters))
 
+  /** An RDD-backed leaf (a checkpointed/materialized relation) has no
+    * stable identity across calls — its plan hash is the RDD object's
+    * identity, unique per materialization — so caching on it can never
+    * hit and would grow the cache by one dead entry per call (the
+    * pipeline composite materializes its survivor relation fresh each
+    * run). Such corpora train uncached.
+    */
+  private def cacheableCorpus(corpus: DataFrame): Boolean =
+    !corpus.queryExecution.analyzed.collectLeaves().exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val key = trainCacheKey(corpus, nCentroids, iters)
-    // NOT computeIfAbsent: training runs multi-job Spark work, and doing
-    // that inside the map's bin lock would block an unrelated key hashing
-    // to the same bin for the whole run. Training is deterministic, so
-    // the putIfAbsent race is harmless — a rare duplicate run, same value.
-    val cached = centroidCache.get(key)
     val cent =
-      if (cached != null) cached
+      if (!cacheableCorpus(corpus))
+        trainCentroidsUncached(corpus, nCentroids, iters)
       else {
-        val trained = trainCentroidsUncached(corpus, nCentroids, iters)
-        val prior = centroidCache.putIfAbsent(key, trained)
-        if (prior != null) prior else trained
+        val key = trainCacheKey(corpus, nCentroids, iters)
+        // NOT computeIfAbsent: training runs multi-job Spark work, and
+        // doing that inside the map's bin lock would block an unrelated
+        // key hashing to the same bin for the whole run. Training is
+        // deterministic, so the putIfAbsent race is harmless — a rare
+        // duplicate run, same value.
+        val cached = centroidCache.get(key)
+        if (cached != null) cached
+        else {
+          val trained = trainCentroidsUncached(corpus, nCentroids, iters)
+          val prior = centroidCache.putIfAbsent(key, trained)
+          if (prior != null) prior else trained
+        }
       }
     cent.toDF("vec_id", "embedding")
   }
