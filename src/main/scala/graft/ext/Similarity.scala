@@ -374,7 +374,7 @@ object Similarity {
     * filesystem. Returns true when a (re)build happened.
     */
   def ensureIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
-      iters: Int = 3): Boolean = {
+      iters: Int = 3, force: Boolean = false): Boolean = {
     val stamp = Seq(corpusFingerprint(corpus),
       corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 1)
       .mkString(":")
@@ -389,7 +389,12 @@ object Similarity {
           java.nio.charset.StandardCharsets.UTF_8))
         finally in.close()
       }
-    if (current.contains(stamp)) false
+    // `force` is the out-of-band-mutation hatch (the at-rest analogue of
+    // [[invalidateTrainedCentroids]]): the fingerprint sees only file
+    // (path, length, mtime), so a rewrite that preserves sizes within
+    // mtime granularity — or an object-store restore that preserves
+    // mtimes — needs an explicit rebuild lever.
+    if (!force && current.contains(stamp)) false
     else {
       writeIvfIndex(corpus, path, nCentroids, iters)
       // stamped AFTER the write completes: a crash mid-build leaves no
@@ -465,7 +470,7 @@ object Similarity {
     * k×dim floats — bounded driver state.
     */
   private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Int, Int), Seq[(Long, Seq[Float])]]()
+    (Int, Int, Int, Int, String), Seq[(Long, Seq[Float])]]()
 
   private[graft] def trainCacheSize: Int = centroidCache.size()
 
@@ -502,9 +507,9 @@ object Similarity {
   def invalidateTrainedCentroids(): Unit = centroidCache.clear()
 
   private[graft] def trainCacheKey(corpus: DataFrame, nCentroids: Int,
-      iters: Int): (Int, Int, Int, Int) =
+      iters: Int, init: String = "first"): (Int, Int, Int, Int, String) =
     (corpus.queryExecution.analyzed.semanticHash(),
-      corpusFingerprint(corpus), nCentroids, iters)
+      corpusFingerprint(corpus), nCentroids, iters, init)
 
   private[graft] def trainCacheContains(corpus: DataFrame, nCentroids: Int,
       iters: Int): Boolean =
@@ -521,15 +526,30 @@ object Similarity {
     !corpus.queryExecution.analyzed.collectLeaves().exists(
       _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
 
+  /** Above this centroid count the Lloyd assignment switches from
+    * inlined literal-centroid expressions to a broadcast join
+    * ([[assignBroadcastJoin]]). The literal form inlines k constant
+    * arrays into the generated argmax — ideal at dim-table k (zero
+    * shuffle, pure whole-stage codegen) but past a few hundred
+    * centroids the generated method blows the JVM's 64 KB bytecode
+    * limit and codegen falls back to interpretation; a production IVF
+    * wants k ~ √n (thousands). Both paths produce bit-identical
+    * assignments (ExtSpec asserts row identity), so the crossover is a
+    * pure plan-shape choice. Tunable for tests/clusters via
+    * `spark.graft.ivf.literalKMax`.
+    */
+  val LiteralKMaxKey = "spark.graft.ivf.literalKMax"
+  private val literalKMaxDefault = 64
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3, init: String = "first"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cent =
       if (!cacheableCorpus(corpus))
-        trainCentroidsUncached(corpus, nCentroids, iters)
+        trainCentroidsUncached(corpus, nCentroids, iters, init)
       else {
-        val key = trainCacheKey(corpus, nCentroids, iters)
+        val key = trainCacheKey(corpus, nCentroids, iters, init)
         // NOT computeIfAbsent: training runs multi-job Spark work, and
         // doing that inside the map's bin lock would block an unrelated
         // key hashing to the same bin for the whole run. Training is
@@ -538,7 +558,7 @@ object Similarity {
         val cached = centroidCache.get(key)
         if (cached != null) cached
         else {
-          val trained = trainCentroidsUncached(corpus, nCentroids, iters)
+          val trained = trainCentroidsUncached(corpus, nCentroids, iters, init)
           val prior = centroidCache.putIfAbsent(key, trained)
           if (prior != null) prior else trained
         }
@@ -547,43 +567,210 @@ object Similarity {
   }
 
   private def trainCentroidsUncached(corpus: DataFrame, nCentroids: Int,
-      iters: Int): Seq[(Long, Seq[Float])] = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+      iters: Int, init: String): Seq[(Long, Seq[Float])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cent: Seq[(Long, Seq[Float])] = corpus
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
-    for (_ <- 0 until iters if cent.nonEmpty) {
-      // nearest-centroid id per vector: max over (rounded cosine, -id)
-      // structs — identical semantics to max_by(cent_id, struct(cc, -id))
-      val scored = cent.map { case (id, e) =>
-        val le = lit(e.toArray)
-        struct(
-          round(dot(col("embedding"), le) / (col("nrm") * norm(le)), 6)
-            .as("cc"),
-          lit(-id).as("nid"))
-      }
-      val assigned = corpus
-        .select(col("embedding"), norm(col("embedding")).as("nrm"))
-        .select(col("embedding"),
-          (-array_max(array(scored: _*)).getField("nid")).as("cell"))
-      cent = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(round(col("v").cast(DoubleType) * 1e6, 0).cast(LongType))
-          .as("s"), count(lit(1)).as("n"))
-        .select(col("cell"), col("pos"),
-          (col("s").cast(DoubleType) / col("n") / 1e6).cast(FloatType).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cent_e"))
-        .select(col("cell"), col("cent_e"))
+    val literalKMax = spark.conf.get(LiteralKMaxKey,
+      literalKMaxDefault.toString).toInt
+    var cent: Seq[(Long, Seq[Float])] = init match {
+      case "first" => corpus
+        .filter(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding"))
         .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+      case "parallel" => initKMeansParallel(corpus, nCentroids)
+      case other => throw new IllegalArgumentException(
+        s"init must be 'first' or 'parallel', got '$other'")
+    }
+    for (_ <- 0 until iters if cent.nonEmpty) {
+      val assigned =
+        if (cent.size <= literalKMax) assignLiteral(corpus, cent)
+        else assignBroadcastJoin(corpus, cent)
+      cent = lloydUpdate(assigned)
     }
     cent
+  }
+
+  /** Small-k Lloyd assignment: nearest-centroid id per vector as a max
+    * over (rounded cosine, -id) structs against LITERAL centroid arrays
+    * — identical semantics to max_by(cent_id, struct(cc, -id)), zero
+    * shuffle, centroid norms constant-folded, pure whole-stage codegen.
+    * Returns (embedding, cell).
+    */
+  private def assignLiteral(corpus: DataFrame,
+      cent: Seq[(Long, Seq[Float])]): DataFrame = {
+    val scored = cent.map { case (id, e) =>
+      val le = lit(e.toArray)
+      struct(
+        round(dot(col("embedding"), le) / (col("nrm") * norm(le)), 6)
+          .as("cc"),
+        lit(-id).as("nid"))
+    }
+    corpus
+      .select(col("embedding"), norm(col("embedding")).as("nrm"))
+      .select(col("embedding"),
+        (-array_max(array(scored: _*)).getField("nid")).as("cell"))
+  }
+
+  /** Large-k Lloyd assignment: the [[assignCells]] shape — a broadcast
+    * join against the k×d centroid relation plus a per-vector max_by
+    * aggregation. One broadcast exchange and one groupBy shuffle per
+    * iteration, but the generated code is k-independent, so this is the
+    * only shape that survives production centroid counts (k ~ √n,
+    * thousands). Same rounded-cosine argmax and low-id tie-break as
+    * [[assignLiteral]] — outputs are row-identical. Requires distinct
+    * `vec_id` per corpus row (the grouping key that reassembles each
+    * vector's argmax). Returns (embedding, cell).
+    */
+  private def assignBroadcastJoin(corpus: DataFrame,
+      cent: Seq[(Long, Seq[Float])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = cent.toDF("cent_id", "cent_e")
+      .select(col("cent_id"), col("cent_e"), norm(col("cent_e")).as("cent_n"))
+    corpus
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(centDf))
+      .withColumn("cc",
+        round(dot(col("embedding"), col("cent_e")) /
+          (col("nrm") * col("cent_n")), 6))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("cent_id"),
+          struct(col("cc"), (-col("cent_id")).as("nid"))).as("cell"))
+      .select(col("embedding"), col("cell"))
+  }
+
+  /** One Lloyd mean-update over an assigned (embedding, cell) relation:
+    * per-dimension mean over values quantized to 1e-6 (exact BIGINT sum,
+    * order-independent) reassembled into float centroid arrays — the
+    * engine-portable arithmetic the DuckDB oracle replicates.
+    */
+  private def lloydUpdate(assigned: DataFrame): Seq[(Long, Seq[Float])] = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("v").cast(DoubleType) * 1e6, 0).cast(LongType))
+        .as("s"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("s").cast(DoubleType) / col("n") / 1e6).cast(FloatType).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent_e"))
+      .select(col("cell"), col("cent_e"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+  }
+
+  /** Deterministic k-means‖-style init (Bahmani et al., VLDB 2012,
+    * arXiv:1203.6402): instead of first-N ids, oversample ~2k candidates
+    * proportional to their squared angular distance from the current
+    * seed set over a fixed number of rounds, weight each candidate by
+    * the corpus mass nearest to it, and reduce driver-side to k seeds —
+    * the init that makes large-k Lloyd converge in few iterations on
+    * skewed corpora, where first-N can seed all centroids inside one
+    * dense region. Fully deterministic: the "coin flip" is a
+    * hash-derived uniform (xxhash64 of (vec_id, round) scaled to [0,1)),
+    * the seed is the lowest-id vector, and every driver-side tie breaks
+    * on the lowest candidate index — same result every run, so the
+    * session cache stays exact.
+    *
+    * Driver state is bounded: ~(1 + rounds·2k) candidate vectors (the
+    * PQ-codebook class of object), never the corpus. Each round is one
+    * broadcast-join pass; the weighting is one more. Returns ≤ k seeds
+    * re-numbered 0..k-1 (fewer iff the corpus itself has fewer distinct
+    * useful candidates — the same "cell may disappear" contract as the
+    * Lloyd loop).
+    */
+  private[graft] def initKMeansParallel(corpus: DataFrame,
+      k: Int, rounds: Int = 2): Seq[(Long, Seq[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val l = 2L * k // oversampling factor per round, the paper's Θ(k)
+    var cand: Vector[Seq[Float]] = corpus.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).as[Seq[Float]].collect().toVector
+    if (cand.isEmpty) return Seq.empty
+    def candRelation(c: Vector[Seq[Float]]): DataFrame =
+      c.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .toDF("cent_id", "cent_e")
+        .select(col("cent_id"), col("cent_e"),
+          norm(col("cent_e")).as("cent_n"))
+    for (r <- 1 to rounds) {
+      // d² per vector = squared angular distance (1 - max cosine) to the
+      // candidate set; φ = Σ d² normalizes the sampling probability
+      val d2 = corpus
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+        .join(broadcast(candRelation(cand)))
+        .withColumn("cc", round(dot(col("embedding"), col("cent_e")) /
+          (col("nrm") * col("cent_n")), 6))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("e"),
+          (lit(1.0) - max(col("cc"))).as("d"))
+        .select(col("vec_id"), col("e"), (col("d") * col("d")).as("d2"))
+      val phi = d2.agg(sum(col("d2"))).as[Option[Double]].head().getOrElse(0.0)
+      if (phi > 0) {
+        // accept iff u(vec_id, r) < l·d²/φ, u = hash-uniform in [0,1)
+        val picked = d2
+          .withColumn("u",
+            pmod(xxhash64(col("vec_id"), lit(r)), lit(1L << 40))
+              .cast("double") / (1L << 40).toDouble)
+          .filter(col("u") * phi < col("d2") * l)
+          .orderBy(col("vec_id"))
+          .select(col("e")).as[Seq[Float]].collect()
+        cand = cand ++ picked
+      }
+    }
+    // weight = corpus mass nearest each candidate (one assignment pass)
+    val wMap = corpus
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .join(broadcast(candRelation(cand)))
+      .withColumn("cc", round(dot(col("embedding"), col("cent_e")) /
+        (col("nrm") * col("cent_n")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cc"), (-col("cent_id")).as("nid"))).as("cell"))
+      .groupBy(col("cell")).count()
+      .as[(Long, Long)].collect().toMap
+    // driver-side greedy weighted reduction to k (the paper reclusters
+    // the candidates with any weighted k-means; a deterministic greedy
+    // — heaviest first, then argmax of weight × squared distance to the
+    // chosen set — avoids RNG while keeping seeds spread): O(k·|cand|)
+    // on ≤ ~(1+rounds·2k) local vectors
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val w = cand.indices.map(i => wMap.getOrElse(i.toLong, 0L).toDouble)
+    val taken = Array.fill(cand.size)(false)
+    val minD = Array.fill(cand.size)(Double.MaxValue)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    chosen += cand.indices.maxBy(i => (w(i), -i))
+    taken(chosen.head) = true
+    while (chosen.size < math.min(k, cand.size)) {
+      val last = cand(chosen.last)
+      var best = -1; var bestScore = -1.0
+      var i = 0
+      while (i < cand.size) {
+        if (!taken(i)) {
+          val d = 1.0 - cosLocal(cand(i), last)
+          if (d < minD(i)) minD(i) = d
+          val score = w(i) * minD(i) * minD(i)
+          if (score > bestScore) { bestScore = score; best = i }
+        }
+        i += 1
+      }
+      chosen += best
+      taken(best) = true
+    }
+    chosen.toSeq.map(cand(_)).zipWithIndex
+      .map { case (e, i) => (i.toLong, e) }
   }
 
   /** Product-quantization top-k (the FAISS-style IVF-PQ scale path,
