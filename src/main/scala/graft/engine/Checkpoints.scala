@@ -44,8 +44,23 @@ object Checkpoints {
             require(sc.isLocal,
               s"$ModeKey=reliable on a cluster needs $DirKey (or an " +
                 "already-set SparkContext checkpoint dir) on shared storage")
-            new java.io.File(sys.props("java.io.tmpdir"),
-              "graft-checkpoints").toString
+            // per-application subdir, deleted on JVM exit: Spark never
+            // removes ReliableCheckpointRDD data itself (absent
+            // spark.cleaner.referenceTracking.cleanCheckpoints), so a
+            // shared fixed dir would grow tmp without bound across runs.
+            // Only the SELF-ASSIGNED fallback is cleaned — a user-set
+            // $DirKey or context checkpoint dir is the user's to manage.
+            val d = new java.io.File(
+              new java.io.File(sys.props("java.io.tmpdir"),
+                "graft-checkpoints"), sc.applicationId)
+            Runtime.getRuntime.addShutdownHook(new Thread(() => {
+              def rm(x: java.io.File): Unit = {
+                Option(x.listFiles()).foreach(_.foreach(rm))
+                x.delete(): Unit
+              }
+              rm(d)
+            }))
+            d.toString
           }
           sc.setCheckpointDir(dir)
         }

@@ -231,6 +231,11 @@ object TextAnalysis {
     * one chunk, and the final window may run short rather than dropping
     * the tail. `chunk_idx = (start-1)/step` is arithmetic, so the DuckDB
     * oracle reproduces ids without window functions.
+    *
+    * Empty and whitespace-only documents are dropped BEFORE the
+    * fan-out: the forced `greatest(…, 1)` lower bound would otherwise
+    * fabricate one degenerate chunk (empty chunk_text) per empty doc —
+    * a zero-value training row no downstream consumer wants.
     */
   def chunkDocs(docs: DataFrame, chunkTokens: Int,
       overlap: Int): DataFrame = {
@@ -238,6 +243,10 @@ object TextAnalysis {
       s"overlap ($overlap) must be in [0, chunkTokens=$chunkTokens)")
     val step = chunkTokens - overlap
     docs
+      // rlike \S, not length(trim(…)): SQL trim strips only spaces, so a
+      // tab-only document would slip through a trimmed-length test (in
+      // both engines) and still fabricate its degenerate chunk
+      .filter(col("text").rlike("\\S"))
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         posexplode(sequence(lit(1),

@@ -580,13 +580,63 @@ object ExtQueries {
     // differs, which is the entire point of an index.
     "x44_ann_topk_ivf_indexed" -> ((s, dir) => {
       val e = emb(s, dir)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_index_" + Integer.toHexString(dir.hashCode)).toString
+      val path = ivfIndexPath(s, dir, "build")
       Similarity.writeIvfIndex(e, path, nCentroids = 8)
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The RESIDENT-index probe — what a deployed IVF index costs per
+    // query batch once the build is amortized. x44 deliberately benches
+    // build+probe (writeIvfIndex unconditional); here ensureIvfIndex
+    // finds the fingerprint stamp on every call after the first and
+    // REUSES the at-rest index, so the recorded cost converges to the
+    // probe alone (the number the x44 design buys, previously only
+    // spec-asserted). Same trained centroids and probe params as
+    // x15/x44, so output — and oracle — are identical by construction.
+    "x47_ann_topk_ivf_resident" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "resident")
+      Similarity.ensureIvfIndex(e, path, nCentroids = 8)
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
         .orderBy(col("qid"), col("rank"))
     })
   )
+
+  /** Scratch location for a query's at-rest IVF index. Suffixed with the
+    * Spark applicationId so two concurrent JVMs over the same data dir
+    * never interleave one run's mode(overwrite) delete with another's
+    * probe scan (and an Int-hashCode collision across dirs can't alias
+    * paths — the dir is embedded sanitized, not hashed). Stable WITHIN a
+    * JVM, which is what lets x47's ensureIvfIndex reuse the index across
+    * bench passes. Registered for recursive delete on JVM exit so
+    * repeated runs don't grow tmp unbounded.
+    */
+  private[graft] def ivfIndexPathForTest(s: SparkSession, dir: String,
+      tag: String): String = ivfIndexPath(s, dir, tag)
+
+  private def ivfIndexPath(s: SparkSession, dir: String,
+      tag: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + tag + "_" + s.sparkContext.applicationId + "_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+    cleanupOnExit(f)
+    f.toString
+  }
+
+  private val exitCleanups =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def cleanupOnExit(f: java.io.File): Unit =
+    if (exitCleanups.add(f.getPath)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm))
+          x.delete(): Unit
+        }
+        rm(f)
+      }))
+    }
 
   private val shingleCte =
     """WITH sh AS (
@@ -1164,12 +1214,13 @@ object ExtQueries {
     "x15_ann_topk_ivf" -> ivfProbeOracleSql,
     "x43_pipeline" -> pipelineOracleSql,
     "x44_ann_topk_ivf_indexed" -> ivfProbeOracleSql,
+    "x47_ann_topk_ivf_resident" -> ivfProbeOracleSql,
     // start positions are arithmetic (1, 1+step, ...), so chunk_idx =
     // (start-1)/step needs no window function; list slices clamp at the
     // tail in both engines
     "x45_chunking" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-                    FROM documents),
+                    FROM documents WHERE regexp_matches(text, '\S')),
          s AS (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 8, 1), 24))
                         AS start
@@ -1183,7 +1234,7 @@ object ExtQueries {
     // equals min(doc_id * 2^32 + chunk_idx), decomposed after the agg
     "x46_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-                    FROM documents),
+                    FROM documents WHERE regexp_matches(text, '\S')),
          s AS (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws), 1), 32))
                         AS start

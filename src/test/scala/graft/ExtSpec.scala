@@ -965,4 +965,109 @@ class ExtSpec extends AnyFunSuite {
     // \b keeps digit runs inside words (a42, 42a) unmasked
     assert(got(3) == ((4L, 0, 0, 1, "a42 42a <NUM> not word boundary trap")))
   }
+
+  test("broadcast-join Lloyd assignment is row-identical to the literal " +
+      "path at the same k") {
+    // force the join path by dropping the crossover to 0, retrain the
+    // SAME (corpus, k, iters), and compare to the literal result. The
+    // cache would hide the second training (same key, identical value by
+    // design), so it is cleared between runs to make the test non-vacuous.
+    val literal = Similarity.trainCentroids(emb, nCentroids = 8, iters = 3)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    spark.conf.set(Similarity.LiteralKMaxKey, "0")
+    try {
+      Similarity.invalidateTrainedCentroids()
+      val joined = Similarity.trainCentroids(emb, nCentroids = 8, iters = 3)
+        .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+      assert(joined == literal,
+        "large-k join assignment must reproduce the literal path bit-exactly")
+    } finally {
+      spark.conf.unset(Similarity.LiteralKMaxKey)
+      Similarity.invalidateTrainedCentroids()
+    }
+  }
+
+  test("training at k=256 runs through the join path (production IVF " +
+      "centroid counts)") {
+    // 2000 deterministic vectors, dim 8 — k=256 > literalKMax=64, so the
+    // literal-argmax codegen (which would blow the 64KB method limit at
+    // production k) is never built
+    val corpus = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => (pmod(col("id") * 31 + d * 17, lit(97)).cast("double") / 97d)
+          .cast("float"))
+        .as("embedding"))
+    val cent = Similarity.trainCentroids(corpus, nCentroids = 256, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(cent.nonEmpty && cent.size <= 256,
+      s"expected <= 256 surviving cells, got ${cent.size}")
+    assert(cent.forall(_._2.size == 8), "centroid dim must match corpus")
+    // the trained relation drops into the standard probe path
+    val out = Similarity.topKIvf(corpus, corpus.filter($"vec_id" < 3), 5,
+      centroids = Some(Similarity.trainCentroids(corpus, 256, iters = 2)))
+      .collect()
+    assert(out.nonEmpty)
+  }
+
+  test("k-means|| init is deterministic, bounded, and feeds Lloyd") {
+    val a = Similarity.initKMeansParallel(emb, k = 6)
+    val b = Similarity.initKMeansParallel(emb, k = 6)
+    assert(a == b, "hash-derived sampling must be run-stable")
+    assert(a.size == 6, s"corpus >> k should yield exactly k seeds: ${a.size}")
+    assert(a.map(_._1) == (0L until 6L), "seeds are renumbered 0..k-1")
+    val trained = Similarity.trainCentroids(emb, nCentroids = 6, iters = 2,
+      init = "parallel").as[(Long, Seq[Float])].collect()
+    assert(trained.nonEmpty && trained.length <= 6)
+    // distinct cache key from the first-N init at the same (k, iters)
+    assert(Similarity.trainCacheKey(emb, 6, 2, "parallel") !=
+      Similarity.trainCacheKey(emb, 6, 2, "first"))
+    // empty corpus degrades to no seeds, not an exception
+    assert(Similarity.initKMeansParallel(
+      emb.filter(lit(false)), k = 4).isEmpty)
+  }
+
+  test("ensureIvfIndex force flag rebuilds despite a matching stamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-force")
+      .toString
+    assert(Similarity.ensureIvfIndex(emb, dir, nCentroids = 4))
+    assert(!Similarity.ensureIvfIndex(emb, dir, nCentroids = 4),
+      "matching stamp reuses")
+    assert(Similarity.ensureIvfIndex(emb, dir, nCentroids = 4, force = true),
+      "force must rebuild even with a matching stamp — the out-of-band " +
+        "mutation hatch (mtime-preserving restores the fingerprint misses)")
+    assert(!Similarity.ensureIvfIndex(emb, dir, nCentroids = 4),
+      "a forced rebuild re-stamps, so the next ensure reuses again")
+  }
+
+  test("x47 resident probe equals x15's in-query IVF output and reuses " +
+      "the index after the first build") {
+    val x15 = graft.queries.ExtQueries.queries("x15_ann_topk_ivf")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val first = graft.queries.ExtQueries
+      .queries("x47_ann_topk_ivf_resident")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val second = graft.queries.ExtQueries
+      .queries("x47_ann_topk_ivf_resident")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first == x15, "resident probe must equal the in-query IVF path")
+    assert(second == first)
+    // the query's own path is now warm: the same ensure must be a no-op
+    val path = graft.queries.ExtQueries.ivfIndexPathForTest(spark, sf,
+      "resident")
+    assert(!Similarity.ensureIvfIndex(
+      Tables.load(spark, sf, "embeddings"), path, nCentroids = 8),
+      "second call must REUSE the at-rest index, not rebuild")
+  }
+
+  test("chunkDocs drops empty and whitespace-only documents instead of " +
+      "fabricating degenerate chunks") {
+    import graft.ext.TextAnalysis
+    val d = Seq((1L, "one two three"), (2L, ""), (3L, "   \t  "),
+      (4L, "four")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(d, chunkTokens = 8, overlap = 0)
+      .as[(Long, Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 4L),
+      "empty/whitespace docs must yield zero chunks")
+    assert(out.forall(c => c._3.nonEmpty && c._4 > 0))
+  }
 }
