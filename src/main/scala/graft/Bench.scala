@@ -26,6 +26,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.engine.GraftSession.tune(spark)
+    // optional "k=v,k=v" runtime-conf overrides for conf-keyed measured
+    // runs (e.g. spark.graft.checkpoint.mode=reliable for SCALE.md's
+    // durability-overhead rows) — applied after tune() so an override
+    // always wins
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // ERROR, not WARN: the driver captures a bounded log window around the
     // one-line JSON result; Spark WARN chatter (broadcast-size warnings ×70
     // queries) overflowed it in round 4 and truncated the artifact
