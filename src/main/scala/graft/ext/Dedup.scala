@@ -271,6 +271,74 @@ object Dedup {
   def shingleHashes(sg: Column): Column =
     transform(sg, s => pmod(xxhash64(s), lit(MersennePrime31)))
 
+  /** Exact repeated-span detection — the substring-level dedup primitive
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, which removes repeated ≥50-token
+    * sequences corpus-wide): every l-token window whose fingerprint
+    * occurs more than once in the corpus is a duplicated span; the
+    * globally-first occurrence (lexicographic min (doc_id, start)) is
+    * the canonical copy that survives, every OTHER occurrence is
+    * flagged, and flagged windows that overlap or touch within a
+    * document merge into maximal removal spans
+    * (doc_id, span_start, span_end, n_windows) — token positions,
+    * 1-based inclusive, ready to subtract from a chunking/export pass.
+    *
+    * Unlike the suffix-array construction of the paper (global sorted
+    * order — hostile to data parallelism), the fixed-l window form is
+    * three bounded shuffles, each on a scalable key: (1) the df count +
+    * canonical pick groups on the 32-hex fingerprint with a
+    * partial-aggregatable `min(struct(doc_id, start))` — deliberately
+    * NOT a row_number window over fp, which would funnel a corpus-hot
+    * span (a boilerplate license header at 100 TB) through one task;
+    * (2) the join-back on fp is AQE-skew-splittable; (3) the span merge
+    * shuffles on doc_id with an in-partition running-max — per-doc
+    * window state, linear. Window fan-out is one row per token
+    * (stride 1), the same order as the corpus itself. Catching every
+    * duplicated substring of length ≥ l needs exactly this stride-1
+    * window set: two docs sharing m ≥ l consecutive tokens share
+    * m − l + 1 fingerprints, so the merged span reconstructs the full
+    * shared run; conversely no span shorter than l is ever flagged.
+    */
+  def repeatedSpans(docs: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, s"span window l ($l) must be >= 2")
+    val win = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= l)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - (l - 1))).as("start"))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(concat_ws(" ", slice(col("ws"), col("start"), lit(l)))).as("fp"))
+    val canon = win
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("c"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("fp"), col("c.doc_id").as("c_doc"),
+        col("c.start").as("c_start"))
+    val flagged = win.join(canon, Seq("fp"))
+      .filter(!(col("doc_id") === col("c_doc") &&
+        col("start") === col("c_start")))
+      .select(col("doc_id"), col("start"),
+        (col("start") + (l - 1)).as("e"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevEnd = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      // span break when this window starts beyond the running max end
+      // + 1: overlapping AND immediately adjacent flagged windows merge
+      .withColumn("brk",
+        when(col("start") > coalesce(prevEnd, lit(-1L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** Exact all-pairs Jaccard with AllPairs/PPJoin-style prefix filtering
     * (Bayardo et al., WWW'07; Xiao et al., WWW'08): index only each set's
     * *prefix* — its |A| − ceil(t·|A|) + 1 globally rarest shingles — and

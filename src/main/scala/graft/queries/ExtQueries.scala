@@ -594,6 +594,24 @@ object ExtQueries {
     // probe alone (the number the x44 design buys, previously only
     // spec-asserted). Same trained centroids and probe params as
     // x15/x44, so output — and oracle — are identical by construction.
+    // the PPJoin prefix-filter path as a DECLARED query: same contract
+    // and oracle as x06 (output-identical by construction — the prefix
+    // filter is lossless), so the skew hatch's semantics preservation is
+    // hash-checked every round, not just SkewSpec-asserted. x06 remains
+    // the headline plan (faster on this corpus size); this is the shape
+    // that wins when Σfreq² blows up (SCALE.md).
+    "x48_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(docs(s, dir), n = 3, threshold = 0.5)
+        .orderBy(col("da"), col("db"))),
+
+    // exact repeated-span detection (Lee et al.-style substring dedup,
+    // fixed-l window form): all non-canonical occurrences of any
+    // duplicated 16-token window, merged per doc into maximal removal
+    // spans. Dedup.repeatedSpans scaladoc has the 100 TB shape.
+    "x49_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(docs(s, dir), l = 16)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     "x47_ann_topk_ivf_resident" -> ((s, dir) => {
       val e = emb(s, dir)
       val path = ivfIndexPath(s, dir, "resident")
@@ -1215,6 +1233,38 @@ object ExtQueries {
     "x43_pipeline" -> pipelineOracleSql,
     "x44_ann_topk_ivf_indexed" -> ivfProbeOracleSql,
     "x47_ann_topk_ivf_resident" -> ivfProbeOracleSql,
+    // x48 is output-identical to x06 by construction (lossless prefix
+    // filter), so it shares the same oracle verbatim
+    "x48_jaccard_prefix" -> jaccardPairsSql,
+    // canonical pick via rn=1 over (doc_id, start) ≡ the Spark side's
+    // min(struct(doc_id, start)); span merge is the same running-max
+    // window arithmetic in both engines
+    "x49_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         w AS (SELECT doc_id, start,
+                      md5(array_to_string(ws[start : start + 15], ' ')) AS fp
+               FROM t, unnest(generate_series(1, len(ws) - 15, 1)) AS u(start)
+               WHERE len(ws) >= 16),
+         f AS (SELECT doc_id, start, start + 15 AS e,
+                      row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id, start) AS rn
+               FROM w),
+         fl AS (SELECT doc_id, start, e FROM f WHERE rn >= 2),
+         m AS (SELECT doc_id, start, e,
+                      CASE WHEN start > coalesce(max(e) OVER (
+                             PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1) + 1
+                           THEN 1 ELSE 0 END AS brk
+               FROM fl),
+         g AS (SELECT doc_id, start, e,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                     ROWS UNBOUNDED PRECEDING) AS span_id
+               FROM m)
+         SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
+                count(*) AS n_windows
+         FROM g GROUP BY doc_id, span_id ORDER BY doc_id, span_start""",
     // start positions are arithmetic (1, 1+step, ...), so chunk_idx =
     // (start-1)/step needs no window function; list slices clamp at the
     // tail in both engines

@@ -1059,6 +1059,32 @@ class ExtSpec extends AnyFunSuite {
       "second call must REUSE the at-rest index, not rebuild")
   }
 
+  test("repeatedSpans flags non-canonical occurrences and merges " +
+      "overlapping windows into maximal spans") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),       // canonical source of every dup run
+      (2L, "x x a b c d e f y y"),   // shares the 6-token run a..f at 3-8
+      (3L, "a b c d"),               // exactly one duplicated 4-window
+      (4L, "too short")              // < l tokens: no windows at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, l = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1 holds the lexicographically-first occurrence of every
+    // duplicated window, so it survives untouched; doc 2's three
+    // overlapping flagged windows (starts 3,4,5) merge into one span
+    // reconstructing the full shared run; doc 3's single window is one
+    // minimal span
+    assert(out == Seq((2L, 3L, 8L, 3L), (3L, 1L, 4L, 1L)))
+    // span length lower bound: nothing shorter than l is ever flagged
+    assert(out.forall { case (_, s, e, _) => e - s + 1 >= 4 })
+    // the declared corpus has planted near-dups → nonempty, all spans >= l
+    val corpus = Dedup.repeatedSpans(docs, l = 16)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { case (_, s, e, _) => e - s + 1 >= 16 })
+  }
+
   test("chunkDocs drops empty and whitespace-only documents instead of " +
       "fabricating degenerate chunks") {
     import graft.ext.TextAnalysis
