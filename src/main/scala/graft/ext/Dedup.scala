@@ -339,6 +339,50 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Apply [[repeatedSpans]] removal spans to the corpus: drop every
+    * token whose 1-based position falls inside one of the doc's spans
+    * and reassemble the survivors in order — the rewrite that turns the
+    * span list into the deduplicated training corpus (canonical
+    * occurrences survive because [[repeatedSpans]] never flags them).
+    * Returns (doc_id, clean_text, n_kept, n_removed); documents with no
+    * spans pass through with n_removed = 0.
+    *
+    * Scale shape: spans explode into their covered positions (Σ span
+    * lengths ≤ corpus token count), the subtraction is an equi
+    * anti-join on (doc_id, pos) — never a range predicate, which would
+    * deny a hash join — and reassembly is one groupBy(doc_id) with an
+    * in-group array_sort; three linear shuffles total, no driver state.
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        col("tok"))
+    val removed = spans
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = toks
+      .join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("kept_text"),
+        count(lit(1)).as("kept_n"))
+    // left join from the corpus, not inner from the survivors: a doc
+    // whose every token sat in a span still yields a row (empty
+    // clean_text) rather than silently vanishing from the output
+    docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_n"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("kept_n"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact all-pairs Jaccard with AllPairs/PPJoin-style prefix filtering
     * (Bayardo et al., WWW'07; Xiao et al., WWW'08): index only each set's
     * *prefix* — its |A| − ceil(t·|A|) + 1 globally rarest shingles — and

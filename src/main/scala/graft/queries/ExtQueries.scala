@@ -612,6 +612,15 @@ object ExtQueries {
       Dedup.repeatedSpans(docs(s, dir), l = 16)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // the x49 spans APPLIED: the deduplicated corpus itself (canonical
+    // occurrences kept, every other repeated 16-token run excised and
+    // the survivors reassembled in token order)
+    "x50_span_dedup_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.removeSpans(d, Dedup.repeatedSpans(d, l = 16))
+        .orderBy(col("doc_id"))
+    }),
+
     "x47_ann_topk_ivf_resident" -> ((s, dir) => {
       val e = emb(s, dir)
       val path = ivfIndexPath(s, dir, "resident")
@@ -1265,6 +1274,51 @@ object ExtQueries {
          SELECT doc_id, min(start) AS span_start, max(e) AS span_end,
                 count(*) AS n_windows
          FROM g GROUP BY doc_id, span_id ORDER BY doc_id, span_start""",
+    // x49's span chain, then the rewrite: removed positions unnested
+    // from the spans, token subtraction as NOT EXISTS on (doc_id, pos),
+    // ordered string_agg reassembly, left join so fully-scrubbed and
+    // span-free docs both surface
+    "x50_span_dedup_corpus" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         w AS (SELECT doc_id, start,
+                      md5(array_to_string(ws[start : start + 15], ' ')) AS fp
+               FROM t, unnest(generate_series(1, len(ws) - 15, 1)) AS u(start)
+               WHERE len(ws) >= 16),
+         f AS (SELECT doc_id, start, start + 15 AS e,
+                      row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id, start) AS rn
+               FROM w),
+         fl AS (SELECT doc_id, start, e FROM f WHERE rn >= 2),
+         m AS (SELECT doc_id, start, e,
+                      CASE WHEN start > coalesce(max(e) OVER (
+                             PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1) + 1
+                           THEN 1 ELSE 0 END AS brk
+               FROM fl),
+         g AS (SELECT doc_id, start, e,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                     ROWS UNBOUNDED PRECEDING) AS span_id
+               FROM m),
+         sp AS (SELECT doc_id, min(start) AS s, max(e) AS en
+                FROM g GROUP BY doc_id, span_id),
+         rem AS (SELECT doc_id, unnest(generate_series(s, en, 1)) AS pos
+                 FROM sp),
+         tk AS (SELECT doc_id, pos, ws[pos] AS tok
+                FROM t, unnest(generate_series(1, len(ws))) AS u(pos)),
+         kp AS (SELECT doc_id, pos, tok FROM tk
+                WHERE NOT EXISTS (SELECT 1 FROM rem
+                                  WHERE rem.doc_id = tk.doc_id
+                                    AND rem.pos = tk.pos)),
+         ag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+                       count(*) AS kept_n
+                FROM kp GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(ag.kept_text, '') AS clean_text,
+                coalesce(ag.kept_n, 0) AS n_kept,
+                len(t.ws) - coalesce(ag.kept_n, 0) AS n_removed
+         FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id
+         ORDER BY t.doc_id""",
     // start positions are arithmetic (1, 1+step, ...), so chunk_idx =
     // (start-1)/step needs no window function; list slices clamp at the
     // tail in both engines

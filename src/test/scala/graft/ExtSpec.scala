@@ -1085,6 +1085,34 @@ class ExtSpec extends AnyFunSuite {
     assert(corpus.forall { case (_, s, e, _) => e - s + 1 >= 16 })
   }
 
+  test("removeSpans excises span tokens, keeps canonical text intact, " +
+      "and surfaces fully-scrubbed docs") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e f y y"),
+      (3L, "a b c d"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(d, Dedup.repeatedSpans(d, l = 4))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d e f g h", 8L, 0L),   // canonical: untouched
+      (2L, "x x y y", 4L, 6L),           // span 3-8 excised, order kept
+      (3L, "", 0L, 4L),                  // fully scrubbed, still a row
+      (4L, "too short", 2L, 0L)))        // no windows, passes through
+    // global token conservation: kept + removed == original count
+    val corpus = Dedup.removeSpans(docs, Dedup.repeatedSpans(docs, l = 16))
+    val sums = corpus.agg(sum($"n_kept"), sum($"n_removed"))
+      .as[(Long, Long)].collect()(0)
+    val total = docs.select(
+      sum(size(graft.ext.TextAnalysis.tokens($"text"))).cast("long"))
+      .as[Long].collect()(0)
+    assert(sums._1 + sums._2 == total)
+    assert(sums._2 > 0, "planted near-dups must produce removals")
+    assert(corpus.count() == docs.count(), "every doc yields a row")
+  }
+
   test("chunkDocs drops empty and whitespace-only documents instead of " +
       "fabricating degenerate chunks") {
     import graft.ext.TextAnalysis
