@@ -88,7 +88,15 @@ object Bench {
       while (p < passes && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // toRdd.count(), NOT Dataset.count(): the latter rewrites the
+          // plan to a count aggregate and lets Catalyst prune every
+          // column the count doesn't need — x50's whole span-rewrite
+          // (and x40's regex chain) collapsed to a row count, timing a
+          // plan the user never runs. toRdd executes the SAME physical
+          // plan with all output columns materialized, codegen intact,
+          // rows consumed executor-side — what Verify's parquet write
+          // pays, minus the write.
+          fn(spark, sfDir).queryExecution.toRdd.count()
           times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

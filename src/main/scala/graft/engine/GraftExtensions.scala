@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatVecDot, HyperplaneSketch, MinHashSig, RollingWinnow}
+import graft.functions.{FloatVecDot, HyperplaneSketch, MinHashSig, RollingWinnow, SimHash60}
 
 /** Registration of the engine's native expressions as SQL functions, so
   * `SELECT vec_dot(a, b)` / `minhash_sig(hv, 128)` /
@@ -59,6 +59,12 @@ object GraftExtensions {
         HyperplaneSketch(children.head,
           p("dim", children(1)), p("nbits", children(2)),
           p("tables", children(3)))
+      }),
+    (new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        arity("simhash60", "hashes", 1)(children)
+        SimHash60(children.head)
       }),
     (new FunctionIdentifier("rolling_winnow"),
       new ExpressionInfo(classOf[RollingWinnow].getName, "rolling_winnow"),

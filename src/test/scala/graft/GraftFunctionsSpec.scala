@@ -53,6 +53,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     both.foreach { case (f, s) => assert(f == s) }
   }
 
+  test("simhash60 is bit-identical to the HOF formulation") {
+    val docs = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    val both = docs.select(
+      graft.ext.TextAnalysis.simhash($"text").as("fast"),
+      graft.ext.TextAnalysis.simhashHof($"text").as("slow"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (f, s) => assert(f == s) }
+    // degenerate inputs: no features → all votes 0 → no bits set
+    val edge = Seq(Tuple1("solo"), Tuple1("a a a")).toDF("text")
+      .select(graft.ext.TextAnalysis.simhash($"text").as("h"),
+        graft.ext.TextAnalysis.simhashHof($"text").as("s"))
+      .as[(Long, Long)].collect()
+    edge.foreach { case (f, s) => assert(f == s) }
+  }
+
   test("hyperplane_sketch is bit-identical to the per-bucket composition") {
     val emb = graft.engine.Tables
       .load(spark, "/root/testdata/sf0.001", "embeddings")
