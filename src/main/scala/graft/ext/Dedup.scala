@@ -394,19 +394,40 @@ object Dedup {
     * Wins over the plain inverted index when the shingle frequency
     * distribution is heavy (Σ freq² blow-up): hot shingles sit at the end
     * of the canonical order and never enter a prefix. Measured on the
-    * sf0.1 synthetic corpus the plain index is still faster (3.2 s vs
-    * 5.7 s — the per-doc canonical sort dominates at this corpus size),
-    * so [[jaccardPairsIndex]] backs the declared query and this operator
-    * is the documented escape hatch for skewed corpora.
+    * sf0.1 synthetic corpus the plain index is still faster (2.0 s vs
+    * 2.6 s best-of-3 — the per-doc canonical sort dominates at this
+    * corpus size), so [[jaccardPairsIndex]] backs the declared query and
+    * this operator is the documented escape hatch for skewed corpora.
     */
   def jaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // checkpointed once: the one-shot DAG would otherwise re-shingle the
+    // corpus four times (prefix index + both verify stages' join sides).
+    // The hashed shingle array rides along so the first verify stage
+    // compares 8-byte longs, not ~25-byte strings.
     val sg = shingled(docs, n)
+      .withColumn("sgh", transform(col("sg"), s => xxhash64(s)))
+      .materialized
     val candidates = prefixCollisions(sg, threshold)
       .select("da", "db")
       .distinct()
+    // two-stage verify. Stage 1 decides the candidate bulk on the hashed
+    // arrays: hashed Jaccard can only OVER-estimate (collisions inflate
+    // the intersection and shrink the union), so the filter keeps a
+    // superset of the qualifying pairs while the wide shuffle moves
+    // longs. Stage 2 re-verifies the (true-pair-scale) survivors on the
+    // real shingle strings, so the output is bit-identical to
+    // [[jaccardPairsIndex]] even under a hash collision.
+    val ah = sg.select(col("doc_id").as("da"), col("sgh").as("ha"))
+    val bh = sg.select(col("doc_id").as("db"), col("sgh").as("hb"))
+    val survivors = candidates
+      .join(ah, "da")
+      .join(bh, "db")
+      .filter(size(array_intersect(col("ha"), col("hb"))).cast(DoubleType) /
+        size(array_union(col("ha"), col("hb"))) >= threshold - 1e-6)
+      .select("da", "db")
     val a = sg.select(col("doc_id").as("da"), col("sg").as("sga"))
     val b = sg.select(col("doc_id").as("db"), col("sg").as("sgb"))
-    candidates
+    survivors
       .join(a, "da")
       .join(b, "db")
       .select(col("da"), col("db"),
@@ -424,21 +445,45 @@ object Dedup {
   private[graft] def prefixCollisions(sg: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // 64-bit hashed join keys, like [[jaccardPairsIndexHashed]]: the
+    // freq count and the prefix self-join move 8-byte longs instead of
+    // ~25-byte 3-gram strings (a cross-doc hash collision only ADDS a
+    // candidate, and the caller's exact verify decides membership). The
+    // canonical order keeps the shingle text as the final tie-break so
+    // it stays INJECTIVE per doc — the positional filter below counts
+    // "elements strictly before the first common element", which a
+    // within-doc hash tie would otherwise miscount.
     val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
-      explode(col("sg")).as("sh"))
+      explode(col("sg")).as("s"))
+      .withColumn("sh", xxhash64(col("s")))
     val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("f"))
-    // canonical order: rarest first, shingle text as tie-break
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
+    // canonical order: rarest first, hash then text as tie-break
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("sh"), col("s"))
     val prefix = inv.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("sh"), col("doc_id"), col("sz"))
-    prefix.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
-      .join(prefix.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb")),
-        Seq("sh"))
+      .select(col("sh"), col("doc_id"), col("sz"), col("pos"))
+    prefix.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"),
+        col("pos").as("pa"))
+      .join(prefix.select(col("sh"), col("doc_id").as("db"),
+        col("sz").as("szb"), col("pos").as("pb")), Seq("sh"))
       .filter(col("da") < col("db") &&
         least(col("sza"), col("szb")).cast(DoubleType) /
-          greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+          greatest(col("sza"), col("szb")) >= threshold - 1e-6 &&
+        // PPJoin positional filter (Xiao et al. §3.2): if this collision
+        // is the pair's FIRST common element in canonical order, every
+        // earlier element on either side is non-shared, so
+        // |A∩B| ≤ 1 + min(|A|−pa, |B|−pb); J ≥ t forces
+        // |A∩B| ≥ t/(1+t)·(|A|+|B|). A qualifying pair always has its
+        // first common element inside both prefixes (the collision that
+        // passes), so OR-ing the test across collisions is lossless —
+        // and it is what cuts the candidate set from "shares any rare
+        // shingle" (~62 per doc on the sf0.1 corpus) to nearly the true
+        // pair list before the distinct + verify shuffles.
+        (lit(1L) + least(col("sza") - col("pa"), col("szb") - col("pb")))
+          .cast(DoubleType) >=
+          (col("sza") + col("szb")) * (threshold / (1 + threshold)) - 1e-6)
   }
 
   /** The corresponding collision relation of the plain (hashed) inverted
