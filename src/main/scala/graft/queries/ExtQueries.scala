@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ext.TextAnalysis._
 
 /** Extension queries: the LLM-data-pipeline operators (north star,
@@ -627,8 +627,44 @@ object ExtQueries {
       Similarity.ensureIvfIndex(e, path, nCentroids = 8)
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Okapi BM25 lexical retrieval: top-20 docs for a literal term query
+    // ("dup" is the corpus's one rare term — high idf — so the ranking
+    // actually discriminates). TakeOrderedAndProject top-k; stats and df
+    // are broadcast (≤|Q|+1 rows)
+    "x51_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25(docs(s, dir), RetrievalTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)),
+
+    // hybrid search: reciprocal-rank fusion of the BM25 lexical top-50
+    // and the embedding-cosine top-50 for query vector 0 (doc_id ≙
+    // vec_id in the corpus). Each list is rank-limited BEFORE its rank
+    // window, so the windows sort ≤50 rows post-TakeOrdered — the
+    // bounded-fan-in shape RRF needs at 100 TB
+    "x52_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = Retrieval.bm25(docs(s, dir), RetrievalTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val vecTop = Similarity
+        .topKAggregated(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("cid").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lexTop, vecTop), c = 60)
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     })
   )
+
+  /** The literal term query behind x51/x52 — shared so the lexical leg
+    * of the hybrid fusion is exactly the declared BM25 ranking.
+    */
+  private lazy val RetrievalTerms = Seq("spark", "scan", "dup")
 
   /** Scratch location for a query's at-rest IVF index. Suffixed with the
     * Spark applicationId so two concurrent JVMs over the same data dir
@@ -1536,6 +1572,62 @@ object ExtQueries {
                   row_number() OVER (PARTITION BY doc_id
                                      ORDER BY score DESC, word) AS rn
            FROM scored) t
-         WHERE rn = 1 ORDER BY doc_id"""
+         WHERE rn = 1 ORDER BY doc_id""",
+    "x51_bm25_topk" ->
+      s"""WITH $bm25Cte
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""",
+    "x52_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         lex AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                 FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         vscored AS (
+           SELECT b.vec_id AS cid, $cosSql AS cos
+           FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id != 0),
+         vec AS (SELECT cid AS doc_id,
+                        row_number() OVER (ORDER BY cos DESC, cid) AS rank
+                 FROM vscored ORDER BY cos DESC, cid LIMIT 50),
+         contrib AS (
+           SELECT doc_id, round((1.0::DOUBLE) / (60 + rank), 6) AS c FROM lex
+           UNION ALL
+           SELECT doc_id, round((1.0::DOUBLE) / (60 + rank), 6) AS c FROM vec),
+         fused AS (SELECT doc_id,
+                          round(sum(CAST(c AS DECIMAL(38,12)))::DOUBLE, 6) AS rrf,
+                          count(*) AS n_lists
+                   FROM contrib GROUP BY doc_id)
+         SELECT doc_id, rrf, n_lists FROM fused
+         ORDER BY rrf DESC, doc_id LIMIT 20"""
   )
+
+  /** BM25 scoring CTE chain shared by the x51/x52 oracles — the exact
+    * IEEE operation order [[graft.ext.Retrieval.bm25]] executes, with
+    * every fractional literal cast to DOUBLE (bare decimals in DuckDB
+    * are DECIMAL-typed and would divide at decimal precision). k1=1.2,
+    * b=0.75, terms = [[RetrievalTerms]]; per-term scores rounded to 6
+    * dp, then summed exactly as DECIMAL(38,12).
+    */
+  private lazy val bm25Cte: String = {
+    val termList = RetrievalTerms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents),
+         stats AS (SELECT count(*) AS n_docs, sum(len(ws)) AS sum_dl FROM d),
+         toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM d),
+         tf AS (SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+                FROM toks WHERE word IN ($termList) GROUP BY doc_id, word),
+         dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         ts AS (SELECT tf.doc_id,
+                  round(ln((1.0::DOUBLE) +
+                          ((n_docs - df) + (0.5::DOUBLE)) /
+                          (df + (0.5::DOUBLE))) *
+                        (tf * ((1.2::DOUBLE) + (1.0::DOUBLE))) /
+                        (tf + (1.2::DOUBLE) *
+                          ((1.0::DOUBLE) - (0.75::DOUBLE) +
+                           (0.75::DOUBLE) * dl /
+                           (sum_dl::DOUBLE / n_docs))), 6) AS s
+                FROM tf JOIN dfq USING (word) CROSS JOIN stats),
+         sc AS (SELECT doc_id,
+                       round(sum(CAST(s AS DECIMAL(38,12)))::DOUBLE, 6) AS score
+                FROM ts GROUP BY doc_id)"""
+  }
 }
