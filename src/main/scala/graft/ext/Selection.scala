@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.ext.TextAnalysis.{bigrams, hash60, tokens}
+
+/** Data-selection operators: model-based quality scoring and importance
+  * weighting over the document corpus — the filters a training-data
+  * pipeline runs between dedup and export to decide WHICH surviving
+  * documents to train on (and how often).
+  *
+  * Two published techniques, re-expressed as single Spark plans:
+  *   - [[bigramLmScore]]: CCNet-style (Wenzek et al., 2019) language-model
+  *     perplexity scoring, with the LM trained on the corpus itself
+  *     inside the same plan (no external model artifact).
+  *   - [[dsirWeights]]: DSIR (Xie et al., 2023) importance resampling
+  *     weights from hashed n-gram features — log-likelihood ratio of a
+  *     target distribution vs the raw corpus distribution.
+  *
+  * The reference engine has no selection surface; these extend it the
+  * same way the dedup/retrieval families do.
+  */
+object Selection {
+
+  /** Exact decimal sum of 6-dp-rounded doubles — the engine-portable
+    * aggregation rule ([[Retrieval]] uses the same): rounding first makes
+    * every addend exactly representable, decimal summing makes the
+    * reduction order irrelevant.
+    */
+  private def sum6(c: Column): Column =
+    sum(c.cast(DecimalType(38, 12))).cast(DoubleType)
+
+  /** Corpus-trained bigram language-model score per document: the mean
+    * negative log-likelihood of the document's word bigrams under an
+    * add-alpha-smoothed bigram model estimated from the WHOLE corpus.
+    * Low score = phrasing the corpus considers ordinary prose; high
+    * score = word soup, OCR noise, boilerplate the corpus rarely emits —
+    * the CCNet quality signal, with the corpus itself standing in for
+    * the clean LM corpus.
+    *
+    * Model: P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha·V), where
+    * c(w1 w2) is the corpus bigram count, c(w1 ·) its left-marginal
+    * (Σ over w2 — derived from the bigram counts, no second corpus
+    * pass), and V the corpus unigram vocabulary size. Per-bigram
+    * −ln P is rounded to 6 dp, the per-doc mean is an exact decimal
+    * sum / count rounded to 6 dp ([[sum6]]) — ties and hashes are
+    * engine-portable. Documents with fewer than two tokens have no
+    * bigrams and are absent from the output (callers keep them with a
+    * left join; a score is meaningless for them).
+    *
+    * Returns (doc_id, n_bigrams, lm_score).
+    *
+    * Scale shape: one tokenize+explode pass over the corpus (Σ tokens
+    * rows); the model is an aggregate of that same relation (vocab²-
+    * bounded, far smaller than the corpus); per-bigram NLL is computed
+    * ON THE MODEL relation (once per distinct bigram, not once per
+    * occurrence) and joined back by bigram key — ONE corpus-scale
+    * equi-join shuffle, partial-agg'd per-doc mean after it. Hot
+    * bigrams (stopword pairs) are absorbed by map-side partial
+    * aggregation in the count step and are plain join fan-in (not
+    * fan-out) in the score step.
+    */
+  def bigramLmScore(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val leftMarginal = counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    // NLL per DISTINCT bigram: the model relation is small, so the log
+    // arithmetic runs |model| times, not |corpus bigrams| times
+    val model = counts
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(leftMarginal, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"), round(-log(
+        (col("c12") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("v"))), 6).as("nll"))
+    bg.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum6(col("nll")) / count(lit(1)), 6).as("lm_score"))
+  }
+
+  /** DSIR importance weights from hashed bigram features: per document,
+    * the log-likelihood ratio of a TARGET feature distribution (the
+    * docs matching `isTarget` — the "domain I want more of") vs the RAW
+    * corpus distribution, summed over the document's feature
+    * occurrences. Positive weight = the document looks more like the
+    * target than like the average corpus document; resampling
+    * proportionally to exp(weight) is the DSIR selection rule.
+    *
+    * Features are word bigrams hashed into `buckets` buckets with the
+    * engine-portable md5-based [[TextAnalysis.hash60]] (the x18/x22
+    * hashing family), so the distributions are `buckets`-dimensional
+    * regardless of vocabulary size. Both distributions are add-alpha
+    * smoothed: p(f) = (c(f) + alpha) / (N + alpha·B). The per-bucket
+    * log-ratio is rounded to 6 dp; the per-doc sum is exact decimal
+    * ([[sum6]]). Docs with no bigrams are absent (as in
+    * [[bigramLmScore]]).
+    *
+    * Returns (doc_id, n_feats, dsir_weight).
+    *
+    * Scale shape: one tokenize+explode+hash pass over the corpus; the
+    * per-bucket count table is B rows (two tiny aggregates of the same
+    * exploded relation — the target counts ride the raw pass as a
+    * conditional sum, so the corpus is NOT read twice); the log-ratio
+    * table is B rows and BROADCAST back onto the exploded corpus —
+    * zero corpus-scale join shuffle, one partial-agg'd per-doc sum.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 4096, alpha: Double = 0.5): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("is_target"),
+        explode(bigrams(col("ws"))).as("bg"))
+      .select(col("doc_id"), col("is_target"),
+        (hash60(col("bg")) % buckets).as("f"))
+    val bucketCounts = feats.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = bucketCounts
+      .agg(sum(col("n_raw")).as("big_n_raw"), sum(col("n_tgt")).as("big_n_tgt"))
+    val logRatio = bucketCounts
+      .crossJoin(broadcast(totals))
+      .select(col("f"), round(
+        log((col("n_tgt") + lit(alpha)) /
+          (col("big_n_tgt") + lit(alpha) * buckets)) -
+          log((col("n_raw") + lit(alpha)) /
+            (col("big_n_raw") + lit(alpha) * buckets)), 6).as("lr"))
+    feats.join(broadcast(logRatio), "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum6(col("lr")), 6).as("dsir_weight"))
+  }
+}

@@ -658,7 +658,23 @@ object ExtQueries {
       Retrieval.rrfFuse(Seq(lexTop, vecTop), c = 60)
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(20)
-    })
+    }),
+
+    // corpus-trained bigram-LM perplexity score (CCNet-style quality
+    // signal): the model is an aggregate of the same tokenize pass, NLL
+    // is computed once per DISTINCT bigram and joined back — one
+    // corpus-scale shuffle
+    "x53_bigram_lm_score" -> ((s, dir) =>
+      graft.ext.Selection.bigramLmScore(docs(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance weights (hashed-bigram log-likelihood ratio vs the
+    // src0 target domain): B-row ratio table broadcast onto the feature
+    // stream — zero corpus-scale join shuffle
+    "x54_dsir_weights" -> ((s, dir) =>
+      graft.ext.Selection.dsirWeights(docs(s, dir),
+          col("source") === "src0")
+        .orderBy(col("doc_id")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -1597,7 +1613,59 @@ object ExtQueries {
                           count(*) AS n_lists
                    FROM contrib GROUP BY doc_id)
          SELECT doc_id, rrf, n_lists FROM fused
-         ORDER BY rrf DESC, doc_id LIMIT 20"""
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // mirrors Selection.bigramLmScore exactly: NLL per DISTINCT bigram
+    // (rounded to 6 dp), exact decimal per-doc mean; every fractional
+    // literal cast to DOUBLE so DuckDB divides at IEEE precision
+    "x53_bigram_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         bgd AS (SELECT doc_id,
+                   unnest([ws[i] || ' ' || ws[i+1]
+                           for i in generate_series(1, len(ws)-1)]) AS bg
+                 FROM t WHERE len(ws) >= 2),
+         counts AS (SELECT bg, count(*) AS c12 FROM bgd GROUP BY bg),
+         lm AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+                FROM counts GROUP BY 1),
+         vocab AS (SELECT count(DISTINCT w) AS v
+                   FROM (SELECT unnest(ws) AS w FROM t)),
+         model AS (SELECT bg,
+                     round(-ln((c12 + (0.5::DOUBLE)) /
+                               (c1 + (0.5::DOUBLE) * v)), 6) AS nll
+                   FROM counts
+                   JOIN lm ON split_part(counts.bg, ' ', 1) = lm.w1
+                   CROSS JOIN vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(sum(CAST(nll AS DECIMAL(38,12)))::DOUBLE
+                      / count(*), 6) AS lm_score
+         FROM bgd JOIN model USING (bg)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // mirrors Selection.dsirWeights: 60-bit md5 feature hash (the
+    // x04/x06 hash60 contract) mod 4096, add-0.5-smoothed target/raw
+    // log-ratio per bucket rounded to 6 dp, exact decimal per-doc sum
+    "x54_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
+                regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         feats AS (SELECT doc_id, is_target,
+                     CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % 4096 AS f
+                   FROM (SELECT doc_id, is_target,
+                           unnest([ws[i] || ' ' || ws[i+1]
+                                   for i in generate_series(1, len(ws)-1)]) AS bg
+                         FROM t WHERE len(ws) >= 2)),
+         bc AS (SELECT f, count(*) AS n_raw,
+                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
+                FROM feats GROUP BY f),
+         tot AS (SELECT sum(n_raw) AS big_n_raw, sum(n_tgt) AS big_n_tgt FROM bc),
+         lr AS (SELECT f,
+                  round(ln((n_tgt + (0.5::DOUBLE)) /
+                           (big_n_tgt + (0.5::DOUBLE) * 4096)) -
+                        ln((n_raw + (0.5::DOUBLE)) /
+                           (big_n_raw + (0.5::DOUBLE) * 4096)), 6) AS lr
+                FROM bc CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_feats,
+                round(sum(CAST(lr AS DECIMAL(38,12)))::DOUBLE, 6) AS dsir_weight
+         FROM feats JOIN lr USING (f)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** BM25 scoring CTE chain shared by the x51/x52 oracles — the exact

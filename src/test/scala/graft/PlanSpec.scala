@@ -31,7 +31,9 @@ class PlanSpec extends AnyFunSuite {
     "x43_pipeline", // composes x39's k-row centroid side
     "x44_ann_topk_ivf_indexed", // k-row probe side against k-row centroids
     "x51_bm25_topk", // 1-row corpus stats, the x13/x14 pattern
-    "x52_hybrid_rrf") // composes x51's 1-row stats + x10's k-row query side
+    "x52_hybrid_rrf", // composes x51's 1-row stats + x10's k-row query side
+    "x53_bigram_lm_score", // 1-row vocabulary size
+    "x54_dsir_weights") // 1-row distribution totals
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
