@@ -281,6 +281,15 @@ object Similarity {
     rankProbed(c, q, k)
   }
 
+  /** Public (vec_id, cell) view of the IVF cell assignment — the
+    * learned-strata input for cluster-balanced selection (x55) and any
+    * other per-cell downstream operator. Exactly the argmax the index
+    * write path persists as the `cell=` partition column.
+    */
+  def cellAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroidRelation(centroids))
+      .select(col("cid").as("vec_id"), col("cell"))
+
   /** (cent_id, cent_e, cent_n) view of a centroid relation. */
   private def centroidRelation(centroids: DataFrame): DataFrame =
     centroids.select(col("vec_id").as("cent_id"),

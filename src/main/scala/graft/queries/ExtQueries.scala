@@ -237,16 +237,24 @@ object ExtQueries {
     // boundaries WOULD diverge); codes emitted as a joined string so the
     // driver hash can lexsort the column (q05 lesson).
     "x25_int8_quantize" -> ((s, dir) => {
-      val scale = array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))
-      // an all-zero vector has scale 0 — divide by 1 instead so codes
-      // stay 0 (NaN would null out array elements here and abort the
-      // oracle's CAST)
-      val safeScale = when(scale === 0.0, lit(1.0)).otherwise(scale)
-      emb(s, dir).select(col("vec_id"),
-        round(scale, 6).as("scale"),
+      // the max-abs scale MUST be materialized as a column before the
+      // quantizing transform: referenced inline, the scale subtree (a
+      // transform + array_max over the whole array) is re-evaluated per
+      // ELEMENT of the outer lambda — O(d²) interpreted work per row,
+      // measured 1.9 s for 2000×64 floats vs ~0.2 s with the bound
+      // column (the lambda-capture trap the r2 tokenizer fix documented)
+      val scaled = emb(s, dir).select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))).as("s0"))
+        // an all-zero vector has scale 0 — divide by 1 instead so codes
+        // stay 0 (NaN would null out array elements here and abort the
+        // oracle's CAST)
+        .withColumn("ss",
+          when(col("s0") === 0.0, lit(1.0)).otherwise(col("s0")))
+      scaled.select(col("vec_id"),
+        round(col("s0"), 6).as("scale"),
         array_join(transform(col("embedding"),
-          x => round(x.cast("double") / safeScale * 127, 0).cast("int")
+          x => round(x.cast("double") / col("ss") * 127, 0).cast("int")
             .cast("string")), ",").as("qvec"))
         .orderBy(col("vec_id"))
     }),
@@ -674,7 +682,22 @@ object ExtQueries {
     "x54_dsir_weights" -> ((s, dir) =>
       graft.ext.Selection.dsirWeights(docs(s, dir),
           col("source") === "src0")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // DataComp-style cluster-balanced subsample: stratified sampling
+    // where the strata are LEARNED k-means cells (x15's trained
+    // centroids) — caps each semantic neighborhood at a quota so
+    // over-represented regions can't dominate the training mix. x38's
+    // hash-rank (a pure function of the row) over x15's cell assignment
+    "x55_cluster_balanced_sample" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cells = Similarity.cellAssignments(e,
+        Similarity.trainCentroids(e, nCentroids = 8))
+      Sampling.stratifiedSample(cells, col("cell"), col("vec_id"), n = 20,
+          salt = "cbal")
+        .select(col("vec_id"), col("cell"), col("rn"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -1665,7 +1688,26 @@ object ExtQueries {
          SELECT doc_id, count(*) AS n_feats,
                 round(sum(CAST(lr AS DECIMAL(38,12)))::DOUBLE, 6) AS dsir_weight
          FROM feats JOIN lr USING (f)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    // x39's trained-cell assignment + x38's md5 hash-rank, quota 20
+    "x55_cluster_balanced_sample" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid, cent_id AS cell FROM ranked WHERE rn = 1),
+         samp AS (SELECT vid AS vec_id, cell,
+                         CAST(row_number() OVER (PARTITION BY cell
+                           ORDER BY md5('cbal:' || vid), vid) AS INTEGER) AS rn
+                  FROM cells)
+         SELECT vec_id, cell, rn FROM samp WHERE rn <= 20 ORDER BY vec_id""")
   )
 
   /** BM25 scoring CTE chain shared by the x51/x52 oracles — the exact

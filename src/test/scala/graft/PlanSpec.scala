@@ -33,7 +33,8 @@ class PlanSpec extends AnyFunSuite {
     "x51_bm25_topk", // 1-row corpus stats, the x13/x14 pattern
     "x52_hybrid_rrf", // composes x51's 1-row stats + x10's k-row query side
     "x53_bigram_lm_score", // 1-row vocabulary size
-    "x54_dsir_weights") // 1-row distribution totals
+    "x54_dsir_weights", // 1-row distribution totals
+    "x55_cluster_balanced_sample") // k-row centroid side: x15's assignment
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -84,6 +84,32 @@ class SelectionSpec extends AnyFunSuite {
     assert(w12 / 3 > out(2)._3 / 1)
   }
 
+  test("cluster-balanced sample caps every learned cell at the quota, " +
+    "keeps whole cells under it, and is deterministic") {
+    import graft.ext.{Sampling, Similarity}
+    // 40 vectors in two well-separated directions => two dominant cells
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.fill(4)(0.001f)
+      base((i % 2).toInt) = 1.0f + (i % 5) * 0.01f
+      (i, base.toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val cells = Similarity.cellAssignments(e,
+      Similarity.trainCentroids(e, nCentroids = 2))
+    val out = Sampling.stratifiedSample(cells, col("cell"), col("vec_id"),
+      n = 5, salt = "cbal").select("vec_id", "cell", "rn")
+    val rows = out.as[(Long, Long, Int)].collect()
+    val perCell = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.values.forall(_ <= 5), perCell.toString)
+    // both directions survive: neither cell was wiped out by the cap
+    assert(perCell.size == 2 && perCell.values.forall(_ == 5))
+    // deterministic: a second run returns the identical sample
+    val again = Sampling.stratifiedSample(cells, col("cell"), col("vec_id"),
+      n = 5, salt = "cbal").select("vec_id", "cell", "rn")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("dsirWeights of a uniformly-target corpus is ~zero everywhere") {
     // when target == raw the two smoothed distributions differ only via
     // their denominators; every per-bucket ratio uses the same constant
