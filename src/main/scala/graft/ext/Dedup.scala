@@ -592,6 +592,34 @@ object Dedup {
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** The near-dup clusters APPLIED: the surviving corpus after fuzzy
+    * dedup — the x50 rewrite's fuzzy analog, and the final step of the
+    * standard dedup recipe (pairs → components → one representative per
+    * component). The min-label propagation in [[dedupClusters]] labels
+    * every component with its minimum doc_id, so the representative test
+    * is the zero-cost `doc_id == cluster` — no extra window or argmin
+    * pass over the corpus.
+    *
+    * Output: one row per surviving document with `n_members` (how many
+    * near-dups it absorbed, 1 = unique) — the multiplicity a pipeline
+    * keeps for upweighting or audit.
+    *
+    * Scale shape: [[dedupClusters]] dominates (edge-touched label
+    * propagation); on top of it this adds one groupBy on `cluster`
+    * (corpus-bounded, near-dup components are tiny) and one equi-join
+    * back to the corpus on `doc_id`. Nothing here is quadratic.
+    */
+  def fuzzyDedupCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(docs, pairs)
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("int").as("n_members"))
+    clusters.filter(col("doc_id") === col("cluster"))
+      .join(sizes, Seq("cluster"))
+      .join(docs.select(col("doc_id"), col("source"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_members"), col("source"), col("text"))
+  }
+
   /** One min-label propagation round, pre-checkpoint: join the mirrored
     * edges against the current labels, take the per-node neighbor min,
     * and observe the changed-label count so convergence rides the same

@@ -140,4 +140,52 @@ object Selection {
       .agg(count(lit(1)).as("n_feats"),
         round(sum6(col("lr")), 6).as("dsir_weight"))
   }
+
+  /** Linear quality probe trained inside the engine: squared-loss
+    * regression of a 0/1 target (`isTarget`) on the embedding, fit by
+    * `iters` rounds of full-batch gradient descent, then scored over the
+    * whole corpus — the learned analog of the hand-tuned x19 gate, and
+    * the standard cheap "classifier filter" a pipeline trains on a
+    * high-quality seed set to rank the rest of the corpus.
+    *
+    * Every nonassociative step is quantized so the math is
+    * engine-portable (the sum6 rule): per-row gradient addends are
+    * rounded to 6 dp and summed as DECIMAL (order-irrelevant), and each
+    * weight update re-rounds to 6 dp. The margin itself is a raw
+    * sequential double dot — [[Similarity.dotHof]] (the double-precision
+    * HOF form: the weight side is double, so the float-only codegen
+    * vec_dot doesn't apply), whose ascending accumulation DuckDB's
+    * list_dot_product replicates.
+    *
+    * Scale shape: one aggregate-only pass per iteration (dim+1 partial
+    * aggregates, NO groupBy shuffle, no explode), weights broadcast back
+    * as plan-time literals; driver state is the dim-vector itself. At
+    * 100 TB each iteration is a full scan — callers cache/checkpoint the
+    * projected (embedding, y) relation once and pay T map-side passes.
+    */
+  def linearProbe(emb: DataFrame, isTarget: Column, dim: Int = 64,
+      iters: Int = 3, lr: Double = 0.1): DataFrame = {
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val base = emb.select(col("vec_id"), col("embedding"),
+      when(isTarget, 1.0).otherwise(0.0).as("y"))
+    var w = Array.fill(dim)(0.0)
+    for (_ <- 0 until iters) {
+      val margin = Similarity.dotHof(col("embedding"), typedlit(w.toSeq))
+      val aggs = (0 until dim).map { d =>
+        sum(round((margin - col("y")) *
+            element_at(col("embedding"), d + 1).cast(DoubleType), 6)
+          .cast(DecimalType(38, 12))).as(s"g$d")
+      } :+ count(lit(1)).as("n")
+      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(dim).toDouble
+      w = Array.tabulate(dim) { d =>
+        round6(w(d) - lr * (row.getDecimal(d).doubleValue() / n))
+      }
+    }
+    base.select(col("vec_id"), col("y").cast("int").as("label_target"),
+      round(Similarity.dotHof(col("embedding"), typedlit(w.toSeq)), 6)
+        .as("score"))
+  }
 }

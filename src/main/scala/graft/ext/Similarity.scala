@@ -82,6 +82,28 @@ object Similarity {
   def planeWeight(plane: Int, d: Int): Double =
     graft.functions.HyperplaneSketch.planeWeight(plane, d)
 
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-wide float
+    * embeddings to `outDim` dense doubles via a fixed pseudo-random
+    * matrix — the cheap-distance-preserving compression a pipeline runs
+    * before storing or brute-forcing over billions of vectors (JL: pair
+    * distances survive within ε for outDim = O(log n / ε²)).
+    *
+    * The matrix rows are [[planeWeight]] float vectors — the SAME
+    * derivation (and DuckDB replication) the hyperplane sketch uses, so
+    * the projection is engine-portable with no stored artifact. Each
+    * output coordinate is one codegen'd [[dot]] against a plan-time
+    * constant array: zero shuffle, one map pass, no driver state —
+    * embarrassingly parallel at any scale. 6-dp rounding makes the
+    * emitted doubles hash-stable across engines.
+    */
+  def randomProject(emb: DataFrame, dim: Int, outDim: Int): DataFrame = {
+    val comps = (0 until outDim).map { j =>
+      val w = (0 until dim).map(d => planeWeight(j, d).toFloat).toArray
+      round(dot(col("embedding"), typedlit(w)), 6).as(f"p$j%02d")
+    }
+    emb.select(col("vec_id") +: comps: _*)
+  }
+
   /** Exact all-pairs cosine ≥ threshold, distributed: the block-matrix
     * formulation of [[nearDupPairs]]. Rows are hashed into `blocks` id
     * blocks; a broadcast triangular (ba ≤ bb) grid replicates each side

@@ -697,7 +697,38 @@ object ExtQueries {
           salt = "cbal")
         .select(col("vec_id"), col("cell"), col("rn"))
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // the fuzzy analog of x50's corpus rewrite, closing the standard
+    // dedup recipe: x06's exact near-dup pair graph → x17's connected
+    // components → keep each component's min-id representative with its
+    // absorbed-duplicate count. Edges come from the exact inverted-index
+    // path for the same reason x17's do (one LSH-missed pair splits a
+    // component and mismatches many output rows).
+    "x56_fuzzy_dedup_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.fuzzyDedupCorpus(d,
+        Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Johnson–Lindenstrauss random projection: 64-d float embeddings →
+    // 16 dense doubles through the planeWeight fixed matrix (the
+    // hyperplane sketch's PRNG, already oracle-replicated) — the
+    // distance-preserving compression step before storing or
+    // brute-forcing over billions of vectors. One map pass, zero shuffle
+    "x57_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(emb(s, dir), dim = 64, outDim = 16)
+        .orderBy(col("vec_id"))),
+
+    // learned linear quality probe: squared-loss full-batch GD on the
+    // embeddings against the label-0 seed set (3 iterations, quantized
+    // updates), then score the whole corpus — the classifier-filter step
+    // of a data pipeline, trained AND applied inside the engine; the
+    // oracle re-runs the identical GD unrolled in SQL
+    "x58_linear_probe" -> ((s, dir) =>
+      graft.ext.Selection.linearProbe(emb(s, dir), col("label") === 0)
+        .orderBy(col("vec_id")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -767,7 +798,20 @@ object ExtQueries {
     * float32-rounded, bucket id = packed projection sign bits per table.
     * Emits CTEs `e(vec_id, e)` and `buckets(vec_id, t, b)`.
     */
-  private def bucketsCte(tables: Int, nbits: Int, dim: Int): String = {
+  private def bucketsCte(tables: Int, nbits: Int, dim: Int): String =
+    s"""${planeWeightsCte(tables, nbits, dim)},
+       e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       proj AS (SELECT vec_id, t, bit, list_dot_product(e, wv) AS p
+                FROM e CROSS JOIN pl),
+       buckets AS (SELECT vec_id, t,
+                     sum(CASE WHEN p >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS b
+                   FROM proj GROUP BY vec_id, t)"""
+
+  /** The splitmix64 weight-matrix CTEs alone (`pw`, list form `pl`) —
+    * shared by [[bucketsCte]] and the x57 random-projection oracle, both
+    * of which replicate [[graft.ext.Similarity.planeWeight]] bit-exactly.
+    */
+  private def planeWeightsCte(tables: Int, nbits: Int, dim: Int): String = {
     // (expr * c) mod 2^64 with expr in [0, 2^64): hi/lo split keeps every
     // intermediate below 2^65 (HUGEINT is signed 128-bit)
     def mulmod(expr: String, c: BigInt): String = {
@@ -796,13 +840,7 @@ object ExtQueries {
                 CAST(CAST((xor(z::UBIGINT, (z::UBIGINT >> 31)) >> 11)::DOUBLE
                           / 4503599627370496.0 - 1.0 AS REAL) AS DOUBLE) AS w
               FROM z2),
-       pl AS (SELECT t, bit, list(w ORDER BY d) AS wv FROM pw GROUP BY t, bit),
-       e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       proj AS (SELECT vec_id, t, bit, list_dot_product(e, wv) AS p
-                FROM e CROSS JOIN pl),
-       buckets AS (SELECT vec_id, t,
-                     sum(CASE WHEN p >= 0 THEN 1::BIGINT << bit ELSE 0 END) AS b
-                   FROM proj GROUP BY vec_id, t)"""
+       pl AS (SELECT t, bit, list(w ORDER BY d) AS wv FROM pw GROUP BY t, bit)"""
   }
 
   /** DuckDB CTE chain replicating [[graft.ext.Similarity.trainCentroids]]
@@ -1707,8 +1745,72 @@ object ExtQueries {
                          CAST(row_number() OVER (PARTITION BY cell
                            ORDER BY md5('cbal:' || vid), vid) AS INTEGER) AS rn
                   FROM cells)
-         SELECT vec_id, cell, rn FROM samp WHERE rn <= 20 ORDER BY vec_id""")
+         SELECT vec_id, cell, rn FROM samp WHERE rn <= 20 ORDER BY vec_id"""),
+    // x17's recursive components + per-component size, reps only
+    "x56_fuzzy_dedup_corpus" ->
+      (shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node),
+         comp AS (SELECT node AS doc_id, min(lbl) AS cluster
+                  FROM reach GROUP BY node),
+         sizes AS (SELECT cluster, CAST(count(*) AS INTEGER) AS n_members
+                   FROM comp GROUP BY cluster)
+         SELECT c.doc_id, s.n_members, d.source, d.text
+         FROM comp c JOIN sizes s ON s.cluster = c.cluster
+                     JOIN documents d ON d.doc_id = c.doc_id
+         WHERE c.doc_id = c.cluster ORDER BY c.doc_id"""),
+    // the t=0 row of the splitmix weight matrix, one dot per output dim
+    "x57_random_projection" ->
+      (s"""WITH ${planeWeightsCte(tables = 1, nbits = 16, dim = 64)},
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         SELECT vec_id, """ +
+        (0 until 16).map(j =>
+          s"round(list_dot_product(e, (SELECT wv FROM pl WHERE t = 0 " +
+            s"AND bit = $j)), 6) AS p${f"$j%02d"}").mkString(", ") +
+        " FROM e ORDER BY vec_id"),
+    // Selection.linearProbe's GD unrolled: per iteration, the margin
+    // against the current weight list, 6-dp-rounded gradient addends
+    // summed as DECIMAL, and a re-rounded weight update — the same
+    // quantization points as the Spark side, so the fit is bit-portable
+    "x58_linear_probe" -> linearProbeSql(dim = 64, iters = 3, lr = "0.1")
   )
+
+  /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`
+    * unrolled GD steps (w0 = zeros; fixed plan-time constants on both
+    * sides), then the final scoring pass.
+    */
+  private def linearProbeSql(dim: Int, iters: Int, lr: String): String = {
+    val steps = (0 until iters).map { i =>
+      s"""m$i AS (SELECT vec_id, e, y,
+                    list_dot_product(e, (SELECT wv FROM w$i)) AS m FROM e),
+         g$i AS (SELECT d, CAST(sum(CAST(round((m - y) * e[d], 6)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS g
+                 FROM m$i, ds GROUP BY d),
+         w${i + 1} AS (SELECT list(round((SELECT wv FROM w$i)[d] - $lr * (g / n), 6)
+                         ORDER BY d) AS wv FROM g$i, n)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+           FROM embeddings),
+         n AS (SELECT count(*)::DOUBLE AS n FROM e),
+         ds AS (SELECT unnest(generate_series(1, $dim)) AS d),
+         w0 AS (SELECT list_transform(generate_series(1, $dim), x -> 0.0) AS wv),
+         $steps
+         SELECT vec_id, CAST(y AS INTEGER) AS label_target,
+                round(list_dot_product(e, (SELECT wv FROM w$iters)), 6) AS score
+         FROM e ORDER BY vec_id"""
+  }
 
   /** BM25 scoring CTE chain shared by the x51/x52 oracles — the exact
     * IEEE operation order [[graft.ext.Retrieval.bm25]] executes, with

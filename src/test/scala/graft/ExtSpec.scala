@@ -51,6 +51,49 @@ class ExtSpec extends AnyFunSuite {
     assert(out2.forall(_._2 == 1L))
   }
 
+  test("randomProject matches the explicit planeWeight dot and plans " +
+    "no exchange") {
+    import graft.ext.Similarity
+    val e = Seq((0L, Seq(1.0f, 0.5f, -0.25f, 2.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(e, dim = 4, outDim = 3)
+    val rows = out.orderBy("vec_id").collect()
+    // local oracle: the same float weights, sequential double accumulate
+    def expect(v: Seq[Float], j: Int): Double = {
+      var acc = 0.0
+      for (d <- 0 until 4)
+        acc += v(d).toDouble * Similarity.planeWeight(j, d).toFloat.toDouble
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (j <- 0 until 3)
+      assert(rows(0).getDouble(1 + j) == expect(Seq(1.0f, 0.5f, -0.25f, 2.0f), j))
+    assert((1 to 3).forall(c => rows(1).getDouble(c) == 0.0))
+    // pure map pass: nothing in the plan shuffles
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty)
+  }
+
+  test("fuzzyDedupCorpus keeps min-id reps with absorbed counts, " +
+    "singletons intact") {
+    val d = Seq(
+      (1L, "a", "one two three"), (2L, "a", "one two three"),
+      (3L, "b", "one two four"), (4L, "b", "lone doc here"),
+      (5L, "c", "five six seven"), (6L, "c", "five six eight"),
+      (7L, "a", "solo text row")).toDF("doc_id", "source", "text")
+    // components: {1,2,3} (chain), {5,6}, singletons {4}, {7}
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.8))
+      .toDF("da", "db", "j")
+    val out = graft.ext.Dedup.fuzzyDedupCorpus(d, pairs)
+      .select("doc_id", "n_members", "source", "text")
+      .as[(Long, Int, String, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 3), (4L, 1), (5L, 2), (7L, 1)))
+    // the representative carries ITS OWN source/text, not a merge
+    assert(out.find(_._1 == 5L).get._4 == "five six seven")
+  }
+
   test("dedupClusters handles empty corpus and empty edge set") {
     val none = spark.emptyDataFrame
       .withColumn("doc_id", lit(0L)).filter(lit(false))

@@ -110,6 +110,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("linearProbe separates a linearly-separable fixture and is " +
+    "deterministic") {
+    import graft.ext.Selection
+    // targets point along +e0, non-targets along -e0 — separable by w
+    val vecs = (0L until 20L).map { i =>
+      val sign = if (i < 10) 1.0f else -1.0f
+      val v = Array(sign * (1.0f + (i % 5) * 0.1f), 0.2f, -0.1f, 0.05f)
+      (i, v.toSeq, if (i < 10) 0 else 1)
+    }
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val out = Selection.linearProbe(e, col("label") === 0, dim = 4)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val (tgt, rest) = out.partition(_._2 == 1)
+    assert(tgt.length == 10 && rest.length == 10)
+    // every target scores above every non-target after 3 GD rounds
+    assert(tgt.map(_._3).min > rest.map(_._3).max)
+    val again = Selection.linearProbe(e, col("label") === 0, dim = 4)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("dsirWeights of a uniformly-target corpus is ~zero everywhere") {
     // when target == raw the two smoothed distributions differ only via
     // their denominators; every per-bucket ratio uses the same constant
