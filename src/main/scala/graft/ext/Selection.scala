@@ -172,13 +172,19 @@ object Selection {
       when(isTarget, 1.0).otherwise(0.0).as("y"))
     var w = Array.fill(dim)(0.0)
     for (_ <- 0 until iters) {
-      val margin = Similarity.dotHof(col("embedding"), typedlit(w.toSeq))
+      // the margin MUST be materialized as a column before the gradient
+      // aggregates: referenced inline it is an independent subtree of all
+      // `dim` aggregate expressions, and the interpreted HOF dot would be
+      // re-evaluated per DIMENSION per row — O(d²) work per row, the
+      // lambda-capture trap the x25 quantizer fix documented
+      val scored = base.withColumn("m",
+        Similarity.dotHof(col("embedding"), typedlit(w.toSeq)))
       val aggs = (0 until dim).map { d =>
-        sum(round((margin - col("y")) *
+        sum(round((col("m") - col("y")) *
             element_at(col("embedding"), d + 1).cast(DoubleType), 6)
           .cast(DecimalType(38, 12))).as(s"g$d")
       } :+ count(lit(1)).as("n")
-      val row = base.agg(aggs.head, aggs.tail: _*).head()
+      val row = scored.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(dim).toDouble
       w = Array.tabulate(dim) { d =>
         round6(w(d) - lr * (row.getDecimal(d).doubleValue() / n))
