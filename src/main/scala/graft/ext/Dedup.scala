@@ -504,6 +504,61 @@ object Dedup {
           greatest(col("sza"), col("szb")) >= threshold - 1e-6)
   }
 
+  /** Incremental fuzzy dedup: flag each NEW-batch document whose n-gram
+    * Jaccard with ANY base-corpus document reaches `threshold`, with the
+    * best base match (highest j, lowest base id on ties) — the near-dup
+    * analog of the exact fingerprint probe (x31), i.e. the "don't
+    * re-ingest a paraphrase of what we already have" step of a
+    * continuously fed pipeline.
+    *
+    * Probe shape, not self-join shape: the base side becomes a hashed
+    * inverted shingle index (buildable once and persistable — at 100 TB
+    * the base never re-shingles per batch), the batch explodes its own
+    * shingles and equi-joins the index. Candidate mass is
+    * Σ_shingle df_base·df_batch — proportional to the BATCH size, never
+    * base². Same two-stage exactness argument as
+    * [[jaccardPairsIndexHashed]]: hashed intersection counts only
+    * over-count, so the pruned candidate set is a superset, and the
+    * exact set-verify on the true shingle arrays decides membership.
+    */
+  def incrementalFuzzyDedup(base: DataFrame, batch: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val sgBase = shingled(base, n).materialized
+    val sgBatch = shingled(batch, n).materialized
+    def inv(sg: DataFrame) = sg.select(col("doc_id"),
+      size(col("sg")).as("sz"),
+      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
+    val probe = inv(sgBatch)
+      .select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
+    val index = inv(sgBase)
+      .select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
+    val cand = probe.join(index, Seq("sh"))
+      // lossless length prune (J ≤ min/max), before the pair-key shuffle
+      .filter(least(col("sza"), col("szb")).cast(DoubleType) /
+        greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter_hat"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      .filter(col("inter_hat").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter_hat")) >= threshold - 1e-6)
+      .select(col("da"), col("db"))
+    val verified = cand
+      .join(sgBatch.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(sgBase.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .select(col("da"), col("db"),
+        round(jaccard(col("sga"), col("sgb")), 6).as("j"))
+      .filter(col("j") >= threshold)
+    val best = verified.groupBy(col("da"))
+      .agg(max(col("j")).as("best_j"),
+        max_by(col("db"), struct(col("j"), (-col("db")).as("nid")))
+          .as("best_base_id"))
+      .withColumnRenamed("da", "doc_id")
+    batch.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_j").isNotNull.as("dup_of_base"),
+        col("best_base_id"), col("best_j"))
+  }
+
   /** MinHash signature: the codegen'd [[graft.functions.MinHashSig]]. */
   def minhashSignature(hv: Column, numHashes: Int): Column =
     graft.functions.MinHashSig.minhash_sig(hv, numHashes)

@@ -728,7 +728,20 @@ object ExtQueries {
     // oracle re-runs the identical GD unrolled in SQL
     "x58_linear_probe" -> ((s, dir) =>
       graft.ext.Selection.linearProbe(emb(s, dir), col("label") === 0)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // incremental FUZZY dedup: the near-dup analog of x31's exact
+    // fingerprint probe — flag new-batch docs whose 3-gram Jaccard with
+    // any base doc reaches 0.5, with the best base match. The base side
+    // is a probe-shaped inverted index (candidate mass ∝ batch, never
+    // base²); same id split as x31
+    "x59_incremental_fuzzy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalFuzzyDedup(
+        d.filter(col("doc_id") < 100), d.filter(col("doc_id") >= 100),
+        n = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -1783,7 +1796,26 @@ object ExtQueries {
     // against the current weight list, 6-dp-rounded gradient addends
     // summed as DECIMAL, and a re-rounded weight update — the same
     // quantization points as the Spark side, so the fit is bit-portable
-    "x58_linear_probe" -> linearProbeSql(dim = 64, iters = 3, lr = "0.1")
+    "x58_linear_probe" -> linearProbeSql(dim = 64, iters = 3, lr = "0.1"),
+    // brute-force batch×base Jaccard, best match by (j DESC, base id)
+    "x59_incremental_fuzzy" ->
+      (shingleCte + """,
+         pairs AS (
+           SELECT da, db, j FROM (
+             SELECT b.doc_id AS da, a.doc_id AS db,
+                    round(len(list_intersect(b.sg, a.sg))::DOUBLE /
+                          (len(b.sg) + len(a.sg) - len(list_intersect(b.sg, a.sg))), 6) AS j
+             FROM sh b JOIN sh a ON b.doc_id >= 100 AND a.doc_id < 100) t
+           WHERE j >= 0.5),
+         best AS (SELECT da, db, j FROM (
+                    SELECT da, db, j,
+                           row_number() OVER (PARTITION BY da
+                                              ORDER BY j DESC, db) AS rn
+                    FROM pairs) r WHERE rn = 1)
+         SELECT d.doc_id, (b.da IS NOT NULL) AS dup_of_base,
+                b.db AS best_base_id, b.j AS best_j
+         FROM documents d LEFT JOIN best b ON b.da = d.doc_id
+         WHERE d.doc_id >= 100 ORDER BY d.doc_id""")
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

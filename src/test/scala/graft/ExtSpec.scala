@@ -94,6 +94,25 @@ class ExtSpec extends AnyFunSuite {
     assert(out.find(_._1 == 5L).get._4 == "five six seven")
   }
 
+  test("incrementalFuzzyDedup flags batch docs with a base near-dup, " +
+    "picks the best match, keeps short/unique docs unflagged") {
+    import graft.ext.Dedup
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1, near 2
+      (11L, "totally different words entirely here now"),
+      (12L, "hi")).toDF("doc_id", "text") // < n tokens: no shingles
+    val out = Dedup.incrementalFuzzyDedup(base, batch, n = 3, threshold = 0.5)
+      .orderBy("doc_id")
+      .as[(Long, Boolean, Option[Long], Option[Double])].collect()
+    assert(out(0) == ((10L, true, Some(1L), Some(1.0)))) // j=1.0 beats doc 2
+    assert(out(1) == ((11L, false, None, None)))
+    assert(out(2) == ((12L, false, None, None)))
+  }
+
   test("dedupClusters handles empty corpus and empty edge set") {
     val none = spark.emptyDataFrame
       .withColumn("doc_id", lit(0L)).filter(lit(false))
