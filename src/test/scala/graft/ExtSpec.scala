@@ -94,6 +94,35 @@ class ExtSpec extends AnyFunSuite {
     assert(out.find(_._1 == 5L).get._4 == "five six seven")
   }
 
+  test("incrementalFuzzyDedup equals the brute cross-side pairs on the " +
+    "planted-dup corpus") {
+    // split the sf0.001 corpus like x59 does at larger SFs: base = first
+    // half of ids, batch = rest; brute = every cross pair via the
+    // self-join brute path restricted to cross-side pairs
+    val base = docs.filter($"doc_id" < 25)
+    val batch = docs.filter($"doc_id" >= 25)
+    val out = Dedup.incrementalFuzzyDedup(base, batch, n = 3,
+        threshold = 0.5)
+      .as[(Long, Boolean, Option[Long], Option[Double])].collect()
+    val brute = Dedup.jaccardPairsBrute(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (a, b, _) => a >= 25 && b < 25 }
+    val expectBest = brute.groupBy(_._1).map { case (a, ps) =>
+      val best = ps.maxBy(p => (p._3, -p._2))
+      a -> ((best._2, best._3))
+    }
+    assert(expectBest.nonEmpty, "corpus should contain cross-side dups")
+    assert(out.length == batch.count())
+    out.foreach { case (id, dup, bid, bj) =>
+      expectBest.get(id) match {
+        case Some((eb, ej)) =>
+          assert(dup && bid.contains(eb) && bj.contains(ej), s"doc $id")
+        case None => assert(!dup && bid.isEmpty && bj.isEmpty, s"doc $id")
+      }
+    }
+  }
+
   test("incrementalFuzzyDedup flags batch docs with a base near-dup, " +
     "picks the best match, keeps short/unique docs unflagged") {
     import graft.ext.Dedup
