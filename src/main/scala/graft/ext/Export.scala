@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,57 @@ object Export {
       .select(col("doc_id"), col("source"),
         Sampling.split(col("doc_id")).as("split"),
         col("n_tokens"), col("label"))
+  }
+
+  /** Batch admission control — the incremental-ingest composite: for
+    * each NEW-batch document, run the four gates a continuously fed
+    * pipeline applies before letting data in, in ONE plan, and emit the
+    * verdict with the first-failing-stage reason. Each gate is the
+    * already-declared operator: the Gopher quality gate (x19), the exact
+    * fingerprint probe vs the base corpus (x31), the fuzzy near-dup
+    * probe (x59), and 5-gram decontamination vs the eval set (x23).
+    *
+    * Scale shape inherits from the parts: quality is per-row + a per-doc
+    * bigram agg; the exact probe joins on a 16-byte key against the
+    * base's fingerprint column only; the fuzzy probe's candidate mass is
+    * ∝ batch (see [[Dedup.incrementalFuzzyDedup]]); the eval shingle set
+    * is broadcast (eval benchmarks are small by definition) so the batch
+    * never shuffles for the contamination check.
+    */
+  def batchAdmission(docs: DataFrame, basePred: Column, evalPred: Column,
+      n: Int = 3, threshold: Double = 0.5, contamN: Int = 5): DataFrame = {
+    val base = docs.filter(basePred)
+    val batch = docs.filter(!basePred)
+    val quality = qualityFlags(batch)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val exactDup = batch
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(base.select(fingerprint(col("text")).as("fp")).distinct()
+        .withColumn("seen", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("seen").isNotNull.as("dup_exact"))
+    val fuzzy = Dedup.incrementalFuzzyDedup(base, batch, n, threshold)
+      .select(col("doc_id"), col("dup_of_base").as("dup_fuzzy"))
+    val evalSh = Dedup.shingled(docs.filter(evalPred), contamN)
+      .select(explode(col("sg")).as("sh")).distinct()
+    val contaminated = Dedup.shingled(batch, contamN)
+      .select(col("doc_id"), explode(col("sg")).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    quality
+      .join(exactDup, Seq("doc_id"))
+      .join(fuzzy, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+      .drop("hit")
+      .withColumn("admit", col("keep_quality") && !col("dup_exact") &&
+        !col("dup_fuzzy") && !col("contaminated"))
+      .withColumn("reason",
+        when(!col("keep_quality"), "quality")
+          .when(col("dup_exact"), "exact_dup")
+          .when(col("dup_fuzzy"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("ok"))
   }
 
   /** Shard-level manifest of an export: per (split, source) volume and

@@ -741,7 +741,16 @@ object ExtQueries {
         d.filter(col("doc_id") < 100), d.filter(col("doc_id") >= 100),
         n = 3, threshold = 0.5)
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // batch admission control — the incremental-ingest composite: the
+    // quality gate (x19), exact probe (x31), fuzzy probe (x59), and
+    // 5-gram decontamination (x23) in ONE plan, with the verdict and
+    // the first-failing-stage reason per new-batch doc
+    "x60_batch_admission" -> ((s, dir) =>
+      graft.ext.Export.batchAdmission(docs(s, dir),
+        basePred = col("doc_id") < 100, evalPred = col("doc_id") < 10)
+        .orderBy(col("doc_id")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -1815,7 +1824,65 @@ object ExtQueries {
          SELECT d.doc_id, (b.da IS NOT NULL) AS dup_of_base,
                 b.db AS best_base_id, b.j AS best_j
          FROM documents d LEFT JOIN best b ON b.da = d.doc_id
-         WHERE d.doc_id >= 100 ORDER BY d.doc_id""")
+         WHERE d.doc_id >= 100 ORDER BY d.doc_id"""),
+    // the x19 + x31 + x59 + x23 gates composed over the batch split
+    "x60_batch_admission" ->
+      """WITH t AS (SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         qb AS (SELECT doc_id,
+             round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                   / len(ws), 6) AS mwl,
+             round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                   / len(ws), 6) AS sr
+           FROM t WHERE doc_id >= 100),
+         bgx AS (SELECT doc_id,
+                   unnest([ws[i] || ' ' || ws[i+1]
+                           for i in generate_series(1, len(ws)-1)]) AS bg
+                 FROM t WHERE doc_id >= 100 AND len(ws) >= 2),
+         cntx AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+         repx AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS mbr
+                  FROM cntx GROUP BY 1),
+         q AS (SELECT qb.doc_id,
+                 (mwl >= 3 AND mwl <= 10 AND sr <= 0.1
+                  AND coalesce(mbr, 0.0) <= 0.2) AS keep_quality
+               FROM qb LEFT JOIN repx ON repx.doc_id = qb.doc_id),
+         bfp AS (SELECT DISTINCT
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                 FROM documents WHERE doc_id < 100),
+         ex AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    IN (SELECT fp FROM bfp) AS dup_exact
+                FROM documents WHERE doc_id >= 100),
+         s3 AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                                  for i in generate_series(1, len(ws)-2)]) AS sg
+                FROM t WHERE len(ws) >= 3),
+         fz AS (SELECT b.doc_id,
+                  bool_or(round(len(list_intersect(b.sg, a.sg))::DOUBLE /
+                    (len(b.sg) + len(a.sg) - len(list_intersect(b.sg, a.sg))), 6)
+                    >= 0.5) AS dup_fuzzy
+                FROM s3 b JOIN s3 a ON b.doc_id >= 100 AND a.doc_id < 100
+                GROUP BY 1),
+         s5 AS (SELECT doc_id,
+                  unnest(list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+                          for i in generate_series(1, len(ws)-4)])) AS s
+                FROM t WHERE len(ws) >= 5),
+         ct AS (SELECT DISTINCT b.doc_id FROM s5 b JOIN s5 e ON b.s = e.s
+                WHERE b.doc_id >= 100 AND e.doc_id < 10)
+         SELECT q.doc_id, q.keep_quality, ex.dup_exact,
+                coalesce(fz.dup_fuzzy, false) AS dup_fuzzy,
+                (ct.doc_id IS NOT NULL) AS contaminated,
+                (q.keep_quality AND NOT ex.dup_exact
+                 AND NOT coalesce(fz.dup_fuzzy, false)
+                 AND ct.doc_id IS NULL) AS admit,
+                CASE WHEN NOT q.keep_quality THEN 'quality'
+                     WHEN ex.dup_exact THEN 'exact_dup'
+                     WHEN coalesce(fz.dup_fuzzy, false) THEN 'near_dup'
+                     WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                     ELSE 'ok' END AS reason
+         FROM q JOIN ex ON ex.doc_id = q.doc_id
+              LEFT JOIN fz ON fz.doc_id = q.doc_id
+              LEFT JOIN ct ON ct.doc_id = q.doc_id
+         ORDER BY q.doc_id"""
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

@@ -94,6 +94,30 @@ class ExtSpec extends AnyFunSuite {
     assert(out.find(_._1 == 5L).get._4 == "five six seven")
   }
 
+  test("batchAdmission verdicts: one doc per failing gate, clean doc " +
+    "admitted, reasons follow gate precedence") {
+    import graft.ext.Export
+    val d = Seq(
+      // base corpus (ids < 100); id 5 is also the eval doc (id < 10)
+      (5L, "zulu yankee xray whiskey victor uniform tango"),
+      (20L, "alpha bravo charlie delta echo foxtrot golf"),
+      // batch (ids >= 100)
+      (100L, "@@@@ #### $$$$ %%%%"), // quality fail (symbol ratio)
+      (101L, "alpha bravo charlie delta echo foxtrot golf"), // exact dup
+      (102L, "alpha bravo charlie delta echo foxtrot hotel"), // near dup j=4/6
+      (103L, "zulu yankee xray whiskey victor sierra papa"), // shares eval 5-gram
+      (104L, "november mike lima kilo juliett india oscar")) // clean
+      .toDF("doc_id", "text")
+    val out = Export.batchAdmission(d, col("doc_id") < 100,
+        col("doc_id") < 10).orderBy("doc_id")
+      .select("doc_id", "admit", "reason")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (100L, false, "quality"), (101L, false, "exact_dup"),
+      (102L, false, "near_dup"), (103L, false, "contaminated"),
+      (104L, true, "ok")))
+  }
+
   test("incrementalFuzzyDedup equals the brute cross-side pairs on the " +
     "planted-dup corpus") {
     // split the sf0.001 corpus like x59 does at larger SFs: base = first
