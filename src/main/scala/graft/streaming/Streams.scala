@@ -153,6 +153,50 @@ object Streams {
       .drop("ws")
   }
 
+  /** Streaming admission: the STATELESS gates of the x60 batch composite
+    * applied at ingest time — per-row quality (the Gopher thresholds,
+    * with the repetition ratio computed in-row over the doc's own bigram
+    * array instead of the batch path's per-doc groupBy), the exact-dup
+    * probe against the static base fingerprint set (broadcast
+    * stream-static left join, stateless), and Bloom decontamination
+    * against the eval sketch (might-contain: false positives possible,
+    * false negatives never). The fuzzy near-dup gate is deliberately
+    * absent: its candidate aggregation is a streaming AGGREGATION
+    * (state), so it belongs to the nightly batch x60 run — the stream
+    * decides what it can decide per row, the batch finishes the job.
+    *
+    * The in-row repetition ratio is O(distinct-bigrams × bigrams) per
+    * document — doc-length-bounded, independent of corpus size, and it
+    * computes the identical ratio the batch groupBy produces.
+    */
+  def admissionStream(docs: DataFrame, baseFps: DataFrame,
+      evalBloom: org.apache.spark.util.sketch.BloomFilter,
+      contamN: Int = 5): DataFrame = {
+    import graft.ext.TextAnalysis._
+    docs
+      .withColumn("ws", tokens(col("text")))
+      .withColumn("bgs", bigrams(col("ws")))
+      .withColumn("mbr", when(size(col("bgs")) === 0, lit(0.0)).otherwise(
+        round(array_max(transform(array_distinct(col("bgs")), b =>
+          size(filter(col("bgs"), x => x === b)).cast("double"))) /
+          size(col("bgs")), 6)))
+      .withColumn("keep_quality",
+        meanWordLen(col("ws")) >= 3 && meanWordLen(col("ws")) <= 10 &&
+          symbolRatio(col("text")) <= 0.1 && col("mbr") <= 0.2)
+      .withColumn("fp", fingerprint(col("text")))
+      .join(broadcast(baseFps.select(col("fp"), lit(1).as("seen"))),
+        Seq("fp"), "left")
+      .withColumn("dup_exact", col("seen").isNotNull)
+      .withColumn("might_contaminated",
+        exists(shinglesFromTokens(col("ws"), contamN),
+          sh => graft.functions.BloomMightContain.bloom_might_contain(
+            sh, evalBloom)))
+      .withColumn("admit_stream", col("keep_quality") &&
+        !col("dup_exact") && !col("might_contaminated"))
+      .select(col("doc_id"), col("keep_quality"), col("dup_exact"),
+        col("might_contaminated"), col("admit_stream"))
+  }
+
   // ---- stream-static enrichment -----------------------------------------
 
   /** Stream-static dimension join: each micro-batch joins against the

@@ -139,6 +139,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.size < train.length)
   }
 
+  test("streaming admission agrees with the batch x60 gates it can " +
+    "decide per row") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Contamination, Dedup, Export, TextAnalysis}
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    // same split as x60: base < 100 (here: < 25 so a batch exists at
+    // this SF), eval < 10
+    val base = docs.filter(col("doc_id") < 25)
+    val batchDocs = docs.filter(col("doc_id") >= 25)
+    val batchTruth = Export.batchAdmission(docs, col("doc_id") < 25,
+        col("doc_id") < 10)
+      .select("doc_id", "keep_quality", "dup_exact", "contaminated", "admit")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val baseFps = base.select(
+      TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val evalSh = Dedup.shingled(docs.filter(col("doc_id") < 10), 5)
+      .select(explode(col("sg")).as("sh"))
+    val bloom = Contamination.buildBloom(evalSh, "sh", 1 << 20, 0.01)
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.admissionStream(
+      src.toDF().toDF("doc_id", "text"), baseFps, bloom)
+      .writeStream.format("memory").queryName("admission")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(batchDocs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("admission")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    q.stop()
+    assert(got.keySet == batchTruth.keySet)
+    got.foreach { case (id, (_, kq, de, mc, adm)) =>
+      val (_, bkq, bde, bct, _) = batchTruth(id)
+      assert(kq == bkq, s"quality verdict drifted for doc $id")
+      assert(de == bde, s"exact-dup verdict drifted for doc $id")
+      // Bloom: superset of the true contamination set, never a miss
+      assert(!bct || mc, s"contamination false negative for doc $id")
+      // the stream never admits a doc the batch rejects for a
+      // stream-decidable reason
+      if (!bkq || bde || bct) assert(!adm, s"doc $id wrongly admitted")
+    }
+  }
+
   test("stream-static dim join enriches per micro-batch with defaults") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((10L, "boston"), (11L, "quincy")).toDF("dim_id", "city")
