@@ -683,6 +683,56 @@ class ExtSpec extends AnyFunSuite {
     assert(viaSpark == metas)
   }
 
+  test("wavPcm16Stats computes RMS/ZCR/peak from the real PCM samples, " +
+    "channel 0 only, non-PCM16 payloads yield no row") {
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    def putLe16(b: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 2).foreach(i => b(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    def wavOf(channels: Int, bits: Int, samples: Seq[Seq[Int]])
+        : Array[Byte] = {
+      val frameBytes = channels * bits / 8
+      val dataBytes = samples.length * frameBytes
+      val b = new Array[Byte](44 + dataBytes)
+      "RIFF".getBytes.copyToArray(b, 0); putLe32(b, 4, 36 + dataBytes)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "fmt ".getBytes.copyToArray(b, 12); putLe32(b, 16, 16)
+      putLe16(b, 20, 1); putLe16(b, 22, channels)
+      putLe32(b, 24, 44100); putLe32(b, 28, 44100 * frameBytes)
+      putLe16(b, 32, frameBytes); putLe16(b, 34, bits)
+      "data".getBytes.copyToArray(b, 36); putLe32(b, 40, dataBytes)
+      samples.zipWithIndex.foreach { case (frame, i) =>
+        frame.zipWithIndex.foreach { case (v, c) =>
+          putLe16(b, 44 + i * frameBytes + c * 2, v & 0xFFFF)
+        }
+      }
+      b
+    }
+    // mono square wave ±8192, flipping every 10 samples, 1000 samples:
+    // rms = peak = 8192/32768 = 0.25, crossings at i = 10, 20, …, 990
+    val square = wavOf(1, 16,
+      (0 until 1000).map(i => Seq(if ((i / 10) % 2 == 0) 8192 else -8192)))
+    val st = Multimodal.wavPcm16Stats(1L, square).get
+    assert(st.n_samples == 1000L && st.rms == 0.25 && st.peak == 0.25)
+    assert(st.zcr == 99.0 / 1000)
+    // stereo: channel 0 constant half-scale, channel 1 deliberately loud
+    // noise — stats must come from channel 0 only
+    val stereo = wavOf(2, 16,
+      (0 until 100).map(i => Seq(16384, if (i % 2 == 0) 32000 else -32000)))
+    val st2 = Multimodal.wavPcm16Stats(2L, stereo).get
+    assert(st2.rms == 0.5 && st2.peak == 0.5 && st2.zcr == 0.0)
+    // 8-bit PCM and junk payloads: no row, never a crash
+    assert(Multimodal.wavPcm16Stats(3L, wavOf(1, 8, Seq.empty)).isEmpty)
+    assert(Multimodal.wavPcm16Stats(4L, "junk".getBytes).isEmpty)
+    // Spark path: only decodable payloads surface
+    val df = Seq((1L, square), (2L, stereo), (4L, "junk".getBytes))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.extractAudioStats(spark, df)
+      .collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(rows(0).rms == 0.25 && rows(1).rms == 0.5)
+  }
+
   test("multimodal decoder parses real JPEG SOF dimensions from bytes") {
     def putBe16(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = ((v >> 8) & 0xFF).toByte; b(off + 1) = (v & 0xFF).toByte
