@@ -750,7 +750,31 @@ object ExtQueries {
     "x60_batch_admission" -> ((s, dir) =>
       graft.ext.Export.batchAdmission(docs(s, dir),
         basePred = col("doc_id") < 100, evalPred = col("doc_id") < 10)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // one-row corpus health report — the first query a user points at a
+    // new corpus: volume, source/language breadth, token mass, exact-dup
+    // rate, and the quality-gate pass rate, in one aggregate-only pass
+    // (+ the per-doc bigram agg the quality gate needs). Every input is
+    // an already-declared scalar (x01/x05/x19)
+    "x61_corpus_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = qualityFlags(d).select(col("doc_id"), col("keep"))
+      d.select(col("doc_id"), col("source"), col("lang"),
+          tokenCount(col("text")).cast("long").as("nt"),
+          graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(q, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("nt")).as("total_tokens"),
+          round(lit(1.0) -
+            countDistinct(col("fp")).cast("double") / count(lit(1)), 6)
+            .as("dup_rate"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("quality_pass_rate"))
+    })
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -1882,7 +1906,40 @@ object ExtQueries {
          FROM q JOIN ex ON ex.doc_id = q.doc_id
               LEFT JOIN fz ON fz.doc_id = q.doc_id
               LEFT JOIN ct ON ct.doc_id = q.doc_id
-         ORDER BY q.doc_id"""
+         ORDER BY q.doc_id""",
+    // x19's keep + x01's token count + x05's fingerprint, one aggregate
+    "x61_corpus_report" ->
+      """WITH t AS (SELECT doc_id, text,
+                regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         base AS (SELECT doc_id,
+             round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                   / len(ws), 6) AS mwl,
+             round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                   / len(ws), 6) AS sr
+           FROM t),
+         bg AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1]
+                          for i in generate_series(1, len(ws)-1)]) AS bg
+                FROM t WHERE len(ws) >= 2),
+         cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         rep AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS mbr
+                 FROM cnt GROUP BY 1),
+         q AS (SELECT base.doc_id,
+                 (mwl >= 3 AND mwl <= 10 AND sr <= 0.1
+                  AND coalesce(mbr, 0.0) <= 0.2) AS keep
+               FROM base LEFT JOIN rep ON rep.doc_id = base.doc_id),
+         b AS (SELECT d.doc_id, d.source, d.lang,
+                 CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS nt,
+                 md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
+               FROM documents d)
+         SELECT count(*) AS n_docs,
+                count(DISTINCT source) AS n_sources,
+                count(DISTINCT lang) AS n_langs,
+                CAST(sum(nt) AS BIGINT) AS total_tokens,
+                round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+                round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS quality_pass_rate
+         FROM b JOIN q ON q.doc_id = b.doc_id"""
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`
