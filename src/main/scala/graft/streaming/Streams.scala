@@ -70,27 +70,23 @@ object Streams {
 
   // ---- events table as a stream ----------------------------------------
 
-  /** The testdata `events` parquet as a file-source stream. Mirrors
-    * [[graft.engine.Tables.loadEvents]]'s TIMESTAMP(NANOS) workaround
-    * (schema override to long + micros conversion) — a streaming schema
-    * must be explicit anyway.
+  /** The testdata `events` parquet as a file-source stream. A streaming
+    * schema must be explicit, so probe the batch footer for the on-disk `ts`
+    * type (nanos-as-long vs TIMESTAMP_NTZ — the generator has produced both)
+    * and apply the same normalization as [[graft.engine.Tables]].
     */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-source streaming needs a directory; point at the sf dir and
     // glob-filter down to the events file(s)
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.engine.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(dir))
   }
 
   // ---- windowed event aggregation --------------------------------------
