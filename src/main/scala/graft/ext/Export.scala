@@ -99,4 +99,40 @@ object Export {
     export.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"))
+
+  /** Sequence packing — the concat-and-cut step that turns a
+    * variable-length document stream into fixed-token-budget training
+    * sequences (GPT-style packing): documents are laid end-to-end in
+    * `orderCol` order within each `partCol` shard, and a document whose
+    * cumulative START offset falls in `[i·budget, (i+1)·budget)` lands in
+    * pack `i`. Deterministic — packing is a pure function of the
+    * (part, order, tokens) triple, so re-runs and the DuckDB oracle
+    * reproduce pack ids bit-for-bit.
+    *
+    * Output: one row per (part, pack) with document count, token mass,
+    * and the id range — the manifest a shard writer consumes.
+    *
+    * Scale shape: ONE window partitioned by `partCol` (the running token
+    * offset) + one keyed aggregation. Within-shard packing is inherently
+    * sequential (each pack id depends on every predecessor's length —
+    * that IS the operator), so parallelism comes from the shard column:
+    * at 100 TB you pack within `source` × writer-shard partitions, never
+    * one global stream; a caller with a single giant source first salts
+    * it into bounded sub-shards (the x38 hash-rank pattern) and passes
+    * that as `partCol`.
+    */
+  def packSequences(df: DataFrame, partCol: Column, orderCol: Column,
+      tokCol: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    df.select(partCol.as("part"), orderCol.as("ord"), tokCol.as("nt"))
+      .withColumn("off", coalesce(sum(col("nt")).over(
+        Window.partitionBy(col("part")).orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("off") / budget))
+      .groupBy(col("part"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("pack_tokens"),
+        min(col("ord")).as("first_id"),
+        max(col("ord")).as("last_id"))
+  }
 }

@@ -194,4 +194,45 @@ object Selection {
       round(Similarity.dotHof(col("embedding"), typedlit(w.toSeq)), 6)
         .as("score"))
   }
+
+  /** Temperature-scaled source mixture weights — the multinomial
+    * sampling schedule over corpus sources (the `α`-smoothing of
+    * multilingual/multi-domain pre-training, Conneau & Lample 2019):
+    * each source's sampling weight is its token mass raised to
+    * `1/temperature`, normalized; `sample_factor` is the implied
+    * up/down-sampling rate relative to proportional sampling
+    * (`weight · total_tokens / source_tokens` — >1 means the mix
+    * repeats this source's data, <1 means it subsamples).
+    *
+    * Determinism contract (the x52/x53 rule): the per-source power is
+    * rounded to 6 dp FIRST, the normalizer sums those addends as
+    * decimals, so the reduction order never changes a weight. One
+    * keyed aggregation over the corpus + a 1-row broadcast for the
+    * normalizer — source cardinality is dim-table-class by definition.
+    */
+  def mixtureWeights(docs: DataFrame, temperature: Double = 2.0): DataFrame = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val perSrc = docs
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ws")).cast("long")).as("n_tokens"))
+      .withColumn("a", {
+        // the default temperature (2.0 → exponent 0.5) goes through sqrt,
+        // which is IEEE-correctly-rounded in every engine; pow is only
+        // 1-ulp-bounded, and a cross-engine ulp at a round-to-6dp boundary
+        // would flip a weight hash
+        val ex = 1.0 / temperature
+        val p = if (ex == 0.5) sqrt(col("n_tokens")) else pow(col("n_tokens"), ex)
+        round(p, 6)
+      })
+    val norm = perSrc.agg(
+      sum6(col("a")).as("a_total"),
+      sum(col("n_tokens")).as("tok_total"))
+    perSrc.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("a") / col("a_total"), 6).as("weight"),
+        round(round(col("a") / col("a_total"), 6) * col("tok_total") /
+          col("n_tokens"), 6).as("sample_factor"))
+  }
 }

@@ -124,6 +124,100 @@ object TextAnalysis {
     when(size(ws) >= 2, sh).otherwise(array().cast("array<string>"))
   }
 
+  /** Non-deduplicated word n-gram array (space-joined) — generalizes
+    * [[bigrams]]; duplicates preserved, repetition signals are the point.
+    * `ws` must be a materialized token-array column.
+    */
+  def ngramsRaw(ws: Column, n: Int): Column = {
+    require(n >= 2, s"ngramsRaw needs n >= 2, got $n")
+    val joined = (1 until n).foldLeft(ws) { (acc, off) =>
+      zip_with(acc, slice(ws, lit(off + 1), size(ws)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val sh = slice(joined, lit(1), greatest(size(ws) - (n - 1), lit(0)))
+    when(size(ws) >= n, sh).otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition metrics (Rae et al. 2112.11446 App. A) per
+    * document:
+    *
+    *   - `top_bigram`: the most frequent word 2-gram (ties → the
+    *     lexicographically smallest), `''` when the doc has none;
+    *   - `top_bigram_frac`: characters covered by occurrences of that
+    *     2-gram (`count × length(gram)`) over `length(text)` — the
+    *     "fraction of characters in the most common 2-gram" filter;
+    *   - `dup_trigram_frac`: characters in 3-grams occurring more than
+    *     once (`Σ count × length`, overlaps counted per occurrence — the
+    *     standard SQL-replicable approximation) over `length(text)`;
+    *   - `rep_keep`: the Gopher-band gate
+    *     (`top_bigram_frac ≤ 0.2 ∧ dup_trigram_frac ≤ 0.6`).
+    *
+    * Plan shape: two explode → partial-agg shuffles (bigram, trigram
+    * counts, both keyed by doc so partial aggregation combines map-side)
+    * and one per-doc window for the argmax — every stage is keyed by
+    * `doc_id`, so the operator scales out with the corpus; no global
+    * state, no driver collect.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), length(col("text")).as("n_chars_t"),
+      tokens(col("text")).as("ws"))
+    val bg = d.select(col("doc_id"), col("n_chars_t"),
+        explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("doc_id"), col("n_chars_t"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val top = bg
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("bg"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"),
+        round(col("c") * length(col("bg")).cast(DoubleType) /
+          col("n_chars_t"), 6).as("top_bigram_frac"))
+    val dup = d.select(col("doc_id"), col("n_chars_t"),
+        explode(ngramsRaw(col("ws"), 3)).as("tg"))
+      .groupBy(col("doc_id"), col("n_chars_t"), col("tg"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c") * length(col("tg"))).cast(DoubleType) /
+        first(col("n_chars_t")), 6).as("dup_trigram_frac"))
+    d.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+      .withColumn("rep_keep",
+        col("top_bigram_frac") <= 0.2 && col("dup_trigram_frac") <= 0.6)
+  }
+
+  /** Corpus vocabulary coverage: the `k` most frequent tokens with their
+    * counts and the cumulative fraction of ALL token occurrences they
+    * cover — the "how head-heavy is this corpus" diagnostic that sizes
+    * tokenizer vocabularies and spots boilerplate floods.
+    *
+    * Scale shape: one explode → global token count (partial-aggregated),
+    * then `TakeOrderedAndProject` down to `k` rows — the cumulative-sum
+    * window runs over those `k` rows only (single tiny task BY
+    * CONSTRUCTION, not over the vocabulary), and the total is a 1-row
+    * broadcast crossJoin, never a driver collect.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(tokens(col("text")).as("ws"))
+    val counts = d.select(explode(col("ws")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = d.select(sum(size(col("ws"))).as("total"))
+    counts.orderBy(col("c").desc, col("token")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("cum_frac",
+        round(sum(col("c")).over(Window.orderBy(col("c").desc, col("token"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType) / col("total"), 6))
+      .select(col("token"), col("c"), col("cum_frac"))
+  }
+
   /** Mean word length in characters, rounded to 6 — a Gopher-style
     * quality gate input (word soup and OCR noise sit far from the 3–10
     * band of natural prose).

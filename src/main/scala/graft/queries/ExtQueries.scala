@@ -774,7 +774,40 @@ object ExtQueries {
             .as("dup_rate"),
           round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
             count(lit(1)), 6).as("quality_pass_rate"))
-    })
+    }),
+
+    // Gopher repetition suite (Rae et al. 2112.11446 App. A): most-common-
+    // bigram character mass + duplicated-trigram character mass per doc,
+    // and the band gate — the repetition filters that catch boilerplate
+    // floods x19's single max-bigram ratio misses. Two doc-keyed
+    // explode→partial-agg shuffles + one per-doc window
+    "x62_repetition_metrics" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // sequence packing — concat-and-cut into 512-token training packs,
+    // shard-parallel by source (the within-shard scan is the operator's
+    // contract; cross-shard parallelism is the scale axis). One window +
+    // one keyed agg
+    "x63_sequence_packing" -> ((s, dir) =>
+      graft.ext.Export.packSequences(docs(s, dir), col("source"),
+          col("doc_id"), tokenCount(col("text")), budget = 512)
+        .orderBy(col("part"), col("pack_id"))),
+
+    // temperature-scaled source mixture weights (α-smoothing of
+    // multi-domain sampling): token mass per source → normalized
+    // mass^(1/T) weight + implied up/down-sampling factor. One keyed agg
+    // + a 1-row broadcast normalizer
+    "x64_mixture_weights" -> ((s, dir) =>
+      graft.ext.Selection.mixtureWeights(docs(s, dir), temperature = 2.0)
+        .orderBy(col("source"))),
+
+    // vocabulary coverage: top-20 tokens by corpus frequency with the
+    // cumulative fraction of all token occurrences they cover —
+    // TakeOrderedAndProject down to k rows, cumsum window over those k
+    // only, total via 1-row broadcast
+    "x65_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(docs(s, dir), k = 20)
+        .orderBy(col("c").desc, col("token")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -1939,7 +1972,98 @@ object ExtQueries {
                 round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
                 round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
                       / count(*), 6) AS quality_pass_rate
-         FROM b JOIN q ON q.doc_id = b.doc_id"""
+         FROM b JOIN q ON q.doc_id = b.doc_id""",
+
+    // mirrors TextAnalysis.repetitionMetrics: per-doc bigram/trigram
+    // counts, argmax by (count DESC, gram ASC), char-mass fractions over
+    // length(text) at DOUBLE precision rounded to 6 dp
+    "x62_repetition_metrics" ->
+      """WITH t AS (SELECT doc_id, length(text) AS nct,
+                regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         bgd AS (SELECT doc_id, nct,
+                   unnest([ws[i] || ' ' || ws[i+1]
+                           for i in generate_series(1, len(ws)-1)]) AS bg
+                 FROM t WHERE len(ws) >= 2),
+         bgc AS (SELECT doc_id, nct, bg, count(*) AS c
+                 FROM bgd GROUP BY 1, 2, 3),
+         top AS (SELECT doc_id, bg AS top_bigram,
+                   round(c * length(bg) / (nct::DOUBLE), 6) AS tbf
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY c DESC, bg) AS rn FROM bgc)
+                 WHERE rn = 1),
+         tgd AS (SELECT doc_id, nct,
+                   unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                           for i in generate_series(1, len(ws)-2)]) AS tg
+                 FROM t WHERE len(ws) >= 3),
+         tgc AS (SELECT doc_id, nct, tg, count(*) AS c
+                 FROM tgd GROUP BY 1, 2, 3),
+         dup AS (SELECT doc_id,
+                   round(sum(c * length(tg))::DOUBLE / any_value(nct), 6)
+                     AS dtf
+                 FROM tgc WHERE c > 1 GROUP BY doc_id)
+         SELECT t.doc_id,
+                coalesce(top_bigram, '') AS top_bigram,
+                coalesce(tbf, 0.0) AS top_bigram_frac,
+                coalesce(dtf, 0.0) AS dup_trigram_frac,
+                (coalesce(tbf, 0.0) <= 0.2 AND coalesce(dtf, 0.0) <= 0.6)
+                  AS rep_keep
+         FROM t LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    // mirrors Export.packSequences(source, doc_id, tokenCount, 512):
+    // running token offset per source (rows-preceding window), pack id =
+    // floor(offset / budget), then the per-pack manifest
+    "x63_sequence_packing" ->
+      """WITH t AS (SELECT source AS part, doc_id AS ord,
+                len(regexp_split_to_array(trim(text), '\s+')) AS nt
+              FROM documents),
+         o AS (SELECT part, ord, nt,
+                 coalesce(sum(nt) OVER (PARTITION BY part ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+               FROM t)
+         SELECT part, CAST(floor(off / (512.0::DOUBLE)) AS BIGINT) AS pack_id,
+                count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS pack_tokens,
+                min(ord) AS first_id, max(ord) AS last_id
+         FROM o GROUP BY 1, 2 ORDER BY part, pack_id""",
+
+    // mirrors Selection.mixtureWeights(temperature=2.0): per-source token
+    // mass, sqrt (exponent 1/T = 0.5 — correctly-rounded in both engines,
+    // unlike pow) rounded to 6 dp, decimal-summed normalizer, weight and
+    // implied sampling factor at IEEE DOUBLE order
+    "x64_mixture_weights" ->
+      """WITH t AS (SELECT source,
+                len(regexp_split_to_array(trim(text), '\s+')) AS nt
+              FROM documents),
+         s AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+               FROM t GROUP BY source),
+         p AS (SELECT *, round(sqrt(n_tokens), 6) AS a FROM s),
+         n AS (SELECT CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE)
+                   AS a_total,
+                 CAST(sum(n_tokens) AS BIGINT) AS tok_total
+               FROM p)
+         SELECT source, n_docs, n_tokens,
+                round(a / a_total, 6) AS weight,
+                round(round(a / a_total, 6) * tok_total / n_tokens, 6)
+                  AS sample_factor
+         FROM p CROSS JOIN n ORDER BY source""",
+
+    // mirrors TextAnalysis.vocabCoverage(k=20): global token counts,
+    // top-20 by (count DESC, token), cumulative occurrence fraction over
+    // those 20 rows at DOUBLE precision
+    "x65_vocab_coverage" ->
+      """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents),
+         w AS (SELECT unnest(ws) AS token FROM t),
+         g AS (SELECT token, count(*) AS c FROM w GROUP BY token),
+         tot AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS total FROM t),
+         top AS (SELECT token, c FROM g ORDER BY c DESC, token LIMIT 20)
+         SELECT token, c,
+                round(sum(c) OVER (ORDER BY c DESC, token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                  / total, 6) AS cum_frac
+         FROM top CROSS JOIN tot ORDER BY c DESC, token"""
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

@@ -1289,4 +1289,102 @@ class ExtSpec extends AnyFunSuite {
       "empty/whitespace docs must yield zero chunks")
     assert(out.forall(c => c._3.nonEmpty && c._4 > 0))
   }
+
+  test("repetitionMetrics: argmax tie-break, char fractions, short-doc " +
+      "defaults, band gate") {
+    import graft.ext.TextAnalysis
+    val d = Seq(
+      (1L, "a b a b a b"),     // top bigram "a b" ×3 of 5; "b a" ×2
+      (2L, "one"),             // no bigrams → defaults
+      (3L, "x y z w"),         // all bigrams unique, no dup trigrams
+      (4L, "c d e c d e c d e") // trigram "c d e" ×3 → dup mass
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(d).orderBy($"doc_id")
+      .as[(Long, String, Double, Double, Boolean)].collect().toSeq
+    // doc 1: text len 11, "a b" (len 3) ×3 → 9/11; dup trigrams:
+    // "a b a" ×2 + "b a b" ×2 → (2+2)*5/11
+    assert(out(0) == (1L, "a b", math.rint(9.0 / 11 * 1e6) / 1e6,
+      math.rint(20.0 / 11 * 1e6) / 1e6, false))
+    assert(out(1) == (2L, "", 0.0, 0.0, true))
+    assert(out(2)._2 == "x y" && out(2)._4 == 0.0 && out(2)._5 == false)
+    // doc 4: len 17; top "c d" ×3 (tie "d e" ×3 → lexicographic min wins)
+    assert(out(3)._2 == "c d")
+    assert(out(3)._3 == math.rint(9.0 / 17 * 1e6) / 1e6)
+    // corpus: every doc yields exactly one row
+    val n = TextAnalysis.repetitionMetrics(docs).count()
+    assert(n == docs.count())
+  }
+
+  test("packSequences: deterministic concat-and-cut, budget boundaries, " +
+      "token conservation per shard") {
+    import graft.ext.Export
+    val d = Seq(
+      ("s1", 1L, 3), ("s1", 2L, 4), ("s1", 3L, 5), ("s1", 4L, 2),
+      ("s2", 10L, 9), ("s2", 11L, 1)
+    ).toDF("source", "doc_id", "nt")
+    val out = Export.packSequences(d, $"source", $"doc_id", $"nt", budget = 8)
+      .orderBy($"part", $"pack_id")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // s1 offsets: 0,3,7,12 → packs 0,0,0,1 ; s2 offsets: 0,9 → packs 0,1
+    assert(out == Seq(
+      ("s1", 0L, 3L, 12L, 1L, 3L),
+      ("s1", 1L, 1L, 2L, 4L, 4L),
+      ("s2", 0L, 1L, 9L, 10L, 10L),
+      ("s2", 1L, 1L, 1L, 11L, 11L)))
+    // corpus-level: token mass is conserved shard-by-shard
+    import graft.ext.TextAnalysis.tokenCount
+    val packed = Export.packSequences(docs, $"source", $"doc_id",
+      tokenCount($"text"), budget = 512)
+    val perSrcPacked = packed.groupBy($"part")
+      .agg(sum($"pack_tokens").as("t")).as[(String, Long)].collect().toMap
+    val perSrcRaw = docs.groupBy($"source")
+      .agg(sum(tokenCount($"text").cast("long")).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(perSrcPacked == perSrcRaw)
+    // pack ids are dense from 0 within each shard
+    val ids = packed.groupBy($"part").agg(min($"pack_id"), max($"pack_id"),
+      countDistinct($"pack_id")).as[(String, Long, Long, Long)].collect()
+    assert(ids.forall { case (_, lo, hi, n) => lo == 0L && n == hi + 1 })
+  }
+
+  test("mixtureWeights: weights normalize to ~1, flat corpus → uniform, " +
+      "sample_factor boosts small sources at T>1") {
+    import graft.ext.Selection
+    val d = Seq.tabulate(40) { i =>
+      val src = if (i < 30) "big" else "small"
+      (i.toLong, src, Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Selection.mixtureWeights(d, temperature = 2.0)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq("big", "small"))
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-5)
+    // T=2 compresses the ratio: big is 3× small by mass but only √3× by
+    // weight → small's sample_factor > 1 (oversampled), big's < 1
+    val (big, small) = (out(0), out(1))
+    assert(big._3 == 300L && small._3 == 100L)
+    assert(small._5 > 1.0 && big._5 < 1.0)
+    // degenerate T=1 (proportional): factors are all exactly ~1
+    val prop = Selection.mixtureWeights(d, temperature = 1.0)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(prop.forall(r => math.abs(r._5 - 1.0) < 1e-4))
+  }
+
+  test("vocabCoverage: counts, deterministic tie order, monotone cum_frac " +
+      "reaching total only if vocab <= k") {
+    import graft.ext.TextAnalysis
+    val d = Seq((1L, "a a a b b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d, k = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    // counts: a=3, b=3, c=2, d=1; ties a/b break lexicographically
+    assert(out.map(t => (t._1, t._2)) == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+    assert(out.map(_._3) == Seq(
+      math.rint(3.0 / 9 * 1e6) / 1e6,
+      math.rint(6.0 / 9 * 1e6) / 1e6,
+      math.rint(8.0 / 9 * 1e6) / 1e6))
+    // corpus: cum_frac is strictly increasing and bounded by 1
+    val fr = TextAnalysis.vocabCoverage(docs, k = 20)
+      .as[(String, Long, Double)].collect().map(_._3).toSeq
+    assert(fr == fr.sorted && fr.last <= 1.0)
+  }
 }

@@ -34,7 +34,9 @@ class PlanSpec extends AnyFunSuite {
     "x52_hybrid_rrf", // composes x51's 1-row stats + x10's k-row query side
     "x53_bigram_lm_score", // 1-row vocabulary size
     "x54_dsir_weights", // 1-row distribution totals
-    "x55_cluster_balanced_sample") // k-row centroid side: x15's assignment
+    "x55_cluster_balanced_sample", // k-row centroid side: x15's assignment
+    "x64_mixture_weights", // 1-row normalizer totals, the x13/x14 pattern
+    "x65_vocab_coverage") // 1-row corpus token total onto k rows
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
