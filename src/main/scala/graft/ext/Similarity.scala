@@ -843,6 +843,63 @@ object Similarity {
     .select(col(idAs), col("j"),
       slice(col("embedding"), col("j") * sub + 1, lit(sub)).as("sv"))
 
+  /** IVF-PQ top-k (Jégou et al., TPAMI 2011 "Product Quantization for
+    * Nearest Neighbor Search"): the coarse IVF quantizer prunes the
+    * corpus to each query's `nprobe` probed cells, and ranking inside
+    * the surviving cells runs on 8-byte PQ codes via the per-query ADC
+    * lookup table — the layout every billion-scale ANN store ships.
+    *
+    * Scale shape: `cell` and the `m` codes are both AT-REST index
+    * columns (exactly what [[writeIvfIndex]] persists, plus
+    * [[pqCodes]]'s output) — the probe reads only `cell=` partitions
+    * and never touches raw vectors; the ADC table (queries × m ×
+    * codebookSize rows, dim-table-class) broadcasts; the only
+    * corpus-scale shuffle is the codes↔candidate equi-join on the
+    * vector id. Approximate in exactly two documented ways (cell recall
+    * × PQ distortion); determinism contract identical to x15/x24 —
+    * rounded distances, id tie-breaks, first-`n` codebooks/centroids —
+    * so the DuckDB oracle hash-checks the full output.
+    */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8, nprobe: Int = 2, dim: Int = 64, m: Int = 8,
+      codebookSize: Int = 256,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(dim % m == 0,
+      s"dim ($dim) must divide evenly into $m subspaces — uneven slices " +
+        "would silently misread subvector windows")
+    val sub = dim / m
+    val cent = centroidRelation(
+      centroids.getOrElse(corpus.filter(col("vec_id") < nCentroids)))
+    // (qid, cid) candidate pairs: corpus rows whose cell one of the
+    // query's probed cells — the partition-pruned survivor set
+    val cand = assignCells(corpus, cent).select(col("cid"), col("cell"))
+      .join(broadcast(
+        probeCells(queries, cent, nprobe).select(col("qid"), col("cell"))),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val cb = pqSubspaces(corpus.filter(col("vec_id") < codebookSize),
+      "code_id", sub, m).withColumnRenamed("sv", "cb_sub")
+    val codes = pqCodes(corpus, sub, m, codebookSize)
+    val lut = pqSubspaces(queries, "qid", sub, m)
+      .join(broadcast(cb), Seq("j"))
+      .select(col("qid"), col("j"), col("code_id"),
+        pqL2sq(col("sv"), col("cb_sub")).as("d"))
+    val adist = codes.join(cand, Seq("cid"))
+      .join(broadcast(lut),
+        codes("j") === lut("j") && codes("code") === lut("code_id") &&
+          cand("qid") === lut("qid"))
+      .groupBy(cand("qid"), col("cid"))
+      .agg(sum(col("d").cast(DecimalType(18, 6))).cast(DoubleType).as("adist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("cid").asc)
+    adist
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("adist"))
+  }
+
   def topKPq(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, m: Int = 8, codebookSize: Int = 256): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}

@@ -788,7 +788,7 @@ object ExtQueries {
     // shard-parallel by source (the within-shard scan is the operator's
     // contract; cross-shard parallelism is the scale axis). One window +
     // one keyed agg
-    "x63_sequence_packing" -> ((s, dir) =>
+    "x63_pack_manifest" -> ((s, dir) =>
       graft.ext.Export.packSequences(docs(s, dir), col("source"),
           col("doc_id"), tokenCount(col("text")), budget = 512)
         .orderBy(col("part"), col("pack_id"))),
@@ -807,7 +807,17 @@ object ExtQueries {
     // only, total via 1-row broadcast
     "x65_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(docs(s, dir), k = 20)
-        .orderBy(col("c").desc, col("token")))
+        .orderBy(col("c").desc, col("token"))),
+
+    // IVF-PQ (Jégou et al. 2011): coarse cells prune the corpus to each
+    // query's probed partitions, PQ codes + broadcast ADC table rank the
+    // survivors — x15's pruning composed with x24's compression, the
+    // billion-scale ANN layout
+    "x66_ann_topk_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKIvfPq(e, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
+    })
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2013,7 +2023,7 @@ object ExtQueries {
     // mirrors Export.packSequences(source, doc_id, tokenCount, 512):
     // running token offset per source (rows-preceding window), pack id =
     // floor(offset / budget), then the per-pack manifest
-    "x63_sequence_packing" ->
+    "x63_pack_manifest" ->
       """WITH t AS (SELECT source AS part, doc_id AS ord,
                 len(regexp_split_to_array(trim(text), '\s+')) AS nt
               FROM documents),
@@ -2063,7 +2073,66 @@ object ExtQueries {
                 round(sum(c) OVER (ORDER BY c DESC, token
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
                   / total, 6) AS cum_frac
-         FROM top CROSS JOIN tot ORDER BY c DESC, token"""
+         FROM top CROSS JOIN tot ORDER BY c DESC, token""",
+
+    // mirrors Similarity.topKIvfPq (first-8 centroids, nprobe=2, m=8,
+    // codebook 256): x15's cell/probe CTEs (untrained centroids) feeding
+    // x24's code/LUT/ADC CTEs restricted to the candidate pairs
+    "x66_ann_topk_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
+         ccos AS (SELECT x.vec_id AS vid, c.cent_id,
+                    round(list_dot_product(x.e, c.ce) /
+                          (sqrt(list_dot_product(x.e, x.e)) *
+                           sqrt(list_dot_product(c.ce, c.ce))), 6) AS cc
+                  FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                      row_number() OVER (PARTITION BY vid
+                                         ORDER BY cc DESC, cent_id) AS rn
+                    FROM ccos),
+         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked
+                   WHERE rn = 1),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked
+                    WHERE rn <= 2 AND vid < 10),
+         cand AS (SELECT p.qid, ca.cid FROM probes p
+                  JOIN cells ca ON p.cell = ca.cell AND ca.cid != p.qid),
+         js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         cb AS (SELECT vec_id AS code_id, j,
+                  list_slice(e, j*8+1, j*8+8) AS cb_sub
+                FROM e, js WHERE vec_id < 256),
+         cs AS (SELECT vec_id AS cid, j, list_slice(e, j*8+1, j*8+8) AS sv
+                FROM e, js),
+         cd AS (SELECT cid, cs.j AS j, code_id,
+                  round(list_dot_product(sv, sv)
+                        - 2*list_dot_product(sv, cb_sub)
+                        + list_dot_product(cb_sub, cb_sub), 6) AS d
+                FROM cs JOIN cb ON cs.j = cb.j),
+         codes AS (SELECT cid, j, code_id AS code FROM (
+                     SELECT cid, j, code_id,
+                            row_number() OVER (PARTITION BY cid, j
+                                               ORDER BY d, code_id) AS rn
+                     FROM cd) t WHERE rn = 1),
+         qs AS (SELECT vec_id AS qid, j, list_slice(e, j*8+1, j*8+8) AS qv
+                FROM e, js WHERE vec_id < 10),
+         lut AS (SELECT qid, qs.j AS j, code_id,
+                   round(list_dot_product(qv, qv)
+                         - 2*list_dot_product(qv, cb_sub)
+                         + list_dot_product(cb_sub, cb_sub), 6) AS d
+                 FROM qs JOIN cb ON qs.j = cb.j),
+         ad AS (SELECT cand.qid, cand.cid,
+                  CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+                FROM cand
+                JOIN codes ON codes.cid = cand.cid
+                JOIN lut ON lut.qid = cand.qid AND lut.j = codes.j
+                        AND lut.code_id = codes.code
+                GROUP BY 1, 2)
+         SELECT qid, rank, cid, adist FROM (
+           SELECT qid, cid, adist,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY adist, cid) AS INTEGER)
+                    AS rank
+           FROM ad) t
+         WHERE rank <= 10 ORDER BY qid, rank"""
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

@@ -1387,4 +1387,33 @@ class ExtSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().map(_._3).toSeq
     assert(fr == fr.sorted && fr.last <= 1.0)
   }
+
+  test("topKIvfPq: ADC distances equal full-PQ on shared pairs, every " +
+      "candidate lies in a probed cell, deterministic") {
+    val q = emb.filter($"vec_id" < 10)
+    val ivfpq = Similarity.topKIvfPq(emb, q, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivfpq.nonEmpty)
+    // same (qid,cid) pair → identical ADC distance as the unpruned PQ
+    // ranking (pruning changes WHICH pairs surface, never their score)
+    val pq = Similarity.topKPq(emb, q, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val shared = ivfpq.filter(r => pq.contains((r._1, r._3)))
+    assert(shared.nonEmpty)
+    assert(shared.forall(r => pq((r._1, r._3)) == r._4))
+    // pruning contract: each returned cid's cell is one of its query's
+    // probed cells
+    val cent = emb.filter($"vec_id" < 8)
+    val cells = Similarity.cellAssignments(emb, cent)
+      .as[(Long, Long)].collect().toMap
+    val probed = Similarity.topKIvf(emb, q, k = Int.MaxValue, nprobe = 2)
+      .select($"qid", $"cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(p => cells(p._2)).toSet).toMap
+    assert(ivfpq.forall(r => probed(r._1).contains(cells(r._3))))
+    // determinism: a re-run is row-identical
+    val rerun = Similarity.topKIvfPq(emb, q, k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rerun.toSeq == ivfpq.toSeq)
+  }
 }
