@@ -597,6 +597,42 @@ object Similarity {
     cent.toDF("vec_id", "embedding")
   }
 
+  /** [[trainCentroids]] for corpora whose RELATION is checkpointed (an
+    * RDD leaf — plan identity unique per materialization, so the normal
+    * memo can never hit) but whose CONTENT is a pure deterministic
+    * function of stable upstream inputs. The caller names that closure:
+    * `keyTag` identifies the derivation (include every flag that changes
+    * the derived corpus) and `keyCorpora` are the file-backed inputs it
+    * is derived from — the memo key folds each input's plan hash + data
+    * fingerprint, so a rewritten input file invalidates exactly like
+    * [[trainCentroids]]'s own key. First call trains on the (fast,
+    * block-resident) checkpointed corpus; later calls in the session —
+    * bench passes, repeated pipeline runs — reuse the model, the x47
+    * resident-index pattern applied to training.
+    *
+    * The CALLER owns key correctness: a tag that omits a flag which
+    * changes the derived corpus silently serves stale centroids.
+    */
+  def trainCentroidsKeyed(corpus: DataFrame, keyTag: String,
+      keyCorpora: Seq[DataFrame], nCentroids: Int = 8, iters: Int = 3,
+      init: String = "first"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val inputsHash = scala.util.hashing.MurmurHash3.seqHash(
+      keyCorpora.map(c => (c.queryExecution.analyzed.semanticHash(),
+        corpusFingerprint(c))))
+    val key = (keyTag.hashCode, inputsHash, nCentroids, iters, init)
+    val cached = centroidCache.get(key)
+    val cent =
+      if (cached != null) cached
+      else {
+        val trained = trainCentroidsUncached(corpus, nCentroids, iters, init)
+        val prior = centroidCache.putIfAbsent(key, trained)
+        if (prior != null) prior else trained
+      }
+    cent.toDF("vec_id", "embedding")
+  }
+
   private def trainCentroidsUncached(corpus: DataFrame, nCentroids: Int,
       iters: Int, init: String): Seq[(Long, Seq[Float])] = {
     val spark = corpus.sparkSession

@@ -352,6 +352,43 @@ class ExtSpec extends AnyFunSuite {
     assert(c != a)
   }
 
+  test("trainCentroidsKeyed: checkpointed re-materializations of the same " +
+      "derived corpus reuse the model; key inputs/tag changes retrain") {
+    import graft.engine.Checkpoints.MaterializeOps
+    val base = Seq(
+      (0L, Seq(0.317f, 0.828f)), (1L, Seq(0.926f, 0.205f)),
+      (2L, Seq(0.481f, 0.773f)), (3L, Seq(0.664f, 0.092f)),
+      (4L, Seq(0.138f, 0.557f))).toDF("vec_id", "embedding")
+    def derived() = base.filter($"vec_id" < 4).materialized
+    // plain trainCentroids on a checkpointed relation trains uncached
+    // (unstable plan identity) — the keyed form is the remedy
+    val uncached = Similarity.trainCentroids(derived(), nCentroids = 2,
+      iters = 2).as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val a = Similarity.trainCentroidsKeyed(derived(), "extspec-keyed",
+        Seq(base), nCentroids = 2, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(a == uncached, "keyed training must not change the result")
+    // second call over a FRESH materialization: must hit (same closure)
+    // — and must return the identical model even though the RDD differs
+    val b = Similarity.trainCentroidsKeyed(derived(), "extspec-keyed",
+        Seq(base), nCentroids = 2, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(b == a)
+    // a different tag is a different index — trains its own entry even
+    // for the same inputs (the caller's flag-sensitivity contract)
+    val c = Similarity.trainCentroidsKeyed(derived(), "extspec-keyed-v2",
+        Seq(base), nCentroids = 2, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(c == a, "same corpus, different tag: same (retrained) model")
+    // different key inputs (here: a different base relation) re-key
+    val base2 = base.withColumn("embedding",
+      transform($"embedding", v => v * 2f))
+    val d = Similarity.trainCentroidsKeyed(derived(), "extspec-keyed",
+        Seq(base2), nCentroids = 2, iters = 2)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    assert(d == a, "corpus unchanged → same model under the new key")
+  }
+
   test("rewriting a corpus's files under the same path invalidates the " +
       "centroid cache key (data fingerprint)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cent-fp")
