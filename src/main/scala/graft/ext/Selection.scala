@@ -195,6 +195,92 @@ object Selection {
         .as("score"))
   }
 
+  /** c-TF-IDF cluster topic labels (Grootendorst 2022, BERTopic §2.3):
+    * each document joins its k-means/IVF cell through the embedding
+    * relation, and each cell is labeled with its top `topN` tokens by
+    * class-based TF-IDF — `tf(t,c)/len(c) · ln(1 + A/tf(t))` with `A`
+    * the mean tokens per cell and `tf(t)` the global token count. The
+    * human-readable face of the cluster machinery: what IS cell 3,
+    * answered with tokens.
+    *
+    * Scale shape: one tokenize/explode pass joined to the (vec_id,
+    * cell) assignment, then every relation is cell×vocab-bounded —
+    * grouped counts partial-aggregate map-side, the label window
+    * partitions by cell, the mean-length normalizer is a 1-row
+    * broadcast. Deterministic: rounded scores, (score DESC, token)
+    * tie-break, and the same argmax cell assignment the IVF oracles
+    * replicate.
+    */
+  def clusterTopicLabels(docs: DataFrame, emb: DataFrame,
+      centroids: DataFrame, topN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Similarity.cellAssignments(emb, centroids)
+      .withColumnRenamed("vec_id", "doc_id")
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(cells, Seq("doc_id"))
+    val tfc = toks.groupBy(col("cell"), col("token"))
+      .agg(count(lit(1)).as("tf_c"))
+    val lenc = tfc.groupBy(col("cell")).agg(sum(col("tf_c")).as("len_c"))
+    val tfg = tfc.groupBy(col("token")).agg(sum(col("tf_c")).as("tf_g"))
+    val aMean = lenc.agg(avg(col("len_c")).as("a_mean"))
+    val scored = tfc.join(lenc, Seq("cell")).join(tfg, Seq("token"))
+      .crossJoin(broadcast(aMean))
+      .withColumn("ctfidf", round(col("tf_c") / col("len_c") *
+        log(lit(1.0) + col("a_mean") / col("tf_g")), 6))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("ctfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("cell"), col("rank"), col("token"), col("tf_c"),
+        col("ctfidf"))
+  }
+
+  /** Pairwise source drift: symmetric KL divergence between the hashed-
+    * bigram distributions of every source pair — the domain-shift
+    * monitor that tells a mixing planner which sources are
+    * interchangeable and which are distributionally distant. Same
+    * feature hashing as [[dsirWeights]] (md5-60bit mod `buckets`), so
+    * model state is `buckets`-bounded regardless of corpus size.
+    *
+    * Each source's distribution is densified over all `buckets` ids
+    * (sources × buckets rows — bounded) with add-`alpha` smoothing so
+    * zero-count buckets carry mass and every pair term is defined.
+    * Determinism: probabilities rounded to 12 dp, per-bucket terms
+    * `(p−q)·ln(p/q)` rounded to 9 dp and decimal-summed (the sum6
+    * rule), output to 6 dp.
+    *
+    * Scale shape: one explode→grouped-count pass over the corpus; all
+    * downstream relations are (sources × buckets)-bounded, the pair
+    * join is keyed on the bucket id.
+    */
+  def sourceDriftMatrix(docs: DataFrame, buckets: Int = 4096,
+      alpha: Double = 0.5): DataFrame = {
+    val counts = docs
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .select(col("source"), explode(bigrams(col("ws"))).as("bg"))
+      .select(col("source"), (hash60(col("bg")) % buckets).as("f"))
+      .groupBy(col("source"), col("f")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+    val dense = totals
+      .select(col("source"), col("tot"),
+        explode(sequence(lit(0), lit(buckets - 1))).as("f"))
+      .join(counts, Seq("source", "f"), "left")
+      .select(col("source"), col("f"),
+        round((coalesce(col("n"), lit(0L)) + lit(alpha)) /
+          (col("tot") + lit(alpha * buckets)), 12).as("p"))
+    val a = dense.select(col("source").as("src_a"), col("f"),
+      col("p").as("pa"))
+    val b = dense.select(col("source").as("src_b"), col("f"),
+      col("p").as("pb"))
+    a.join(b, Seq("f"))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("term",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum6(col("term")), 6).as("sym_kl"))
+  }
+
   /** Temperature-scaled source mixture weights — the multinomial
     * sampling schedule over corpus sources (the `α`-smoothing of
     * multilingual/multi-domain pre-training, Conneau & Lample 2019):

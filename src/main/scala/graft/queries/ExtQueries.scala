@@ -817,7 +817,25 @@ object ExtQueries {
       val e = emb(s, dir)
       Similarity.topKIvfPq(e, e.filter(col("vec_id") < 10), k = 10)
         .orderBy(col("qid"), col("rank"))
-    })
+    }),
+
+    // c-TF-IDF cluster topic labels (BERTopic): each IVF cell labeled
+    // with its top-3 tokens by class-based TF-IDF — the human-readable
+    // face of the cluster machinery; every relation past the tokenize
+    // pass is cell×vocab-bounded
+    "x67_cluster_labels" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.Selection.clusterTopicLabels(docs(s, dir), e,
+          e.filter(col("vec_id") < 8), topN = 3)
+        .orderBy(col("cell"), col("rank"))
+    }),
+
+    // pairwise source drift: symmetric KL between hashed-bigram
+    // distributions (x54's feature hashing, densified + smoothed) — the
+    // domain-shift monitor behind mixing decisions
+    "x68_source_drift" -> ((s, dir) =>
+      graft.ext.Selection.sourceDriftMatrix(docs(s, dir))
+        .orderBy(col("src_a"), col("src_b")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2132,7 +2150,83 @@ object ExtQueries {
                                           ORDER BY adist, cid) AS INTEGER)
                     AS rank
            FROM ad) t
-         WHERE rank <= 10 ORDER BY qid, rank"""
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // mirrors Selection.clusterTopicLabels (first-8 centroids, top 3):
+    // the x66 cells CTE + per-(cell,token) counts + the c-TF-IDF formula
+    // at IEEE DOUBLE order
+    "x67_cluster_labels" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
+         ccos AS (SELECT x.vec_id AS vid, c.cent_id,
+                    round(list_dot_product(x.e, c.ce) /
+                          (sqrt(list_dot_product(x.e, x.e)) *
+                           sqrt(list_dot_product(c.ce, c.ce))), 6) AS cc
+                  FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                      row_number() OVER (PARTITION BY vid
+                                         ORDER BY cc DESC, cent_id) AS rn
+                    FROM ccos),
+         cells AS (SELECT vid AS doc_id, cent_id AS cell FROM ranked
+                   WHERE rn = 1),
+         toks AS (SELECT d.doc_id,
+                    unnest(regexp_split_to_array(trim(d.text), '\s+'))
+                      AS token
+                  FROM documents d),
+         tc AS (SELECT c.cell, t.token, count(*) AS tf_c
+                FROM toks t JOIN cells c ON c.doc_id = t.doc_id
+                GROUP BY 1, 2),
+         lc AS (SELECT cell, CAST(sum(tf_c) AS BIGINT) AS len_c
+                FROM tc GROUP BY cell),
+         tg AS (SELECT token, CAST(sum(tf_c) AS BIGINT) AS tf_g
+                FROM tc GROUP BY token),
+         am AS (SELECT avg(len_c) AS a_mean FROM lc),
+         sc AS (SELECT tc.cell, tc.token, tf_c,
+                  round(tf_c / (len_c::DOUBLE) *
+                        ln((1.0::DOUBLE) + a_mean / tf_g), 6) AS ctfidf
+                FROM tc JOIN lc USING (cell) JOIN tg USING (token)
+                CROSS JOIN am)
+         SELECT cell, rank, token, tf_c, ctfidf FROM (
+           SELECT cell, token, tf_c, ctfidf,
+                  CAST(row_number() OVER (PARTITION BY cell
+                                          ORDER BY ctfidf DESC, token)
+                    AS INTEGER) AS rank
+           FROM sc) t
+         WHERE rank <= 3 ORDER BY cell, rank""",
+
+    // mirrors Selection.sourceDriftMatrix: x54's 60-bit md5 feature hash
+    // mod 4096, densified over all buckets with add-0.5 smoothing,
+    // 12-dp probabilities, 9-dp symmetric-KL terms decimal-summed
+    "x68_source_drift" ->
+      """WITH t AS (SELECT source,
+                regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents),
+         feats AS (SELECT source,
+                     CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) % 4096
+                       AS f
+                   FROM (SELECT source,
+                           unnest([ws[i] || ' ' || ws[i+1]
+                                   for i in generate_series(1, len(ws)-1)])
+                             AS bg
+                         FROM t WHERE len(ws) >= 2)),
+         counts AS (SELECT source, f, count(*) AS n FROM feats
+                    GROUP BY 1, 2),
+         totals AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+                    FROM counts GROUP BY source),
+         dense AS (SELECT tt.source, g.f,
+                     round((coalesce(c.n, 0) + (0.5::DOUBLE)) /
+                           (tt.tot + (2048.0::DOUBLE)), 12) AS p
+                   FROM totals tt
+                   CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS f)
+                     g
+                   LEFT JOIN counts c
+                     ON c.source = tt.source AND c.f = g.f)
+         SELECT a.source AS src_a, b.source AS src_b,
+                round(CAST(sum(CAST(
+                    round((a.p - b.p) * ln(a.p / b.p), 9)
+                    AS DECIMAL(38,12))) AS DOUBLE), 6) AS sym_kl
+         FROM dense a JOIN dense b ON a.f = b.f AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY src_a, src_b"""
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

@@ -1453,4 +1453,52 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect()
     assert(rerun.toSeq == ivfpq.toSeq)
   }
+
+  test("clusterTopicLabels: distinctive tokens win over shared ones, " +
+      "topN bound and tie order hold") {
+    import graft.ext.Selection
+    // two 1-doc cells with planted vocabularies: "shared" appears in
+    // both (low c-TF-IDF), apple/banana are cell-exclusive (high)
+    val d = Seq(
+      (0L, "apple apple apple shared shared"),
+      (1L, "banana banana banana shared shared")).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val cents = e // each vector its own centroid → identity cells
+    val out = Selection.clusterTopicLabels(d, e, cents, topN = 2)
+      .orderBy($"cell", $"rank")
+      .as[(Long, Int, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq(
+      (0L, 1, "apple"), (0L, 2, "shared"),
+      (1L, 1, "banana"), (1L, 2, "shared")))
+    // the exclusive token outscores the shared one in both cells
+    assert(out(0)._5 > out(1)._5 && out(2)._5 > out(3)._5)
+    // corpus: every cell labeled, exactly topN rows per cell, ranks dense
+    val corpus = Selection.clusterTopicLabels(docs, emb,
+      emb.filter($"vec_id" < 8), topN = 3)
+      .as[(Long, Int, String, Long, Double)].collect()
+    assert(corpus.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == (1 to rows.length) &&
+        rows.length <= 3 })
+  }
+
+  test("sourceDriftMatrix: zero for identical sources, positive and " +
+      "symmetric-input drift for disjoint vocabularies") {
+    import graft.ext.Selection
+    val mk = (src: String, off: Int, word: String) => (0 until 4).map(i =>
+      ((off + i).toLong, src, s"$word$i $word${i + 1} $word$i"))
+    val d = (mk("s1", 0, "alpha") ++ mk("s2", 10, "alpha") ++
+      mk("s3", 20, "omega")).toDF("doc_id", "source", "text")
+    val out = Selection.sourceDriftMatrix(d)
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    val kl = out.map(r => (r._1, r._2) -> r._3).toMap
+    // identical token streams → zero divergence; disjoint vocab → > 0
+    assert(kl(("s1", "s2")) == 0.0)
+    assert(kl(("s1", "s3")) > 0 && kl(("s2", "s3")) > 0)
+    // same underlying distributions → same drift against the outlier
+    assert(kl(("s1", "s3")) == kl(("s2", "s3")))
+  }
 }

@@ -37,7 +37,8 @@ class PlanSpec extends AnyFunSuite {
     "x55_cluster_balanced_sample", // k-row centroid side: x15's assignment
     "x64_mixture_weights", // 1-row normalizer totals, the x13/x14 pattern
     "x65_vocab_coverage", // 1-row corpus token total onto k rows
-    "x66_ann_topk_ivfpq") // k-row centroid side: the x15 cell assignment
+    "x66_ann_topk_ivfpq", // k-row centroid side: the x15 cell assignment
+    "x67_cluster_labels") // x15's centroid side + 1-row mean-length
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
