@@ -193,6 +193,48 @@ object Streams {
         col("might_contaminated"), col("admit_stream"))
   }
 
+  // ---- streaming similarity search --------------------------------------
+
+  /** Streaming ANN: arriving query vectors scored against a STATIC
+    * corpus through the hyperplane-LSH bucket equi-join (x11's shape —
+    * the static side is pruned to each query's bucket and broadcast, so
+    * a query never scans the corpus), then ranked per query by the
+    * bounded-heap [[graft.functions.TopKAgg]] inside a watermarked
+    * tumbling window. ONE stateful aggregation; state is a k-heap per
+    * (window, query), reclaimed at the watermark — the shape that holds
+    * at firehose query rates. The plan is mode-agnostic: on a batch
+    * frame the same call produces the batch answer (the StreamingSpec
+    * agreement gate).
+    */
+  def annStream(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      dim: Int = 64, nbits: Int = 4, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.ext.Similarity
+    val c = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"),
+      Similarity.norm(col("embedding")).as("cn"),
+      Similarity.hyperplaneBucket(col("embedding"), dim, nbits)
+        .as("bucket"))
+    val q = queries.withWatermark("ts", watermark)
+      .select(col("ts"), col("vec_id").as("qid"),
+        col("embedding").as("qe"),
+        Similarity.norm(col("embedding")).as("qn"),
+        Similarity.hyperplaneBucket(col("embedding"), dim, nbits)
+          .as("bucket"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    q.join(broadcast(c), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(
+        Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+      .groupBy(window(col("ts"), windowLen), col("qid"))
+      .agg(topk(col("cos"), col("cid")).as("nn"))
+      .select(col("window.start").as("win_start"), col("qid"),
+        posexplode(col("nn")).as(Seq("pos", "s")))
+      .select(col("win_start"), col("qid"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("s._2").as("cid"), col("s._1").as("cos"))
+  }
+
   // ---- stream-static enrichment -----------------------------------------
 
   /** Stream-static dimension join: each micro-batch joins against the

@@ -84,6 +84,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ANN over the embeddings table equals the batch plan " +
+      "and the declared LSH top-k") {
+    val sf = "/root/testdata/sf0.001"
+    val baseTs = lit("2024-01-01 00:30:00").cast("timestamp")
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qStream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "embeddings*.parquet")
+      .parquet(sf)
+      .filter($"vec_id" < 5)
+      .withColumn("ts", baseTs)
+    val q = Streams.annStream(qStream, corpus, k = 5)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val streamed = spark.table("ann_stream")
+      .select($"qid", $"rank", $"cid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    q.stop()
+    assert(streamed.nonEmpty)
+    // mode-agnostic plan: the same call on a batch frame agrees
+    val batch = Streams.annStream(
+      corpus.filter($"vec_id" < 5).withColumn("ts", baseTs), corpus, k = 5)
+      .select($"qid", $"rank", $"cid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    // and both equal the declared batch LSH top-k (same buckets, same
+    // rank semantics — the bounded heap vs window-rank agreement)
+    val lsh = graft.ext.Similarity
+      .topKLsh(corpus, corpus.filter($"vec_id" < 5), k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed == lsh)
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct ids") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
