@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * shards on disk.
   *
   *   runMain graft.ext.PipelineMain <inDir> <outDir> [-scrub] [-semdedup]
+  *     [-pack=<tokens>] [-mix=<temperature>]
   *
   * Stages (each an already-declared operator, chained into one lineage
   * with three eager cuts when the semantic-dedup stage is on — scrubbed
@@ -25,7 +26,11 @@ import org.apache.spark.sql.functions._
   *      for downstream readers — plus the (split, source) manifest (x33)
   *
   * Output layout: `<outDir>/shards/split=train|val|test/…parquet` with
-  * (doc_id, source, n_tokens, label, text) and `<outDir>/manifest/`.
+  * (doc_id, source, n_tokens, label, text) and `<outDir>/manifest/`;
+  * with `-pack` also `<outDir>/packs/` (the x63 pack manifest per
+  * split/source shard) and with `-mix` also `<outDir>/mix/` (the x64
+  * sampling schedule) — both computed from the WRITTEN shards, the same
+  * on-disk-truth rule the manifest follows.
   */
 object PipelineMain {
 
@@ -96,7 +101,8 @@ object PipelineMain {
 
   /** [[run]] over already-loaded relations — the testable seam. */
   def runFrames(spark: SparkSession, raw: DataFrame, emb: DataFrame,
-      outDir: String, scrubText: Boolean, semDedup: Boolean): (Long, Long) = {
+      outDir: String, scrubText: Boolean, semDedup: Boolean,
+      packBudget: Int = 0, mixTemperature: Double = 0.0): (Long, Long) = {
     val shards = pipelinePlan(raw, emb, scrubText, semDedup)
     shards.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/shards")
@@ -105,20 +111,37 @@ object PipelineMain {
     val written = spark.read.parquet(s"$outDir/shards")
     Export.shardManifest(written)
       .write.mode("overwrite").parquet(s"$outDir/manifest")
+    // optional post-export planning artifacts, both computed from the
+    // WRITTEN shards (same truth rule as the manifest): the x63 pack
+    // manifest per (split, source) shard and the x64 sampling schedule
+    if (packBudget > 0)
+      Export.packSequences(written,
+          concat_ws("/", col("split"), col("source")), col("doc_id"),
+          col("n_tokens"), packBudget)
+        .write.mode("overwrite").parquet(s"$outDir/packs")
+    if (mixTemperature > 0)
+      graft.ext.Selection.mixtureWeights(written, mixTemperature)
+        .write.mode("overwrite").parquet(s"$outDir/mix")
     (written.count(), raw.count())
   }
 
   def main(args: Array[String]): Unit = {
+    val usage = "usage: PipelineMain <inDir> <outDir> [-scrub] [-semdedup]" +
+      " [-pack=<tokens>] [-mix=<temperature>]"
     val known = Set("-scrub", "-semdedup")
     val (flags, pos) = args.partition(_.startsWith("-"))
+    def valued(prefix: String): Option[String] = flags.collectFirst {
+      case f if f.startsWith(prefix + "=") => f.drop(prefix.length + 1)
+    }
     // a mistyped flag must not silently change what gets exported
     // (FhirMain.parseFlags's convention)
-    val unknown = flags.filterNot(known)
+    val unknown = flags.filterNot(f =>
+      known(f) || f.startsWith("-pack=") || f.startsWith("-mix="))
     require(unknown.isEmpty,
-      s"unknown flag(s): ${unknown.mkString(", ")} — " +
-        s"usage: PipelineMain <inDir> <outDir> [-scrub] [-semdedup]")
-    require(pos.length == 2,
-      "usage: PipelineMain <inDir> <outDir> [-scrub] [-semdedup]")
+      s"unknown flag(s): ${unknown.mkString(", ")} — $usage")
+    require(pos.length == 2, usage)
+    val packBudget = valued("-pack").map(_.toInt).getOrElse(0)
+    val mixTemperature = valued("-mix").map(_.toDouble).getOrElse(0.0)
     val Array(inDir, outDir) = pos
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -130,9 +153,13 @@ object PipelineMain {
     graft.engine.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val (kept, total) = run(spark, inDir, outDir,
+    import graft.engine.Tables
+    val (kept, total) = runFrames(spark,
+      Tables.load(spark, inDir, "documents"),
+      Tables.load(spark, inDir, "embeddings"), outDir,
       scrubText = args.contains("-scrub"),
-      semDedup = args.contains("-semdedup"))
+      semDedup = args.contains("-semdedup"),
+      packBudget = packBudget, mixTemperature = mixTemperature)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[pipeline] $kept of $total docs exported to $outDir " +
       f"in $secs%.1f s")

@@ -1093,6 +1093,37 @@ class ExtSpec extends AnyFunSuite {
     assert(kept2 <= kept && kept2 > 0)
   }
 
+  test("pipeline -pack/-mix write planning artifacts that match the " +
+      "declared operators over the WRITTEN shards") {
+    import graft.ext.{Export, PipelineMain, Selection}
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_pm")
+      .toString
+    PipelineMain.runFrames(spark, docs, emb, out,
+      scrubText = false, semDedup = false,
+      packBudget = 256, mixTemperature = 2.0)
+    val written = spark.read.parquet(s"$out/shards")
+    val packs = spark.read.parquet(s"$out/packs")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val expectedPacks = Export.packSequences(written,
+        concat_ws("/", $"split", $"source"), $"doc_id", $"n_tokens", 256)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(packs == expectedPacks && packs.nonEmpty)
+    // pack shards are split/source scoped
+    assert(packs.forall(_._1.contains("/")))
+    val mix = spark.read.parquet(s"$out/mix")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val expectedMix = Selection.mixtureWeights(written, 2.0)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(mix == expectedMix && mix.nonEmpty)
+    // flags off → no artifacts (the default CLI contract)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_pipe_pm2")
+      .toString
+    PipelineMain.runFrames(spark, docs, emb, out2,
+      scrubText = false, semDedup = false)
+    assert(!new java.io.File(s"$out2/packs").exists())
+    assert(!new java.io.File(s"$out2/mix").exists())
+  }
+
   test("pipeline -semdedup never drops content whose semantic rep was " +
     "gate-filtered") {
     import graft.ext.PipelineMain

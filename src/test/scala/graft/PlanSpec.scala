@@ -160,4 +160,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
+
+  test("x63 pack manifest reuses the shard partitioning: one hash " +
+      "Exchange before the final order") {
+    // the running-offset window hash-partitions on the shard column, and
+    // HashPartitioning(part) already satisfies the downstream
+    // (part, pack_id) aggregation's ClusteredDistribution — a second
+    // corpus shuffle between window and agg would mean the partitioning
+    // contract regressed
+    val plan = graft.SparkEntry.queries("x63_pack_manifest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash Exchange:\n${plan.take(2000)}")
+  }
 }
