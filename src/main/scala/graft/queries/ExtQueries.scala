@@ -835,7 +835,20 @@ object ExtQueries {
     // domain-shift monitor behind mixing decisions
     "x68_source_drift" -> ((s, dir) =>
       graft.ext.Selection.sourceDriftMatrix(docs(s, dir))
-        .orderBy(col("src_a"), col("src_b")))
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // dedup cluster-size histogram — the one-page duplication report
+    // over x17's components: how many clusters of each size, how many
+    // docs they hold; two keyed aggs on top of the clustering
+    "x69_dedup_histogram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupClusters(d,
+          Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .orderBy(col("sz"))
+    })
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2226,7 +2239,32 @@ object ExtQueries {
                     round((a.p - b.p) * ln(a.p / b.p), 9)
                     AS DECIMAL(38,12))) AS DOUBLE), 6) AS sym_kl
          FROM dense a JOIN dense b ON a.f = b.f AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY src_a, src_b"""
+         GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
+    // mirrors x69: the x17 recursive-CC oracle aggregated to the
+    // cluster-size histogram
+    "x69_dedup_histogram" ->
+      (shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
+         , clusters AS (SELECT node AS doc_id, min(lbl) AS cluster
+                        FROM reach GROUP BY node),
+         sizes AS (SELECT cluster, count(*) AS sz FROM clusters
+                   GROUP BY cluster)
+         SELECT sz, count(*) AS n_clusters,
+                CAST(sz * count(*) AS BIGINT) AS n_docs
+         FROM sizes GROUP BY sz ORDER BY sz""")
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

@@ -77,7 +77,34 @@ object StreamBench {
         gapMs = 200, watermark = "2 seconds").toDF(),
       "append")
 
-    println(s"""{"metric":"stream_rows_per_sec","windowed_agg":${agg.toLong},"sessionize":${sess.toLong},"rps_offered":$rps,"secs":$secs,"cpus":$cpus}""")
+    // streaming ANN: query vectors synthesized from the rate source
+    // (64 deterministic floats per row), scored against the static
+    // sf0.1 embeddings corpus through the LSH-bucket-pruned
+    // stream-static join + windowed bounded-heap top-k
+    val corpusDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+    // per-query work here is orders of magnitude above the row-shaped
+    // pipelines above (64-float synth + bucket probe + ranked join), so
+    // the ANN stream gets its own offered rate — still over-provisioned
+    // past capacity, just not by 3 orders of magnitude (at 5M offered
+    // the first batch never completes inside the measure window)
+    val annRps = sys.env.getOrElse("SPARK_GRAFT_STREAM_ANN_RPS",
+      "200000").toLong
+    val rateEmb = spark.readStream.format("rate")
+      .option("rowsPerSecond", annRps.toString)
+      .option("numPartitions", cpus)
+      .load()
+      .select(col("timestamp").as("ts"), col("value").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(col("value") * 31 + d, lit(97)) / 97.0).cast("float"))
+          .as("embedding"))
+    val ann = measure("ann_stream",
+      graft.streaming.Streams.annStream(rateEmb, corpus, k = 10,
+        windowLen = "10 seconds", watermark = "5 seconds"),
+      "update")
+
+    println(s"""{"metric":"stream_rows_per_sec","windowed_agg":${agg.toLong},"sessionize":${sess.toLong},"ann_stream":${ann.toLong},"rps_offered":$rps,"ann_rps_offered":$annRps,"secs":$secs,"cpus":$cpus}""")
     spark.stop()
   }
 }
