@@ -1,27 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    graft.engine.GraftSession.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Dump every query's result under `outDir/<name>/`; on failure write a
+    * one-row marker parquet (column `__graft_error`) so the driver's
+    * compare emits a RED row for that query instead of silently dropping
+    * it from the correctness artifact — a failed query must be visible,
+    * not absent. Returns the (name → message) failures, also persisted as
+    * `errors.json`. Seam shared by [[main]] and the VerifySpec gate.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      oracleSql: Seq[(String, String)]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // On failure, still write a one-row marker parquet (column `__graft_error`)
-    // so the driver's compare emits a RED row for this query instead of
-    // silently dropping it from the correctness artifact — a failed query
-    // must be visible, not absent.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -47,12 +43,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    errors.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.engine.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir, SparkEntry.queries.toSeq,
+      SparkEntry.oracleSql.toSeq)
     spark.stop()
   }
 }

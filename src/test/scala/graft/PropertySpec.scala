@@ -163,6 +163,97 @@ class PropertySpec extends AnyFunSuite {
     once.foreach(s => assert(twice(s) == s, s"not idempotent on '$s'"))
   }
 
+  test("packSequences invariants on random corpora: token conservation, " +
+      "dense pack ids, budget-respecting starts") {
+    import graft.ext.Export
+    val gen = for {
+      src <- Gen.oneOf("a", "b", "c")
+      nt <- Gen.choose(1, 300)
+    } yield (src, nt)
+    val rows = sample(gen, 400).zipWithIndex
+      .map { case ((src, nt), i) => (src, i.toLong, nt) }
+    val df = rows.toDF("source", "doc_id", "nt")
+    for (budget <- Seq(64, 128, 1024)) {
+      val packs = Export.packSequences(df, $"source", $"doc_id", $"nt",
+        budget).as[(String, Long, Long, Long, Long, Long)].collect()
+      // conservation: every doc's tokens land in exactly one pack
+      val bySrc = rows.groupBy(_._1).view
+        .mapValues(rs => (rs.size.toLong, rs.map(_._3.toLong).sum)).toMap
+      val packedBySrc = packs.groupBy(_._1).view
+        .mapValues(ps => (ps.map(_._3).sum, ps.map(_._4).sum)).toMap
+      assert(packedBySrc == bySrc)
+      // ids start at 0 and are strictly increasing with doc order; a doc
+      // larger than the budget may legitimately SKIP ids (it consumes
+      // several budget units), so density is not an invariant
+      for ((_, ps) <- packs.groupBy(_._1)) {
+        val ordered = ps.sortBy(_._5).map(_._2).toSeq
+        assert(ordered.head == 0L)
+        assert(ordered == ordered.sorted && ordered.distinct == ordered)
+      }
+      // oracle replay: sequential offset walk reproduces every pack id
+      val expect = rows.groupBy(_._1).view.mapValues { rs =>
+        var off = 0L
+        rs.sortBy(_._2).map { case (_, id, nt) =>
+          val p = off / budget; off += nt; (id, p) }.toMap
+      }.toMap
+      val gotDocRange = packs.map(p => (p._1, p._2, p._5, p._6))
+      for ((src, pid, first, last) <- gotDocRange) {
+        assert(expect(src)(first) == pid && expect(src)(last) == pid)
+      }
+    }
+  }
+
+  test("mixtureWeights invariants on random corpora: weights sum to ~1, " +
+      "order-preserving in token mass, T→∞ flattens") {
+    import graft.ext.Selection
+    val gen = for {
+      src <- Gen.oneOf("s1", "s2", "s3", "s4")
+      words <- Gen.choose(1, 40)
+    } yield (src, Seq.fill(words)("w").mkString(" "))
+    val rows = sample(gen, 300).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+    val df = rows.toDF("doc_id", "source", "text")
+    for (temp <- Seq(1.0, 2.0, 8.0)) {
+      val out = Selection.mixtureWeights(df, temp)
+        .as[(String, Long, Long, Double, Double)].collect()
+      assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4, s"T=$temp")
+      // more tokens → weight at least as large (monotone in mass)
+      val byMass = out.sortBy(_._3)
+      assert(byMass.map(_._4).toSeq == byMass.map(_._4).sorted.toSeq)
+    }
+    // higher temperature compresses the weight spread toward uniform
+    def spread(t: Double) = {
+      val ws = Selection.mixtureWeights(df, t)
+        .as[(String, Long, Long, Double, Double)].collect().map(_._4)
+      ws.max - ws.min
+    }
+    assert(spread(8.0) <= spread(2.0) && spread(2.0) <= spread(1.0))
+  }
+
+  test("repetitionMetrics bounds on random token streams: fractions " +
+      "non-negative, top ≤ dup-inclusive mass, short docs default") {
+    import graft.ext.TextAnalysis
+    val gen = Gen.listOfN(30, Gen.oneOf("x", "y", "z", "q"))
+      .map(_.mkString(" "))
+    val rows = sample(gen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val extra = Seq((9001L, ""), (9002L, "solo"))
+    val df = (rows ++ extra).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    assert(out.length == rows.length + extra.length)
+    for ((id, top, tbf, dtf, keep) <- out) {
+      assert(tbf >= 0.0 && dtf >= 0.0, s"doc $id")
+      if (id >= 9001L) {
+        assert(top == "" && tbf == 0.0 && dtf == 0.0 && keep)
+      } else {
+        // a 4-symbol alphabet over 30 tokens always repeats some bigram
+        assert(top.nonEmpty && tbf > 0.0)
+        assert(keep == (tbf <= 0.2 && dtf <= 0.6))
+      }
+    }
+  }
+
   test("minhash signature similarity approximates Jaccard") {
     // two near-dup shingle sets vs two unrelated ones
     val base = (1 to 100).map(i => s"sh$i")
