@@ -412,8 +412,11 @@ object Similarity {
     val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta")
     val fs = metaPath.getFileSystem(
       corpus.sparkSession.sessionState.newHadoopConf())
+    val isRegularFile =
+      try fs.getFileStatus(metaPath).isFile
+      catch { case _: java.io.FileNotFoundException => false }
     val current =
-      if (!fs.isFile(metaPath)) None
+      if (!isRegularFile) None
       else {
         val in = fs.open(metaPath)
         try Some(new String(in.readAllBytes(),
@@ -454,7 +457,7 @@ object Similarity {
     val q = probeCells(queries, cent, nprobe).materialized
     val cells = q.select(col("cell")).distinct().as[Long].collect().sorted
     val idx = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("cid"), col("ce"), col("cn"),
         col("cell").cast("long").as("cell"))
     rankProbed(idx, q, k)

@@ -161,6 +161,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
   }
 
+  test("new text queries prune the documents scan to the columns they " +
+      "read") {
+    // a scan that drags lang/n_chars through a tokenize-explode pipeline
+    // reads 40%+ more parquet than the query needs at 100 TB
+    val cases = Seq(
+      "x62_repetition_metrics" -> "struct<doc_id:bigint,text:string>",
+      "x65_vocab_coverage" -> "struct<text:string>",
+      "x64_mixture_weights" -> "struct<text:string,source:string>")
+    for ((name, schema) <- cases) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(s"ReadSchema: $schema"),
+        s"$name: expected $schema in\n${plan.take(2000)}")
+    }
+  }
+
   test("x63 pack manifest reuses the shard partitioning: one hash " +
       "Exchange before the final order") {
     // the running-offset window hash-partitions on the shard column, and
