@@ -164,7 +164,12 @@ class PlanSpec extends AnyFunSuite {
   test("new text queries prune the documents scan to the columns they " +
       "read") {
     // a scan that drags lang/n_chars through a tokenize-explode pipeline
-    // reads 40%+ more parquet than the query needs at 100 TB
+    // reads 40%+ more parquet than the query needs at 100 TB.
+    // Other suites .cache() the documents relation on this shared
+    // session; cached-plan substitution would swap the parquet scan for
+    // an InMemoryRelation and erase the ReadSchema line — drop caches so
+    // this test sees the real scan regardless of suite order.
+    spark.catalog.clearCache()
     val cases = Seq(
       "x62_repetition_metrics" -> "struct<doc_id:bigint,text:string>",
       "x65_vocab_coverage" -> "struct<text:string>",
