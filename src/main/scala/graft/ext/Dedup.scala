@@ -52,6 +52,61 @@ object Dedup {
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"), shinglesFromTokens(col("ws"), n).as("sg"))
 
+  /** Per-document n-gram novelty: what fraction of a document's distinct
+    * word shingles already appear in an EARLIER document (lower doc_id) —
+    * the "how much of this page is re-crawled boilerplate" signal
+    * (RefinedWeb/C4 measure duplicate-fraction per page before deciding
+    * doc-level vs span-level removal; x49/x50 are the span-level arm,
+    * this is the per-doc prioritizer). Ref behavior class: corpus
+    * statistics over the documents table (SURVEY §2.5).
+    *
+    * Scale: shingle → min(doc_id) is one partial-aggregatable shuffle on
+    * a 16-byte md5 shingle fingerprint (never the string — same count
+    * contract as [[sourceOverlap]]: a 128-bit collision could in theory
+    * alias two shingles, which is the documented trade for constant-width
+    * keys); the join-back is keyed identically so AQE can plan both sides
+    * together, and the output is one row per document. No pairwise step
+    * anywhere — cost is linear in total shingle mass.
+    */
+  def noveltyRate(docs: DataFrame, n: Int): DataFrame = {
+    val sh = shingled(docs, n)
+      .select(col("doc_id"), explode(col("sg")).as("sg"))
+      .select(col("doc_id"), unhex(md5(col("sg"))).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), lit(1L)).otherwise(lit(0L)))
+          .as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        round(col("n_seen").cast(DoubleType) / col("n_shingles"), 6)
+          .as("dup_rate"))
+  }
+
+  /** Normalization-sensitivity report: per source, how many distinct
+    * duplicate-groups exist under the canonical fingerprint
+    * ([[TextAnalysis.fingerprint]]: lowercase + whitespace collapse) vs
+    * an AGGRESSIVE key that also folds every non-alphanumeric run to one
+    * space — `n_merged` is how many extra groups punctuation-blind dedup
+    * would merge. Prices the normalization decision BEFORE a corpus-wide
+    * rewrite. One pass, two distinct-key counts per source (Spark plans
+    * the multi-distinct via Expand — 2× the mapper rows, still one
+    * shuffle, no join).
+    */
+  def normalizationDelta(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        fingerprint(col("text")).as("k_exact"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("k_norm"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("k_exact")).as("n_exact_keys"),
+        countDistinct(col("k_norm")).as("n_norm_keys"))
+      .withColumn("n_merged", col("n_exact_keys") - col("n_norm_keys"))
+
   /** Cross-source overlap matrix: for every pair of provenance buckets,
     * how many distinct word n-gram shingles they share — the
     * corpus-planning view (which sources duplicate each other enough

@@ -328,4 +328,32 @@ object Selection {
         round(round(col("a") / col("a_total"), 6) * col("tok_total") /
           col("n_tokens"), 6).as("sample_factor"))
   }
+
+  /** Curriculum schedule: assign each document a training phase by
+    * quality percentile WITHIN its source (x30's percentile contract —
+    * `percent_rank` ordered by (quality, doc_id), rounded to 6 dp), cut
+    * into `phases` equal percentile bands, and roll up to the
+    * per-(source, phase) document and token mass a curriculum scheduler
+    * consumes (low-quality phases first / last is the caller's policy;
+    * this is the mass ledger either order needs).
+    *
+    * One per-source window (the same partitioning a per-source pipeline
+    * already shuffles by) + one keyed aggregation; output is
+    * sources × phases rows — dim-table-class.
+    */
+  def curriculumSchedule(docs: DataFrame, phases: Int = 4): DataFrame = {
+    require(phases > 0, s"phases must be positive: $phases")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      // pr = 1.0 lands in the last band (floor would index one past it)
+      .withColumn("phase",
+        least(floor(col("pr") * phases), lit(phases - 1L)).cast("int"))
+      .groupBy(col("source"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("phase_tokens"))
+  }
 }

@@ -26,8 +26,14 @@ object TextAnalysis {
     * a cheap, deterministic proxy for tokenizer load estimation.
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-      .cast(IntegerType)
+    size(subwords(text)).cast(IntegerType)
+
+  /** The subword token ARRAY behind [[subwordCount]] — letter runs, digit
+    * runs, single other glyphs — for consumers that need the tokens
+    * themselves (x73's BPE pair counting), not just the count.
+    */
+  def subwords(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Distinct word n-gram shingles over a MATERIALIZED token-array column
     * — `ws` must be a bound attribute (its own projection), not an inline
@@ -217,6 +223,27 @@ object TextAnalysis {
           .cast(DoubleType) / col("total"), 6))
       .select(col("token"), col("c"), col("cum_frac"))
   }
+
+  /** BPE merge-step candidates: the `k` most frequent adjacent
+    * subword-token pairs with their merged form — the counting core of
+    * one BPE trainer iteration (the argmax pair IS the next merge rule;
+    * re-tokenize-and-recount is the outer loop a trainer drives).
+    *
+    * Same scale shape as [[vocabCoverage]]: explode → partial-aggregated
+    * pair count → `TakeOrderedAndProject` (per-partition top-k heaps,
+    * no global sort). Subword tokens never contain whitespace, so the
+    * single-space join/strip round-trips losslessly.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame =
+    docs
+      .select(subwords(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(bigrams(col("ts"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .select(col("pair"), col("n"),
+        regexp_replace(col("pair"), " ", "").as("merged"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
 
   /** Mean word length in characters, rounded to 6 — a Gopher-style
     * quality gate input (word soup and OCR noise sit far from the 3–10

@@ -848,7 +848,61 @@ object ExtQueries {
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("sz") * col("n_clusters"))
         .orderBy(col("sz"))
-    })
+    }),
+
+    // per-doc shingle novelty (RefinedWeb duplicate-fraction): share of a
+    // doc's distinct 3-gram shingles first seen in an earlier doc — the
+    // doc-level prioritizer that decides who gets span-level treatment.
+    // Linear: shingle→min(doc_id) partial agg + keyed join-back, no pairs
+    "x70_novelty_rate" -> ((s, dir) =>
+      Dedup.noveltyRate(docs(s, dir), n = 3).orderBy(col("doc_id"))),
+
+    // Matryoshka truncation audit: recall@10 of brute-force retrieval on
+    // the FIRST 16 of 64 dims vs full-dim ground truth — the "how many
+    // dims can we store" dial for a 100 TB vector corpus (truncated
+    // retrieval reads 1/4 of the bytes; this query prices the recall
+    // cost). Same shared-scan shape as x35
+    "x71_matryoshka_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val trunc = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Similarity.topKBrute(e, e.filter(col("vec_id") < 10), k = 10)
+        .select(col("qid"), col("cid"))
+      val t = Similarity
+        .topKBrute(trunc, trunc.filter(col("vec_id") < 10), k = 10)
+        .select(col("qid"), col("cid"), lit(1).as("hit"))
+      full.join(t, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit").cast("double") / 10, 6).as("recall"))
+        .orderBy(col("qid"))
+    }),
+
+    // normalization-sensitivity dedup delta: per source, how many MORE
+    // duplicate groups an aggressive key (lowercase, every non-alnum run
+    // → one space) merges vs the x04 canonical fingerprint — prices the
+    // "should dedup see punctuation?" decision before a corpus-wide
+    // rewrite. One pass, two distinct-key counts per source
+    "x72_norm_dedup_delta" -> ((s, dir) =>
+      Dedup.normalizationDelta(docs(s, dir)).orderBy(col("source"))),
+
+    // BPE merge-step candidates: top-20 adjacent subword-token pairs by
+    // corpus frequency with the merged form — the counting core of one
+    // BPE trainer iteration (the argmax pair IS the next merge rule).
+    // Partial-agg + per-partition top-k heaps (TakeOrderedAndProject),
+    // same no-global-sort contract as x36
+    "x73_bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(docs(s, dir), k = 20)
+        .orderBy(col("n").desc, col("pair").asc)),
+
+    // curriculum schedule: quality-percentile phase assignment (4 phases
+    // within each source, x30's percentile contract) rolled up to the
+    // per-(source, phase) doc and token mass the training scheduler
+    // consumes. One window + one keyed agg
+    "x74_curriculum_schedule" -> ((s, dir) =>
+      graft.ext.Selection.curriculumSchedule(docs(s, dir), phases = 4)
+        .orderBy(col("source"), col("phase")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2264,7 +2318,97 @@ object ExtQueries {
                    GROUP BY cluster)
          SELECT sz, count(*) AS n_clusters,
                 CAST(sz * count(*) AS BIGINT) AS n_docs
-         FROM sizes GROUP BY sz ORDER BY sz""")
+         FROM sizes GROUP BY sz ORDER BY sz"""),
+
+    // mirrors Dedup.noveltyRate: the shared shingle sets unnested, corpus
+    // first-seen per shingle, per-doc seen-before fraction
+    "x70_novelty_rate" ->
+      (shingleCte + """,
+         u AS (SELECT doc_id, unnest(sg) AS sg FROM sh),
+         f AS (SELECT sg, min(doc_id) AS first_doc FROM u GROUP BY sg)
+         SELECT u.doc_id,
+                count(*) AS n_shingles,
+                CAST(sum(CASE WHEN f.first_doc < u.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_seen,
+                round(CAST(sum(CASE WHEN f.first_doc < u.doc_id
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS dup_rate
+         FROM u JOIN f USING (sg)
+         GROUP BY u.doc_id ORDER BY doc_id"""),
+
+    // mirrors x71: brute top-10 on full 64 dims (ground truth) vs brute
+    // top-10 on the first 16 dims, recall per query
+    "x71_matryoshka_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         t AS (SELECT vec_id, list_slice(e, 1, 16) AS e FROM e),
+         fs AS (SELECT qid, cid FROM (
+                  SELECT a.vec_id AS qid, b.vec_id AS cid,
+                         row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY $cosSql DESC, b.vec_id) AS rn
+                  FROM e a JOIN e b
+                    ON a.vec_id < 10 AND a.vec_id != b.vec_id) z
+                WHERE rn <= 10),
+         ts AS (SELECT qid, cid, 1 AS hit FROM (
+                  SELECT a.vec_id AS qid, b.vec_id AS cid,
+                         row_number() OVER (PARTITION BY a.vec_id
+                             ORDER BY $cosSql DESC, b.vec_id) AS rn
+                  FROM t a JOIN t b
+                    ON a.vec_id < 10 AND a.vec_id != b.vec_id) z
+                WHERE rn <= 10)
+         SELECT fs.qid, count(ts.hit) AS n_hit,
+                round(count(ts.hit) / (10.0::DOUBLE), 6) AS recall
+         FROM fs LEFT JOIN ts ON fs.qid = ts.qid AND fs.cid = ts.cid
+         GROUP BY fs.qid ORDER BY fs.qid""",
+
+    // mirrors x72: x04's canonical key vs the aggressive
+    // strip-punctuation key, distinct-group counts per source
+    "x72_norm_dedup_delta" ->
+      """WITH k AS (SELECT source,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k_exact,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS k_norm
+         FROM documents)
+         SELECT source, count(*) AS n_docs,
+                count(DISTINCT k_exact) AS n_exact_keys,
+                count(DISTINCT k_norm) AS n_norm_keys,
+                count(DISTINCT k_exact) - count(DISTINCT k_norm) AS n_merged
+         FROM k GROUP BY source ORDER BY source""",
+
+    // mirrors x73: adjacent subword-token pairs (x01's subword regex),
+    // top 20 by (count desc, pair)
+    "x73_bpe_pair_counts" ->
+      """WITH ts AS (SELECT
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ts
+         FROM documents),
+         p AS (SELECT ts[i] || ' ' || ts[i+1] AS pair
+               FROM (SELECT ts, unnest(generate_series(1, len(ts)-1)) AS i
+                     FROM ts WHERE len(ts) >= 2))
+         SELECT pair, count(*) AS n, replace(pair, ' ', '') AS merged
+         FROM p GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 20""",
+
+    // mirrors x74: x30's quality + percentile contract, 4-phase bucket,
+    // per-(source, phase) rollup
+    "x74_curriculum_schedule" ->
+      """WITH c AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS INTEGER) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+           length(text) AS n_chars FROM documents),
+         q AS (SELECT doc_id, source, n_tokens,
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 5, 1.0)
+               + 0.2 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)), 6) AS q
+           FROM c),
+         pr AS (SELECT doc_id, source, n_tokens,
+                  round(percent_rank() OVER (PARTITION BY source
+                                             ORDER BY q, doc_id), 6) AS pr
+                FROM q)
+         SELECT source,
+                CAST(least(floor(pr * 4), 3) AS INTEGER) AS phase,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS phase_tokens
+         FROM pr GROUP BY 1, 2 ORDER BY source, phase"""
   )
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`

@@ -586,6 +586,94 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("noveltyRate equals the set-computed first-seen fraction") {
+    val declared = Dedup.noveltyRate(docs, 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val sets = Dedup.shingled(docs, 3)
+      .as[(Long, Seq[String])].collect()
+    assert(sets.nonEmpty)
+    val minDoc = sets.flatMap { case (id, sg) => sg.map(_ -> id) }
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).min }
+    val expect = sets.map { case (id, sg) =>
+      val seen = sg.count(g => minDoc(g) < id)
+      (id, sg.size.toLong, seen.toLong, r6(seen.toDouble / sg.size))
+    }.sortBy(_._1)
+    assert(declared.toSeq == expect.toSeq)
+    // the earliest doc can never have seen-before shingles
+    assert(declared.head._3 == 0L && declared.head._4 == 0.0)
+  }
+
+  test("matryoshka recall equals set-computed overlap of truncated vs " +
+      "full brute top-10") {
+    val declared = graft.queries.ExtQueries
+      .queries("x71_matryoshka_recall")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, r) => q -> ((n, r)) }.toMap
+    val trunc = emb.select($"vec_id",
+      slice($"embedding", 1, 16).as("embedding"))
+    val full = Similarity.topKBrute(emb, emb.filter($"vec_id" < 10), 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().groupBy(_._1)
+    val t = Similarity.topKBrute(trunc, trunc.filter($"vec_id" < 10), 10)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    assert(declared.keySet == full.keySet)
+    full.foreach { case (qid, rows) =>
+      val hits = rows.count(t.contains)
+      assert(declared(qid) == ((hits.toLong, r6(hits / 10.0))), s"qid $qid")
+    }
+    // truncation must lose SOMETHING on real data or the audit is vacuous
+    assert(declared.values.exists(_._1 < 10L))
+  }
+
+  test("normalizationDelta merges punctuation variants only under the " +
+      "aggressive key") {
+    val d = Seq(
+      (1L, "Hello, world!", "a"),
+      (2L, "hello world", "a"),
+      (3L, "hello  world", "a"), // canonical already merges 2 and 3
+      (4L, "something else", "a"),
+      (5L, "no twin here", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.normalizationDelta(d)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // source a: 4 docs, 3 canonical groups (2=3), 2 aggressive groups
+    // (1=2=3) → one extra merge; source b: nothing merges
+    assert(out.toSeq == Seq(
+      ("a", 4L, 3L, 2L, 1L),
+      ("b", 1L, 1L, 1L, 0L)))
+  }
+
+  test("bpePairCounts counts adjacent subword pairs with merged forms") {
+    val d = Seq(
+      (1L, "ab ab ab"), // pairs: "ab ab" x2
+      (2L, "a-b"), //       pairs: "a -", "- b"
+      (3L, "x")) //         single token: no pairs
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bpePairCounts(d, k = 10)
+      .as[(String, Long, String)].collect()
+    assert(out.head == (("ab ab", 2L, "abab")))
+    assert(out.toSet == Set(
+      ("ab ab", 2L, "abab"), ("a -", 1L, "a-"), ("- b", 1L, "-b")))
+  }
+
+  test("curriculumSchedule cuts each source into equal percentile bands " +
+      "with exact token mass") {
+    // monotone quality via token count (no stopwords, no punctuation):
+    // 8 docs → percent_rank k/7 → phases 0,0,1,1,2,2,3,3
+    val rows = (1 to 8).map { i =>
+      (i.toLong, (1 to (i * 10)).map(j => s"w$j").mkString(" "), "s")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = graft.ext.Selection.curriculumSchedule(d, phases = 4)
+      .as[(String, Int, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(out.map(_._3).toSeq == Seq(2L, 2L, 2L, 2L))
+    // phase token mass: docs (1,2)=30, (3,4)=70, (5,6)=110, (7,8)=150
+    assert(out.map(_._4).toSeq == Seq(30L, 70L, 110L, 150L))
+  }
+
   test("bloom-prefiltered contamination equals the exact asymmetric join") {
     val exact = graft.ext.Contamination.exact(docs, $"doc_id" < 10)
       .as[(Long, Long, Long)].collect().toSet

@@ -38,7 +38,8 @@ class PlanSpec extends AnyFunSuite {
     "x64_mixture_weights", // 1-row normalizer totals, the x13/x14 pattern
     "x65_vocab_coverage", // 1-row corpus token total onto k rows
     "x66_ann_topk_ivfpq", // k-row centroid side: the x15 cell assignment
-    "x67_cluster_labels") // x15's centroid side + 1-row mean-length
+    "x67_cluster_labels", // x15's centroid side + 1-row mean-length
+    "x71_matryoshka_recall") // composes topKBrute ×2: bounded query side
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -155,10 +156,13 @@ class PlanSpec extends AnyFunSuite {
     // orderBy+limit must fuse into per-partition top-k heaps merged at
     // the driver; a Sort over a single-partition Exchange would pull the
     // whole bigram histogram through one task
-    val plan = SparkEntry.queries("x36_ngram_topk")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
-    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    for (name <- Seq("x36_ngram_topk", "x73_bpe_pair_counts")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$name:\n" + plan.take(1500))
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$name:\n" + plan.take(1500))
+    }
   }
 
   test("new text queries prune the documents scan to the columns they " +
@@ -173,7 +177,12 @@ class PlanSpec extends AnyFunSuite {
     val cases = Seq(
       "x62_repetition_metrics" -> "struct<doc_id:bigint,text:string>",
       "x65_vocab_coverage" -> "struct<text:string>",
-      "x64_mixture_weights" -> "struct<text:string,source:string>")
+      "x64_mixture_weights" -> "struct<text:string,source:string>",
+      "x70_novelty_rate" -> "struct<doc_id:bigint,text:string>",
+      "x72_norm_dedup_delta" -> "struct<text:string,source:string>",
+      "x73_bpe_pair_counts" -> "struct<text:string>",
+      "x74_curriculum_schedule" ->
+        "struct<doc_id:bigint,text:string,source:string>")
     for ((name, schema) <- cases) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
