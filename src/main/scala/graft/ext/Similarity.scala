@@ -1033,4 +1033,76 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
   }
+
+  /** Top principal component of the embedding covariance by power
+    * iteration — the spectral diagnostic of an embedding corpus: a
+    * dominant λ₁ means the space has collapsed toward one direction
+    * (anisotropy), and the loading vector is the direction whitening /
+    * mean-centering would remove first. Runs entirely inside the engine:
+    * per iteration, g = Σᵢ (xᵢ−μ)·((xᵢ−μ)ᵀv) — one corpus pass of
+    * per-row dot products and a per-dimension partial-aggregated sum,
+    * never a dim×dim covariance materialization, so the cost is
+    * O(rows·dim) per iteration at any corpus size and the only state
+    * between passes is the 1-row v relation (broadcast, dim-table-class).
+    *
+    * Engine-portable determinism (the x58/k-means arithmetic contract):
+    * μ from 1e-6-quantized exact BIGINT sums; per-row projections are
+    * ordered double folds ([[dotHof]] ≡ DuckDB's list_dot_product);
+    * per-dim accumulations round each addend to 6 dp and sum as
+    * DECIMAL(38,12) so reduction order can't move a bit; v re-normalized
+    * and 6-dp-rounded each pass. λ₁ = vᵀg/n with the v that produced g.
+    * Returns one row per dimension: (d 1-based, loading, eigval).
+    */
+  def pcaTopComponent(corpus: DataFrame, dim: Int = 64,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val n1 = e.agg(count(lit(1)).cast(DoubleType).as("n"))
+
+    val mu1 = e
+      .select(posexplode(col("embedding")).as(Seq("d0", "x")))
+      .groupBy(col("d0"))
+      .agg(sum(round(col("x").cast(DoubleType) * 1e6, 0).cast(LongType))
+        .as("s"))
+      .crossJoin(broadcast(n1))
+      .select(col("d0"),
+        (col("s").cast(DoubleType) / col("n") / 1e6).as("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("d0"), col("m")))),
+        s => s.getField("m")).as("mu"))
+
+    val centered = e.crossJoin(broadcast(mu1))
+      .select(zip_with(col("embedding"), col("mu"),
+        (a, b) => a.cast(DoubleType) - b).as("em"))
+
+    val v0 = n1.select(array((1 to dim).map(_ => lit(1.0)): _*).as("v"))
+    var v = v0
+    var vPrev = v0
+    var g = v0 // overwritten before first read
+    for (_ <- 1 to iters) {
+      val withC = centered.crossJoin(broadcast(v))
+        .select(col("em"), dotHof(col("em"), col("v")).as("c"))
+      g = withC
+        .select(col("c"), posexplode(col("em")).as(Seq("d0", "emd")))
+        .groupBy(col("d0"))
+        .agg(sum(round(col("c") * col("emd"), 6).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("g"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d0"), col("g")))),
+          s => s.getField("g")).as("gv"))
+      vPrev = v
+      v = g
+        .select(col("gv"), sqrt(dotHof(col("gv"), col("gv"))).as("nrm"))
+        .select(transform(col("gv"), x => round(x / col("nrm"), 6)).as("v"))
+    }
+    v.crossJoin(broadcast(g))
+      .crossJoin(broadcast(vPrev.select(col("v").as("vp"))))
+      .crossJoin(broadcast(n1))
+      .select(
+        round(dotHof(col("gv"), col("vp")) / col("n"), 6).as("eigval"),
+        posexplode(col("v")).as(Seq("d0", "loading")))
+      .select((col("d0") + 1).cast("int").as("d"), col("loading"),
+        col("eigval"))
+  }
 }

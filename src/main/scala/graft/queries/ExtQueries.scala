@@ -902,7 +902,16 @@ object ExtQueries {
     // consumes. One window + one keyed agg
     "x74_curriculum_schedule" -> ((s, dir) =>
       graft.ext.Selection.curriculumSchedule(docs(s, dir), phases = 4)
-        .orderBy(col("source"), col("phase")))
+        .orderBy(col("source"), col("phase"))),
+
+    // top principal component by in-engine power iteration (2 passes):
+    // the anisotropy/collapse diagnostic over the embedding corpus —
+    // per-dim loading + λ₁, O(rows·dim) per pass, no dim×dim covariance
+    // ever materialized, inter-pass state is a 1-row broadcast. The
+    // oracle re-runs the identical quantized arithmetic unrolled in SQL
+    "x75_pca_top_component" -> ((s, dir) =>
+      Similarity.pcaTopComponent(emb(s, dir), dim = 64, iters = 2)
+        .orderBy(col("d")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2408,8 +2417,52 @@ object ExtQueries {
                 CAST(least(floor(pr * 4), 3) AS INTEGER) AS phase,
                 count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS phase_tokens
-         FROM pr GROUP BY 1, 2 ORDER BY source, phase"""
+         FROM pr GROUP BY 1, 2 ORDER BY source, phase""",
+
+    // mirrors Similarity.pcaTopComponent: quantized mean, two unrolled
+    // power-iteration passes at the identical IEEE/decimal arithmetic
+    "x75_pca_top_component" -> pcaSql(dim = 64, iters = 2)
   )
+
+  /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —
+    * the unrolled power iterations (fixed plan-time constants on both
+    * sides): 1e-6-quantized BIGINT mean sums, ordered list_dot_product
+    * folds for the per-row projections (≡ dotHof), 6-dp addends summed
+    * as DECIMAL(38,12) for the per-dim accumulations, 6-dp re-normalized
+    * v per pass, λ₁ = vᵀg/n with the v that produced the final g.
+    */
+  private def pcaSql(dim: Int, iters: Int): String = {
+    val steps = (0 until iters).map { i =>
+      s"""c$i AS (SELECT em, list_dot_product(em, (SELECT v FROM v$i)) AS c
+              FROM em),
+       t$i AS (SELECT d, CAST(sum(CAST(round(c * em[d], 6)
+                  AS DECIMAL(38,12))) AS DOUBLE) AS g
+               FROM c$i, ds GROUP BY d),
+       g$i AS (SELECT list(g ORDER BY d) AS gv FROM t$i),
+       v${i + 1} AS (SELECT list_transform(gv,
+                     x -> round(x / sqrt(list_dot_product(gv, gv)), 6)) AS v
+                   FROM g$i)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       n AS (SELECT count(*)::DOUBLE AS n FROM e),
+       ds AS (SELECT unnest(generate_series(1, $dim)) AS d),
+       msum AS (SELECT d, sum(CAST(round(e[d] * 1000000.0) AS BIGINT)) AS s
+                FROM e, ds GROUP BY d),
+       mu AS (SELECT list(CAST(s AS DOUBLE) / (SELECT n FROM n) / 1000000.0
+                          ORDER BY d) AS mu FROM msum),
+       em AS (SELECT vec_id,
+                [e[k] - m.mu[k] for k in generate_series(1, $dim)] AS em
+              FROM e CROSS JOIN mu m),
+       v0 AS (SELECT list_transform(generate_series(1, $dim), x -> 1.0)
+                AS v),
+       $steps
+       SELECT CAST(d AS INTEGER) AS d,
+              (SELECT v FROM v$iters)[d] AS loading,
+              round(list_dot_product((SELECT gv FROM g${iters - 1}),
+                    (SELECT v FROM v${iters - 1})) / (SELECT n FROM n), 6)
+                AS eigval
+       FROM ds ORDER BY d"""
+  }
 
   /** DuckDB replication of [[graft.ext.Selection.linearProbe]]: `iters`
     * unrolled GD steps (w0 = zeros; fixed plan-time constants on both

@@ -674,6 +674,43 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(30L, 70L, 110L, 150L))
   }
 
+  test("pcaTopComponent equals a driver-side replication of the " +
+      "quantized power iteration") {
+    val declared = Similarity.pcaTopComponent(emb, dim = 64, iters = 2)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val rows = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2)
+    val dim = 64
+    val n = rows.length.toDouble
+    def rd(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = (0 until dim).map { d =>
+      rows.map(r => rd(r(d).toDouble * 1e6, 0).toLong).sum.toDouble / n / 1e6
+    }
+    val em = rows.map(r => (0 until dim).map(d => r(d).toDouble - mu(d)))
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      for (d <- 0 until a.length) acc += a(d) * b(d)
+      acc
+    }
+    var v: Seq[Double] = Seq.fill(dim)(1.0)
+    var vPrev = v
+    var gv: Seq[Double] = v
+    for (_ <- 1 to 2) {
+      val cs = em.map(e => dotSeq(e, v))
+      gv = (0 until dim).map { d =>
+        em.indices.map(i => BigDecimal(rd(cs(i) * em(i)(d), 6))).sum.toDouble
+      }
+      vPrev = v
+      val nrm = math.sqrt(dotSeq(gv, gv))
+      v = gv.map(x => rd(x / nrm, 6))
+    }
+    val eig = rd(dotSeq(gv, vPrev) / n, 6)
+    val expect = (1 to dim).map(d => (d, v(d - 1), eig))
+    assert(declared.toSeq == expect)
+    assert(eig > 0.0)
+  }
+
   test("bloom-prefiltered contamination equals the exact asymmetric join") {
     val exact = graft.ext.Contamination.exact(docs, $"doc_id" < 10)
       .as[(Long, Long, Long)].collect().toSet

@@ -39,7 +39,8 @@ class PlanSpec extends AnyFunSuite {
     "x65_vocab_coverage", // 1-row corpus token total onto k rows
     "x66_ann_topk_ivfpq", // k-row centroid side: the x15 cell assignment
     "x67_cluster_labels", // x15's centroid side + 1-row mean-length
-    "x71_matryoshka_recall") // composes topKBrute ×2: bounded query side
+    "x71_matryoshka_recall", // composes topKBrute ×2: bounded query side
+    "x75_pca_top_component") // 1-row mean/v/n broadcasts onto the corpus
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -182,7 +183,10 @@ class PlanSpec extends AnyFunSuite {
       "x72_norm_dedup_delta" -> "struct<text:string,source:string>",
       "x73_bpe_pair_counts" -> "struct<text:string>",
       "x74_curriculum_schedule" ->
-        "struct<doc_id:bigint,text:string,source:string>")
+        "struct<doc_id:bigint,text:string,source:string>",
+      // embeddings scan: vec_id must be pruned away (only the vectors
+      // feed the mean/iteration passes)
+      "x75_pca_top_component" -> "struct<embedding:array<float>>")
     for ((name, schema) <- cases) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
