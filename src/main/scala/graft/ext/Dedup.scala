@@ -64,24 +64,28 @@ object Dedup {
     * a 16-byte md5 shingle fingerprint (never the string — same count
     * contract as [[sourceOverlap]]: a 128-bit collision could in theory
     * alias two shingles, which is the documented trade for constant-width
-    * keys); the join-back is keyed identically so AQE can plan both sides
-    * together, and the output is one row per document. No pairwise step
+    * keys). The join-back deliberately does NOT happen at shingle mass:
+    * per shingle exactly ONE doc (the min) is "first", so
+    * n_seen = n_shingles − #(shingles this doc is first for) — the
+    * second relation aggregates down to DOC cardinality before any join,
+    * and per-doc n_shingles is just `size(sg)` read off the shingle
+    * array (no second explode, no per-shingle md5 on that leg). Both
+    * sides of the final join carry two longs per doc. No pairwise step
     * anywhere — cost is linear in total shingle mass.
     */
   def noveltyRate(docs: DataFrame, n: Int): DataFrame = {
-    val sh = shingled(docs, n)
+    val sized = shingled(docs, n)
+      .select(col("doc_id"), size(col("sg")).cast("long").as("n_shingles"))
+    val firstCounts = shingled(docs, n)
       .select(col("doc_id"), explode(col("sg")).as("sg"))
       .select(col("doc_id"), unhex(md5(col("sg"))).as("h"))
-    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") < col("doc_id"), lit(1L)).otherwise(lit(0L)))
-          .as("n_seen"))
-      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
-        round(col("n_seen").cast(DoubleType) / col("n_shingles"), 6)
-          .as("dup_rate"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd")).agg(count(lit(1)).as("n_first"))
+    sized.join(firstCounts, sized("doc_id") === firstCounts("fd"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_first"), lit(0L))).as("n_seen"))
+      .withColumn("dup_rate",
+        round(col("n_seen").cast(DoubleType) / col("n_shingles"), 6))
   }
 
   /** Normalization-sensitivity report: per source, how many distinct
