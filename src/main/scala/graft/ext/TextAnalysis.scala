@@ -245,6 +245,41 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Per-source token Shannon entropy — the corpus-diversity ledger
+    * that complements [[vocabCoverage]] (head mass) and the x68 drift
+    * matrix (pairwise shift): low entropy flags template/boilerplate
+    * floods inside one source before any pairwise work runs, and
+    * `evenness` (entropy / ln distinct) normalizes away vocabulary size
+    * so sources of different breadth compare on one scale.
+    *
+    * Scale shape: one tokenize-explode pass to (source, token) counts —
+    * Zipf-skewed keys carry partial-aggregated counts, not rows — then
+    * everything downstream is (sources × vocab)-bounded. Determinism
+    * contract (x68's): probabilities rounded to 12 dp, entropy terms to
+    * 9 dp, summed as DECIMAL(38,12), output at 6 dp.
+    */
+  def sourceTokenEntropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .select(col("source"), explode(col("ws")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+    val h = counts.join(broadcast(tot), Seq("source"))
+      .withColumn("p",
+        round(col("n").cast(DoubleType) / col("n_tokens"), 12))
+      .withColumn("term", round(col("p") * log(col("p")), 9))
+      .groupBy(col("source"))
+      .agg(round(-sum(col("term").cast(DecimalType(38, 12)))
+        .cast(DoubleType), 6).as("entropy"))
+    tot.join(h, Seq("source"))
+      .withColumn("evenness",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast(DoubleType)), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Mean word length in characters, rounded to 6 — a Gopher-style
     * quality gate input (word soup and OCR noise sit far from the 3–10
     * band of natural prose).

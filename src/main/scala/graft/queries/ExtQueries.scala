@@ -911,7 +911,14 @@ object ExtQueries {
     // oracle re-runs the identical quantized arithmetic unrolled in SQL
     "x75_pca_top_component" -> ((s, dir) =>
       Similarity.pcaTopComponent(emb(s, dir), dim = 64, iters = 2)
-        .orderBy(col("d")))
+        .orderBy(col("d"))),
+
+    // per-source token Shannon entropy + evenness — the in-source
+    // diversity ledger (template floods show up as low entropy before
+    // any pairwise dedup runs); one tokenize pass, everything past it
+    // (sources × vocab)-bounded
+    "x76_source_entropy" -> ((s, dir) =>
+      TextAnalysis.sourceTokenEntropy(docs(s, dir)).orderBy(col("source")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2421,7 +2428,32 @@ object ExtQueries {
 
     // mirrors Similarity.pcaTopComponent: quantized mean, two unrolled
     // power-iteration passes at the identical IEEE/decimal arithmetic
-    "x75_pca_top_component" -> pcaSql(dim = 64, iters = 2)
+    "x75_pca_top_component" -> pcaSql(dim = 64, iters = 2),
+
+    // mirrors TextAnalysis.sourceTokenEntropy: 12-dp probabilities,
+    // 9-dp terms, decimal-summed, 6-dp outputs (the x68 contract)
+    "x76_source_entropy" ->
+      """WITH t AS (SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+         FROM documents),
+         c AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2),
+         tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct
+                FROM c GROUP BY source),
+         terms AS (SELECT c.source,
+                     round(round(c.n / (tt.n_tokens::DOUBLE), 12) *
+                           ln(round(c.n / (tt.n_tokens::DOUBLE), 12)), 9)
+                       AS term
+                   FROM c JOIN tt USING (source)),
+         h AS (SELECT source,
+                 round(-CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE),
+                       6) AS entropy
+               FROM terms GROUP BY source)
+         SELECT tt.source, tt.n_tokens, tt.n_distinct, h.entropy,
+                CASE WHEN tt.n_distinct > 1
+                     THEN round(h.entropy / ln(tt.n_distinct::DOUBLE), 6)
+                     ELSE 0.0 END AS evenness
+         FROM tt JOIN h USING (source) ORDER BY tt.source"""
   )
 
   /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —

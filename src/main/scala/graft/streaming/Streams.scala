@@ -149,6 +149,42 @@ object Streams {
       .drop("ws")
   }
 
+  /** Streaming per-doc novelty: the streaming face of x70
+    * ([[graft.ext.Dedup.noveltyRate]]) — estimate, per ARRIVING document,
+    * what fraction of its distinct word shingles the base corpus already
+    * holds, against a batch-built Bloom sketch of the base's shingles
+    * closed over as a plan literal. STATELESS like
+    * [[decontaminateStream]]: no state store, no stream-stream join;
+    * each micro-batch maps at scan speed, and the plan is mode-agnostic
+    * (a plain batch frame runs it too).
+    *
+    * Estimate contract: Bloom false positives can only RAISE
+    * `dup_rate_est` (a truly-novel shingle may test positive; a held
+    * shingle never tests negative), so the estimate is one-sided —
+    * ingest-time routing can safely drop high-estimate docs knowing the
+    * true rate is ≤ the estimate, and the nightly batch x70 run refines
+    * the survivors exactly. Docs with fewer than `n` tokens carry no
+    * shingle evidence and pass through with zero counts.
+    */
+  def noveltyStream(docs: DataFrame,
+      baseBloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 3): DataFrame = {
+    import graft.ext.TextAnalysis.{shinglesFromTokens, tokens}
+    docs
+      .withColumn("ws", tokens(col("text")))
+      .withColumn("sg", shinglesFromTokens(col("ws"), n))
+      .withColumn("n_shingles", size(col("sg")).cast("long"))
+      .withColumn("n_seen_est",
+        size(filter(col("sg"),
+          sh => graft.functions.BloomMightContain.bloom_might_contain(
+            sh, baseBloom))).cast("long"))
+      .withColumn("dup_rate_est",
+        when(col("n_shingles") > 0,
+          round(col("n_seen_est").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+      .drop("ws", "sg")
+  }
+
   /** Streaming admission: the STATELESS gates of the x60 batch composite
     * applied at ingest time — per-row quality (the Gopher thresholds,
     * with the repetition ratio computed in-row over the doc's own bigram

@@ -711,6 +711,27 @@ class ExtSpec extends AnyFunSuite {
     assert(eig > 0.0)
   }
 
+  test("sourceTokenEntropy: uniform tokens hit ln(n), repeated token " +
+      "drops entropy, single-token source is zero") {
+    val d = Seq(
+      (1L, "a b c d", "uni"), //  4 distinct, uniform → H = ln 4
+      (2L, "a a a b", "skew"), // skewed → H < ln 2 · eps
+      (3L, "x x x x", "mono")) // one distinct token → H = 0, evenness 0
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.TextAnalysis.sourceTokenEntropy(d)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val uni = out("uni")
+    assert(uni._2 == 4L && uni._3 == 4L)
+    assert(math.abs(uni._4 - math.log(4)) < 1e-5)
+    assert(math.abs(uni._5 - 1.0) < 1e-5) // uniform = perfectly even
+    val skew = out("skew")
+    assert(skew._3 == 2L && skew._4 > 0 && skew._4 < math.log(2))
+    assert(skew._5 < 1.0)
+    val mono = out("mono")
+    assert(mono._3 == 1L && mono._4 == 0.0 && mono._5 == 0.0)
+  }
+
   test("bloom-prefiltered contamination equals the exact asymmetric join") {
     val exact = graft.ext.Contamination.exact(docs, $"doc_id" < 10)
       .as[(Long, Long, Long)].collect().toSet

@@ -173,6 +173,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.size < train.length)
   }
 
+  test("streaming novelty estimate is one-sided over the exact batch " +
+    "rate and mode-agnostic") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Contamination, Dedup}
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val base = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") >= 100)
+    // exact per-doc seen-fraction vs the base: batch-side ground truth
+    val baseSh = Dedup.shingled(base, 3)
+      .select(explode(col("sg")).as("sg")).distinct()
+    val exact = Dedup.shingled(batch, 3)
+      .select(col("doc_id"), explode(col("sg")).as("sg"))
+      .join(baseSh.withColumn("hit", lit(1)), Seq("sg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0)))
+        .as("n_seen"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val bloom = Contamination.buildBloom(
+      baseSh.withColumnRenamed("sg", "sh"), "sh", 1 << 20, 0.01)
+    // stream the batch docs through the stateless estimator
+    val src = MemoryStream[(Long, String)]
+    val q = Streams.noveltyStream(
+      src.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("novelty")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(batch.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("novelty")
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_est"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    q.stop()
+    assert(exact.keySet.subsetOf(streamed.keySet))
+    exact.foreach { case (id, (_, n, seen)) =>
+      val (_, sn, sSeen) = streamed(id)
+      assert(sn == n, s"shingle count drifted for doc $id")
+      // Bloom one-sidedness: the estimate never under-counts
+      assert(sSeen >= seen, s"novelty under-estimated for doc $id")
+    }
+    assert(exact.exists(_._2._3 > 0), "fixture should contain seen shingles")
+    // mode-agnostic: the same plan over a plain batch frame is identical
+    val batched = Streams.noveltyStream(
+        batch.select(col("doc_id"), col("text")), bloom)
+      .select(col("doc_id"), col("n_shingles"), col("n_seen_est"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(batched == streamed)
+  }
+
   test("streaming admission agrees with the batch x60 gates it can " +
     "decide per row") {
     implicit val sqlCtx = spark.sqlContext
