@@ -73,6 +73,121 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("cos"))
   }
 
+  /** Sign-bit binary quantization: pack a `dim`-wide (≤ 64) float
+    * embedding into ONE BIGINT, bit d set iff `embedding[d] > 0` — the
+    * 1-bit-per-dim compression a 100 TB vector store runs first (64-d
+    * floats: 256 B → 8 B, 32× less scan IO). Plan-time unrolled
+    * `when`/`bitwiseOR` fold, fully whole-stage-codegen'd, zero shuffle.
+    */
+  def signBits(e: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"signBits packs into one long, dim=$dim")
+    (0 until dim)
+      .map(d => when(element_at(e, d + 1) > 0f, lit(1L << d)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Binary-quantized top-k with exact rerank: coarse-rank the corpus by
+    * Hamming distance on [[signBits]] sign bitmaps (one `bit_count(xor)`
+    * per candidate — the scan touches 8 bytes per vector, not 256), keep
+    * the `cands` nearest per query, then rerank ONLY those with
+    * full-precision cosine and keep top `k`. Both ranks are total-ordered
+    * ((hamming, cid) / (cos desc, cid)) so the output is deterministic
+    * and engine-portable. The rerank join broadcasts the bounded
+    * |queries|×cands candidate set against the corpus — at scale the
+    * expensive full-precision vectors are fetched for a few hundred rows
+    * per query, never scanned.
+    */
+  def topKBinary(corpus: DataFrame, queries: DataFrame, k: Int,
+      cands: Int, dim: Int = 64): DataFrame = {
+    val cb = corpus.select(col("vec_id").as("cid"),
+      signBits(col("embedding"), dim).as("cbits"))
+    val qb = queries.select(col("vec_id").as("qid"),
+      signBits(col("embedding"), dim).as("qbits"))
+    val ham = cb.join(broadcast(qb), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        bit_count(col("qbits").bitwiseXOR(col("cbits"))).as("hamming"))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("cid").asc)
+    val cand = ham.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cands).drop("crank")
+    val c = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), norm(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val rescored = c.join(broadcast(cand), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"), col("hamming"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cos"))
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    rescored.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("hamming"), col("cos"))
+  }
+
+  /** Embedding-space outlier report: the `n` corpus vectors LEAST similar
+    * to their own assigned k-means centroid — the junk/garbled-content
+    * detector a curation pipeline runs after clustering (SemDeDup's
+    * complement: x39 removes the too-close, this surfaces the
+    * belongs-nowhere). Assignment is the same deterministic rounded-cosine
+    * argmax the IVF index persists ([[cellAssignments]]'s max_by), so the
+    * report and the index agree on cells; the global bottom-n is a
+    * TakeOrderedAndProject (per-partition heaps, no full sort).
+    */
+  def centroidOutliers(corpus: DataFrame, centroids: DataFrame,
+      n: Int): DataFrame = {
+    val cent = centroids.select(col("vec_id").as("cent_id"),
+      col("embedding").as("cent_e"), norm(col("embedding")).as("cent_n"))
+    corpus
+      .select(col("vec_id"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(cent))
+      .withColumn("cent_cos",
+        round(dot(col("ce"), col("cent_e")) / (col("cn") * col("cent_n")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("cent_id").as("cell"), col("cent_cos").as("ccos")),
+          struct(col("cent_cos"), (-col("cent_id")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.ccos").as("ccos"))
+      .orderBy(col("ccos").asc, col("vec_id").asc)
+      .limit(n)
+  }
+
+  /** Hard-negative mining for retriever/embedding training (cf. DPR,
+    * Karpukhin et al. 2020): per query, the top-1 same-label neighbor as
+    * the positive and the `k` highest-cosine DIFFERENT-label neighbors as
+    * hard negatives — near-misses the trainer learns the most from.
+    * One scored scan feeds both legs (positives and negatives split by a
+    * label predicate, no second pass); windows are per-query bounded and
+    * total-ordered (cos desc, cid) for engine portability. At 100 TB the
+    * scored scan is the brute oracle form — swap in [[topKIvf]]'s probed
+    * candidates per leg for the indexed path; the shaping is unchanged.
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = emb.select(col("vec_id").as("cid"), col("label").as("clabel"),
+      col("embedding").as("ce"), norm(col("embedding")).as("cn"))
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+        round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    val pos = scored.filter(col("qlabel") === col("clabel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("pos_cid"), col("cos").as("pos_cos"))
+    val negs = scored.filter(col("qlabel") =!= col("clabel"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid"), col("neg_rank"), col("cid").as("neg_cid"),
+        col("cos").as("neg_cos"))
+    negs.join(pos, Seq("qid"))
+      .select(col("qid"), col("pos_cid"), col("pos_cos"), col("neg_rank"),
+        col("neg_cid"), col("neg_cos"))
+      .orderBy(col("qid"), col("neg_rank"))
+  }
+
   /** Fixed splitmix64-ish pseudo-random hyperplane weight in [-1, 1),
     * derived from (plane index, dimension index) — no RNG at plan time.
     * Single source of truth lives with the codegen sketch expression; the

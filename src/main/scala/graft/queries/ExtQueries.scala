@@ -918,7 +918,54 @@ object ExtQueries {
     // any pairwise dedup runs); one tokenize pass, everything past it
     // (sources × vocab)-bounded
     "x76_source_entropy" -> ((s, dir) =>
-      TextAnalysis.sourceTokenEntropy(docs(s, dir)).orderBy(col("source")))
+      TextAnalysis.sourceTokenEntropy(docs(s, dir)).orderBy(col("source"))),
+
+    // binary-quantized ANN: sign-bit bitmaps (8 B/vector — 32× less scan
+    // IO than the float corpus), Hamming coarse rank via bit_count(xor),
+    // exact cosine rerank of the 50 nearest bitmaps per query. The
+    // accuracy/IO middle ground between x10's brute scan and x15's IVF;
+    // the oracle recomputes the identical sign-difference counts
+    "x77_ann_topk_binary" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKBinary(e, e.filter(col("vec_id") < 10), k = 10,
+          cands = 50)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // embedding outlier report: the 20 vectors least similar to their own
+    // assigned k-means centroid (x15/x39's trained cells) — the
+    // belongs-nowhere junk detector, SemDeDup's complement
+    "x78_embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.centroidOutliers(e,
+          Similarity.trainCentroids(e, nCentroids = 8), n = 20)
+        .orderBy(col("ccos").asc, col("vec_id").asc)
+    }),
+
+    // subword fertility per predicted language: subword-to-word token
+    // ratio by x03's langId bucket — the tokenizer-cost ledger (a
+    // language whose fertility runs high pays more sequence length per
+    // word; the dial for vocab sizing and per-language token budgets)
+    "x79_subword_fertility" -> ((s, dir) =>
+      docs(s, dir)
+        .select(langId(col("text")).as("lang"),
+          tokenCount(col("text")).as("nw"),
+          subwordCount(col("text")).as("nsw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nsw")).as("n_subwords"),
+          round(sum(col("nsw")).cast("double") / sum(col("nw")), 6)
+            .as("fertility"))
+        .orderBy(col("lang"))),
+
+    // hard-negative mining (DPR-style): per query, the top same-label
+    // neighbor (positive) + the 5 highest-cosine different-label
+    // neighbors — the near-miss triplets contrastive training consumes
+    "x80_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+    })
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2453,7 +2500,99 @@ object ExtQueries {
                 CASE WHEN tt.n_distinct > 1
                      THEN round(h.entropy / ln(tt.n_distinct::DOUBLE), 6)
                      ELSE 0.0 END AS evenness
-         FROM tt JOIN h USING (source) ORDER BY tt.source"""
+         FROM tt JOIN h USING (source) ORDER BY tt.source""",
+
+    // mirrors x77: Hamming distance = count of dims whose signs differ
+    // (≡ bit_count(xor) over the packed sign bitmaps), candidate cut at
+    // (hamming, cid) rank ≤ 50, exact cosine rerank top-10
+    "x77_ann_topk_binary" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         h AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                 CAST(len(list_filter(generate_series(1, 64),
+                     d -> (q.e[d] > 0) != (c.e[d] > 0))) AS INTEGER)
+                   AS hamming
+               FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+         cand AS (SELECT qid, cid, hamming FROM (
+             SELECT qid, cid, hamming,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY hamming, cid) AS rn
+             FROM h) t WHERE rn <= 50),
+         sc AS (SELECT cand.qid, cand.cid, cand.hamming, $cosSql AS cos
+                FROM cand JOIN e a ON a.vec_id = cand.qid
+                          JOIN e b ON b.vec_id = cand.cid)
+         SELECT qid, rank, cid, hamming, cos FROM (
+           SELECT qid, cid, hamming, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid) AS INTEGER)
+                    AS rank
+           FROM sc) t WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // mirrors x78: kmeansCte's trained centroids, x35's deterministic
+    // cell argmax, global bottom-20 by assigned-centroid cosine
+    "x78_embedding_outliers" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id, ccos,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc)
+         SELECT vid AS vec_id, cent_id AS cell, ccos
+         FROM ranked WHERE rn = 1
+         ORDER BY ccos, vec_id LIMIT 20"""),
+
+    // mirrors x79: x03's langId CASE, x01's token counts, per-language
+    // rollup; sums cast back to BIGINT (DuckDB sums INTEGER as HUGEINT)
+    "x79_subword_fertility" ->
+      """WITH s AS (SELECT text,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|in)\b')) AS INTEGER) AS s_en,
+           CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS s_de,
+           CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS INTEGER) AS s_fr,
+           CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|y|es)\b')) AS INTEGER) AS s_es
+           FROM documents),
+         l AS (SELECT CASE
+             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und' END AS lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS nw,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS nsw
+           FROM s)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(nw) AS BIGINT) AS n_words,
+                CAST(sum(nsw) AS BIGINT) AS n_subwords,
+                round(CAST(sum(nsw) AS DOUBLE) / CAST(sum(nw) AS BIGINT), 6)
+                  AS fertility
+         FROM l GROUP BY lang ORDER BY lang""",
+
+    // mirrors x80: one scored relation, positives/negatives split by the
+    // label predicate, per-query windows ordered (cos desc, cid)
+    "x80_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+                FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS qid, a.label AS qlabel,
+                  b.vec_id AS cid, b.label AS clabel, $cosSql AS cos
+           FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id),
+         pos AS (SELECT qid, cid AS pos_cid, cos AS pos_cos FROM (
+             SELECT qid, cid, cos,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos DESC, cid) AS rn
+             FROM scored WHERE qlabel = clabel) t WHERE rn = 1),
+         negs AS (SELECT qid, neg_rank, cid AS neg_cid, cos AS neg_cos FROM (
+             SELECT qid, cid, cos,
+                    CAST(row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos DESC, cid) AS INTEGER)
+                      AS neg_rank
+             FROM scored WHERE qlabel != clabel) t WHERE neg_rank <= 5)
+         SELECT n.qid, p.pos_cid, p.pos_cos, n.neg_rank, n.neg_cid, n.neg_cos
+         FROM negs n JOIN pos p USING (qid)
+         ORDER BY n.qid, n.neg_rank"""
   )
 
   /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —

@@ -1680,4 +1680,92 @@ class ExtSpec extends AnyFunSuite {
     // same underlying distributions → same drift against the outlier
     assert(kl(("s1", "s3")) == kl(("s2", "s3")))
   }
+
+  test("signBits packs sign bitmap; packed Hamming equals per-dim " +
+      "sign-difference count") {
+    val dim = 64
+    val pairs = emb.limit(20)
+    val packed = pairs
+      .select($"vec_id", Similarity.signBits($"embedding", dim).as("bits"),
+        $"embedding")
+      .as[(Long, Long, Seq[Float])].collect()
+    packed.foreach { case (_, bits, e) =>
+      (0 until dim).foreach { d =>
+        assert(((bits >> d) & 1L) == (if (e(d) > 0f) 1L else 0L)) }
+    }
+    // packed xor+popcount == direct sign-difference count, all pairs
+    for ((_, ba, ea) <- packed; (_, bb, eb) <- packed) {
+      val direct = (0 until dim).count(d => (ea(d) > 0f) != (eb(d) > 0f))
+      assert(java.lang.Long.bitCount(ba ^ bb) == direct)
+    }
+  }
+
+  test("topKBinary: deterministic, candidates honor the Hamming cut, " +
+      "rerank cosines equal brute") {
+    val q = emb.filter($"vec_id" < 10)
+    val out = Similarity.topKBinary(emb, q, k = 10, cands = 50)
+      .as[(Long, Int, Long, Int, Double)].collect().toSeq
+    val again = Similarity.topKBinary(emb, q, k = 10, cands = 50)
+      .as[(Long, Int, Long, Int, Double)].collect().toSeq
+    assert(out == again)
+    assert(out.groupBy(_._1).forall(_._2.length == 10))
+    // every reranked cosine equals the brute cosine for that (qid, cid)
+    val brute = Similarity.topKBrute(emb, q, k = Int.MaxValue)
+      .select($"qid", $"cid", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { case (qid, _, cid, _, cos) =>
+      assert(brute((qid, cid)) == cos) }
+    // with cands = corpus size the rerank IS brute top-k
+    val n = emb.count().toInt
+    val full = Similarity.topKBinary(emb, q, k = 10, cands = n)
+      .select($"qid", $"rank", $"cid", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val bruteTop = Similarity.topKBrute(emb, q, k = 10)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(full == bruteTop)
+  }
+
+  test("centroidOutliers: planted far vector ranks first, cells match " +
+      "cellAssignments") {
+    // 3 tight vectors near e1, one anti-aligned outlier
+    val e = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.9f, 0.1f, 0f)),
+      (2L, Seq(0.95f, 0.05f, 0f)), (3L, Seq(-1f, 0.3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(e, cents, n = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.head._1 == 3L, "anti-aligned vector is the top outlier")
+    assert(out.map(_._3) == out.map(_._3).sorted)
+    // cells agree with the index's assignment on the real corpus
+    val cent8 = Similarity.trainCentroids(emb, nCentroids = 8)
+    val cells = Similarity.cellAssignments(emb, cent8)
+      .as[(Long, Long)].collect().toMap
+    Similarity.centroidOutliers(emb, cent8, n = 20)
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (vid, cell, _) => assert(cells(vid) == cell) }
+  }
+
+  test("hardNegatives: positive shares the query label, negatives differ " +
+      "and rank by cosine") {
+    val labels = emb.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" < 10), k = 5)
+      .as[(Long, Long, Double, Int, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (qid, posCid, _, _, negCid, _) =>
+      assert(labels(posCid) == labels(qid), "positive keeps the label")
+      assert(labels(negCid) != labels(qid), "negative crosses the label")
+    }
+    // negatives are descending in cosine within each query, ranks dense
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rows.length))
+      assert(sorted.map(_._6).toSeq == sorted.map(_._6).sorted.reverse.toSeq)
+      // the positive is the single best same-label neighbor: no negative
+      // needed here, but the positive cosine must be a real pair score
+      assert(sorted.head._3 >= -1.0 && sorted.head._3 <= 1.0)
+    }
+  }
 }
