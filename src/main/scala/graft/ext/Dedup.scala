@@ -802,4 +802,93 @@ object Dedup {
         round(jaccard(col("sga"), col("sgb")), 6).as("j"))
       .filter(col("j") >= threshold)
   }
+
+  /** TF-IDF weighted cosine near-dup pairs — the WEIGHTED complement of
+    * the set-based Jaccard paths (cf. Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07): two docs sharing rare terms score
+    * high even when their boilerplate differs, which n-gram Jaccard
+    * misses. Sparse-vector cosine via the inverted term index: the only
+    * quadratic-shaped step is the per-term pair expansion (candidate mass
+    * Σ_term df², the same bound as [[jaccardPairsIndex]]) — and idf
+    * itself prunes it: a term in EVERY doc has idf 0 → weight 0 and is
+    * dropped before the join (lossless — zero weight contributes zero to
+    * every dot product), so corpus-saturating stopwords never expand.
+    * All sums are round-then-DECIMAL(38,12) so dot products and norms are
+    * order-free and engine-portable (the repo-wide exact-sum contract).
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") *
+          round(log(col("n_docs").cast(DoubleType) / col("df")), 6), 6)
+          .as("w"))
+      .filter(col("w") > 0)
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(round(sqrt(
+        sum(round(col("w") * col("w"), 6).cast(DecimalType(38, 12)))
+          .cast(DoubleType)), 6).as("nrm"))
+    val a = w.select(col("doc_id").as("da"), col("term"), col("w").as("wa"))
+    val b = w.select(col("doc_id").as("db"), col("term"), col("w").as("wb"))
+    a.join(b, Seq("term")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(round(col("wa") * col("wb"), 6).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("dot"))
+      .join(nrm.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(nrm.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      // cosine is ≤ 1 mathematically; the round-then-sum quantization
+      // of dot vs norms can leak ±1e-6 past it, so clamp — identical
+      // docs must read exactly 1.0 in every engine
+      .select(col("da"), col("db"),
+        least(lit(1.0), round(col("dot") / (col("na") * col("nb")), 6))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SimHash near-dup pairs by Hamming radius, banded (Manku, Jain &
+    * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07): split
+    * the 60-bit [[TextAnalysis.simhash]] into `bands` equal bit slices;
+    * two hashes within Hamming distance `radius` < `bands` must agree on
+    * at least one whole slice (pigeonhole), so the band-value equi-join
+    * finds EVERY qualifying pair — banding is exact here, not
+    * probabilistic (unlike MinHash-LSH, whose verify step decides). The
+    * only shuffle is the (band, slice-value) self-join — 15-bit keys,
+    * heavily pruned — and the verify is one `bit_count(xor)` per
+    * candidate. At 100 TB this is THE fingerprint-level dedup shape:
+    * 8 bytes per doc crosses the wire, never text.
+    */
+  def simhashNearDup(docs: DataFrame, radius: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(radius < bands,
+      s"pigeonhole exactness needs radius < bands, got $radius >= $bands")
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("sh"), j * bandBits).bitwiseAND(lit(mask))
+            .as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"),
+        col("b.bv").as("bv"))
+    val a = banded.select(col("doc_id").as("da"), col("sh").as("sha"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("db"), col("sh").as("shb"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("sha"), col("shb"))
+      .distinct()
+      .select(col("da"), col("db"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= radius)
+  }
 }

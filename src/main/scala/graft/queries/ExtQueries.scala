@@ -965,7 +965,23 @@ object ExtQueries {
     "x80_hard_negatives" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
-    })
+    }),
+
+    // TF-IDF weighted cosine near-dup pairs (Bayardo all-pairs shape):
+    // the weighted complement of x06's set Jaccard — rare shared terms
+    // dominate, corpus-saturating terms carry idf 0 and are pruned
+    // before the pair join (lossless)
+    "x81_tfidf_cosine_pairs" -> ((s, dir) =>
+      Dedup.tfidfCosinePairs(docs(s, dir), threshold = 0.8)
+        .orderBy(col("da"), col("db"))),
+
+    // SimHash Hamming near-dup via Manku 4×15-bit banding — radius 3 <
+    // 4 bands ⇒ some band agrees (pigeonhole), so the band equi-join is
+    // EXACT, not probabilistic; verify is one bit_count(xor) per
+    // candidate and only 8-byte fingerprints ever shuffle
+    "x82_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(docs(s, dir), radius = 3, bands = 4)
+        .orderBy(col("da"), col("db")))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2592,7 +2608,59 @@ object ExtQueries {
              FROM scored WHERE qlabel != clabel) t WHERE neg_rank <= 5)
          SELECT n.qid, p.pos_cid, p.pos_cos, n.neg_rank, n.neg_cid, n.neg_cos
          FROM negs n JOIN pos p USING (qid)
-         ORDER BY n.qid, n.neg_rank"""
+         ORDER BY n.qid, n.neg_rank""",
+
+    // mirrors x81: tf · round(ln(N/df), 6) weights rounded 6 dp,
+    // zero-weight terms pruned, dot/norm sums as round-then-DECIMAL
+    "x81_tfidf_cosine_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+         FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         w AS (SELECT doc_id, term,
+                 round(tf * round(ln((SELECT n_docs FROM n) / df), 6), 6)
+                   AS w
+               FROM tf JOIN df USING (term)),
+         w2 AS (SELECT * FROM w WHERE w > 0),
+         nrm AS (SELECT doc_id,
+                   round(sqrt(CAST(sum(CAST(round(w * w, 6)
+                     AS DECIMAL(38,12))) AS DOUBLE)), 6) AS nrm
+                 FROM w2 GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                    CAST(sum(CAST(round(a.w * b.w, 6)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS dot
+                  FROM w2 a JOIN w2 b
+                    ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT da, db,
+                least(1.0::DOUBLE, round(dot / (na.nrm * nb.nrm), 6)) AS cos
+         FROM dots JOIN nrm na ON na.doc_id = da
+                   JOIN nrm nb ON nb.doc_id = db
+         WHERE least(1.0::DOUBLE, round(dot / (na.nrm * nb.nrm), 6)) >= 0.8
+         ORDER BY da, db""",
+
+    // mirrors x82: x08's simhash per doc, all-pairs Hamming ≤ 3 (the
+    // banding is a lossless candidate filter, so the oracle needn't
+    // replicate it — pairs are identical by the pigeonhole bound)
+    "x82_simhash_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+           FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM toks),
+         bits AS (
+           SELECT doc_id, bb.b AS b,
+                  CASE WHEN sum(((hv >> bb.b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+           GROUP BY doc_id, bb.b),
+         sh AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS sh
+                FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY da, db"""
   )
 
   /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —

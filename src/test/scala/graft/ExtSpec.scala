@@ -1768,4 +1768,49 @@ class ExtSpec extends AnyFunSuite {
       assert(sorted.head._3 >= -1.0 && sorted.head._3 <= 1.0)
     }
   }
+
+  test("tfidfCosinePairs: identical docs score 1.0; corpus-universal " +
+      "terms carry zero weight and create no pairs") {
+    val d = Seq((0L, "alpha beta"), (1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(d, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1.0)))
+    // every term in every doc → all idf 0 → no candidate pairs at all
+    val uni = Seq((0L, "common one"), (1L, "common one"), (2L, "common one"))
+      .toDF("doc_id", "text")
+    // "common" and "one" both have df = N → pruned; identical docs
+    // produce NO pair because no nonzero-weight term survives
+    assert(Dedup.tfidfCosinePairs(uni, threshold = 0.01).isEmpty)
+    // weighted-vs-set divergence: rare-term overlap outscores Jaccard.
+    // d3/d4 share only the rare term, d5 shares only boilerplate with d3
+    val mix = Seq(
+      (3L, "rareword filler1 filler2"),
+      (4L, "rareword fillerA fillerB"),
+      (5L, "stop stop stop stop")).toDF("doc_id", "text")
+    val pairs = Dedup.tfidfCosinePairs(mix, threshold = 0.05)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains((3L, 4L)), "rare shared term links the pair")
+  }
+
+  test("simhashNearDup: banded join equals brute all-pairs Hamming, " +
+      "exact by pigeonhole") {
+    val out = Dedup.simhashNearDup(docs, radius = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force in the driver over the same simhash values
+    val sh = docs.select($"doc_id",
+      graft.ext.TextAnalysis.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (da, sa) <- sh; (db, sb) <- sh if da < db
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (da, db, h)).toSet
+    assert(brute.nonEmpty, "testdata plants near-identical docs")
+    assert(out == brute)
+    // radius must stay under the band count for the pigeonhole bound
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDup(docs, radius = 4, bands = 4)
+    }
+  }
 }
