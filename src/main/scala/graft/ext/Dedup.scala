@@ -891,4 +891,44 @@ object Dedup {
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
       .filter(col("hamming") <= radius)
   }
+
+  /** Per-source dedup savings ledger — the "what would dedup buy" price
+    * sheet a pipeline reads BEFORE committing to a corpus-wide rewrite:
+    * for each source, the doc and token mass sitting in non-representative
+    * exact copies ([[exact]]'s min-id rule) and in non-representative
+    * near-dup cluster members ([[dedupClusters]] over the x06 pair graph,
+    * doc_id ≠ cluster — exact dups are a subset of these since identical
+    * docs share every shingle). The fuzzy fraction is the headline number
+    * (x64's mixture planner consumes post-dedup token mass, so this IS
+    * the correction factor per source).
+    *
+    * Scale shape: the pair graph + CC dominate (their own documented
+    * bounds); this adds one fingerprint agg, one broadcast-size join of
+    * per-fp representatives, and one per-source rollup.
+    */
+  def dedupSavings(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_toks"), fingerprint(col("text")).as("fp"))
+    val keep = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val flagged = base.join(keep, "fp")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+    val clusters = dedupClusters(docs,
+      jaccardPairsIndexHashed(docs, n, threshold))
+    flagged.join(clusters, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("exact_dup_docs"),
+        sum(when(col("exact_dup"), col("n_toks")).otherwise(0L))
+          .as("exact_dup_tokens"),
+        sum(when(col("doc_id") =!= col("cluster"), 1L).otherwise(0L))
+          .as("fuzzy_dup_docs"),
+        sum(when(col("doc_id") =!= col("cluster"), col("n_toks"))
+          .otherwise(0L)).as("fuzzy_dup_tokens"))
+      .withColumn("fuzzy_savings",
+        round(col("fuzzy_dup_tokens").cast(DoubleType) / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
 }

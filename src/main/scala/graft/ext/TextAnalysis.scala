@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -408,6 +409,48 @@ object TextAnalysis {
           .as("chunk_text"),
         least(lit(chunkTokens), size(col("ws")) - col("start") + 1)
           .cast("long").as("n_tokens"))
+  }
+
+  /** Vocabulary-growth audit (Heaps' law curve): cumulative distinct
+    * vocabulary vs cumulative token mass in ingest (doc_id) order,
+    * sampled per `bucketSize`-doc bucket — the "is new data still adding
+    * new language?" diagnostic a curation pipeline reads before paying
+    * for another crawl batch (a flattening curve means the source is
+    * exhausted; template floods flatten it early).
+    *
+    * Scale shape: one tokenize pass; "first seen" is a per-token
+    * `min(doc_id)` partial agg (linear, map-side combined — x70's
+    * first-seen trick applied to unigrams); both per-bucket rollups are
+    * keyed aggs. The ONLY window runs over BUCKET cardinality
+    * (docs / bucketSize — thousands, not billions; pick bucketSize so it
+    * stays driver-trivial at the target corpus), never over docs or
+    * tokens.
+    */
+  def vocabGrowth(docs: DataFrame, bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val bucket = expr(s"doc_id div $bucketSize")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val newPerBucket = toks
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val perBucket = docs
+      .select(bucket.as("bucket"), tokenCount(col("text")).as("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new")).over(w))
+      .select(col("bucket"), col("n_docs"), col("n_new"),
+        col("cum_tokens"), col("cum_vocab"),
+        round(col("cum_vocab").cast(DoubleType) / col("cum_tokens"), 6)
+          .as("ttr"))
+      .orderBy(col("bucket"))
   }
 
   def simhash(text: Column): Column =

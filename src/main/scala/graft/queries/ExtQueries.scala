@@ -981,7 +981,20 @@ object ExtQueries {
     // candidate and only 8-byte fingerprints ever shuffle
     "x82_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(docs(s, dir), radius = 3, bands = 4)
-        .orderBy(col("da"), col("db")))
+        .orderBy(col("da"), col("db"))),
+
+    // Heaps-law vocabulary growth: cumulative distinct vocab vs token
+    // mass in ingest order, 50-doc buckets — "is new data still adding
+    // new language?"; the only window runs over bucket cardinality
+    "x83_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(docs(s, dir), bucketSize = 50)),
+
+    // per-source dedup savings: doc + token mass in non-representative
+    // exact copies and near-dup cluster members — the price sheet read
+    // before a corpus rewrite, and the x64 mixture planner's correction
+    // factor (post-dedup token mass per source)
+    "x84_dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(docs(s, dir)))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2660,7 +2673,77 @@ object ExtQueries {
                 CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         ORDER BY da, db"""
+         ORDER BY da, db""",
+
+    // mirrors x83: per-token min(doc_id) first-seen, 50-doc buckets,
+    // cumulative window over buckets only
+    "x83_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+         FROM documents),
+         fs AS (SELECT token, min(doc_id) AS first_doc FROM tok
+                GROUP BY token),
+         nb AS (SELECT first_doc // 50 AS bucket, count(*) AS n_new
+                FROM fs GROUP BY 1),
+         pb AS (SELECT doc_id // 50 AS bucket, count(*) AS n_docs,
+                  CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1),
+         j AS (SELECT pb.bucket, pb.n_docs, pb.n_tokens,
+                 CAST(coalesce(nb.n_new, 0) AS BIGINT) AS n_new
+               FROM pb LEFT JOIN nb ON nb.bucket = pb.bucket)
+         SELECT bucket, n_docs, n_new,
+                CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT)
+                  AS cum_tokens,
+                CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT)
+                  AS cum_vocab,
+                round(CAST(sum(n_new) OVER (ORDER BY bucket) AS DOUBLE) /
+                      CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT),
+                      6) AS ttr
+         FROM j ORDER BY bucket""",
+
+    // mirrors x84: x05's fingerprint representatives + x17's recursive
+    // CC over the x06 pair graph, rolled up per source
+    "x84_dedup_savings" ->
+      (shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node),
+         comp AS (SELECT node AS doc_id, min(lbl) AS cluster
+                  FROM reach GROUP BY node),
+         fpt AS (SELECT doc_id, source,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_toks,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+                 FROM documents),
+         keep AS (SELECT fp, min(doc_id) AS keep_id FROM fpt GROUP BY fp),
+         fl AS (SELECT f.doc_id, f.source, f.n_toks,
+                  f.doc_id != k.keep_id AS exact_dup
+                FROM fpt f JOIN keep k USING (fp))
+         SELECT fl.source, count(*) AS n_docs,
+                CAST(sum(fl.n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN fl.exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+                  AS exact_dup_docs,
+                CAST(sum(CASE WHEN fl.exact_dup THEN fl.n_toks ELSE 0 END)
+                  AS BIGINT) AS exact_dup_tokens,
+                CAST(sum(CASE WHEN c.doc_id != c.cluster THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fuzzy_dup_docs,
+                CAST(sum(CASE WHEN c.doc_id != c.cluster THEN fl.n_toks ELSE 0 END)
+                  AS BIGINT) AS fuzzy_dup_tokens,
+                round(CAST(sum(CASE WHEN c.doc_id != c.cluster THEN fl.n_toks ELSE 0 END)
+                        AS DOUBLE) /
+                      CAST(sum(fl.n_toks) AS BIGINT), 6) AS fuzzy_savings
+         FROM fl JOIN comp c USING (doc_id)
+         GROUP BY fl.source ORDER BY fl.source""")
   )
 
   /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —

@@ -1813,4 +1813,48 @@ class ExtSpec extends AnyFunSuite {
       Dedup.simhashNearDup(docs, radius = 4, bands = 4)
     }
   }
+
+  test("vocabGrowth: first-seen buckets, cumulative vocab/token mass, ttr") {
+    import graft.ext.TextAnalysis
+    val d = Seq((0L, "a b"), (1L, "a c"), (2L, "c d"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d, bucketSize = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 3L, 4L, 3L, 0.75),
+      (1L, 2L, 2L, 11L, 5L, math.rint(5.0 / 11 * 1e6) / 1e6)))
+    // real corpus: cumulative columns are monotone, final mass matches
+    val real = TextAnalysis.vocabGrowth(docs, bucketSize = 50)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(real.map(_._4) == real.map(_._4).sorted)
+    assert(real.map(_._5) == real.map(_._5).sorted)
+    val totalToks = docs
+      .select(TextAnalysis.tokenCount($"text")).as[Int].collect().map(_.toLong).sum
+    assert(real.last._4 == totalToks)
+  }
+
+  test("dedupSavings: exact and fuzzy dup masses per source") {
+    val d = Seq(
+      (0L, "A", "x y z w q"), (1L, "A", "x y z w q"),
+      (2L, "A", "totally different text here now"),
+      (4L, "B", "p q r s t"), (5L, "B", "p q r s t u"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dedupSavings(d)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // A: d1 is an exact (and fuzzy) copy of d0; d2 unique
+    // B: d5 is a fuzzy (j = 3/4) but not exact copy of d4
+    assert(out == Seq(
+      ("A", 3L, 15L, 1L, 5L, 1L, 5L, math.rint(5.0 / 15 * 1e6) / 1e6),
+      ("B", 2L, 11L, 0L, 0L, 1L, 6L, math.rint(6.0 / 11 * 1e6) / 1e6)))
+    // real corpus: ledger accounts for every doc, savings are fractions
+    val real = Dedup.dedupSavings(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(real.map(_._2).sum == docs.count())
+    real.foreach { r =>
+      assert(r._8 >= 0.0 && r._8 <= 1.0)
+      assert(r._4 <= r._2 && r._6 <= r._2)
+    }
+  }
 }
