@@ -40,7 +40,11 @@ class PlanSpec extends AnyFunSuite {
     "x66_ann_topk_ivfpq", // k-row centroid side: the x15 cell assignment
     "x67_cluster_labels", // x15's centroid side + 1-row mean-length
     "x71_matryoshka_recall", // composes topKBrute ×2: bounded query side
-    "x75_pca_top_component") // 1-row mean/v/n broadcasts onto the corpus
+    "x75_pca_top_component", // 1-row mean/v/n broadcasts onto the corpus
+    "x77_ann_topk_binary", // k-row query side (bitmap + rerank), x10's shape
+    "x78_embedding_outliers", // k-row centroid side: x39's cell assignment
+    "x80_hard_negatives", // k-row query side vs corpus, x10's shape
+    "x81_tfidf_cosine_pairs") // 1-row corpus count, the x13/x14 pattern
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
