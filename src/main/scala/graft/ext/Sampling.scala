@@ -30,6 +30,43 @@ object Sampling {
     when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 
+  /** Leakage-safe train/val/test split: every member of a near-dup
+    * cluster receives the split OF ITS CLUSTER LABEL, so two
+    * near-duplicate documents can never land on opposite sides of a
+    * train/eval boundary — the eval-contamination bug a per-doc hash
+    * split ([[split]]) cannot prevent (near-dups hash independently and
+    * straddle the cut ~32% of the time at 80/10/10). `clusters` is
+    * [[graft.ext.Dedup.dedupClusters]] output (doc_id, cluster); the
+    * hash is salted on the CLUSTER id, so singletons (cluster = own id)
+    * reproduce the plain x18 assignment exactly and adding edges only
+    * ever *merges* assignments, never re-deals untouched docs.
+    *
+    * Scale shape: one narrow map over the cluster relation — the CC
+    * fixpoint upstream is the only heavy step and is already the x17
+    * scale path (banded candidates + checkpointed label propagation).
+    */
+  def leakageSafeSplit(clusters: DataFrame, salt: String = "split"): DataFrame =
+    clusters.select(col("doc_id"), col("cluster"),
+      split(col("cluster"), salt).as("split"))
+
+  /** Split-leakage audit: the measurement that motivates
+    * [[leakageSafeSplit]]. Given verified near-dup pairs (da, db) —
+    * any of the [[graft.ext.Dedup]] pair producers — assign each side
+    * its NAIVE per-doc split and tabulate the (split_a, split_b) matrix;
+    * off-diagonal mass is evaluation contamination (a train doc with a
+    * near-duplicate in val/test). At 80/10/10 the expected leak rate of
+    * independent hashing is 1 − (0.8² + 0.1² + 0.1²) = 34%, so any
+    * corpus with near-dups NEEDS the cluster-aware split; this report is
+    * the before/after evidence. At most 9 output rows; one grouped count
+    * over the pair relation (which the banded dedup path already bounds).
+    */
+  def splitLeakageAudit(pairs: DataFrame, salt: String = "split"): DataFrame =
+    pairs
+      .select(split(col("da"), salt).as("split_a"),
+        split(col("db"), salt).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Deterministic stratified sample: EXACTLY `n` rows per stratum
     * (fewer only if the stratum is smaller) — the eval-set / human-audit
     * draw, where "about n" (a Bernoulli rate) is not acceptable. Rank =

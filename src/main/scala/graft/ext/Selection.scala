@@ -329,6 +329,85 @@ object Selection {
           col("n_tokens"), 6).as("sample_factor"))
   }
 
+  /** Held-out trigram LM score with stupid backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" §4): per document,
+    * the mean negative log score of its word trigrams under a trigram
+    * model trained on the `isHeldIn` slice of the corpus only. Unlike
+    * [[bigramLmScore]] (trained on the full corpus, so every scored
+    * n-gram is in-model), the held-out model makes the backoff chain
+    * real: documents OUTSIDE the training slice hit unseen trigrams,
+    * bigrams, even unseen words, and their scores reflect how far their
+    * phrasing drifts from the held-in distribution — the cross-domain
+    * quality/novelty signal a curation pipeline reads before admitting a
+    * new source.
+    *
+    * Score of trigram (w1 w2 w3), all counts from the training slice:
+    *   - c(w1w2w3) > 0 → c(w1w2w3) / c(w1w2)            (trigram MLE)
+    *   - else c(w2w3) > 0 → 0.4 · c(w2w3) / c(w2)       (bigram backoff)
+    *   - else → 0.4² · (c(w3)+1) / (N+V)                (add-one unigram
+    *     floor — total even for words the training slice never saw).
+    * Per-trigram −ln rounded to 6 dp; per-doc mean via exact decimal
+    * [[sum6]] — engine-portable. Docs with < 3 tokens have no trigrams
+    * and are absent (the [[bigramLmScore]] contract).
+    *
+    * Returns (doc_id, n_trigrams, bo_score).
+    *
+    * Scale shape: the model is three aggregates of ONE tokenize pass
+    * over the training slice (trigram, bigram, unigram counts — each
+    * vocab-bounded, far smaller than the corpus). The backoff CASE runs
+    * once per DISTINCT corpus trigram on the model relation (left joins
+    * on n-gram keys, all model-size), and the scored table joins back to
+    * corpus trigram occurrences by key — one corpus-scale equi-join
+    * shuffle + a partial-agg'd per-doc mean, exactly the
+    * [[bigramLmScore]] plan with a wider model.
+    */
+  def backoffLmScore(docs: DataFrame, isHeldIn: Column): DataFrame = {
+    val withWs = docs.select(col("doc_id"), isHeldIn.as("held_in"),
+      tokens(col("text")).as("ws"))
+    val train = withWs.filter(col("held_in"))
+    val trainWords = train.select(explode(col("ws")).as("w"))
+    val c1 = trainWords.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nv = trainWords.agg(count(lit(1)).as("n"),
+      count_distinct(col("w")).as("v"))
+    val c2 = train
+      .select(explode(TextAnalysis.bigrams(col("ws"))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val c3 = train
+      .select(explode(TextAnalysis.ngramsRaw(col("ws"), 3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c"))
+    val corpusTg = withWs.select(col("doc_id"),
+      explode(TextAnalysis.ngramsRaw(col("ws"), 3)).as("tg"))
+    val parts = corpusTg.select(col("tg")).distinct()
+      .select(col("tg"),
+        substring_index(col("tg"), " ", 2).as("w12"),
+        substring_index(col("tg"), " ", -2).as("w23"),
+        substring_index(substring_index(col("tg"), " ", 2), " ", -1).as("w2"),
+        substring_index(col("tg"), " ", -1).as("w3"))
+    val model = parts
+      .join(c3.select(col("tg"), col("c").as("c123")), Seq("tg"), "left")
+      .join(c2.select(col("bg").as("w12"), col("c").as("c12")),
+        Seq("w12"), "left")
+      .join(c2.select(col("bg").as("w23"), col("c").as("c23")),
+        Seq("w23"), "left")
+      .join(c1.select(col("w").as("w2"), col("c").as("cw2")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c").as("cw3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("tg"), round(-log(
+        when(col("c123").isNotNull,
+          col("c123").cast(DoubleType) / col("c12"))
+          .when(col("c23").isNotNull,
+            lit(0.4) * col("c23").cast(DoubleType) / col("cw2"))
+          .otherwise(lit(0.16) *
+            (coalesce(col("cw3"), lit(0L)) + lit(1)).cast(DoubleType) /
+            (col("n") + col("v")))), 6).as("nll"))
+    corpusTg.join(model, Seq("tg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum6(col("nll")) / count(lit(1)), 6).as("bo_score"))
+  }
+
   /** Curriculum schedule: assign each document a training phase by
     * quality percentile WITHIN its source (x30's percentile contract —
     * `percent_rank` ordered by (quality, doc_id), rounded to 6 dp), cut

@@ -2,7 +2,7 @@ package graft.ext
 
 import java.io.ByteArrayInputStream
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -37,5 +37,70 @@ object Sketches {
         s"count_min_sketch($colName, ${eps}d, ${confidence}d, $seed)"))
       .head().getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  /** The (row, bucket) hash of the RELATIONAL count-min sketch: row `r`
+    * of the sketch hashes key k with the engine-portable md5-based
+    * [[graft.ext.TextAnalysis.hash60]] salted `"cms<r>:"` — the same
+    * hash family as the x18 split / x54 DSIR features, so a DuckDB
+    * oracle reproduces every bucket byte-for-byte (unlike
+    * [[countMin]]'s Spark-internal hashing, which is opaque to other
+    * engines and therefore rows-only-checkable).
+    */
+  def cmsBucket(key: Column, r: Int, width: Int): Column =
+    graft.ext.TextAnalysis.hash60(
+      concat(lit(s"cms$r:"), key.cast("string"))) % width
+
+  /** Relational count-min sketch TABLE: `depth`×`width` counter rows
+    * (r, b, cnt) aggregated from one hash+explode pass over the keys.
+    * This IS the CMS, held as a bounded relation instead of driver
+    * bytes — mergeable across corpora by unioning + re-summing, and
+    * broadcastable (depth·width rows ≪ any corpus) to wherever
+    * estimates are needed. Fixed-memory regardless of key cardinality:
+    * the state bound the exact x36 heavy-hitter plan lacks.
+    */
+  def countMinTable(keys: DataFrame, key: Column, width: Int,
+      depth: Int): DataFrame = {
+    require(width > 0 && depth > 0, s"bad CMS shape: $width x $depth")
+    keys
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(key, r, width).as("b"))): _*))
+        .as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS-estimated heavy hitters with exact cross-check: top `k` keys by
+    * count-min estimate (min over the `depth` counter rows each key
+    * hashes to), alongside the true count and the one-sided overcount
+    * (`est − true ≥ 0` ALWAYS — the CMS guarantee this output makes
+    * auditable). `width` deliberately small relative to key cardinality
+    * shows saturation; production sizes width ≈ e/eps.
+    *
+    * Scale shape: the counter table is depth×width and BROADCAST to the
+    * per-distinct-key probe relation (vocab-bounded, not corpus-bounded);
+    * the only corpus-scale work is the two hash+count passes (table
+    * build + true counts), both map-side partial-aggregated. The top-k
+    * is a TakeOrderedAndProject, never a global sort.
+    */
+  def cmsHeavyHitters(keys: DataFrame, key: Column, k: Int,
+      width: Int = 256, depth: Int = 3): DataFrame = {
+    val table = countMinTable(keys, key, width, depth)
+    val truth = keys.select(key.cast("string").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    val probes = truth
+      .select(col("term"), col("true_cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"),
+            cmsBucket(col("term"), r, width).as("b"))): _*)).as("rb"))
+      .select(col("term"), col("true_cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(table), Seq("r", "b"))
+      .groupBy(col("term"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("term"), col("est"), col("true_cnt"),
+        (col("est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("est").desc, col("term"))
+      .limit(k)
   }
 }

@@ -994,7 +994,45 @@ object ExtQueries {
     // before a corpus rewrite, and the x64 mixture planner's correction
     // factor (post-dedup token mass per source)
     "x84_dedup_savings" -> ((s, dir) =>
-      Dedup.dedupSavings(docs(s, dir)))
+      Dedup.dedupSavings(docs(s, dir))),
+
+    // leakage-safe split: every near-dup cluster member takes the split
+    // of its CLUSTER label, so no near-dup pair can straddle a
+    // train/eval boundary; singletons reproduce the plain x18
+    // assignment exactly (x17's CC clusters ∘ x18's hash split)
+    "x85_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Sampling.leakageSafeSplit(
+        Dedup.dedupClusters(d,
+          Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // split-leakage audit: the (split_a, split_b) matrix of verified
+    // near-dup pairs under the NAIVE per-doc split — off-diagonal mass
+    // is the eval contamination x85 eliminates
+    "x86_split_leakage_audit" -> ((s, dir) =>
+      Sampling.splitLeakageAudit(
+        Dedup.jaccardPairsIndexHashed(docs(s, dir), n = 3,
+          threshold = 0.5))
+        .orderBy(col("split_a"), col("split_b"))),
+
+    // held-out stupid-backoff trigram LM: model trained on the non-src0
+    // sources only, scored over ALL docs — src0 docs exercise the real
+    // backoff chain (unseen trigram → bigram → add-one unigram floor)
+    "x87_backoff_lm_score" -> ((s, dir) =>
+      graft.ext.Selection.backoffLmScore(docs(s, dir),
+        col("source") =!= "src0")
+        .orderBy(col("doc_id"))),
+
+    // relational count-min sketch heavy hitters: md5-hashed 3×256
+    // counter table (engine-portable, mergeable, broadcastable), top-20
+    // terms by estimate alongside the exact count and the one-sided
+    // overcount the CMS contract guarantees
+    "x88_cms_heavy_hitters" -> ((s, dir) =>
+      graft.ext.Sketches.cmsHeavyHitters(
+        docs(s, dir).select(explode(tokens(col("text"))).as("w")),
+        col("w"), k = 20))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2743,7 +2781,113 @@ object ExtQueries {
                         AS DOUBLE) /
                       CAST(sum(fl.n_toks) AS BIGINT), 6) AS fuzzy_savings
          FROM fl JOIN comp c USING (doc_id)
-         GROUP BY fl.source ORDER BY fl.source""")
+         GROUP BY fl.source ORDER BY fl.source"""),
+
+    // mirrors x85: x17's recursive CC clusters, then x18's md5 split
+    // CASE applied to the CLUSTER label instead of the doc id
+    "x85_leakage_safe_split" ->
+      (shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node),
+         comp AS (SELECT node AS doc_id, min(lbl) AS cluster
+                  FROM reach GROUP BY node)
+         SELECT doc_id, cluster,
+           CASE WHEN CAST('0x' || substr(md5('split:' || cluster), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || cluster), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM comp ORDER BY doc_id"""),
+
+    // mirrors x86: the x06 verified pair set, each side assigned the
+    // naive x18 per-doc split, tabulated
+    "x86_split_leakage_audit" ->
+      (shingleCte + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         sp AS (SELECT
+           CASE WHEN CAST('0x' || substr(md5('split:' || da), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || da), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split_a,
+           CASE WHEN CAST('0x' || substr(md5('split:' || db), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || db), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split_b
+           FROM pairs)
+         SELECT split_a, split_b, count(*) AS n_pairs FROM sp
+         GROUP BY split_a, split_b ORDER BY split_a, split_b"""),
+
+    // mirrors x87: trigram/bigram/unigram counts from the non-src0
+    // slice, stupid-backoff CASE per DISTINCT corpus trigram, 6-dp NLL
+    // addends summed as DECIMAL for the per-doc mean
+    "x87_backoff_lm_score" ->
+      """WITH d AS (SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+         trw AS (SELECT unnest(ws) AS w FROM d WHERE source != 'src0'),
+         c1 AS (SELECT w, count(*) AS c FROM trw GROUP BY w),
+         nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM trw),
+         c2 AS (SELECT bg, count(*) AS c FROM (
+                  SELECT unnest([ws[i] || ' ' || ws[i+1]
+                                 for i in generate_series(1, len(ws)-1)]) AS bg
+                  FROM d WHERE source != 'src0') GROUP BY bg),
+         c3 AS (SELECT tg, count(*) AS c FROM (
+                  SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 for i in generate_series(1, len(ws)-2)]) AS tg
+                  FROM d WHERE source != 'src0') GROUP BY tg),
+         ct AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          for i in generate_series(1, len(ws)-2)]) AS tg
+                FROM d),
+         parts AS (SELECT tg, str_split(tg, ' ') AS p
+                   FROM (SELECT DISTINCT tg FROM ct)),
+         model AS (SELECT parts.tg, round(-ln(
+             CASE WHEN t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b12.c
+                  WHEN b23.c IS NOT NULL THEN 0.4 * CAST(b23.c AS DOUBLE) / u2.c
+                  ELSE 0.16 * CAST(coalesce(u3.c, 0) + 1 AS DOUBLE) / (nv.n + nv.v)
+             END), 6) AS nll
+           FROM parts
+           LEFT JOIN c3 t3 ON t3.tg = parts.tg
+           LEFT JOIN c2 b12 ON b12.bg = parts.p[1] || ' ' || parts.p[2]
+           LEFT JOIN c2 b23 ON b23.bg = parts.p[2] || ' ' || parts.p[3]
+           LEFT JOIN c1 u2 ON u2.w = parts.p[2]
+           LEFT JOIN c1 u3 ON u3.w = parts.p[3]
+           CROSS JOIN nv)
+         SELECT doc_id, count(*) AS n_trigrams,
+                round(CAST(sum(CAST(nll AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*), 6) AS bo_score
+         FROM ct JOIN model USING (tg) GROUP BY doc_id ORDER BY doc_id""",
+
+    // mirrors x88: the same md5 'cms<r>:' bucket derivation (x18/x54
+    // hash family), 3×256 counter table, min-over-rows estimate, top-20
+    // by (est DESC, term)
+    "x88_cms_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS k
+                    FROM documents),
+         rb AS (SELECT k, r,
+                  CAST('0x' || substr(md5('cms' || r || ':' || k), 1, 15) AS BIGINT) % 256 AS b
+                FROM w, generate_series(0, 2) AS g(r)),
+         tab AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY r, b),
+         truth AS (SELECT k, count(*) AS true_cnt FROM w GROUP BY k),
+         probes AS (SELECT k, true_cnt, r,
+                  CAST('0x' || substr(md5('cms' || r || ':' || k), 1, 15) AS BIGINT) % 256 AS b
+                FROM truth, generate_series(0, 2) AS g(r)),
+         est AS (SELECT k, true_cnt, min(cnt) AS est
+                 FROM probes JOIN tab USING (r, b) GROUP BY k, true_cnt)
+         SELECT k AS term, est, true_cnt, est - true_cnt AS overcount
+         FROM est ORDER BY est DESC, term LIMIT 20"""
   )
 
   /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —

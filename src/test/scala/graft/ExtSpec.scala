@@ -1857,4 +1857,110 @@ class ExtSpec extends AnyFunSuite {
       assert(r._4 <= r._2 && r._6 <= r._2)
     }
   }
+
+  test("leakageSafeSplit: cluster members share the label's split; " +
+      "singletons keep the plain x18 assignment") {
+    import graft.ext.Sampling
+    // clusters: {1,2} labeled 1, {4,5} labeled 4, singleton 3
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val out = Sampling.leakageSafeSplit(clusters)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._2 == out(2L)._2, "cluster {1,2} must share a split")
+    assert(out(4L)._2 == out(5L)._2, "cluster {4,5} must share a split")
+    // the shared split IS the split of the label, and a singleton's
+    // split equals the naive per-doc assignment
+    val naive = Seq(1L, 3L, 4L).toDF("id")
+      .select($"id", Sampling.split($"id").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(2L)._2 == naive(1L))
+    assert(out(3L)._2 == naive(3L))
+    assert(out(5L)._2 == naive(4L))
+    // on the real corpus: no verified near-dup pair straddles splits
+    val pairs = Dedup.jaccardPairsIndexHashed(docs, 3, 0.5)
+    val split = Sampling.leakageSafeSplit(Dedup.dedupClusters(docs, pairs))
+    val straddling = pairs
+      .join(split.select($"doc_id".as("da"), $"split".as("sa")), "da")
+      .join(split.select($"doc_id".as("db"), $"split".as("sb")), "db")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddling == 0L)
+  }
+
+  test("splitLeakageAudit tabulates naive-split pairs; total preserved") {
+    import graft.ext.Sampling
+    val pairs = Dedup.jaccardPairsIndexHashed(docs, 3, 0.5)
+    val audit = Sampling.splitLeakageAudit(pairs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(audit.map(_._3).sum == pairs.count(),
+      "every pair appears exactly once in the matrix")
+    val valid = Set("train", "val", "test")
+    audit.foreach { case (a, b, n) =>
+      assert(valid(a) && valid(b) && n > 0)
+    }
+    // cross-check one cell against a direct recount
+    val (ca, cb, cn) = audit.head
+    val direct = pairs
+      .select(Sampling.split($"da").as("sa"), Sampling.split($"db").as("sb"))
+      .filter($"sa" === ca && $"sb" === cb).count()
+    assert(cn == direct)
+  }
+
+  test("backoffLmScore: MLE, bigram-backoff and unigram-floor branches") {
+    import graft.ext.Selection
+    val d = Seq(
+      (1L, "a b c a b c", "in"),
+      (2L, "a b c", "in"),
+      (3L, "a b x", "out"), // "a b x" unseen, "b x" unseen, "x" unseen
+      (4L, "b c a", "out"), // trigram seen in training: MLE branch
+      (5L, "hi", "out")) // < 3 tokens: absent from output
+      .toDF("doc_id", "text", "source")
+    val out = Selection.backoffLmScore(d, $"source" === "in")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    // training slice: tokens = 9 (N), vocab {a,b,c} (V=3)
+    // bigram counts: "a b"->3, "b c"->3, "c a"->1
+    // trigram counts: "a b c"->3 (2 in doc1 + 1 in doc2),
+    //                 "b c a"->1, "c a b"->1
+    assert(!out.contains(5L))
+    assert(out(4L)._1 == 1L)
+    assert(out(4L)._2 == r6(r6(-math.log(1.0 / 3))))
+    // doc3 trigram "a b x": unigram floor 0.16 * (0+1) / (9+3)
+    assert(out(3L)._2 == r6(r6(-math.log(0.16 * 1 / 12.0))))
+    // doc1: "a b c" (3/3) x2, "b c a" (1/3), "c a b" (1/1)
+    val d1 = (2 * r6(-math.log(1.0)) + r6(-math.log(1.0 / 3))
+      + r6(-math.log(1.0))) / 4
+    assert(out(1L)._1 == 4L && out(1L)._2 == r6(d1))
+  }
+
+  test("cmsHeavyHitters: one-sided overcount, exact at ample width") {
+    import graft.ext.Sketches
+    val words = docs.select(explode(
+      graft.ext.TextAnalysis.tokens($"text")).as("w")).cache()
+    val narrow = Sketches.cmsHeavyHitters(words, $"w", k = 20,
+      width = 16, depth = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(narrow.size == 20)
+    narrow.foreach { case (_, est, tru, over) =>
+      assert(est >= tru, "CMS must never undercount")
+      assert(over == est - tru)
+    }
+    // rank is by estimate, descending
+    assert(narrow.map(_._2) == narrow.map(_._2).sorted.reverse)
+    // at width >> cardinality the estimate collapses to the exact count
+    val nTerms = words.distinct().count()
+    val wide = Sketches.cmsHeavyHitters(words, $"w", k = 20,
+      width = 1 << 16, depth = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(nTerms < (1 << 12), "fixture cardinality sanity")
+    val exactTop = words.groupBy("w").count()
+      .orderBy($"count".desc, $"w").limit(1)
+      .as[(String, Long)].collect().head
+    assert(wide.head._1 == exactTop._1 && wide.head._2 == exactTop._2)
+    wide.foreach { case (_, est, tru, over) =>
+      assert(over >= 0 && est >= tru)
+    }
+    words.unpersist()
+  }
 }

@@ -44,7 +44,8 @@ class PlanSpec extends AnyFunSuite {
     "x77_ann_topk_binary", // k-row query side (bitmap + rerank), x10's shape
     "x78_embedding_outliers", // k-row centroid side: x39's cell assignment
     "x80_hard_negatives", // k-row query side vs corpus, x10's shape
-    "x81_tfidf_cosine_pairs") // 1-row corpus count, the x13/x14 pattern
+    "x81_tfidf_cosine_pairs", // 1-row corpus count, the x13/x14 pattern
+    "x87_backoff_lm_score") // 1-row (N,V) broadcast onto the model rel
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
