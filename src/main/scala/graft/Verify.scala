@@ -53,7 +53,12 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: regex over query names (builder-side subset
+    // iteration; the driver always runs the full surface)
+    val (sfDir, outDir, filt) = args match {
+      case Array(a, b)    => (a, b, ".*")
+      case Array(a, b, f) => (a, b, f)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,8 +68,9 @@ object Verify {
       .getOrCreate()
     graft.engine.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    dump(spark, sfDir, outDir, SparkEntry.queries.toSeq,
-      SparkEntry.oracleSql.toSeq)
+    dump(spark, sfDir, outDir,
+      SparkEntry.queries.toSeq.filter(_._1.matches(filt)),
+      SparkEntry.oracleSql.toSeq.filter(_._1.matches(filt)))
     spark.stop()
   }
 }

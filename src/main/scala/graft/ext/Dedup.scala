@@ -293,8 +293,16 @@ object Dedup {
     * the (tiny) verify joins.
     */
   def jaccardPairsIndexHashed(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame =
+    jaccardPairsFromShingled(shingled(docs, n).materialized, threshold)
+
+  /** [[jaccardPairsIndexHashed]] over an already-shingled (and ideally
+    * already-materialized) relation — shared so composites that need
+    * BOTH the pairs and another view of the same shingles (x89's
+    * fidelity audit) shingle the corpus once.
+    */
+  private[ext] def jaccardPairsFromShingled(sg: DataFrame,
       threshold: Double): DataFrame = {
-    val sg = shingled(docs, n).materialized
     val cand = indexCollisions(sg, threshold)
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter_hat"),
@@ -616,6 +624,48 @@ object Dedup {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("best_j").isNotNull.as("dup_of_base"),
         col("best_base_id"), col("best_j"))
+  }
+
+  /** MinHash estimator fidelity audit: for every VERIFIED near-dup pair
+    * (the x06 exact-index contract), the exact Jaccard next to the
+    * MinHash ESTIMATE at `numHashes` signature slots — `ĵ = matching
+    * slots / numHashes`, the unbiased estimator whose σ = √(j(1−j)/H)
+    * governs every banding design in this library. x07/x48 prove the
+    * banded paths lossless at the DEFAULT 128 hashes; this query prices
+    * a SHORT signature (16 longs = 128 B/doc of sketch state at rest),
+    * the "how small can the signature get before the estimate drifts"
+    * dial read before shrinking the at-rest dedup index.
+    *
+    * Unlike the production signature (xxhash64 base hashes, engine
+    * private, semantically irrelevant under exact verify), the audit
+    * hashes shingles with the portable 60-bit md5 [[TextAnalysis.hash60]]
+    * folded into the Mersenne-31 space, so a DuckDB oracle reproduces
+    * every slot byte-for-byte from the [[graft.functions.MinHashSig]]
+    * seed literals. Scale shape: one shingle pass shared between the
+    * pair leg and the signature leg (the relation is materialized);
+    * signatures are a per-doc map; the audit output is |pairs| rows.
+    */
+  def minhashFidelity(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.3, numHashes: Int = 16): DataFrame = {
+    val sg = shingled(docs, n).materialized
+    val pairs = jaccardPairsFromShingled(sg, threshold)
+    val sigs = sg
+      .select(col("doc_id"),
+        transform(col("sg"),
+          s => pmod(hash60(s), lit(MersennePrime31))).as("hv"))
+      .select(col("doc_id"), minhashSignature(col("hv"), numHashes).as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .select(col("da"), col("db"), col("j"),
+        round(
+          aggregate(
+            zip_with(col("siga"), col("sigb"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).cast(DoubleType) /
+            numHashes, 6).as("j_est"))
+      .select(col("da"), col("db"), col("j"), col("j_est"),
+        round(abs(col("j") - col("j_est")), 6).as("abs_err"))
   }
 
   /** MinHash signature: the codegen'd [[graft.functions.MinHashSig]]. */

@@ -1220,4 +1220,75 @@ object Similarity {
       .select((col("d0") + 1).cast("int").as("d"), col("loading"),
         col("eigval"))
   }
+
+  /** Rank-discount table of the nDCG metric, as 6-dp plan-time
+    * constants: `disc(r) = round(1/log2(r+1), 6)` and its prefix sums
+    * (the ideal-DCG ladder). Precomputed in ONE place and embedded as
+    * literals in both the Spark plan and the DuckDB oracle, so no
+    * cross-engine transcendental-function rounding can touch the
+    * metric — the same shared-literal discipline as the hyperplane
+    * sketch's plane weights.
+    */
+  def dcgDiscounts(k: Int): Seq[(BigDecimal, BigDecimal)] = {
+    val disc = (1 to k).map { r =>
+      BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    disc.zip(disc.scanLeft(BigDecimal(0))(_ + _).tail)
+  }
+
+  /** Retrieval-quality evaluation: nDCG@k and reciprocal rank of the
+    * brute-force cosine ranking (the x10 contract) under binary
+    * label-match relevance — the eval harness a retrieval/embedding
+    * change ships with (did the new index/quantization/truncation hurt
+    * ranking QUALITY, not just recall? x35/x71 measure set overlap;
+    * this weights the ranking by position). Per query: hits in the
+    * top-k, `nDCG@k = DCG/IDCG` with the [[dcgDiscounts]] ladder (DCG
+    * addends are 6-dp literals summed as DECIMAL — bit-portable), and
+    * `rr = 1/rank` of the first relevant hit (0 when none).
+    *
+    * Scale shape: rides [[topKBrute]]'s broadcast-queries scan (swap in
+    * [[topKIvfIndexed]]'s probe for the indexed path — same output
+    * contract); everything downstream of the top-k is |queries|×k rows.
+    * The per-label totals relation (for IDCG's `min(k, R)` cap) is
+    * labels-bounded and broadcast.
+    */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val ladder = dcgDiscounts(k)
+    val discArr = array(ladder.map(d => lit(d._1.toDouble)): _*)
+    val cumArr = array(ladder.map(d => lit(d._2.toDouble)): _*)
+    val labels = corpus.select(col("vec_id"), col("label"))
+    val top = topKBrute(corpus, queries, k)
+      .join(labels.select(col("vec_id").as("cid"),
+        col("label").as("clabel")), "cid")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("label").as("qlabel"))), "qid")
+      .select(col("qid"), col("qlabel"), col("rank"),
+        when(col("clabel") === col("qlabel"), 1).otherwise(0).as("rel"))
+    val perQ = top
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(
+        sum(col("rel")).as("n_rel_topk"),
+        sum(when(col("rel") === 1,
+          element_at(discArr, col("rank")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("dcg"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+    // R = same-label corpus members minus the query itself; IDCG caps
+    // the ideal ladder at min(k, R)
+    val relTotals = corpus.groupBy(col("label"))
+      .agg(count(lit(1)).as("nlab"))
+      .select(col("label").as("qlabel"), (col("nlab") - 1).as("r_total"))
+    perQ.join(broadcast(relTotals), "qlabel")
+      .select(col("qid"), col("qlabel").as("label"), col("n_rel_topk"),
+        when(col("r_total") <= 0, lit(0.0)).otherwise(
+          round(col("dcg").cast(DoubleType) /
+            element_at(cumArr,
+              least(lit(k), col("r_total")).cast("int")), 6))
+          .as("ndcg"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0))
+          .as("rr"))
+  }
 }

@@ -103,4 +103,87 @@ object Sketches {
       .orderBy(col("est").desc, col("term"))
       .limit(k)
   }
+
+  /** HLL register precision: p index bits over the 60-bit md5 hash. */
+  val HllP = 6
+
+  /** Relational HyperLogLog registers (Flajolet et al. 2007): one row
+    * per (group, register) with the max leading-zero rank observed.
+    * The key hashes with the engine-portable 60-bit md5
+    * [[graft.ext.TextAnalysis.hash60]] (the x18/x54/x88 family, so a
+    * DuckDB oracle reproduces every register byte-for-byte): the low
+    * `p` bits pick the register, the remaining `W = 60 - p` bits yield
+    * `rank = W + 1 - bitlength(w)` (W+1 when w = 0). Insertion is
+    * idempotent (same key → same register/rank), so no pre-distinct
+    * pass is needed — the whole sketch is ONE max-groupBy, map-side
+    * partial-aggregated, and the register relation is groups×2^p rows
+    * regardless of key cardinality: the distinct-count complement of
+    * [[countMinTable]]'s fixed-memory frequency table. Merging sketches
+    * (across groups, corpora, or days) = union + re-max — associative,
+    * idempotent, no driver state.
+    */
+  def hllRegisters(keys: DataFrame, key: Column, group: Column,
+      p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"bad HLL precision: $p")
+    val m = 1 << p
+    val w = 60 - p
+    val h = graft.ext.TextAnalysis.hash60(key)
+    keys
+      .select(group.as("grp"), h.as("h"))
+      // integer div, NOT `/` (Divide on longs is double division — a
+      // 60-bit hash would lose low bits past the 53-bit mantissa)
+      .select(col("grp"), (col("h") % m).as("j"),
+        expr(s"h div $m").as("w"))
+      .select(col("grp"), col("j"),
+        when(col("w") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("w")))).as("rk"))
+      .groupBy(col("grp"), col("j"))
+      .agg(max(col("rk")).as("mx"))
+  }
+
+  /** HLL estimate per group from a register relation: the harmonic-mean
+    * estimator `alpha_m · m² / Σ 2^(−M_j)` with the standard small-range
+    * linear-counting correction (`m·ln(m/V)` when V empty registers
+    * remain and the raw estimate ≤ 2.5m). The indicator sum is kept
+    * EXACT by scaling to integers: Σ 2^(W+1−M_j) over hit registers
+    * plus `(m − hits)·2^(W+1)` for empty ones is a BIGINT (every
+    * M_j ∈ [1, W+1]), so the only floating-point steps are one literal
+    * division and the final 6-dp round — engine-portable bit-for-bit.
+    */
+  /** `alpha_m · m² · 2^(W+1)` — the numerator of the scaled-integer
+    * harmonic estimator, ONE double constant shared with the DuckDB
+    * oracle via `Double.toString` (which round-trips exactly).
+    */
+  def hllConstant(p: Int): Double = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * math.pow(2.0, (60 - p + 1).toDouble)
+  }
+
+  def hllEstimate(regs: DataFrame, p: Int = HllP): DataFrame = {
+    val m = 1 << p
+    val w = 60 - p
+    val c = hllConstant(p)
+    regs
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("hits"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w + 1} - mx AS INT))"))
+          .as("sbits"))
+      .select(col("grp"),
+        (lit(m) - col("hits")).as("v"),
+        (col("sbits") +
+          (lit(m) - col("hits")) * lit(1L << (w + 1))).as("s"))
+      .select(col("grp"), col("v"),
+        round(
+          when(col("v") > 0 &&
+              lit(c) / col("s") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m).cast("double") / col("v")))
+            .otherwise(lit(c) / col("s")),
+          6).as("est"))
+  }
 }

@@ -246,6 +246,56 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** PMI collocation mining (Church & Hanks 1990): the top-k adjacent
+    * word pairs by pointwise mutual information,
+    * `pmi = ln(P(ab) / (P(a)·P(b)))` with pair probability over the
+    * bigram mass and unigram probabilities over the token mass — the
+    * multi-word-expression detector a tokenizer-vocab or
+    * stopword-pruning decision reads ("hong kong" is one unit; "of the"
+    * is chance). `minCount` floors the pair count (PMI's known bias
+    * toward hapax pairs).
+    *
+    * Scale shape: ONE tokenize pass feeds both the bigram and unigram
+    * counts (bound token array, two keyed partial aggs); everything
+    * downstream is vocab-bounded — the totals are a 1-row broadcast,
+    * the unigram joins are vocab×vocab-bounded on the pair relation,
+    * and the top-k is a TakeOrderedAndProject. Determinism: the ln
+    * argument is assembled in one fixed association order from exact
+    * BIGINT counts (each double op correctly rounded ⇒ bit-identical
+    * across engines), rounded to 6 dp.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 20,
+      minCount: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ws = docs.select(tokens(col("text")).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(bigrams(col("ws"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .select(col("pair"), col("c12"),
+        split(col("pair"), " ").getItem(0).as("w1"),
+        split(col("pair"), " ").getItem(1).as("w2"))
+    // token and bigram mass from ONE cheap per-doc length projection
+    // (Σ len and Σ max(len−1, 0) — no second explode pass)
+    val totals = docs
+      .select(size(tokens(col("text"))).as("len"))
+      .agg(sum(col("len")).as("n"),
+        sum(greatest(col("len") - 1, lit(0))).as("nb"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c1").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c1").as("cb")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("pair"), col("c12"),
+        round(log(
+          col("c12").cast(DoubleType) * col("n") * col("n") /
+            (col("nb").cast(DoubleType) * col("ca") * col("cb"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Per-source token Shannon entropy — the corpus-diversity ledger
     * that complements [[vocabCoverage]] (head mass) and the x68 drift
     * matrix (pairwise shift): low entropy flags template/boilerplate

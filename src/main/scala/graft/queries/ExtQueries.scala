@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.engine.Checkpoints.MaterializeOps
 import graft.ext.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ext.TextAnalysis._
 
@@ -1032,7 +1033,59 @@ object ExtQueries {
     "x88_cms_heavy_hitters" -> ((s, dir) =>
       graft.ext.Sketches.cmsHeavyHitters(
         docs(s, dir).select(explode(tokens(col("text"))).as("w")),
-        col("w"), k = 20))
+        col("w"), k = 20)),
+
+    // MinHash estimator fidelity: exact vs estimated Jaccard at a SHORT
+    // 16-slot signature over every verified near-dup pair — the
+    // signature-size dial, on the portable md5 hash family so the
+    // oracle reproduces every slot
+    "x89_minhash_fidelity" -> ((s, dir) =>
+      Dedup.minhashFidelity(docs(s, dir), n = 3, threshold = 0.3,
+        numHashes = 16)
+        .orderBy(col("da"), col("db"))),
+
+    // relational HyperLogLog: per-source distinct-shingle estimate from
+    // a 64-register md5 sketch (mergeable by re-max: the __all row IS
+    // the per-source registers merged), alongside the exact distinct
+    // count and the relative error
+    "x90_hll_distinct" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          explode(shinglesFromTokens(col("ws"), 3)).as("sg"))
+      val regs = graft.ext.Sketches
+        .hllRegisters(sh, col("sg"), col("source")).materialized
+      val all = regs.groupBy(col("j")).agg(max(col("mx")).as("mx"))
+        .select(lit("__all").as("grp"), col("j"), col("mx"))
+      val est = graft.ext.Sketches.hllEstimate(regs.unionByName(all))
+      val exact = sh.groupBy(col("source"))
+        .agg(countDistinct(col("sg")).as("exact"))
+        .select(col("source").as("grp"), col("exact"))
+        .unionByName(sh.agg(countDistinct(col("sg")).as("exact"))
+          .select(lit("__all").as("grp"), col("exact")))
+      est.join(exact, "grp")
+        .select(col("grp").as("source"), col("v"), col("est"),
+          col("exact"),
+          round(abs(col("est") - col("exact")) / col("exact"), 6)
+            .as("rel_err"))
+        .orderBy(col("source"))
+    }),
+
+    // retrieval-quality eval: nDCG@10 + reciprocal rank of brute cosine
+    // retrieval under label-match relevance — position-weighted ranking
+    // quality, the metric x35/x71's set-overlap recall can't see
+    "x91_retrieval_ndcg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.retrievalEval(e, e.filter(col("vec_id") < 20), k = 10)
+        .orderBy(col("qid"))
+    }),
+
+    // PMI collocations: top-20 adjacent word pairs by pointwise mutual
+    // information (min pair count 5) — the multi-word-expression
+    // detector behind tokenizer-vocab decisions
+    "x92_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), k = 20, minCount = 5))
   )
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
@@ -2887,8 +2940,171 @@ object ExtQueries {
          est AS (SELECT k, true_cnt, min(cnt) AS est
                  FROM probes JOIN tab USING (r, b) GROUP BY k, true_cnt)
          SELECT k AS term, est, true_cnt, est - true_cnt AS overcount
-         FROM est ORDER BY est DESC, term LIMIT 20"""
+         FROM est ORDER BY est DESC, term LIMIT 20""",
+
+    // mirrors x89: exact pairs at threshold 0.3 + the 16-slot MinHash
+    // estimate from the SAME seed literals (MinHashSig.seeds), base
+    // hashes = 60-bit md5 folded into the Mersenne-31 space
+    "x89_minhash_fidelity" ->
+      (shingleCte + s""",
+         pairs AS (
+           SELECT * FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg)
+                           - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.3),
+         seeds AS (SELECT * FROM (VALUES ${minhashSeedsSql(16)})
+                   AS t(i, a, b)),
+         u AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+         h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)
+                   % 2147483647 AS hv
+               FROM u),
+         sig AS (SELECT doc_id, i, min((a * hv + b) % 2147483647) AS mn
+                 FROM h, seeds GROUP BY doc_id, i),
+         m AS (SELECT p.da, p.db, p.j,
+                 sum(CASE WHEN sa.mn = sb.mn THEN 1 ELSE 0 END) AS mt
+               FROM pairs p
+               JOIN sig sa ON sa.doc_id = p.da
+               JOIN sig sb ON sb.doc_id = p.db AND sb.i = sa.i
+               GROUP BY p.da, p.db, p.j)
+         SELECT da, db, j, round(CAST(mt AS DOUBLE) / 16, 6) AS j_est,
+                round(abs(j - round(CAST(mt AS DOUBLE) / 16, 6)), 6)
+                  AS abs_err
+         FROM m ORDER BY da, db"""),
+
+    // mirrors x90: 64-register HLL from the same md5 hash60 (j = h mod
+    // 64, w = h div 64, rank = 55 - bitlength(w)), exact-integer
+    // indicator sum, the shared hllConstant literal, __all = re-maxed
+    // registers
+    "x90_hll_distinct" ->
+      s"""WITH sw AS (SELECT source,
+                 regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+         sh AS (SELECT source,
+                  unnest(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in generate_series(1, len(ws)-2)])) AS sg
+                FROM sw WHERE len(ws) >= 3),
+         h AS (SELECT source,
+                 CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT) AS h
+               FROM sh),
+         rk AS (SELECT source, h % 64 AS j,
+                  CASE WHEN h // 64 = 0 THEN 55
+                       ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS rk
+                FROM h),
+         regs AS (SELECT source, j, max(rk) AS mx
+                  FROM rk GROUP BY source, j),
+         r2 AS (SELECT * FROM regs
+                UNION ALL
+                SELECT '__all' AS source, j, max(mx) AS mx
+                FROM regs GROUP BY j),
+         agg AS (SELECT source, 64 - count(*) AS v,
+                   sum(CAST(1 AS BIGINT) << (55 - mx))
+                     + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS s
+                 FROM r2 GROUP BY source),
+         e2 AS (SELECT source, v,
+                  round(CASE WHEN v > 0 AND ${hllCLit} / s <= 160.0
+                             THEN 64.0 * ln(CAST(64 AS DOUBLE) / v)
+                             ELSE ${hllCLit} / s END, 6) AS est
+                FROM agg),
+         ex AS (SELECT source, count(DISTINCT sg) AS exact
+                FROM sh GROUP BY source
+                UNION ALL
+                SELECT '__all', count(DISTINCT sg) FROM sh)
+         SELECT e2.source, v, est, exact,
+                round(abs(est - exact) / exact, 6) AS rel_err
+         FROM e2 JOIN ex USING (source) ORDER BY source""",
+
+    // mirrors x91: brute cosine top-10 (x10's rank contract) under
+    // label-match relevance; the 6-dp discount/cumulative ladder is the
+    // SAME literal table Similarity.dcgDiscounts embeds in the plan
+    "x91_retrieval_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+               FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS qid, a.label AS qlabel,
+                  b.vec_id AS cid, b.label AS clabel, $cosSql AS cos
+           FROM e a JOIN e b ON a.vec_id < 20 AND a.vec_id != b.vec_id),
+         t AS (SELECT * FROM (
+                 SELECT qid, qlabel, cid, clabel,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, cid) AS rank
+                 FROM scored) s WHERE rank <= 10),
+         disc AS (SELECT * FROM (VALUES ${dcgLadderSql(10)})
+                  AS d(r, disc, cum)),
+         perq AS (SELECT qid, qlabel,
+                    CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_rel_topk,
+                    sum(CAST(CASE WHEN clabel = qlabel THEN d.disc
+                             ELSE 0 END AS DECIMAL(38,12))) AS dcg,
+                    min(CASE WHEN clabel = qlabel THEN rank END)
+                      AS first_rel
+                  FROM t JOIN disc d ON d.r = t.rank
+                  GROUP BY qid, qlabel),
+         rt AS (SELECT label, count(*) - 1 AS r_total
+                FROM e GROUP BY label)
+         SELECT qid, qlabel AS label, n_rel_topk,
+                CASE WHEN r_total <= 0 THEN 0.0
+                     ELSE round(CAST(dcg AS DOUBLE) /
+                       (SELECT CAST(cum AS DOUBLE) FROM disc
+                        WHERE r = least(10, r_total)), 6) END AS ndcg,
+                coalesce(round(1.0 / first_rel, 6), 0.0) AS rr
+         FROM perq JOIN rt ON rt.label = perq.qlabel
+         ORDER BY qid""",
+
+    // mirrors x92: bigram/unigram counts from one token pass, totals
+    // from the per-doc length projection, PMI assembled in the same
+    // association order
+    "x92_pmi_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+         u AS (SELECT w, count(*) AS c1
+               FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+         tot AS (SELECT sum(len(ws)) AS n,
+                   sum(greatest(len(ws) - 1, 0)) AS nb FROM d),
+         b AS (SELECT pair, count(*) AS c12
+               FROM (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                       for i in generate_series(1, len(ws)-1)]) AS pair
+                     FROM d WHERE len(ws) >= 2)
+               GROUP BY pair HAVING count(*) >= 5),
+         j AS (SELECT pair, c12,
+                 string_split(pair, ' ')[1] AS w1,
+                 string_split(pair, ' ')[2] AS w2 FROM b)
+         SELECT pair, c12,
+                round(ln(CAST(c12 AS DOUBLE) * n * n /
+                         (CAST(nb AS DOUBLE) * ua.c1 * ub.c1)), 6) AS pmi
+         FROM j
+         JOIN u ua ON ua.w = j.w1
+         JOIN u ub ON ub.w = j.w2
+         CROSS JOIN tot
+         ORDER BY pmi DESC, pair LIMIT 20"""
   )
+
+  /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
+    * list — the x89 oracle replicates the signature from the SAME
+    * literals the codegen expression embeds.
+    */
+  private def minhashSeedsSql(numHashes: Int): String =
+    graft.functions.MinHashSig.seeds(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+
+  /** [[graft.ext.Sketches.hllConstant]] as a literal (Double.toString
+    * round-trips, so both engines parse the identical double).
+    */
+  private def hllCLit: String =
+    graft.ext.Sketches.hllConstant(6).toString
+
+  /** [[graft.ext.Similarity.dcgDiscounts]] as a DuckDB VALUES list of
+    * (rank, discount, cumulative-ideal) — the shared 6-dp metric
+    * constants of the x91 eval.
+    */
+  private def dcgLadderSql(k: Int): String =
+    Similarity.dcgDiscounts(k).zipWithIndex
+      .map { case ((d, c), i) => s"(${i + 1}, ${d}, ${c})" }
+      .mkString(", ")
 
   /** DuckDB replication of [[graft.ext.Similarity.pcaTopComponent]] —
     * the unrolled power iterations (fixed plan-time constants on both

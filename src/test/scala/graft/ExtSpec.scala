@@ -1963,4 +1963,141 @@ class ExtSpec extends AnyFunSuite {
     }
     words.unpersist()
   }
+
+  /** Driver-side replication of the x90 HLL register derivation: md5 →
+    * 60-bit value → (register, rank) — the same bytes the engine and
+    * the DuckDB oracle compute.
+    */
+  private def hllRef(keys: Seq[String], p: Int): Map[Long, Int] = {
+    val m = 1 << p
+    val w = 60 - p
+    keys.map { k =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      val j = h % m
+      val rest = h / m
+      val rk = if (rest == 0L) w + 1
+        else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      (j, rk)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+  }
+
+  test("hllRegisters matches the driver-side md5 derivation; inserts " +
+    "are idempotent; union-re-max merges sketches") {
+    import graft.ext.Sketches
+    val keys = (0 until 1000).map(i => s"key$i")
+    val df = (keys ++ keys.take(100)) // duplicates must not move registers
+      .toDF("k").withColumn("g", lit("a"))
+    val got = Sketches.hllRegisters(df, $"k", $"g")
+      .as[(String, Long, Int)].collect()
+      .map { case (_, j, mx) => (j, mx) }.toMap
+    assert(got == hllRef(keys, 6))
+    // mergeability: re-maxed union of two disjoint halves == sketch of
+    // the whole
+    val h1 = Sketches.hllRegisters(
+      keys.take(500).toDF("k").withColumn("g", lit("x")), $"k", $"g")
+    val h2 = Sketches.hllRegisters(
+      keys.drop(500).toDF("k").withColumn("g", lit("x")), $"k", $"g")
+    val merged = h1.unionByName(h2).groupBy($"grp", $"j")
+      .agg(max($"mx").as("mx"))
+      .as[(String, Long, Int)].collect()
+      .map { case (_, j, mx) => (j, mx) }.toMap
+    assert(merged == hllRef(keys, 6))
+  }
+
+  test("hllEstimate lands within the published error envelope at " +
+    "known cardinality") {
+    import graft.ext.Sketches
+    val n = 5000
+    val df = (0 until n).map(i => s"v$i").toDF("k")
+      .withColumn("g", lit("a"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(df, $"k", $"g"))
+      .as[(String, Long, Double)].collect().head._3
+    // σ = 1.04/√64 = 13%; 4σ is a deterministic-fixture-safe bracket
+    assert(math.abs(est - n) < 4 * 1.04 / 8 * n,
+      s"HLL estimate $est too far from $n")
+  }
+
+  test("minhashFidelity: identical docs estimate 1.0; j_est matches a " +
+    "driver-side replication of the portable signature") {
+    val P = graft.functions.MinHashSig.MersennePrime31
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x"),
+      (4L, "q r s t u v w z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashFidelity(d, n = 3, threshold = 0.3,
+      numHashes = 16)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val (j12, je12, err12) = out((1L, 2L))
+    assert(j12 == 1.0 && je12 == 1.0 && err12 == 0.0)
+    // driver-side signature replication for the (1,3) pair
+    def shingles(t: String) = t.split(" ").sliding(3).map(_.mkString(" "))
+      .toSeq.distinct
+    def sig(t: String): Seq[Long] = {
+      val hv = shingles(t).map { s =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16) % P
+      }
+      graft.functions.MinHashSig.seeds(16).toSeq.map { case (a, b) =>
+        hv.map(h => (a * h + b) % P).min
+      }
+    }
+    val expected = sig("a b c d e f g h").zip(sig("a b c d e f g x"))
+      .count { case (x, y) => x == y } / 16.0
+    val (_, je13, _) = out((1L, 3L))
+    assert(je13 == math.rint(expected * 1e6) / 1e6)
+  }
+
+  test("retrievalEval: hand-computed nDCG/rr on a separable fixture") {
+    // qid 0 (label 1): ranking by cosine puts the two label-1 vectors
+    // at ranks 1 and 3 (by construction below)
+    val mk = (hot: Int, v: Float) =>
+      (0 until 8).map(d => if (d == hot) v else 0.01f)
+    val e = Seq(
+      (0L, mk(0, 1.0f), 1),
+      (1L, mk(0, 0.9f), 1),  // cos≈1 with q0 → rank 1, relevant
+      (2L, mk(0, 0.5f), 2),  // rank 2, irrelevant
+      (3L, mk(1, 0.8f), 1),  // low cos → rank 3, relevant
+      (4L, mk(2, 0.8f), 2)   // rank 4, irrelevant
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalEval(e, e.filter($"vec_id" === 0), k = 10)
+      .as[(Long, Int, Long, Double, Double)].collect().head
+    val (qid, label, nRel, ndcg, rr) = got
+    assert(qid == 0L && label == 1 && nRel == 2L && rr == 1.0)
+    val ladder = Similarity.dcgDiscounts(10)
+    val dcg = ladder(0)._1 + ladder(2)._1  // hits at ranks 1 and 3
+    val idcg = ladder(1)._2                // R = 2 relevant → cum(2)
+    val expect = (dcg.toDouble / idcg.toDouble * 1e6).round / 1e6
+    assert(math.abs(ndcg - expect) < 1e-9, s"ndcg $ndcg vs $expect")
+  }
+
+  test("pmiCollocations: hand-computed PMI, minCount floor, rank order") {
+    import graft.ext.TextAnalysis
+    // "a b" ×6 (always adjacent), "c" padding; "x y" appears 2× only
+    val d = Seq(
+      (1L, "a b a b a b c c"),
+      (2L, "a b a b a b x y"),
+      (3L, "x y c c c c c c")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, k = 10, minCount = 5)
+      .as[(String, Long, Double)].collect()
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!m.contains("x y"), "below minCount must be filtered")
+    assert(m.contains("a b"))
+    val (c12, pmi) = m("a b")
+    assert(c12 == 6L)
+    // n tokens = 24, nb = 21, c(a)=6, c(b)=6
+    val expect = math.rint(
+      math.log(6.0 * 24 * 24 / (21.0 * 6 * 6)) * 1e6) / 1e6
+    assert(pmi == expect, s"$pmi vs $expect")
+    // descending by pmi, pair tie-break
+    val pmis = out.map(_._3).toSeq
+    assert(pmis == pmis.sorted.reverse)
+  }
 }

@@ -45,7 +45,9 @@ class PlanSpec extends AnyFunSuite {
     "x78_embedding_outliers", // k-row centroid side: x39's cell assignment
     "x80_hard_negatives", // k-row query side vs corpus, x10's shape
     "x81_tfidf_cosine_pairs", // 1-row corpus count, the x13/x14 pattern
-    "x87_backoff_lm_score") // 1-row (N,V) broadcast onto the model rel
+    "x87_backoff_lm_score", // 1-row (N,V) broadcast onto the model rel
+    "x91_retrieval_ndcg", // composes topKBrute: bounded query side
+    "x92_pmi_collocations") // 1-row token/bigram totals, x13/x14 pattern
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -189,6 +191,10 @@ class PlanSpec extends AnyFunSuite {
       "x73_bpe_pair_counts" -> "struct<text:string>",
       "x74_curriculum_schedule" ->
         "struct<doc_id:bigint,text:string,source:string>",
+      // (x89 not listed: its shingle relation is checkpoint-materialized,
+      // so the executed plan shows the lineage cut, not the parquet scan)
+      "x90_hll_distinct" -> "struct<text:string,source:string>",
+      "x92_pmi_collocations" -> "struct<text:string>",
       // embeddings scan: vec_id must be pruned away (only the vectors
       // feed the mean/iteration passes)
       "x75_pca_top_component" -> "struct<embedding:array<float>>")
