@@ -981,4 +981,31 @@ object Dedup {
         round(col("fuzzy_dup_tokens").cast(DoubleType) / col("n_tokens"), 6))
       .orderBy(col("source"))
   }
+
+  /** Template/boilerplate prefix detector: per source, the share of
+    * documents whose first-`prefixTokens`-token fingerprint repeats
+    * within the source — scraped boilerplate (cookie banners, forum
+    * headers, license blurbs) shows up as a few prefix groups holding
+    * most of a source's docs long before any pairwise dedup runs. The
+    * cheap triage read BEFORE x49/x50's exact-substring machinery is
+    * pointed at a source.
+    *
+    * Scale shape: one map pass to a 16-byte md5 prefix fingerprint (the
+    * [[exact]] discipline — only fingerprints shuffle), one
+    * (source, fp) partial-agg count, one sources-bounded rollup.
+    */
+  def templatePrefixRate(docs: DataFrame, prefixTokens: Int = 8)
+      : DataFrame = {
+    import graft.ext.TextAnalysis.tokens
+    val fp = docs.select(col("source"),
+      md5(array_join(slice(tokens(col("text")), 1, prefixTokens), " "))
+        .as("pfp"))
+    fp.groupBy(col("source"), col("pfp")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_templated"),
+        round(sum(when(col("n") >= 2, col("n")).otherwise(0L))
+          .cast(DoubleType) / sum(col("n")), 6).as("template_rate"))
+  }
 }

@@ -1221,6 +1221,184 @@ object Similarity {
         col("eigval"))
   }
 
+  /** Simplified (centroid-based) silhouette per trained k-means cell —
+    * the clustering-quality ledger read before trusting the cells for
+    * SemDeDup (x39), balanced sampling (x55), or IVF probing (x15): a
+    * cell whose mean silhouette sits near 0 is not a real neighborhood,
+    * and its quota/prune decisions are noise. Per vector, `a` = cosine
+    * distance to its own (argmax) centroid and `b` = distance to the
+    * best OTHER centroid; s = (b−a)/max(a,b), which under the argmax
+    * assignment reduces to (own−other)/(1−other) with `b ≥ a` always.
+    *
+    * Scale shape: one corpus pass against the broadcast centroid
+    * relation (dim-table-class, the x15 contract); the per-vector
+    * reduction is a k-bounded `collect_list` that partial-aggregates —
+    * slot 1 of the sorted array IS the cell assignment (same
+    * (cos desc, low-id) tie-break as [[cellAssignments]]), slot 2 the
+    * runner-up, so no window sort ever touches the vectors×centroids
+    * product. Output is cells-bounded. Cosines are 6-dp rounded and the
+    * per-cell means are round-then-DECIMAL sums — engine-portable.
+    */
+  def silhouette(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val cent = centroidRelation(centroids)
+    val scored = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(cent))
+      .select(col("cid"), col("cent_id"),
+        round(dot(col("ce"), col("cent_e")) / (col("cn") * col("cent_n")), 6)
+          .as("ccos"))
+    val per = scored
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(
+        struct((-col("ccos")).as("nc"), col("cent_id")))).as("cc"))
+      .select(col("cid"),
+        col("cc").getItem(0).getField("cent_id").as("cell"),
+        (-col("cc").getItem(0).getField("nc")).as("own"),
+        (-col("cc").getItem(1).getField("nc")).as("other"))
+      .select(col("cid"), col("cell"), col("own"),
+        when(lit(1.0) - col("other") === 0.0, lit(0.0))
+          .otherwise(round((col("own") - col("other")) /
+            (lit(1.0) - col("other")), 6)).as("sil"))
+    per.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sil").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_sil"),
+        min(col("sil")).as("min_sil"),
+        round(sum(col("own").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_cohesion"))
+  }
+
+  /** Approximate k-nearest-neighbor graph, built within trained k-means
+    * cells (the SemDeDup locality assumption: near neighbors share a
+    * cell), with per-node degree / mutual-degree / mean-similarity
+    * stats — the input ledger for graph-based corpus work (label
+    * propagation, graph dedup, connectivity audits). An edge (i → j)
+    * means j is among i's top-k same-cell neighbors; `mutual_degree`
+    * counts neighbors that also list i back — the symmetric core a
+    * mutual-kNN clustering would keep.
+    *
+    * Scale shape: the pair join is cell-local (Σ|cell|² like [[
+    * semanticDedup]], never n²); the per-node top-k window partitions on
+    * the source vector. The kNN edge list is materialized once (it feeds
+    * both the stats rollup and its own reversal for the mutual check —
+    * without the cut the Σ|cell|² scoring would run twice). Cosines are
+    * 6-dp rounded with (cos desc, id) total order — engine-portable.
+    */
+  def knnGraph(emb: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val cells = assignCells(emb, centroidRelation(centroids))
+    val nb = cells.select(col("cell"), col("cid").as("nid"),
+      col("ce").as("ne"), col("cn").as("nn"))
+    val scored = cells.select(col("cell"), col("cid"), col("ce"), col("cn"))
+      .join(nb, Seq("cell"))
+      .filter(col("cid") =!= col("nid"))
+      .select(col("cid"), col("cell"), col("nid"),
+        round(dot(col("ce"), col("ne")) / (col("cn") * col("nn")), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cid"), col("cell"), col("nid"), col("cos"))
+      .materialized
+    val rev = knn.select(col("nid").as("cid"), col("cid").as("nid"))
+    val mut = knn.join(rev, Seq("cid", "nid"), "left_semi")
+      .groupBy(col("cid")).agg(count(lit(1)).as("mutual_degree"))
+    knn.groupBy(col("cid"), col("cell"))
+      .agg(count(lit(1)).as("degree"),
+        round(sum(col("cos").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_cos"))
+      .join(mut, Seq("cid"), "left")
+      .select(col("cid").as("vec_id"), col("cell"), col("degree"),
+        coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
+        col("mean_cos"))
+  }
+
+  /** Intra-label embedding dispersion WITHOUT a pairwise join: the mean
+    * pairwise cosine inside each label via the normalized-sum identity
+    * Σ_{i≠j} uᵢ·uⱼ = ‖Σᵢuᵢ‖² − Σᵢ‖uᵢ‖² on unit vectors — the class-
+    * cohesion ledger (a label whose members barely cohere is mislabeled
+    * or heterogeneous; read next to x28's BETWEEN-label centroid
+    * matrix). O(rows·dim) — two keyed partial aggregations, no n² step
+    * at any corpus size.
+    *
+    * Determinism: normalized coordinates are quantized to 1e-6 as
+    * BIGINTs (the x28/k-means contract), so both Σu (per-dim, ≤ n·10⁶)
+    * and Σ‖u‖² (per-row fold, ≤ dim·10¹²) are EXACT integer sums;
+    * squaring the per-dim sums runs in DECIMAL (they can pass 2⁶³ at
+    * corpus scale). The only floating-point step is the final division,
+    * identical literal order in the oracle.
+    */
+  def labelDispersion(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val u = emb.select(col("label"),
+      transform(col("embedding"), x =>
+        round(x.cast(DoubleType) / norm(col("embedding")) * 1e6, 0)
+          .cast(LongType)).as("q"))
+    val perRow = u.select(col("label"),
+      aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).as("q2"),
+      col("q"))
+    val perLabel = perRow.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("q2")).as("sq2"))
+    val dimSums = perRow
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("qd")).as("s"))
+      .groupBy(col("label"))
+      .agg(sum(col("s").cast(DecimalType(38, 0)) * col("s")).as("s2"))
+    perLabel.join(dimSums, "label")
+      .select(col("label"), col("n"),
+        when(col("n") < 2, lit(null).cast(DoubleType))
+          .otherwise(round(
+            (col("s2").cast(DoubleType) - col("sq2").cast(DoubleType)) /
+              (col("n") * (col("n") - 1)).cast(DoubleType) / 1e12, 6))
+          .as("mean_pair_cos"))
+  }
+
+  /** Int8 quantization-error audit: the reconstruction cosine between
+    * each vector and its dequantized x25 form (max-abs scale, 127
+    * levels) rolled up to one row — n, mean/min cosine, and the count
+    * below 0.999. The price sheet for the 4× storage cut, the same role
+    * x71 plays for dimension truncation and x35 for IVF probing: read
+    * it before switching the 100 TB vector store to int8 at rest.
+    *
+    * Zero shuffle until the 1-row rollup (quantize, dequantize, and the
+    * cosine are per-row folds). Determinism: codes replicate x25's
+    * round(x/s·127) exactly; the dequantized dot/norms are ordered
+    * double folds ([[dotHof]] ≡ list_dot_product); cosines 6-dp
+    * rounded, mean = round-then-DECIMAL. An all-zero vector
+    * reconstructs exactly — its undefined cosine is pinned to 1.
+    */
+  def int8QuantError(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val scaled = emb.select(col("embedding"),
+      array_max(transform(col("embedding"),
+        x => abs(x.cast(DoubleType)))).as("s0"))
+      .withColumn("ss",
+        when(col("s0") === 0.0, lit(1.0)).otherwise(col("s0")))
+    val deq = scaled
+      .withColumn("codes", transform(col("embedding"),
+        x => round(x.cast(DoubleType) / col("ss") * 127, 0).cast("int")))
+      .withColumn("deq", transform(col("codes"),
+        c => c.cast(DoubleType) * col("ss") / 127))
+    val cosv = deq.select(
+      when(norm(col("embedding")) * sqrt(dotHof(col("deq"), col("deq")))
+          === 0.0, lit(1.0))
+        .otherwise(round(dotHof(col("embedding"), col("deq")) /
+          (norm(col("embedding")) *
+            sqrt(dotHof(col("deq"), col("deq")))), 6)).as("cos"))
+    cosv.agg(count(lit(1)).as("n"),
+      round(sum(col("cos").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
+        .as("mean_cos"),
+      min(col("cos")).as("min_cos"),
+      sum(when(col("cos") < 0.999, 1L).otherwise(0L)).as("n_below_999"))
+  }
+
   /** Rank-discount table of the nDCG metric, as 6-dp plan-time
     * constants: `disc(r) = round(1/log2(r+1), 6)` and its prefix sums
     * (the ideal-DCG ladder). Precomputed in ONE place and embedded as

@@ -331,6 +331,135 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Zipf-law fit over the top-`topN` token frequencies: OLS regression
+    * of ln(count) on ln(rank) — slope ≈ −1 is natural-language territory
+    * (Zipf 1949); a flat slope flags template floods and a cliff flags
+    * truncated/deduped vocab. One-row output (n_terms, slope, intercept,
+    * r2): the single-number corpus-naturalness dial next to x76's
+    * entropy and x65's head coverage.
+    *
+    * Scale shape: token counts partial-aggregate, the top-N lands via
+    * TakeOrderedAndProject (per-partition heaps, no global sort), and
+    * the rank window + regression run over N rows — a single tiny task
+    * by construction, the x65 pattern. Determinism: ln values rounded to
+    * 6 dp, products to 9 dp, sums as DECIMAL(38,12) (the x68 contract);
+    * the closed-form slope/intercept/r² arithmetic is a fixed literal
+    * order replicated in the oracle.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 12)
+    val top = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(topN)
+    val w = Window.orderBy(col("cnt").desc, col("w").asc)
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(round(log(col("rank").cast(DoubleType)), 6).as("x"),
+        round(log(col("cnt").cast(DoubleType)), 6).as("y"))
+    val sums = xy.agg(
+      count(lit(1)).cast(DoubleType).as("m"),
+      sum(col("x").cast(dec)).cast(DoubleType).as("sx"),
+      sum(col("y").cast(dec)).cast(DoubleType).as("sy"),
+      sum(round(col("x") * col("y"), 9).cast(dec)).cast(DoubleType)
+        .as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast(dec)).cast(DoubleType)
+        .as("sxx"),
+      sum(round(col("y") * col("y"), 9).cast(dec)).cast(DoubleType)
+        .as("syy"))
+    sums.select(
+      col("m").cast("bigint").as("n_terms"),
+      round((col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+        col("m"), 6).as("intercept"),
+      round(((col("m") * col("sxy") - col("sx") * col("sy")) *
+        (col("m") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("m") * col("sxx") - col("sx") * col("sx")) *
+          (col("m") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** Token burstiness (Church & Gale 1995): cf/df — the mean number of
+    * occurrences per CONTAINING document, for tokens with corpus
+    * frequency ≥ `minCf`. A bursty token (high cf/df) concentrates in
+    * few documents — boilerplate runs, code listings, template fields —
+    * where a well-mixed content word spreads thin; the complement of
+    * x13's plain document frequency and the per-token face of x62's
+    * within-doc repetition gate.
+    *
+    * Scale shape: one tokenize-explode pass → (doc, token) partial-agg
+    * counts → token-level rollup (both keyed partial aggregations;
+    * Zipf-hot tokens carry counts, not rows); top-k is a
+    * TakeOrderedAndProject.
+    */
+  def tokenBurstiness(docs: DataFrame, k: Int = 20,
+      minCf: Int = 20): DataFrame = {
+    val dt = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+    dt.groupBy(col("w"))
+      .agg(sum(col("n")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("cf") >= minCf)
+      .select(col("w").as("token"), col("cf"), col("df"),
+        round(col("cf").cast(DoubleType) / col("df"), 6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("token").asc)
+      .limit(k)
+  }
+
+  /** Blocklist gate (the C4 "badwords" filter shape): per-source count
+    * of documents containing any blocklist token, with total hit mass —
+    * the cheapest content filter a corpus runs, and the per-source rate
+    * is the ledger that decides whether a source is filtered or dropped
+    * wholesale. Matching is exact on lowercased whitespace tokens (no
+    * substring surprises: "class" never matches a blocked "ass").
+    *
+    * Scale shape: one tokenize pass; the blocklist is a plan-time
+    * literal array (broadcast-free — it compiles into the filter
+    * lambda), output is sources-bounded.
+    */
+  def blocklistGate(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val bl = array(blocklist.map(t => lit(t.toLowerCase)): _*)
+    val perDoc = docs.select(col("source"),
+      size(filter(tokens(col("text")),
+        t => array_contains(bl, lower(t)))).as("hits"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits").cast("long")).as("total_hits"),
+        round(sum(when(col("hits") > 0, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("flag_rate"))
+  }
+
+  /** Flesch reading-ease per document, with a deterministic vowel-group
+    * syllable heuristic (syllables(w) = max(1, count of [aeiouy]+ runs
+    * in lowercase w)) — the readability face of the quality suite:
+    * Flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), sentences = max(1, count of [.!?]+ runs). Zero shuffle —
+    * one map pass, every term a per-row regexp/HOF fold; the per-word
+    * syllable transform is a Java∩RE2 regex so the oracle replicates it
+    * with list_transform byte-for-byte.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ws = tokens(col("text"))
+    val nw = size(ws).cast(DoubleType)
+    val ns = greatest(lit(1),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+      .cast(DoubleType)
+    val nsy = aggregate(ws, lit(0L), (acc, wd) => acc +
+      greatest(lit(1),
+        size(regexp_extract_all(lower(wd), lit("[aeiouy]+"), lit(0)))))
+      .cast(DoubleType)
+    docs.select(col("doc_id"),
+      nw.cast("bigint").as("n_words"),
+      ns.cast("bigint").as("n_sentences"),
+      nsy.cast("bigint").as("n_syllables"),
+      when(nw === 0, lit(null).cast(DoubleType))
+        .otherwise(round(lit(206.835) - lit(1.015) * (nw / ns) -
+          lit(84.6) * (nsy / nw), 6)).as("flesch"))
+  }
+
   /** Mean word length in characters, rounded to 6 — a Gopher-style
     * quality gate input (word soup and OCR noise sit far from the 3–10
     * band of natural prose).

@@ -1085,8 +1085,92 @@ object ExtQueries {
     // information (min pair count 5) — the multi-word-expression
     // detector behind tokenizer-vocab decisions
     "x92_pmi_collocations" -> ((s, dir) =>
-      TextAnalysis.pmiCollocations(docs(s, dir), k = 20, minCount = 5))
+      TextAnalysis.pmiCollocations(docs(s, dir), k = 20, minCount = 5)),
+
+    // simplified silhouette per trained k-means cell: the clustering-
+    // quality ledger read before trusting the cells that back SemDeDup
+    // (x39), balanced sampling (x55), and IVF probing (x15) — shares
+    // their cached centroid training
+    "x93_cluster_silhouette" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.silhouette(e, Similarity.trainCentroids(e, nCentroids = 8))
+        .orderBy(col("cell"))
+    }),
+
+    // cell-local approximate kNN graph with mutual-degree stats: the
+    // input ledger for graph-based corpus work; edges only within
+    // trained k-means cells (Σ|cell|², the SemDeDup locality shape)
+    "x94_knn_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnGraph(e, Similarity.trainCentroids(e, nCentroids = 8),
+        k = 5).orderBy(col("vec_id"))
+    }),
+
+    // intra-label dispersion via the normalized-sum identity — mean
+    // pairwise cosine per label with NO pairwise join (exact integer
+    // sums over 1e-6-quantized unit vectors); x28's within-class
+    // complement
+    "x95_label_dispersion" -> ((s, dir) =>
+      Similarity.labelDispersion(emb(s, dir)).orderBy(col("label"))),
+
+    // Zipf-law OLS fit over the top-200 token frequencies: one-row
+    // slope/intercept/r² — the corpus-naturalness dial (slope ≈ −1 for
+    // natural language; flat = template flood)
+    "x96_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), topN = 200)),
+
+    // blocklist gate (the C4 badwords-filter shape): per-source flagged
+    // docs + hit mass on exact lowercased-token matches
+    "x97_blocklist_gate" -> ((s, dir) =>
+      TextAnalysis.blocklistGate(docs(s, dir), Blocklist)
+        .orderBy(col("source"))),
+
+    // Flesch reading-ease per doc with a deterministic vowel-group
+    // syllable heuristic — the readability face of the quality suite
+    "x98_readability" -> ((s, dir) =>
+      TextAnalysis.readability(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // token burstiness (Church & Gale cf/df): boilerplate concentrates
+    // in few docs (high), content words spread thin — the per-token
+    // face of the repetition gate
+    "x99_token_burstiness" -> ((s, dir) =>
+      TextAnalysis.tokenBurstiness(docs(s, dir), k = 20, minCf = 20)),
+
+    // template-prefix detector: per-source share of docs whose first-8-
+    // token fingerprint repeats — boilerplate triage read before the
+    // substring-dedup machinery is pointed at a source
+    "x100_template_prefix" -> ((s, dir) =>
+      Dedup.templatePrefixRate(docs(s, dir), prefixTokens = 8)
+        .orderBy(col("source"))),
+
+    // int8 quantization-error audit: reconstruction cosine of x25's
+    // codes rolled to one row — the 4×-compression price sheet (x71's
+    // role, played for int8 instead of truncation)
+    "x101_int8_quant_error" -> ((s, dir) =>
+      Similarity.int8QuantError(emb(s, dir))),
+
+    // sketch-based batch novelty: HLL registers of base (≠src0) vs
+    // batch (src0) shingles, merged by re-max — est_new = est(merged) −
+    // est(base) against the exact anti-join count; x70's mergeable
+    // ingest-time face (union sketches across days, no driver state)
+    "x102_hll_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          explode(shinglesFromTokens(col("ws"), 3)).as("sg"))
+        .materialized
+      graft.ext.Sketches.hllNovelty(
+        sh.filter(col("source") =!= "src0").select(col("sg")),
+        sh.filter(col("source") === "src0").select(col("sg")))
+    })
   )
+
+  /** The x97 blocklist literal — stands in for a C4-style badwords list
+    * (terms chosen to hit the synthetic corpus vocabulary so the gate
+    * exercises both flagged and clean documents).
+    */
+  private lazy val Blocklist = Seq("slow", "big", "spam")
 
   /** The literal term query behind x51/x52 — shared so the lexical leg
     * of the hybrid fusion is exactly the declared BM25 ranking.
@@ -3080,7 +3164,282 @@ object ExtQueries {
          JOIN u ua ON ua.w = j.w1
          JOIN u ub ON ub.w = j.w2
          CROSS JOIN tot
-         ORDER BY pmi DESC, pair LIMIT 20"""
+         ORDER BY pmi DESC, pair LIMIT 20""",
+
+    // mirrors x93: kmeansCte centroids, vector×centroid rounded cosines,
+    // rn=1 own cell / rn=2 best other, sil = (own−other)/(1−other),
+    // per-cell round-then-DECIMAL means
+    "x93_cluster_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id, ccos,
+                      row_number() OVER (PARTITION BY vid
+                                         ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         own AS (SELECT vid, cent_id AS cell, ccos AS own
+                 FROM ranked WHERE rn = 1),
+         oth AS (SELECT vid, ccos AS other FROM ranked WHERE rn = 2),
+         sil AS (SELECT o.vid, o.cell, o.own,
+                   CASE WHEN 1.0 - t.other = 0 THEN 0.0
+                        ELSE round((o.own - t.other) / (1.0 - t.other), 6)
+                   END AS sil
+                 FROM own o JOIN oth t ON o.vid = t.vid)
+         SELECT cell, count(*) AS n,
+                round(CAST(sum(CAST(sil AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*), 6) AS mean_sil,
+                min(sil) AS min_sil,
+                round(CAST(sum(CAST(own AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*), 6) AS mean_cohesion
+         FROM sil GROUP BY cell ORDER BY cell""",
+
+    // mirrors x94: final cell assignment, within-cell pairs, per-source
+    // top-5 window (cos desc, nid), mutual = reverse-edge join,
+    // left-join stats with coalesce(0)
+    "x94_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         p AS (SELECT a.vid AS cid, a.cell, b.vid AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
+               JOIN e x ON x.vec_id = a.vid
+               JOIN e y ON y.vec_id = b.vid),
+         knn AS (SELECT cid, cell, nid, cos FROM (
+                   SELECT cid, cell, nid, cos,
+                          row_number() OVER (PARTITION BY cid
+                                             ORDER BY cos DESC, nid) AS rn
+                   FROM p) t WHERE rn <= 5),
+         mut AS (SELECT k.cid, count(*) AS mutual_degree
+                 FROM knn k JOIN knn r ON r.cid = k.nid AND r.nid = k.cid
+                 GROUP BY k.cid),
+         stats AS (SELECT cid, cell, count(*) AS degree,
+                     round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*), 6) AS mean_cos
+                   FROM knn GROUP BY cid, cell)
+         SELECT s.cid AS vec_id, s.cell, s.degree,
+                coalesce(m.mutual_degree, 0) AS mutual_degree, s.mean_cos
+         FROM stats s LEFT JOIN mut m ON s.cid = m.cid
+         ORDER BY vec_id""",
+
+    // mirrors x95: 1e-6-quantized unit-vector coordinates as BIGINTs,
+    // Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² per label in exact integer
+    // arithmetic (HUGEINT for the squared dim sums), one final double
+    // division
+    "x95_label_dispersion" ->
+      """WITH q AS (SELECT label, vec_id, g.d AS d,
+                  CAST(round(CAST(embedding[g.d] AS DOUBLE) /
+                        sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * 1000000.0) AS BIGINT) AS qd
+                FROM embeddings, generate_series(1, 64) AS g(d)),
+         per_row AS (SELECT label, vec_id, sum(qd*qd) AS q2
+                     FROM q GROUP BY label, vec_id),
+         per_label AS (SELECT label, count(*) AS n,
+                         CAST(sum(q2) AS HUGEINT) AS sq2
+                       FROM per_row GROUP BY label),
+         dims AS (SELECT label, d, sum(qd) AS s FROM q GROUP BY label, d),
+         s2 AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS s2
+                FROM dims GROUP BY label)
+         SELECT l.label, l.n,
+                CASE WHEN l.n < 2 THEN NULL
+                     ELSE round((CAST(t.s2 AS DOUBLE) - CAST(l.sq2 AS DOUBLE))
+                                / CAST(l.n * (l.n - 1) AS DOUBLE)
+                                / 1000000000000.0, 6)
+                END AS mean_pair_cos
+         FROM per_label l JOIN s2 t USING (label) ORDER BY label""",
+
+    // mirrors x96: token counts → (cnt desc, token) top-200 → 6-dp ln
+    // coordinates → OLS closed form from round-then-DECIMAL sums, the
+    // identical literal expression order
+    "x96_zipf_fit" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents),
+         cnt AS (SELECT w, count(*) AS cnt FROM w GROUP BY w
+                 ORDER BY cnt DESC, w LIMIT 200),
+         xy AS (SELECT round(ln(row_number() OVER (ORDER BY cnt DESC, w)), 6) AS x,
+                       round(ln(cnt), 6) AS y
+                FROM cnt),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+                 CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(round(x*y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(round(x*x, 9) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(round(y*y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS syy
+               FROM xy)
+         SELECT CAST(m AS BIGINT) AS n_terms,
+                round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS slope,
+                round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6)
+                  AS intercept,
+                round(((m*sxy - sx*sy) * (m*sxy - sx*sy)) /
+                      ((m*sxx - sx*sx) * (m*syy - sy*sy)), 6) AS r2
+         FROM s""",
+
+    // mirrors x97: exact lowercased-token blocklist hits per doc,
+    // per-source rollup
+    "x97_blocklist_gate" ->
+      """WITH t AS (SELECT source,
+                  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      x -> list_contains(['slow','big','spam'], lower(x))))
+                    AS hits
+                FROM documents)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged,
+                CAST(sum(hits) AS BIGINT) AS total_hits,
+                round(CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS flag_rate
+         FROM t GROUP BY source ORDER BY source""",
+
+    // mirrors x98: whitespace words, [.!?]+ sentence runs (min 1),
+    // vowel-group syllables per word (min 1) via list_transform, the
+    // Flesch formula in the identical literal order
+    "x98_readability" ->
+      """WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS ws,
+                  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+                FROM documents),
+         r AS (SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(ns AS BIGINT) AS n_sentences,
+                 CAST(list_sum(list_transform(ws,
+                   w -> greatest(1, len(regexp_extract_all(lower(w),
+                                        '[aeiouy]+'))))) AS BIGINT)
+                   AS n_syllables
+               FROM t)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words = 0 THEN NULL
+                     ELSE round(206.835
+                                - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                                - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                                6)
+                END AS flesch
+         FROM r ORDER BY doc_id""",
+
+    // mirrors x99: (doc, token) counts → token rollup, cf ≥ 20, top-20
+    // by (burstiness desc, token)
+    "x99_token_burstiness" ->
+      """WITH w AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                FROM documents),
+         dt AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY doc_id, w),
+         t AS (SELECT w AS token, CAST(sum(n) AS BIGINT) AS cf,
+                      count(*) AS df
+               FROM dt GROUP BY w HAVING CAST(sum(n) AS BIGINT) >= 20)
+         SELECT token, cf, df,
+                round(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+         FROM t ORDER BY burstiness DESC, token LIMIT 20""",
+
+    // mirrors x100: md5 of the first-8-token join, per-(source, prefix)
+    // counts, per-source rollup of docs in repeated-prefix groups
+    "x100_template_prefix" ->
+      """WITH fp AS (SELECT source,
+                  md5(array_to_string(list_slice(
+                    regexp_split_to_array(trim(text), '\s+'), 1, 8), ' '))
+                    AS pfp
+                FROM documents),
+         g AS (SELECT source, pfp, count(*) AS n
+               FROM fp GROUP BY source, pfp)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+                count(*) AS n_prefixes,
+                CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+                  AS n_templated,
+                round(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
+                      / sum(n), 6) AS template_rate
+         FROM g GROUP BY source ORDER BY source""",
+
+    // mirrors x101: x25's max-abs int8 codes dequantized, ordered-fold
+    // cosine vs the original, 1-row rollup; zero vectors pin cos = 1
+    "x101_int8_quant_error" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (SELECT e, list_max(list_transform(e, x -> abs(x))) AS s0
+               FROM e),
+         s2 AS (SELECT e, CASE WHEN s0 = 0 THEN 1.0 ELSE s0 END AS ss
+                FROM s),
+         d AS (SELECT e,
+                 list_transform(e, x ->
+                   CAST(CAST(round(x / ss * 127) AS INTEGER) AS DOUBLE)
+                     * ss / 127) AS deq
+               FROM s2),
+         c AS (SELECT CASE
+                 WHEN sqrt(list_dot_product(e, e))
+                      * sqrt(list_dot_product(deq, deq)) = 0 THEN 1.0
+                 ELSE round(list_dot_product(e, deq) /
+                        (sqrt(list_dot_product(e, e)) *
+                         sqrt(list_dot_product(deq, deq))), 6)
+               END AS cos FROM d)
+         SELECT count(*) AS n,
+                round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*), 6) AS mean_cos,
+                min(cos) AS min_cos,
+                CAST(sum(CASE WHEN cos < 0.999 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_below_999
+         FROM c""",
+
+    // mirrors x102: the x90 register derivation with base/batch/merged
+    // groups, exact novelty via NOT IN over distinct shingles
+    "x102_hll_novelty" ->
+      s"""WITH sw AS (SELECT source,
+                 regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+         sh AS (SELECT source,
+                  unnest(list_distinct(
+                    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in generate_series(1, len(ws)-2)])) AS sg
+                FROM sw WHERE len(ws) >= 3),
+         lab AS (SELECT CASE WHEN source = 'src0' THEN 'batch'
+                             ELSE 'base' END AS grp, sg FROM sh),
+         h AS (SELECT grp,
+                 CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT) AS h
+               FROM lab),
+         rk AS (SELECT grp, h % 64 AS j,
+                  CASE WHEN h // 64 = 0 THEN 55
+                       ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS rk
+                FROM h),
+         regs AS (SELECT grp, j, max(rk) AS mx FROM rk GROUP BY grp, j),
+         r2 AS (SELECT * FROM regs
+                UNION ALL
+                SELECT 'merged' AS grp, j, max(mx) AS mx
+                FROM regs GROUP BY j),
+         agg AS (SELECT grp, 64 - count(*) AS v,
+                   sum(CAST(1 AS BIGINT) << (55 - mx))
+                     + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS s
+                 FROM r2 GROUP BY grp),
+         e2 AS (SELECT grp,
+                  round(CASE WHEN v > 0 AND ${hllCLit} / s <= 160.0
+                             THEN 64.0 * ln(CAST(64 AS DOUBLE) / v)
+                             ELSE ${hllCLit} / s END, 6) AS est
+                FROM agg),
+         wide AS (SELECT
+                    max(CASE WHEN grp = 'base' THEN est END) AS est_base,
+                    max(CASE WHEN grp = 'batch' THEN est END) AS est_batch,
+                    max(CASE WHEN grp = 'merged' THEN est END) AS est_merged
+                  FROM e2),
+         ex AS (SELECT count(DISTINCT sg) AS exact_new
+                FROM lab b WHERE grp = 'batch'
+                  AND sg NOT IN (SELECT sg FROM lab WHERE grp = 'base'))
+         SELECT est_base, est_batch, est_merged,
+                round(est_merged - est_base, 6) AS est_new, exact_new,
+                CASE WHEN exact_new = 0 THEN NULL
+                     ELSE round(abs(round(est_merged - est_base, 6)
+                                    - exact_new) / exact_new, 6)
+                END AS rel_err
+         FROM wide CROSS JOIN ex"""
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

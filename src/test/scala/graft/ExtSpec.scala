@@ -2100,4 +2100,280 @@ class ExtSpec extends AnyFunSuite {
     val pmis = out.map(_._3).toSeq
     assert(pmis == pmis.sorted.reverse)
   }
+
+  test("silhouette: tight well-separated cells score near 1, slot order " +
+    "matches cellAssignments") {
+    import graft.ext.Similarity
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.05f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.05f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(e, cent).orderBy("cell")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    assert(out.forall(_._2 == 2L), "two members per cell")
+    assert(out.forall(_._3 > 0.8), s"tight separated clusters: $out")
+    assert(out.forall(r => r._4 <= r._3), "min <= mean")
+    assert(out.forall(_._5 > 0.99), "cohesion = mean own-centroid cos")
+    // cells must agree with the declared assignment operator
+    val cells = Similarity.cellAssignments(e, cent)
+      .as[(Long, Long)].collect().toMap
+    assert(cells == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("silhouette mean equals the per-vector hand formula") {
+    import graft.ext.Similarity
+    // one cell, equidistant-ish vectors: verify the (own-other)/(1-other)
+    // arithmetic against a driver-side replication
+    val e = Seq((0L, Seq(0.9f, 0.44f)), (1L, Seq(0.7f, 0.71f)),
+      (2L, Seq(0.2f, 0.98f))).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.rint(c * 1e6) / 1e6
+    }
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val expected = Seq(Seq(0.9f, 0.44f), Seq(0.7f, 0.71f), Seq(0.2f, 0.98f))
+      .map { v =>
+        val cc = cents.map(cos(v, _))
+        val own = cc.max
+        val other = cc.min
+        (cc.indexOf(own).toLong,
+          math.rint((own - other) / (1.0 - other) * 1e6) / 1e6)
+      }
+    val byCell = expected.groupBy(_._1).map { case (c, xs) =>
+      c -> (xs.size.toLong,
+        math.rint(xs.map(_._2).sum / xs.size * 1e6) / 1e6)
+    }
+    val out = Similarity.silhouette(e, cent)
+      .select(col("cell"), col("n"), col("mean_sil"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == byCell, s"$out vs $byCell")
+  }
+
+  test("knnGraph: k=1 chain has asymmetric tail (mutual_degree 0)") {
+    import graft.ext.Similarity
+    // a<->b are each other's nn; c's nn is b, but b (k=1) lists only a
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.995f, 0.1f)),
+      (2L, Seq(0.9f, 0.44f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(e, cent, k = 1).orderBy("vec_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out.forall(_._2 == 0L), "single cell")
+    assert(out.forall(_._3 == 1L), "degree = k = 1")
+    assert(out.map(_._4).toSeq == Seq(1L, 1L, 0L),
+      s"mutual a<->b, c unreciprocated: ${out.toSeq}")
+  }
+
+  test("knnGraph edges stay within cells and degrees are cell-bounded") {
+    import graft.ext.Similarity
+    val e = Tables.load(spark, sf, "embeddings").limit(60)
+    val cent = Similarity.trainCentroids(e, nCentroids = 4, iters = 1)
+    val out = Similarity.knnGraph(e, cent, k = 5)
+    val cells = Similarity.cellAssignments(e, cent)
+      .as[(Long, Long)].collect().toMap
+    val rows = out.as[(Long, Long, Long, Long, Double)].collect()
+    for ((vid, cell, deg, mut, _) <- rows) {
+      assert(cells(vid) == cell)
+      val cellSize = cells.values.count(_ == cell)
+      assert(deg <= 5 && deg <= cellSize - 1)
+      assert(mut <= deg)
+    }
+  }
+
+  test("labelDispersion matches brute pairwise mean on quantized unit " +
+    "vectors; degenerate labels") {
+    import graft.ext.Similarity
+    val e = Seq(
+      // label 0: identical → 1.0; label 1: orthogonal → ~0
+      (0L, Seq(3.0f, 0.0f, 1.0f), 0), (1L, Seq(3.0f, 0.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 0.0f), 1), (3L, Seq(0.0f, 2.0f, 0.0f), 1),
+      // label 2: singleton → null
+      (4L, Seq(0.5f, 0.5f, 0.5f), 2),
+      // label 3: three mixed vectors — checked against the brute formula
+      (5L, Seq(1.0f, 2.0f, -0.5f), 3), (6L, Seq(0.25f, 1.0f, 0.75f), 3),
+      (7L, Seq(-1.0f, 0.5f, 2.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelDispersion(e).orderBy("label")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2, 3))
+    assert(out(0)._3.exists(v => math.abs(v - 1.0) < 1e-5))
+    assert(out(1)._3.exists(v => math.abs(v) < 1e-5))
+    assert(out(2)._3.isEmpty, "n=1 has no pairs")
+    // brute replication of the quantized identity for label 3
+    def quant(v: Seq[Float]): Seq[Long] = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      val n = math.sqrt(dot(v, v))
+      v.map(x => math.rint(x.toDouble / n * 1e6).toLong)
+    }
+    val vs = Seq(Seq(1.0f, 2.0f, -0.5f), Seq(0.25f, 1.0f, 0.75f),
+      Seq(-1.0f, 0.5f, 2.0f)).map(quant)
+    val pairSum = (for {
+      i <- vs.indices; j <- vs.indices if i != j
+    } yield vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum).sum
+    val expect = math.rint(
+      pairSum.toDouble / (3 * 2) / 1e12 * 1e6) / 1e6
+    assert(out(3)._3.contains(expect), s"${out(3)._3} vs $expect")
+  }
+
+  test("zipfFit: two-point corpus fits exactly (r2 = 1) with the rounded " +
+    "OLS arithmetic") {
+    import graft.ext.TextAnalysis
+    val d = Seq((0L, "a a a a a a a a b b"), (1L, "a a a a b b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.zipfFit(d, topN = 10)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 2L)
+    // x = (ln 1, ln 2) rounded 6; y = (ln 12, ln 4) rounded 6
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val x = Seq(r6(math.log(1.0)), r6(math.log(2.0)))
+    val y = Seq(r6(math.log(12.0)), r6(math.log(4.0)))
+    val slope = (y(1) - y(0)) / (x(1) - x(0))
+    assert(math.abs(out._2 - slope) < 1e-6, s"${out._2} vs $slope")
+    assert(math.abs(out._3 - y(0)) < 1e-6, "intercept = y at ln rank 0")
+    assert(out._4 == 1.0, "two points fit exactly")
+  }
+
+  test("zipfFit slope is near -1 on a planted 1/rank corpus") {
+    import graft.ext.TextAnalysis
+    // counts c(r) = round(1200 / r): the planted Zipf law
+    val text = (1 to 20).flatMap(r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(s"w${('a' + r).toChar}$r"))
+      .mkString(" ")
+    val d = Seq((0L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfFit(d, topN = 20)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 20L)
+    assert(math.abs(out._2 + 1.0) < 0.01, s"slope ${out._2} should be ~ -1")
+    assert(out._4 > 0.999, s"r2 ${out._4} should be ~ 1")
+  }
+
+  test("blocklistGate: exact lowercased token matches only") {
+    import graft.ext.TextAnalysis
+    val d = Seq(
+      (0L, "the Slow fox is slow", "s1"), // 2 hits (case-insensitive)
+      (1L, "slowly moving big rigs", "s1"), // 1 hit: big ("slowly" != slow)
+      (2L, "nothing to see here", "s1"), // clean
+      (3L, "big big big", "s2") // 3 hits, 1 doc
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.blocklistGate(d, Seq("slow", "big", "spam"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out(0) == (("s1", 3L, 2L, 3L, 0.666667)))
+    assert(out(1) == (("s2", 1L, 1L, 3L, 1.0)))
+  }
+
+  test("tokenBurstiness: concentrated tokens outrank spread ones; minCf " +
+    "floor filters") {
+    import graft.ext.TextAnalysis
+    // "b": 20 occurrences in 2 docs (cf/df = 10); "a": 20 in 20 docs
+    // (cf/df = 1); "z": cf 5 < minCf → excluded
+    val docs = ((0 until 20).map(i => (i.toLong, "a")) ++
+      Seq((100L, ("b " * 10).trim + " z z z z z"),
+        (101L, ("b " * 10).trim))).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBurstiness(docs, k = 10, minCf = 20)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("b", "a"))
+    assert(out(0) == (("b", 20L, 2L, 10.0)))
+    assert(out(1) == (("a", 20L, 20L, 1.0)))
+  }
+
+  test("templatePrefixRate: repeated 8-token prefixes count as templated, " +
+    "unique ones don't") {
+    import graft.ext.Dedup
+    val boiler = "all rights reserved by the example corp inc"
+    val docs = Seq(
+      (0L, s"$boiler tail one", "s1"),
+      (1L, s"$boiler tail two and more", "s1"),
+      (2L, "a completely different opening line of text here", "s1"),
+      (3L, "unique again", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.templatePrefixRate(docs, prefixTokens = 8)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out(0) == (("s1", 3L, 2L, 2L, 0.666667)))
+    assert(out(1) == (("s2", 1L, 1L, 0L, 0.0)))
+  }
+
+  test("int8QuantError: exactly-representable and zero vectors score 1; " +
+    "lossy vectors land below") {
+    import graft.ext.Similarity
+    val e = Seq(
+      (0L, Seq(127.0f, 0.0f)), // codes (127, 0): exact reconstruction
+      (1L, Seq(0.0f, 0.0f)), // zero vector: pinned to 1
+      (2L, Seq(1.0f, 0.004f)) // second dim rounds to code 1 (0.5→1): lossy
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantError(e)
+      .as[(Long, Double, Double, Long)].collect().head
+    assert(out._1 == 3L)
+    // hand-replicate doc 2: scale 1, codes (127, round(0.508)=1),
+    // deq = (1, 1/127)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val deq = Seq(1.0, 1.0 / 127)
+    val orig = Seq(1.0f, 0.004f).map(_.toDouble)
+    val dot = orig.zip(deq).map { case (a, b) => a * b }.sum
+    val c2 = r6(dot / (math.sqrt(orig.map(x => x * x).sum) *
+      math.sqrt(deq.map(x => x * x).sum)))
+    assert(out._3 == c2, s"min_cos ${out._3} vs $c2")
+    val mean = r6((1.0 + 1.0 + c2) / 3)
+    assert(out._2 == mean)
+    assert(out._4 == (if (c2 < 0.999) 1L else 0L))
+  }
+
+  test("hllNovelty: a batch inside the base estimates zero novelty " +
+    "exactly") {
+    import graft.ext.Sketches
+    val base = (0 until 300).map(i => s"key$i").toDF("sg")
+    val batch = (0 until 50).map(i => s"key$i").toDF("sg")
+    val out = Sketches.hllNovelty(base, batch).collect().head
+    // batch ⊆ base → merged registers ARE the base registers
+    assert(out.getDouble(2) == out.getDouble(0), "est_merged == est_base")
+    assert(out.getDouble(3) == 0.0, "est_new == 0")
+    assert(out.getLong(4) == 0L, "exact_new == 0")
+    assert(out.isNullAt(5), "rel_err undefined at exact_new 0")
+  }
+
+  test("hllNovelty: disjoint batch novelty estimate lands near the " +
+    "exact count") {
+    import graft.ext.Sketches
+    val base = (0 until 400).map(i => s"base$i").toDF("sg")
+    val batch = (0 until 200).map(i => s"new$i").toDF("sg")
+    val out = Sketches.hllNovelty(base, batch).collect().head
+    assert(out.getLong(4) == 200L)
+    val relErr = out.getDouble(5)
+    // 64-register HLL: ~13% standard error; est_new subtracts two
+    // estimates so allow a generous envelope — this is the "is the
+    // estimator wired right" gate, precision is x90's register tests
+    assert(relErr < 0.6, s"rel_err $relErr out of envelope")
+  }
+
+  test("readability: hand-computed Flesch, vowel-less and empty words " +
+    "floor at 1 syllable") {
+    import graft.ext.TextAnalysis
+    val d = Seq(
+      (0L, "The cat sat. It ran!"), // 5 words, 2 sentence runs, 5 syllables
+      (1L, "xyz bcd"), // y counts; bcd floors at 1
+      (2L, "") // one empty token, floors everywhere
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out(0)._2 == 5L && out(0)._3 == 2L && out(0)._4 == 5L)
+    val f0 = math.rint((206.835 - 1.015 * (5.0 / 2) - 84.6 * 1.0) * 1e6) / 1e6
+    assert(out(0)._5 == f0, s"${out(0)._5} vs $f0")
+    assert(out(1)._2 == 2L && out(1)._3 == 1L && out(1)._4 == 2L)
+    assert(out(2)._2 == 1L && out(2)._4 == 1L, "empty text = one empty token")
+  }
 }

@@ -47,7 +47,10 @@ class PlanSpec extends AnyFunSuite {
     "x81_tfidf_cosine_pairs", // 1-row corpus count, the x13/x14 pattern
     "x87_backoff_lm_score", // 1-row (N,V) broadcast onto the model rel
     "x91_retrieval_ndcg", // composes topKBrute: bounded query side
-    "x92_pmi_collocations") // 1-row token/bigram totals, x13/x14 pattern
+    "x92_pmi_collocations", // 1-row token/bigram totals, x13/x14 pattern
+    "x93_cluster_silhouette", // k-row centroid side: the x15 assignment
+    "x94_knn_graph", // k-row centroid side: the x15 cell assignment
+    "x102_hll_novelty") // 1-row exact-count audit onto the 1-row sketch
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -195,9 +198,20 @@ class PlanSpec extends AnyFunSuite {
       // so the executed plan shows the lineage cut, not the parquet scan)
       "x90_hll_distinct" -> "struct<text:string,source:string>",
       "x92_pmi_collocations" -> "struct<text:string>",
+      "x96_zipf_fit" -> "struct<text:string>",
+      "x97_blocklist_gate" -> "struct<text:string,source:string>",
+      "x98_readability" -> "struct<doc_id:bigint,text:string>",
+      "x99_token_burstiness" -> "struct<doc_id:bigint,text:string>",
+      "x100_template_prefix" -> "struct<text:string,source:string>",
+      // (x102 not listed: its shingle relation is checkpoint-
+      // materialized, so the executed plan shows the lineage cut)
       // embeddings scan: vec_id must be pruned away (only the vectors
       // feed the mean/iteration passes)
-      "x75_pca_top_component" -> "struct<embedding:array<float>>")
+      "x75_pca_top_component" -> "struct<embedding:array<float>>",
+      // x95: label + vectors only — the identity needs no per-row id
+      "x95_label_dispersion" -> "struct<embedding:array<float>,label:int>",
+      // x101: vectors only — the audit needs no per-row id either
+      "x101_int8_quant_error" -> "struct<embedding:array<float>>")
     for ((name, schema) <- cases) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
