@@ -107,15 +107,20 @@ object Bench {
       }
       QRes(name, times.toSeq, err)
     }
-    // 3-decimal rounding halves the line length (70 queries × full-precision
+    // rounded output halves the line length (70 queries × full-precision
     // doubles overflowed the driver's capture window in round 4); explicit
-    // ROOT locale so a comma-decimal host locale can't corrupt the JSON
+    // ROOT locale so a comma-decimal host locale can't corrupt the JSON.
+    // The stdout line uses 2 decimals (138 entries must fit the driver's
+    // 2000-char window — BenchIdSpec gates the worst-case budget); the
+    // bench_result.json artifact keeps 3.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // reported per-query number = min across passes; -1 marks an error so
     // the driver's name→number contract still parses
     def toJson(f: String => String): String = results
-      .map { r => "\"" + f(r.name) + "\":" + r.min.map(r3).getOrElse("-1") }
+      .map { r => "\"" + f(r.name) + "\":" + r.min.map(r2).getOrElse("-1") }
       .mkString("{", ",", "}")
     val errNames = results.filter(_.err.isDefined).map(_.name)
     val total = results.flatMap(_.min).sum
@@ -124,24 +129,27 @@ object Bench {
     val partial = if (only.isDefined) ""","partial":true""" else ""
     val errsField =
       if (errNames.isEmpty) ""
-      else errNames.map(n => "\"" + n.take(3) + "\"")
+      else errNames.map(n => "\"" + SparkEntry.shortId(n) + "\"")
         .mkString(""","errs":[""", ",", "]")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$errsField$partial}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$errsField$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,
     // ~3 KB for the suite) can never fit, which is why rounds 1-6 all
-    // recorded parsed=null. Stdout therefore carries each query's unique
-    // 3-char id prefix (qNN/xNN — the driver contract's own example uses
-    // {"q1":sec,...}), ~14 bytes/entry so the suite fits the window
-    // several times over; the full-name map goes to bench_result.json for
-    // BASELINE.md. require() guards the prefix-uniqueness assumption so a
-    // future name collision fails the run instead of merging timings.
-    val shortIds = results.map(_.name.take(3))
+    // recorded parsed=null. Stdout therefore carries each query's short id
+    // (the name up to the first '_': q01..q36, x01..x102 — unique by
+    // construction), ~12 bytes/entry so the 138-query suite is ~1.76 KB,
+    // inside the window with headroom; the full-name map goes to
+    // bench_result.json for BASELINE.md. A fixed take(3) collided in r9
+    // (x100/x101/x102 vs x10) and the require aborted the driver's bench —
+    // BenchIdSpec now gates both uniqueness AND the line-length budget at
+    // build time so a future query addition fails in `sbt test`, not 41
+    // minutes into the driver's run.
+    val shortIds = results.map(r => SparkEntry.shortId(r.name))
     require(shortIds.distinct.size == shortIds.size,
-      "3-char query-id prefixes must be unique for the stdout bench line")
-    println(line(toJson(_.take(3))))
+      "short query ids (prefix before first '_') must be unique for the stdout bench line")
+    println(line(toJson(SparkEntry.shortId)))
     // fuller artifact: per-query min + every pass + err, full names
     def detailJson: String = {
       val qs = results.map { r =>

@@ -24,4 +24,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ ExtQueries.oracleSql
+
+  /** Short id for the stdout bench line: the query name up to the first
+    * '_' (q01..q36, x01..x102 — unique by construction, unlike the fixed
+    * take(3) that collided for x100+ in round 9). BenchIdSpec gates
+    * uniqueness and the stdout line-length budget at build time.
+    */
+  def shortId(name: String): String = name.indexOf('_') match {
+    case -1 => name
+    case i  => name.substring(0, i)
+  }
 }

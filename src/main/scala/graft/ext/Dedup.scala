@@ -853,41 +853,94 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
-  /** TF-IDF weighted cosine near-dup pairs — the WEIGHTED complement of
-    * the set-based Jaccard paths (cf. Bayardo et al., "Scaling Up All
-    * Pairs Similarity Search", WWW'07): two docs sharing rare terms score
-    * high even when their boilerplate differs, which n-gram Jaccard
-    * misses. Sparse-vector cosine via the inverted term index: the only
-    * quadratic-shaped step is the per-term pair expansion (candidate mass
-    * Σ_term df², the same bound as [[jaccardPairsIndex]]) — and idf
-    * itself prunes it: a term in EVERY doc has idf 0 → weight 0 and is
-    * dropped before the join (lossless — zero weight contributes zero to
-    * every dot product), so corpus-saturating stopwords never expand.
-    * All sums are round-then-DECIMAL(38,12) so dot products and norms are
-    * order-free and engine-portable (the repo-wide exact-sum contract).
+  /** TF-IDF weighted cosine near-dup pairs with the WEIGHTED prefix
+    * filter (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW'07 §3 — the weighted analog of [[jaccardPairsPrefix]]'s set
+    * filter): two docs sharing rare terms score high even when their
+    * boilerplate differs, which n-gram Jaccard misses.
+    *
+    * Candidate generation indexes only each doc's PREFIX — its terms in
+    * rarest-first order (df asc) up to the point where the remaining
+    * suffix's L2 mass (on unit-normalized weights) drops below the
+    * threshold — and equi-joins every doc's FULL term list against that
+    * prefix index. Lossless by Cauchy-Schwarz: if every shared term of a
+    * qualifying pair sat in both suffixes, then
+    * cos(a,b) = Σ_shared w'a·w'b ≤ min(‖sfx_a‖₂, ‖sfx_b‖₂) < t —
+    * contradiction, so some shared term lies in at least one prefix and
+    * the full×prefix join emits the pair. The filter is what kills the
+    * Σ_term df² blow-up of a naive term join: a term in half the corpus
+    * has small idf weight, lands in the un-indexed suffix of nearly every
+    * doc, and expands ~df·df_prefix ≈ 0 candidates instead of df²/4.
+    * (idf = 0 corpus-saturating terms are additionally dropped outright —
+    * zero weight contributes zero to every dot product.)
+    *
+    * The prefix cut runs on exact double arithmetic with a 1e-3 margin
+    * under the threshold, absorbing the 6-dp round-then-sum quantization
+    * of the verify stage, so the output is bit-identical to the
+    * unfiltered join. Verify is candidate-bounded: pairs join back to
+    * their shared terms and the dot/norm sums use round-then-
+    * DECIMAL(38,12) (the repo-wide exact-sum contract).
     */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
+    require(threshold > 0 && threshold <= 1,
+      s"cosine threshold must be in (0, 1], got $threshold")
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // materialized once: nrm, the prefix cut, the probe side, and the
+    // pair verify all reuse this relation — the one-shot DAG would
+    // re-tokenize the corpus five times otherwise
     val w = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("term"),
+      .select(col("doc_id"), col("term"), col("df"),
         round(col("tf") *
           round(log(col("n_docs").cast(DoubleType) / col("df")), 6), 6)
           .as("w"))
       .filter(col("w") > 0)
+      .materialized
     val nrm = w.groupBy(col("doc_id"))
       .agg(round(sqrt(
         sum(round(col("w") * col("w"), 6).cast(DecimalType(38, 12)))
           .cast(DoubleType)), 6).as("nrm"))
-    val a = w.select(col("doc_id").as("da"), col("term"), col("w").as("wa"))
-    val b = w.select(col("doc_id").as("db"), col("term"), col("w").as("wb"))
-    a.join(b, Seq("term")).filter(col("da") < col("db"))
+      .materialized
+    // prefix cut: per doc, walk terms rarest-first (hot terms sort last
+    // and absorb the un-indexed suffix budget — their idf-shrunk weights
+    // are exactly the small ones); index a term iff the normalized mass
+    // strictly before it is < 1 − teff², which leaves the suffix with
+    // ‖sfx‖₂ ≤ teff < t. teff's 1e-3 margin keeps the cut lossless
+    // against the verify's 6-dp quantization.
+    val teff = math.max(0.0, threshold - 1e-3)
+    val ord = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = w.join(nrm, "doc_id")
+      .withColumn("wn2",
+        (col("w") / col("nrm")) * (col("w") / col("nrm")))
+      .withColumn("cumBefore",
+        coalesce(sum(col("wn2")).over(ord), lit(0.0)))
+      .filter(col("cumBefore") < lit(1.0 - teff * teff))
+      .select(col("term"), col("doc_id"))
+    // candidates: FULL term list × prefix index. Orientation-normalize
+    // (a qualifying pair may surface as (a,b) or (b,a) depending on
+    // whose prefix held the shared term) and distinct before the verify.
+    val candidates = w.select(col("term"), col("doc_id").as("pa"))
+      .join(prefix.select(col("term"), col("doc_id").as("pb")), Seq("term"))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("da"),
+        greatest(col("pa"), col("pb")).as("db"))
+      .distinct()
+    // verify: candidate-bounded — re-join each pair to its shared terms
+    // and compute the exact rounded dot product
+    candidates
+      .join(w.select(col("doc_id").as("da"), col("term"),
+        col("w").as("wa")), Seq("da"))
+      .join(w.select(col("doc_id").as("db"), col("term"),
+        col("w").as("wb")), Seq("db", "term"))
       .groupBy(col("da"), col("db"))
       .agg(sum(round(col("wa") * col("wb"), 6).cast(DecimalType(38, 12)))
         .cast(DoubleType).as("dot"))
@@ -902,38 +955,59 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
-  /** SimHash near-dup pairs by Hamming radius, banded (Manku, Jain &
-    * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07): split
-    * the 60-bit [[TextAnalysis.simhash]] into `bands` equal bit slices;
-    * two hashes within Hamming distance `radius` < `bands` must agree on
-    * at least one whole slice (pigeonhole), so the band-value equi-join
-    * finds EVERY qualifying pair — banding is exact here, not
-    * probabilistic (unlike MinHash-LSH, whose verify step decides). The
-    * only shuffle is the (band, slice-value) self-join — 15-bit keys,
-    * heavily pruned — and the verify is one `bit_count(xor)` per
-    * candidate. At 100 TB this is THE fingerprint-level dedup shape:
-    * 8 bytes per doc crosses the wire, never text.
+  /** SimHash near-dup pairs by Hamming radius via BLOCK-COMBINATION keys
+    * (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3's table-multiplication scheme): split the 60-bit
+    * [[TextAnalysis.simhash]] into `blocks` equal slices and equi-join on
+    * every C(blocks, blocks − radius) combination of (blocks − radius)
+    * slices concatenated into one key. Two hashes within Hamming distance
+    * `radius` differ in at most `radius` blocks, so at least
+    * blocks − radius blocks match exactly (pigeonhole) — and the
+    * combination made of those untouched blocks collides, so the join
+    * finds EVERY qualifying pair. Exact, not probabilistic (unlike
+    * MinHash-LSH, whose verify step decides membership).
+    *
+    * The block count buys key width: the defaults (radius 3, blocks 6)
+    * join on C(6,3) = 20 combinations of 30-bit keys — 2^30 buckets, so
+    * expected random-collision mass is ~20·N²/2^30 vs the naive
+    * 1-block-per-key parametrization's 4·N²/2^15 (blocks = 4, 15-bit
+    * keys): ~2⁄3 · 2^15 ≈ 22,000× fewer candidates for 5× the index
+    * rows — the trade that keeps the verify linear-ish at web scale.
+    * `blocks = radius + 1` degenerates to the single-slice banding
+    * (C(r+1, 1) = r+1 one-block keys) for tiny corpora where index size
+    * matters more than collision mass. The verify is one
+    * `bit_count(xor)` per candidate; only 8-byte fingerprints ever
+    * shuffle, never text.
     */
   def simhashNearDup(docs: DataFrame, radius: Int = 3,
-      bands: Int = 4): DataFrame = {
-    require(radius < bands,
-      s"pigeonhole exactness needs radius < bands, got $radius >= $bands")
-    require(60 % bands == 0, s"bands must divide 60, got $bands")
-    val bandBits = 60 / bands
-    val mask = (1L << bandBits) - 1
+      blocks: Int = 6): DataFrame = {
+    require(radius < blocks,
+      s"pigeonhole exactness needs radius < blocks, got $radius >= $blocks")
+    require(60 % blocks == 0, s"blocks must divide 60, got $blocks")
+    val blockBits = 60 / blocks
+    val mask = (1L << blockBits) - 1
+    val keep = blocks - radius
+    // combination table is driver-side combinatorics over block INDICES
+    // (≤ C(6,3) = 20 entries) — corpus-independent, never collected data
+    val combos = (0 until blocks).combinations(keep).toSeq.zipWithIndex
     val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          shiftright(col("sh"), j * bandBits).bitwiseAND(lit(mask))
-            .as("bv"))): _*)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band").as("band"),
-        col("b.bv").as("bv"))
-    val a = banded.select(col("doc_id").as("da"), col("sh").as("sha"),
-      col("band"), col("bv"))
-    val b = banded.select(col("doc_id").as("db"), col("sh").as("shb"),
-      col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
+    def blockVal(j: Int) =
+      shiftright(col("sh"), j * blockBits).bitwiseAND(lit(mask))
+    val keyed = sh.select(col("doc_id"), col("sh"),
+      explode(array(combos.map { case (idxs, cid) =>
+        // concatenate the kept blocks into one ≤ 60-bit long key
+        val kv = idxs.foldLeft(lit(0L).cast("long"): org.apache.spark.sql.Column) {
+          (acc, j) => shiftleft(acc, blockBits).bitwiseOR(blockVal(j))
+        }
+        struct(lit(cid).as("cid"), kv.as("kv"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.cid").as("cid"),
+        col("c.kv").as("kv"))
+    val a = keyed.select(col("doc_id").as("da"), col("sh").as("sha"),
+      col("cid"), col("kv"))
+    val b = keyed.select(col("doc_id").as("db"), col("sh").as("shb"),
+      col("cid"), col("kv"))
+    a.join(b, Seq("cid", "kv"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"), col("sha"), col("shb"))
       .distinct()

@@ -1257,7 +1257,16 @@ object Similarity {
       .select(col("cid"),
         col("cc").getItem(0).getField("cent_id").as("cell"),
         (-col("cc").getItem(0).getField("nc")).as("own"),
-        (-col("cc").getItem(1).getField("nc")).as("other"))
+        // get(), not getItem(): under ANSI a single-centroid relation
+        // would throw INVALID_ARRAY_INDEX on the slot-2 lookup; get()
+        // yields null, which the filter below drops
+        (-get(col("cc"), lit(1)).getField("nc")).as("other"))
+      // a single-centroid relation has no "best OTHER centroid" — the
+      // silhouette is undefined, and both engines agree on EMPTY output
+      // (the oracle's rn = 2 inner join finds no runner-up row; here the
+      // slot-2 lookup is null and is dropped rather than emitted as a
+      // null-sil row)
+      .filter(col("other").isNotNull)
       .select(col("cid"), col("cell"), col("own"),
         when(lit(1.0) - col("other") === 0.0, lit(0.0))
           .otherwise(round((col("own") - col("other")) /
@@ -1308,12 +1317,19 @@ object Similarity {
     val rev = knn.select(col("nid").as("cid"), col("cid").as("nid"))
     val mut = knn.join(rev, Seq("cid", "nid"), "left_semi")
       .groupBy(col("cid")).agg(count(lit(1)).as("mutual_degree"))
-    knn.groupBy(col("cid"), col("cell"))
+    val stats = knn.groupBy(col("cid"), col("cell"))
       .agg(count(lit(1)).as("degree"),
         round(sum(col("cos").cast(dec)).cast(DoubleType) / count(lit(1)), 6)
           .as("mean_cos"))
       .join(mut, Seq("cid"), "left")
-      .select(col("cid").as("vec_id"), col("cell"), col("degree"),
+    // left-join the stats back onto the full cell-assignment relation:
+    // a vector alone in its cell produces no edges, but "per-node stats"
+    // must still carry it — degree/mutual_degree 0, mean_cos null —
+    // or downstream graph consumers see an incomplete node set
+    cells.select(col("cid"), col("cell"))
+      .join(stats.drop("cell"), Seq("cid"), "left")
+      .select(col("cid").as("vec_id"), col("cell"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
         coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
         col("mean_cos"))
   }
@@ -1342,8 +1358,14 @@ object Similarity {
     val perRow = u.select(col("label"),
       aggregate(col("q"), lit(0L), (acc, v) => acc + v * v).as("q2"),
       col("q"))
+    // sq2 accumulates in DECIMAL(38,0): per-row q2 reaches dim·10¹²
+    // (≈6.4e13 at dim 64), so a LongType sum would wrap past 2^63 at
+    // ~1.4e5 rows per label — exactly corpus scale — while the DuckDB
+    // oracle sums in HUGEINT. Decimal keeps the integer arithmetic exact
+    // on both engines.
     val perLabel = perRow.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), sum(col("q2")).as("sq2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q2").cast(DecimalType(38, 0))).as("sq2"))
     val dimSums = perRow
       .select(col("label"), posexplode(col("q")).as(Seq("d", "qd")))
       .groupBy(col("label"), col("d"))

@@ -366,17 +366,26 @@ object TextAnalysis {
         .as("sxx"),
       sum(round(col("y") * col("y"), 9).cast(dec)).cast(DoubleType)
         .as("syy"))
+    // zero-variance guards: a single-token corpus (m = 1) or all-equal
+    // top counts make (m·sxx − sx²) or (m·syy − sy²) zero — Spark's
+    // double division would yield ±Infinity/NaN while DuckDB differs, so
+    // both engines pin the degenerate fit to NULL explicitly
+    val dxx = col("m") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("m") * col("syy") - col("sy") * col("sy")
+    val nullD = lit(null).cast(DoubleType)
     sums.select(
       col("m").cast("bigint").as("n_terms"),
-      round((col("m") * col("sxy") - col("sx") * col("sy")) /
-        (col("m") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-      round((col("sy") - (col("m") * col("sxy") - col("sx") * col("sy")) /
-        (col("m") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-        col("m"), 6).as("intercept"),
-      round(((col("m") * col("sxy") - col("sx") * col("sy")) *
-        (col("m") * col("sxy") - col("sx") * col("sy"))) /
-        ((col("m") * col("sxx") - col("sx") * col("sx")) *
-          (col("m") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      when(dxx === 0.0, nullD)
+        .otherwise(round((col("m") * col("sxy") - col("sx") * col("sy")) /
+          dxx, 6)).as("slope"),
+      when(dxx === 0.0, nullD)
+        .otherwise(round(
+          (col("sy") - (col("m") * col("sxy") - col("sx") * col("sy")) /
+            dxx * col("sx")) / col("m"), 6)).as("intercept"),
+      when(dxx === 0.0 || dyy === 0.0, nullD)
+        .otherwise(round(((col("m") * col("sxy") - col("sx") * col("sy")) *
+          (col("m") * col("sxy") - col("sx") * col("sy"))) /
+          (dxx * dyy), 6)).as("r2"))
   }
 
   /** Token burstiness (Church & Gale 1995): cf/df — the mean number of

@@ -976,12 +976,14 @@ object ExtQueries {
       Dedup.tfidfCosinePairs(docs(s, dir), threshold = 0.8)
         .orderBy(col("da"), col("db"))),
 
-    // SimHash Hamming near-dup via Manku 4×15-bit banding — radius 3 <
-    // 4 bands ⇒ some band agrees (pigeonhole), so the band equi-join is
-    // EXACT, not probabilistic; verify is one bit_count(xor) per
-    // candidate and only 8-byte fingerprints ever shuffle
+    // SimHash Hamming near-dup via Manku block-combination keys —
+    // radius 3 over 6 blocks of 10 bits joins on C(6,3) = 20 30-bit
+    // keys; Hamming ≤ 3 leaves ≥ 3 blocks untouched (pigeonhole) so the
+    // equi-join is EXACT, not probabilistic, with 2^30 buckets instead
+    // of the naive 1-block scheme's 2^15; verify is one bit_count(xor)
+    // per candidate and only 8-byte fingerprints ever shuffle
     "x82_simhash_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDup(docs(s, dir), radius = 3, bands = 4)
+      Dedup.simhashNearDup(docs(s, dir), radius = 3, blocks = 6)
         .orderBy(col("da"), col("db"))),
 
     // Heaps-law vocabulary growth: cumulative distinct vocab vs token
@@ -3232,9 +3234,11 @@ object ExtQueries {
                      round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
                            / count(*), 6) AS mean_cos
                    FROM knn GROUP BY cid, cell)
-         SELECT s.cid AS vec_id, s.cell, s.degree,
+         SELECT a.vid AS vec_id, a.cell,
+                coalesce(s.degree, 0) AS degree,
                 coalesce(m.mutual_degree, 0) AS mutual_degree, s.mean_cos
-         FROM stats s LEFT JOIN mut m ON s.cid = m.cid
+         FROM asg a LEFT JOIN stats s ON s.cid = a.vid
+                    LEFT JOIN mut m ON m.cid = a.vid
          ORDER BY vec_id""",
 
     // mirrors x95: 1e-6-quantized unit-vector coordinates as BIGINTs,
@@ -3283,11 +3287,17 @@ object ExtQueries {
                  CAST(sum(CAST(round(y*y, 9) AS DECIMAL(38,12))) AS DOUBLE) AS syy
                FROM xy)
          SELECT CAST(m AS BIGINT) AS n_terms,
-                round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS slope,
-                round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx) / m, 6)
-                  AS intercept,
-                round(((m*sxy - sx*sy) * (m*sxy - sx*sy)) /
-                      ((m*sxx - sx*sx) * (m*syy - sy*sy)), 6) AS r2
+                CASE WHEN m*sxx - sx*sx = 0 THEN NULL
+                     ELSE round((m*sxy - sx*sy) / (m*sxx - sx*sx), 6)
+                END AS slope,
+                CASE WHEN m*sxx - sx*sx = 0 THEN NULL
+                     ELSE round((sy - (m*sxy - sx*sy) / (m*sxx - sx*sx) * sx)
+                                / m, 6)
+                END AS intercept,
+                CASE WHEN m*sxx - sx*sx = 0 OR m*syy - sy*sy = 0 THEN NULL
+                     ELSE round(((m*sxy - sx*sy) * (m*sxy - sx*sy)) /
+                                ((m*sxx - sx*sx) * (m*syy - sy*sy)), 6)
+                END AS r2
          FROM s""",
 
     // mirrors x97: exact lowercased-token blocklist hits per doc,

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Build-time gate for the stdout bench-line contract (Bench.scala).
+  *
+  * Round 9's driver bench died 41 minutes in because x100/x101/x102
+  * collided with x10 under the then-fixed `name.take(3)` short-id scheme —
+  * the require in Bench aborted the run and BENCH_r09.json recorded
+  * `parsed: null`. This spec moves both invariants to `sbt test` so a new
+  * query that breaks either fails the build immediately, with no Spark
+  * session needed:
+  *
+  *  1. short ids (name up to first '_') are unique across the declared
+  *     query surface;
+  *  2. the worst-case stdout line fits the driver's capture window: the
+  *     driver keeps only the LAST 2000 chars of stdout and sbt's trailing
+  *     "[success] Total time: ..." line consumes ~90 of them, so the JSON
+  *     line must stay under ~1900 chars even when every per-query value
+  *     prints at its widest plausible width.
+  */
+class BenchIdSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keySet.toSeq.sorted
+  private val ids = names.map(SparkEntry.shortId)
+
+  test("short ids are unique across the declared query surface") {
+    val dups = ids.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty,
+      s"colliding stdout short ids: ${dups.mkString(", ")} — rename the " +
+        "new query so its prefix before the first '_' is unique")
+  }
+
+  test("every query name has a qNN/xNN-style short id") {
+    // a name with no '_' would put the whole name on the stdout line and
+    // silently eat the length budget
+    names.foreach { n =>
+      assert(n.contains("_"), s"query name '$n' has no '_' separator")
+      assert(SparkEntry.shortId(n).matches("[a-z]+[0-9]+"),
+        s"short id '${SparkEntry.shortId(n)}' of '$n' is not letter+digits")
+    }
+  }
+
+  test("worst-case stdout bench line fits the driver's 2000-char window") {
+    // mirror Bench.line()/toJson() with every value at a pessimistic width:
+    // "99.99" (5 chars, 2-decimal stdout precision) per query — real sf0.1
+    // per-query mins are < 4 s, so two extra digits of slack each
+    val entries = ids.map(id => "\"" + id + "\":99.99").mkString(",")
+    val line =
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"/root/testdata/sf0.1","passes":3}"""
+    val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
+    assert(line.length <= budget,
+      s"worst-case bench stdout line is ${line.length} chars > $budget — " +
+        "shorten ids or reduce value precision before adding more queries")
+  }
+}

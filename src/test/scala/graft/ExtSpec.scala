@@ -1794,10 +1794,8 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((3L, 4L)), "rare shared term links the pair")
   }
 
-  test("simhashNearDup: banded join equals brute all-pairs Hamming, " +
-      "exact by pigeonhole") {
-    val out = Dedup.simhashNearDup(docs, radius = 3, bands = 4)
-      .as[(Long, Long, Int)].collect().toSet
+  test("simhashNearDup: block-combination join equals brute all-pairs " +
+      "Hamming, exact by pigeonhole, at both parametrizations") {
     // brute force in the driver over the same simhash values
     val sh = docs.select($"doc_id",
       graft.ext.TextAnalysis.simhash($"text").as("sh"))
@@ -1807,10 +1805,18 @@ class ExtSpec extends AnyFunSuite {
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
     } yield (da, db, h)).toSet
     assert(brute.nonEmpty, "testdata plants near-identical docs")
-    assert(out == brute)
-    // radius must stay under the band count for the pigeonhole bound
+    // production parametrization: C(6,3) = 20 combinations of 30-bit keys
+    val out6 = Dedup.simhashNearDup(docs, radius = 3, blocks = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out6 == brute)
+    // degenerate parametrization: blocks = radius + 1 → C(4,1) = 4
+    // single-slice 15-bit keys (the legacy banding) — same exact output
+    val out4 = Dedup.simhashNearDup(docs, radius = 3, blocks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out4 == brute)
+    // radius must stay under the block count for the pigeonhole bound
     intercept[IllegalArgumentException] {
-      Dedup.simhashNearDup(docs, radius = 4, bands = 4)
+      Dedup.simhashNearDup(docs, radius = 4, blocks = 4)
     }
   }
 
@@ -2189,6 +2195,49 @@ class ExtSpec extends AnyFunSuite {
       assert(deg <= 5 && deg <= cellSize - 1)
       assert(mut <= deg)
     }
+  }
+
+  test("knnGraph keeps degree-0 nodes: a vector alone in its cell is a " +
+    "row with degree 0 and null mean_cos") {
+    import graft.ext.Similarity
+    // 0,1 share cell 0; 2 sits alone in cell 1 → no same-cell neighbor
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(e, cent, k = 2).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L),
+      s"node set must be complete: ${out.toSeq}")
+    assert(out(2) == ((2L, 1L, 0L, 0L, None)),
+      s"singleton cell → degree-0 row: ${out(2)}")
+  }
+
+  test("silhouette with a single centroid is empty (undefined, matching " +
+    "the oracle's rn=2 inner join)") {
+    import graft.ext.Similarity
+    val e = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.44f)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.silhouette(e, cent).isEmpty)
+  }
+
+  test("zipfFit pins zero-variance degenerate fits to null") {
+    import graft.ext.TextAnalysis
+    // single distinct token → m = 1 → m·sxx − sx² = 0
+    val d = Seq((0L, "same same same")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(d).collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+      s"degenerate fit must be null: $r")
+    // two tokens with equal counts → syy variance 0 → r2 null, slope 0
+    val d2 = Seq((0L, "aa bb")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.zipfFit(d2).collect().head
+    assert(r2.getLong(0) == 2L && r2.isNullAt(3), s"r2 must be null: $r2")
+    assert(r2.getDouble(1) == 0.0, s"flat counts → slope 0: $r2")
   }
 
   test("labelDispersion matches brute pairwise mean on quantized unit " +
