@@ -1295,6 +1295,15 @@ object Similarity {
     * both the stats rollup and its own reversal for the mutual check —
     * without the cut the Σ|cell|² scoring would run twice). Cosines are
     * 6-dp rounded with (cos desc, id) total order — engine-portable.
+    *
+    * Parameter honesty: the cell-locality cut DROPS cross-cell edges —
+    * a vector's true nearest neighbor in another cell never appears
+    * (the SemDeDup trade, stated in that paper). The drop rate falls
+    * as centroids are trained better and rises with k relative to cell
+    * size; x94's fixture (8 cells, k = 5 over 500 vectors) is demo
+    * scale — at 10⁹ vectors size the codebook so |cell| ≈ 10³–10⁴
+    * (k_centroids ≈ n/10³) and the Σ|cell|² pair mass stays ~n·10³–10⁴
+    * while boundary loss stays the only approximation.
     */
   def knnGraph(emb: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -77,6 +77,15 @@ object Sketches {
     * auditable). `width` deliberately small relative to key cardinality
     * shows saturation; production sizes width ≈ e/eps.
     *
+    * NO SILENT CAP, but an honest demo default: width = 256 at a 10⁹-key
+    * vocabulary means every bucket absorbs ~4 M colliding keys and the
+    * one-sided overcount approaches ‖corpus‖/width — estimates stay
+    * upper bounds (the output's `overcount` column makes the inflation
+    * visible per key), but top-k by estimate degrades toward top-k by
+    * bucket mass. At eps = 10⁻⁶ (overcount ≤ one-millionth of corpus
+    * mass) size width = ⌈e/eps⌉ ≈ 2.7 M, depth = ⌈ln(1/δ)⌉ — still only
+    * depth·width counter rows (~65 MB of longs), broadcastable.
+    *
     * Scale shape: the counter table is depth×width and BROADCAST to the
     * per-distinct-key probe relation (vocab-bounded, not corpus-bounded);
     * the only corpus-scale work is the two hash+count passes (table
@@ -104,7 +113,17 @@ object Sketches {
       .limit(k)
   }
 
-  /** HLL register precision: p index bits over the 60-bit md5 hash. */
+  /** HLL register precision: p index bits over the 60-bit md5 hash.
+    *
+    * Demo default, NOT a production setting: 2^6 = 64 registers give
+    * ±1.04/√64 ≈ ±13% relative standard error regardless of corpus
+    * size — fine for the oracle fixture (and the error envelope the
+    * x90 spec asserts), misleading for a 100 TB novelty gate where a
+    * 13% band can swallow a whole day's batch. Production p = 12–14
+    * (4096–16384 registers, ±1.6%–0.8%) costs groups×2^p rows — still
+    * KB-scale per group and mergeable by union+re-max; every estimator
+    * below takes `p` explicitly, so widening is a call-site constant.
+    */
   val HllP = 6
 
   /** Relational HyperLogLog registers (Flajolet et al. 2007): one row

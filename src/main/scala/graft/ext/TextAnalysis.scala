@@ -345,6 +345,15 @@ object TextAnalysis {
     * 6 dp, products to 9 dp, sums as DECIMAL(38,12) (the x68 contract);
     * the closed-form slope/intercept/r² arithmetic is a fixed literal
     * order replicated in the oracle.
+    *
+    * `topN` is a DELIBERATE head fit, not a silent cap: Zipf fits are
+    * conventionally taken on the frequency head (the tail bends under
+    * finite-sample noise and would drag r² down without changing the
+    * verdict the dial exists for). What it drops is the tail's own
+    * slope — a corpus whose head is natural but whose tail is template
+    * spam reads natural here; pair with x99 burstiness / x83 winnowing
+    * when tail pathology matters. N is fit-window size, not memory:
+    * any topN keeps the regression a single N-row task.
     */
   def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
