@@ -859,6 +859,15 @@ object Dedup {
     * filter): two docs sharing rare terms score high even when their
     * boilerplate differs, which n-gram Jaccard misses.
     *
+    * Terms are word `n`-gram shingle OCCURRENCES (multiplicity kept —
+    * tf of a repeated shingle rises, unlike x06's set semantics);
+    * `n = 1` degenerates to plain unigram TF-IDF. The default n = 3
+    * matches x06: the weighted and set-Jaccard near-dup paths then rank
+    * the SAME shingle space, and the prefix filter has idf spread to
+    * work with — unigram term spaces saturate (every doc shares most
+    * words), which makes all-pairs cosine output itself near-quadratic
+    * and no exact algorithm sublinear in its own output.
+    *
     * Candidate generation indexes only each doc's PREFIX — its terms in
     * rarest-first order (df asc) up to the point where the remaining
     * suffix's L2 mass (on unit-normalized weights) drops below the
@@ -881,13 +890,25 @@ object Dedup {
     * their shared terms and the dot/norm sums use round-then-
     * DECIMAL(38,12) (the repo-wide exact-sum contract).
     */
-  def tfidfCosinePairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def tfidfCosinePairs(docs: DataFrame, threshold: Double,
+      n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     require(threshold > 0 && threshold <= 1,
       s"cosine threshold must be in (0, 1], got $threshold")
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val occurrences =
+      if (n == 1)
+        docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      else
+        docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+          // token-count form of the empty filter, for the same
+          // pushdown reason as [[shingled]]
+          .filter(size(col("ws")) >= n)
+          .select(col("doc_id"),
+            explode(TextAnalysis.shingleOccurrences(col("ws"), n))
+              .as("term"))
+    val tf = occurrences
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

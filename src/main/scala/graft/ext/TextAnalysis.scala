@@ -60,6 +60,20 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** [[shinglesFromTokens]] WITHOUT the distinct — every n-gram
+    * occurrence kept, in order. The multiset face for weighted (tf)
+    * consumers like x81's shingle TF-IDF, where repeating a shingle
+    * must raise its term frequency rather than collapse.
+    */
+  def shingleOccurrences(ws: Column, n: Int): Column = {
+    val joined = (2 to n).foldLeft(ws) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k), size(ws)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val sh = slice(joined, lit(1), greatest(size(ws) - lit(n - 1), lit(0)))
+    when(size(ws) >= n, sh).otherwise(array().cast("array<string>"))
+  }
+
   /** Convenience form over raw text. For corpus-scale work go through
     * [[graft.ext.Dedup.shingled]], which materializes the token array
     * first (see [[shinglesFromTokens]] for why).

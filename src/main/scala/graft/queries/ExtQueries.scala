@@ -968,12 +968,13 @@ object ExtQueries {
       Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
-    // TF-IDF weighted cosine near-dup pairs (Bayardo all-pairs shape):
-    // the weighted complement of x06's set Jaccard — rare shared terms
-    // dominate, corpus-saturating terms carry idf 0 and are pruned
-    // before the pair join (lossless)
+    // TF-IDF weighted cosine near-dup pairs over 3-gram shingle
+    // occurrences, Bayardo WWW'07 weighted-prefix-filtered: the
+    // weighted complement of x06's set Jaccard on the SAME shingle
+    // space — rare shared shingles dominate, hot ones land in the
+    // un-indexed suffix of the prefix filter and never expand
     "x81_tfidf_cosine_pairs" -> ((s, dir) =>
-      Dedup.tfidfCosinePairs(docs(s, dir), threshold = 0.8)
+      Dedup.tfidfCosinePairs(docs(s, dir), threshold = 0.8, n = 3)
         .orderBy(col("da"), col("db"))),
 
     // SimHash Hamming near-dup via Manku block-combination keys —
@@ -2804,8 +2805,11 @@ object ExtQueries {
     // zero-weight terms pruned, dot/norm sums as round-then-DECIMAL
     "x81_tfidf_cosine_pairs" ->
       """WITH tok AS (SELECT doc_id,
-           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-         FROM documents),
+           unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   for i in generate_series(1, len(ws)-2)]) AS term
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents)
+         WHERE len(ws) >= 3),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
          n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -1773,7 +1773,7 @@ class ExtSpec extends AnyFunSuite {
       "terms carry zero weight and create no pairs") {
     val d = Seq((0L, "alpha beta"), (1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")
-    val out = Dedup.tfidfCosinePairs(d, threshold = 0.5)
+    val out = Dedup.tfidfCosinePairs(d, threshold = 0.5, n = 1)
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((0L, 1L, 1.0)))
     // every term in every doc → all idf 0 → no candidate pairs at all
@@ -1781,17 +1781,41 @@ class ExtSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     // "common" and "one" both have df = N → pruned; identical docs
     // produce NO pair because no nonzero-weight term survives
-    assert(Dedup.tfidfCosinePairs(uni, threshold = 0.01).isEmpty)
+    assert(Dedup.tfidfCosinePairs(uni, threshold = 0.01, n = 1).isEmpty)
     // weighted-vs-set divergence: rare-term overlap outscores Jaccard.
     // d3/d4 share only the rare term, d5 shares only boilerplate with d3
     val mix = Seq(
       (3L, "rareword filler1 filler2"),
       (4L, "rareword fillerA fillerB"),
       (5L, "stop stop stop stop")).toDF("doc_id", "text")
-    val pairs = Dedup.tfidfCosinePairs(mix, threshold = 0.05)
+    val pairs = Dedup.tfidfCosinePairs(mix, threshold = 0.05, n = 1)
       .as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(pairs.contains((3L, 4L)), "rare shared term links the pair")
+  }
+
+  test("tfidfCosinePairs shingle mode (declared x81 form): multiplicity " +
+      "counts, identical docs score 1.0, sub-n-token docs drop") {
+    // identical 4-token docs → identical 3-gram multisets → cos 1.0;
+    // doc 2 shares no shingle; doc 3 has < 3 tokens (no shingles at all)
+    val d = Seq(
+      (0L, "a b c d"), (1L, "a b c d"),
+      (2L, "e f g h"), (3L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.tfidfCosinePairs(d, threshold = 0.5, n = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1.0)))
+    // multiplicity: "a b a b a b" repeats the shingle "a b a" twice —
+    // tf 2 must beat tf 1 when paired against a doc holding it once
+    val rep = Seq(
+      (0L, "a b a b a b"),   // shingles: aba, bab, aba, bab
+      (1L, "a b a x y z"),   // shingles: aba, bax, axy, xyz
+      (2L, "q r s t u v")).toDF("doc_id", "text")
+    val cos = Dedup.tfidfCosinePairs(rep, threshold = 0.01, n = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cos.contains((0L, 1L)), "shared shingle links the pair")
+    assert(!cos.keySet.exists { case (a, b) => a == 2L || b == 2L },
+      "no shared shingle → no pair")
   }
 
   test("simhashNearDup: block-combination join equals brute all-pairs " +
