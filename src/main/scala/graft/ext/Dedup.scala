@@ -730,25 +730,7 @@ object Dedup {
     // join + aggregate and re-enter once at the end via coalesce. The
     // iterating relation is O(|edge endpoints|), not O(corpus). Init =
     // round one: label(v) = min(v, neighbors(v)) via one groupBy.
-    var labels = edges.groupBy(col("src"))
-      .agg(least(min(col("dst")), col("src")).as("cluster"))
-      .select(col("src").as("doc_id"), col("cluster"))
-      .materialized
-    var done = labels.isEmpty
-    var i = 0
-    while (!done && i < maxIters) {
-      val obs = org.apache.spark.sql.Observation(s"cc_changed_$i")
-      labels = ccStep(edges, labels, obs).materialized
-      done = Option(obs.get("n_changed"))
-        .forall(_.asInstanceOf[Long] == 0L)
-      i += 1
-    }
-    // exhausting the cap means labels are still moving — failing loudly
-    // beats silently returning a split component (the caller can raise
-    // maxIters; diameter can't exceed the longest near-dup chain)
-    if (!done) throw new IllegalStateException(
-      s"dedupClusters did not converge within $maxIters iterations; " +
-        "raise maxIters for very long chain components")
+    val (labels, _) = ccMinLabelLoop(edges, maxIters)
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster", "edge_cluster"),
         Seq("doc_id"), "left")
@@ -782,6 +764,136 @@ object Dedup {
       .join(docs.select(col("doc_id"), col("source"), col("text")),
         Seq("doc_id"))
       .select(col("doc_id"), col("n_members"), col("source"), col("text"))
+  }
+
+  /** The [[dedupClusters]] iteration body as a seam: min-label CC over
+    * a MIRRORED, materialized edge relation → (labels over edge-touched
+    * nodes, rounds run — counting the fused init as round one). Shared
+    * with the CcCompare evaluation tool so the round count is measured,
+    * not asserted.
+    */
+  private[graft] def ccMinLabelLoop(edges: DataFrame,
+      maxIters: Int): (DataFrame, Int) = {
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
+      .select(col("src").as("doc_id"), col("cluster"))
+      .materialized
+    var done = labels.isEmpty
+    var i = 0
+    while (!done && i < maxIters) {
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_${i}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      labels = ccStep(edges, labels, obs).materialized
+      done = Option(obs.get("n_changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
+      i += 1
+    }
+    // exhausting the cap means labels are still moving — failing loudly
+    // beats silently returning a split component (the caller can raise
+    // maxIters; diameter can't exceed the longest near-dup chain)
+    if (!done) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters iterations; " +
+        "raise maxIters for very long chain components")
+    (labels, i + 1)
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected Components
+    * in MapReduce and Beyond", SoCC'14) — the round-count alternative to
+    * [[dedupClusters]]' min-label propagation, evaluated side by side by
+    * `graft.tools.CcCompare` (numbers in SCALE.md). Same output
+    * contract: every doc labeled with its component's min doc_id.
+    *
+    * Per round: large-star attaches every node's strictly-LARGER
+    * neighbors to m = min(Γ⁺(u)), then small-star attaches u and its
+    * smaller neighbors to m. Both preserve connectivity, only ever
+    * shrink edge endpoints toward the component minimum, and converge
+    * to min-rooted stars in O(log²) rounds — on a D-hop chain that is
+    * ~log D rounds where min-label needs D. The per-round price is
+    * higher (two groupBy+join+distinct phases vs one join+groupBy), so
+    * which wins depends on component depth: near-dup graphs are shallow
+    * (D ≤ 3 measured — see SCALE.md), which is why min-label stays the
+    * x17 default and this is the documented deep-graph escape hatch.
+    *
+    * Convergence detection costs NO extra job: the star-set test
+    * ("every node is either a center — all neighbors larger — or a
+    * degree-1 leaf of a smaller node") rides the large-star groupBy as
+    * an [[org.apache.spark.sql.Observation]], and a star set is exactly
+    * the algorithm's fixpoint.
+    *
+    * Skew posture: a hot node's neighborhood maps to |Γ| new edges per
+    * phase (never a pairwise product), and the per-phase `distinct`
+    * keeps the edge multiset from accumulating — the SoCC paper's
+    * load-balance argument carries over to Spark's hash shuffle
+    * unchanged.
+    */
+  def dedupClustersAlternating(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val (labels, _) = ccAlternatingLoop(
+      pairs.select(col("da"), col("db")), maxRounds)
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster", "edge_cluster"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** [[dedupClustersAlternating]]'s loop: (labels over edge-touched
+    * nodes, rounds run). One large-star + one small-star per round,
+    * each ONE driver action (the checkpoint job; the convergence
+    * Observation rides the large-star one).
+    */
+  private[graft] def ccAlternatingLoop(pairs: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    // canonical undirected edges (a < b), deduped
+    var e = pairs
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().materialized
+    var round = 0
+    var done = e.isEmpty
+    while (!done && round < maxRounds) {
+      val mir = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b"), col("a")))
+      val obs = org.apache.spark.sql.Observation(s"cc_star_${round}_" +
+        java.util.UUID.randomUUID().toString.take(8))
+      // m = min(Γ⁺(u)); violations = nodes neither center nor leaf —
+      // zero ⟺ e is already a disjoint set of min-rooted stars
+      val m = mir.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"),
+          count(lit(1)).as("dg"))
+        .observe(obs, sum(when(col("m") < col("u") && col("dg") > 1, 1L)
+          .otherwise(0L)).as("n_violations"))
+      // large-star: (v, m(u)) for v > u; m ≤ u < v so (m, v) is
+      // canonical and never a self-loop
+      val ls = mir.join(m, Seq("u")).filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct().materialized
+      done = Option(obs.get("n_violations"))
+        .forall(_.asInstanceOf[Long] == 0L)
+      if (!done) {
+        // small-star: (v, m(u)) for v < u, plus (u, m(u)) — m ≤ v and
+        // m ≤ u keep both canonical; equality rows are self-loops
+        val mir2 = ls.select(col("a").as("u"), col("b").as("v"))
+          .union(ls.select(col("b"), col("a")))
+        val m2 = mir2.groupBy(col("u"))
+          .agg(least(min(col("v")), col("u")).as("m"))
+        val attach = mir2.filter(col("v") < col("u"))
+          .join(m2, Seq("u"))
+          .select(col("m").as("a"), col("v").as("b"))
+        val selfAttach = m2.filter(col("m") < col("u"))
+          .select(col("m").as("a"), col("u").as("b"))
+        e = attach.union(selfAttach)
+          .filter(col("a") =!= col("b")).distinct().materialized
+        round += 1
+      }
+    }
+    if (!done) throw new IllegalStateException(
+      s"ccAlternating did not converge within $maxRounds rounds")
+    val labels = e.select(col("b").as("doc_id"), col("a").as("cluster"))
+      .union(e.select(col("a"), col("a")))
+      .distinct()
+    (labels, round + 1)
   }
 
   /** One min-label propagation round, pre-checkpoint: join the mirrored

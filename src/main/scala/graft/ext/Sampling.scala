@@ -93,4 +93,38 @@ object Sampling {
       .orderBy(md5(concat(lit(salt + ":"), id.cast("string"))), id)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): every row draws a
+    * deterministic uniform u ∈ (0, 1] from its salted id hash and is
+    * ranked by the priority ln(u)/w — the k largest priorities are
+    * EXACTLY a weight-proportional sample without replacement (the
+    * paper's u^(1/w) key under the order-preserving ln). The draw is a
+    * pure function of (salt, id, w): identical on every engine, every
+    * run, and every partitioning — the property `rand()`-based samplers
+    * lose on task retry — and upweighting a row only ever moves it UP
+    * the ranking.
+    *
+    * `w` must be > 0; non-positive-weight rows are excluded (they have
+    * zero selection probability by definition). The priority is rounded
+    * to 9 dp before ranking so the two engines' last-ulp `ln`
+    * differences cannot flip an order, with the id as total tie-break.
+    *
+    * Scale shape: one narrow map (hash → u → priority) and a global
+    * top-k via TakeOrderedAndProject — per-partition k-heaps, no full
+    * sort, no shuffle beyond k rows per partition. The 100 TB importance
+    * sampler: k rows out, one pass over the corpus.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String = "wrs"): DataFrame = {
+    require(k > 0, s"sample size must be > 0, got $k")
+    val h = graft.ext.TextAnalysis.hash60(
+      concat(lit(salt + ":"), id.cast("string")))
+    // (h + 1) / 2^60 ∈ (2^-60, 1] — never 0, so ln is finite
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    df.filter(weight > 0)
+      .withColumn("priority", round(log(u) / weight, 9))
+      .orderBy(col("priority").desc, id.asc)
+      .limit(k)
+  }
 }

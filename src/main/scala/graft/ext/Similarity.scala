@@ -1305,10 +1305,14 @@ object Similarity {
     * (k_centroids ≈ n/10³) and the Σ|cell|² pair mass stays ~n·10³–10⁴
     * while boundary loss stays the only approximation.
     */
-  def knnGraph(emb: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 12)
-    val cells = assignCells(emb, centroidRelation(centroids))
+  /** The cell-local top-`k` neighbor EDGE relation (cid, cell, nid,
+    * cos) underlying [[knnGraph]] and [[triangleStats]]: within-cell
+    * pair scoring (Σ|cell|², never n²) + a per-source-vector top-k
+    * window with the engine-portable (cos desc, nid) total order.
+    * Materialized — every consumer reads the edge list at least twice
+    * (reversal for the mutual check, stats, wedge joins).
+    */
+  private[ext] def knnEdges(cells: DataFrame, k: Int): DataFrame = {
     val nb = cells.select(col("cell"), col("cid").as("nid"),
       col("ce").as("ne"), col("cn").as("nn"))
     val scored = cells.select(col("cell"), col("cid"), col("ce"), col("cn"))
@@ -1319,10 +1323,17 @@ object Similarity {
           .as("cos"))
     val w = Window.partitionBy(col("cid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    val knn = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("cid"), col("cell"), col("nid"), col("cos"))
       .materialized
+  }
+
+  def knnGraph(emb: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val cells = assignCells(emb, centroidRelation(centroids))
+    val knn = knnEdges(cells, k)
     val rev = knn.select(col("nid").as("cid"), col("cid").as("nid"))
     val mut = knn.join(rev, Seq("cid", "nid"), "left_semi")
       .groupBy(col("cid")).agg(count(lit(1)).as("mutual_degree"))
@@ -1341,6 +1352,164 @@ object Similarity {
         coalesce(col("degree"), lit(0L)).as("degree"),
         coalesce(col("mutual_degree"), lit(0L)).as("mutual_degree"),
         col("mean_cos"))
+  }
+
+  /** Per-cell triangle count + global clustering coefficient of the
+    * MUTUAL cell-local kNN graph — the graph-health audit for the x94
+    * edge relation (a healthy semantic neighborhood graph is locally
+    * clustered; coefficient ≈ 0 flags a hub-and-spoke or noise graph,
+    * where graph-based dedup/label propagation would wire unrelated
+    * docs together). Triangles are counted by the degree-ordered
+    * node-iterator (Suri & Vassilvitskii, "Counting Triangles and the
+    * Curse of the Last Reducer", WWW'11): orient every undirected edge
+    * from its lower (deg, id) endpoint to the higher, generate wedges
+    * only at each edge's LOW endpoint, and close them against the
+    * undirected edge list — every triangle has exactly one node whose
+    * two triangle edges both point out (its (deg, id)-minimum), so each
+    * is counted once, and the wedge mass is Σ out-deg² with out-degrees
+    * capped at O(√m) by the orientation — the skew-proof bound that
+    * names the paper.
+    *
+    * Output per cell: nodes/edges of the mutual graph, wedge count
+    * Σ C(deg, 2), triangle count, and clustering = 3·tri/wedges (null
+    * when the cell has no wedge). Cells whose mutual graph is empty do
+    * not appear (no nodes with a mutual edge).
+    *
+    * Scale shape: rides [[knnEdges]] (Σ|cell|² pair scoring, top-k
+    * window); past it every relation is edge-bounded (≤ n·k rows), the
+    * wedge join is out-degree-bounded by orientation, and the closure
+    * is a left-semi equi-join on (cell, a, b). Output is
+    * cell-cardinality.
+    */
+  /** One row per UNDIRECTED mutual kNN edge (u < v by id), materialized
+    * — the shared base of [[triangleStats]] and [[pageRank]]. */
+  private[ext] def mutualEdges(cells: DataFrame, k: Int): DataFrame = {
+    val knn = knnEdges(cells, k)
+    val rev = knn.select(col("nid").as("cid"), col("cid").as("nid"))
+    knn.join(rev, Seq("cid", "nid"), "left_semi")
+      .filter(col("cid") < col("nid"))
+      .select(col("cell"), col("cid").as("u"), col("nid").as("v"))
+      .materialized
+  }
+
+  def triangleStats(emb: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val cells = assignCells(emb, centroidRelation(centroids))
+    val mutual = mutualEdges(cells, k)
+    val deg = mutual
+      .select(col("cell"), explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("cell"), col("n")).agg(count(lit(1)).as("deg"))
+      .materialized
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = mutual
+      .join(deg.select(col("cell"), col("n").as("u"), col("deg").as("du")),
+        Seq("cell", "u"))
+      .join(deg.select(col("cell"), col("n").as("v"), col("deg").as("dv")),
+        Seq("cell", "v"))
+      .select(col("cell"),
+        when(lowFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("hi"))
+    // wedges at the low endpoint; o1.hi < o2.hi normalizes (a, b) by id
+    val wedgesAtLow = oriented.as("o1")
+      .join(oriented.as("o2"), Seq("cell", "lo"))
+      .filter(col("o1.hi") < col("o2.hi"))
+      .select(col("cell"), col("o1.hi").as("u"), col("o2.hi").as("v"))
+    val tri = wedgesAtLow
+      .join(mutual, Seq("cell", "u", "v"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_triangles"))
+    val rollup = deg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_nodes"),
+        // Σ deg·(deg−1) is even by construction; halve AFTER the sum so
+        // both engines stay in exact integer arithmetic until one final
+        // division (Spark's `/` on longs is double division)
+        (sum(col("deg") * (col("deg") - 1)) / 2).cast("long")
+          .as("n_wedges"))
+    val edges = mutual.groupBy(col("cell")).agg(count(lit(1)).as("n_edges"))
+    rollup.join(edges, Seq("cell"))
+      .join(tri, Seq("cell"), "left")
+      .select(col("cell"), col("n_nodes"), col("n_edges"), col("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(lit(3.0) * coalesce(col("n_triangles"), lit(0L)) /
+            col("n_wedges"), 6)).as("clustering"))
+  }
+
+  /** PageRank centrality over the mutual cell-local kNN graph (Page,
+    * Brin, Motwani & Winograd 1999), a FIXED `iters` power-method
+    * iterations — graph centrality as a data-selection signal: a highly
+    * central document in the semantic graph is prototypical of its
+    * region, a low-rank one is peripheral/novel (both are selection
+    * dials, cf. the x74 curriculum and x53 DSIR scoring). The graph is
+    * undirected (each mutual edge feeds both directions) and every node
+    * in it has degree ≥ 1, so there are no dangling nodes and the
+    * damped update is the textbook one on the RELATIVE rank r = pr·N
+    * (mean 1, so no 1/N init and no node-count driver action):
+    * r' = (1−d) + d·Σ_in r/deg.
+    *
+    * Determinism contract: EXACT INTEGER arithmetic end-to-end — rank
+    * in 1e-12 units as BIGINT (init 10^12), damping as the rational
+    * `dampingPct`/100, and every division a round-half-up integral
+    * divide ((2a+b) div 2b). Doubles never appear, so both engines (and
+    * any partitioning) produce bit-identical ranks by construction;
+    * `iters` is a literal the oracle unrolls (the x75 pattern). The
+    * first draft rounded doubles at 12 dp, the same quantum as the
+    * decimal contribution sums — so `0.85·s` landed EXACTLY on a 12-dp
+    * half-boundary for ~5% of nodes and Spark's BigDecimal HALF_UP vs
+    * DuckDB's scaled-double round disagreed on the ulp; integer units
+    * remove the boundary class entirely instead of shrinking it.
+    * Output: top `topK` nodes by (rank_e12 desc, id), with cell and
+    * degree — k-bounded via TakeOrderedAndProject.
+    *
+    * Scale shape: rides [[mutualEdges]] (Σ|cell|² scoring, top-k
+    * window); each iteration is one equi-join of the directed edge list
+    * (2·|mutual| rows) against the ≤ n-row rank relation plus a keyed
+    * agg — the standard distributed PR round, `iters` passes total, no
+    * driver state. For iterative-convergence PR swap the fixed loop for
+    * the x17 Observation pattern; fixed-k is the reproducible-artifact
+    * form a selection pipeline wants.
+    */
+  def pageRank(emb: DataFrame, centroids: DataFrame, k: Int,
+      iters: Int = 3, dampingPct: Int = 85,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
+    val dec0 = DecimalType(38, 0)
+    val cells = assignCells(emb, centroidRelation(centroids))
+    val mutual = mutualEdges(cells, k)
+    // directed both ways; out-degree = undirected degree
+    val edges = mutual.select(col("u").as("src"), col("v").as("dst"))
+      .union(mutual.select(col("v"), col("u")))
+      .materialized
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .materialized
+    var pr = deg.select(col("src").as("n"), lit(1000000000000L).as("ru"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("n", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        // round-half-up(ru / deg) in exact integers
+        .select(col("dst"), expr("(2 * ru + deg) div (2 * deg)").as("cu"))
+        .groupBy(col("dst"))
+        .agg(sum(col("cu").cast(dec0)).as("insum"))
+      pr = deg.select(col("src").as("n"))
+        .join(contrib.withColumnRenamed("dst", "n"), Seq("n"), "left")
+        .select(col("n"),
+          (lit((100L - dampingPct) * 10000000000L) +
+            coalesce( // round-half-up(dampingPct · insum / 100)
+              expr(s"(2 * $dampingPct * insum + 100) div 200"), lit(0L)))
+            .as("ru"))
+        .materialized
+    }
+    val nodeCell = mutual.select(col("cell"), col("u").as("n"))
+      .union(mutual.select(col("cell"), col("v")))
+      .distinct()
+    pr.join(nodeCell, Seq("n"))
+      .join(deg.withColumnRenamed("src", "n"), Seq("n"))
+      .select(col("n").as("vec_id"), col("cell"), col("deg"),
+        col("ru").as("rank_e12"))
+      .orderBy(col("rank_e12").desc, col("vec_id"))
+      .limit(topK)
   }
 
   /** Intra-label embedding dispersion WITHOUT a pairwise join: the mean

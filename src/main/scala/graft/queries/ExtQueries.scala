@@ -1166,6 +1166,37 @@ object ExtQueries {
       graft.ext.Sketches.hllNovelty(
         sh.filter(col("source") =!= "src0").select(col("sg")),
         sh.filter(col("source") === "src0").select(col("sg")))
+    }),
+
+    // Efraimidis-Spirakis weighted sampling without replacement:
+    // deterministic hash-uniform u per doc, priority ln(u)/n_chars,
+    // global top-100 via TakeOrderedAndProject — the one-pass
+    // importance sampler (longer docs proportionally likelier, no
+    // rand(), identical draw on every engine/run/partitioning)
+    "x103_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), k = 100)),
+
+    // per-cell triangle count + clustering coefficient of the mutual
+    // cell-local kNN graph (degree-ordered node-iterator, Suri &
+    // Vassilvitskii WWW'11) — the graph-health audit over x94's edges
+    "x104_triangle_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.triangleStats(e,
+        Similarity.trainCentroids(e, nCentroids = 8), k = 5)
+        .orderBy(col("cell"))
+    }),
+
+    // PageRank centrality over the mutual kNN graph, 3 fixed
+    // power-method iterations in EXACT integer units (rank·1e12 as
+    // BIGINT, damping 85/100, round-half-up integral divides — no
+    // doubles, so bit-identical on any engine; oracle-unrollable):
+    // top-20 most-central vectors as a prototypicality selection signal
+    "x105_pagerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pageRank(e,
+        Similarity.trainCentroids(e, nCentroids = 8), k = 5)
     })
   )
 
@@ -3453,7 +3484,158 @@ object ExtQueries {
                      ELSE round(abs(round(est_merged - est_base, 6)
                                     - exact_new) / exact_new, 6)
                 END AS rel_err
-         FROM wide CROSS JOIN ex"""
+         FROM wide CROSS JOIN ex""",
+
+    // mirrors x103: hash60("wrs:"||doc_id)+1 over 2^60 as the uniform,
+    // priority = round(ln(u)/n_chars, 9), global top-100 with doc_id
+    // tie-break
+    "x103_weighted_sample" ->
+      """SELECT doc_id, source, n_chars,
+                round(ln((CAST('0x' ||
+                    substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) + 1) / 1152921504606846976.0)
+                  / n_chars, 9) AS priority
+         FROM documents WHERE n_chars > 0
+         ORDER BY priority DESC, doc_id LIMIT 100""",
+
+    // mirrors x104: the x94 knn CTE chain, mutual edges u<v, degree
+    // orientation, wedges at the low endpoint, closure against the
+    // undirected edge list, per-cell rollup
+    "x104_triangle_stats" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         p AS (SELECT a.vid AS cid, a.cell, b.vid AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
+               JOIN e x ON x.vec_id = a.vid
+               JOIN e y ON y.vec_id = b.vid),
+         knn AS (SELECT cid, cell, nid FROM (
+                   SELECT cid, cell, nid,
+                          row_number() OVER (PARTITION BY cid
+                                             ORDER BY cos DESC, nid) AS rn
+                   FROM p) t WHERE rn <= 5),
+         mutual AS (SELECT k.cell, k.cid AS u, k.nid AS v
+                    FROM knn k JOIN knn r
+                      ON r.cid = k.nid AND r.nid = k.cid
+                    WHERE k.cid < k.nid),
+         deg AS (SELECT cell, n, count(*) AS deg FROM (
+                   SELECT cell, u AS n FROM mutual
+                   UNION ALL SELECT cell, v AS n FROM mutual) t
+                 GROUP BY cell, n),
+         orient AS (SELECT m.cell,
+                      CASE WHEN du.deg < dv.deg
+                             OR (du.deg = dv.deg AND m.u < m.v)
+                           THEN m.u ELSE m.v END AS lo,
+                      CASE WHEN du.deg < dv.deg
+                             OR (du.deg = dv.deg AND m.u < m.v)
+                           THEN m.v ELSE m.u END AS hi
+                    FROM mutual m
+                    JOIN deg du ON du.cell = m.cell AND du.n = m.u
+                    JOIN deg dv ON dv.cell = m.cell AND dv.n = m.v),
+         wed AS (SELECT o1.cell, o1.hi AS u, o2.hi AS v
+                 FROM orient o1 JOIN orient o2
+                   ON o1.cell = o2.cell AND o1.lo = o2.lo
+                  AND o1.hi < o2.hi),
+         tri AS (SELECT w.cell, count(*) AS n_triangles
+                 FROM wed w JOIN mutual m
+                   ON m.cell = w.cell AND m.u = w.u AND m.v = w.v
+                 GROUP BY w.cell),
+         roll AS (SELECT cell, count(*) AS n_nodes,
+                    CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+                  FROM deg GROUP BY cell),
+         ed AS (SELECT cell, count(*) AS n_edges FROM mutual GROUP BY cell)
+         SELECT r.cell, r.n_nodes, ed.n_edges, r.n_wedges,
+                coalesce(t.n_triangles, 0) AS n_triangles,
+                CASE WHEN r.n_wedges = 0 THEN NULL
+                     ELSE round(3.0 * coalesce(t.n_triangles, 0)
+                                / r.n_wedges, 6)
+                END AS clustering
+         FROM roll r JOIN ed USING (cell) LEFT JOIN tri t USING (cell)
+         ORDER BY r.cell""",
+
+    // mirrors x105: the x104 mutual-edge derivation, then 3 unrolled
+    // damped power iterations in exact integer units (rank·1e12 as
+    // BIGINT, damping 85/100, (2a+b)//(2b) round-half-up divides —
+    // no doubles anywhere, so the engines agree bit-for-bit)
+    "x105_pagerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         p AS (SELECT a.vid AS cid, a.cell, b.vid AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
+               JOIN e x ON x.vec_id = a.vid
+               JOIN e y ON y.vec_id = b.vid),
+         knn AS (SELECT cid, cell, nid FROM (
+                   SELECT cid, cell, nid,
+                          row_number() OVER (PARTITION BY cid
+                                             ORDER BY cos DESC, nid) AS rn
+                   FROM p) t WHERE rn <= 5),
+         mutual AS (SELECT k.cell, k.cid AS u, k.nid AS v
+                    FROM knn k JOIN knn r
+                      ON r.cid = k.nid AND r.nid = k.cid
+                    WHERE k.cid < k.nid),
+         dir AS (SELECT u AS src, v AS dst FROM mutual
+                 UNION ALL SELECT v AS src, u AS dst FROM mutual),
+         deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY src),
+         pr0 AS (SELECT src AS n, CAST(1000000000000 AS BIGINT) AS ru
+                 FROM deg),
+         pr1 AS (SELECT d.src AS n,
+                   CAST(150000000000 + coalesce(
+                     (2 * 85 * c.s + 100) // 200, 0) AS BIGINT) AS ru
+                 FROM deg d LEFT JOIN (
+                   SELECT ed.dst,
+                     sum((2 * p0.ru + g.deg) // (2 * g.deg)) AS s
+                   FROM dir ed JOIN pr0 p0 ON p0.n = ed.src
+                   JOIN deg g ON g.src = ed.src
+                   GROUP BY ed.dst) c ON c.dst = d.src),
+         pr2 AS (SELECT d.src AS n,
+                   CAST(150000000000 + coalesce(
+                     (2 * 85 * c.s + 100) // 200, 0) AS BIGINT) AS ru
+                 FROM deg d LEFT JOIN (
+                   SELECT ed.dst,
+                     sum((2 * p1.ru + g.deg) // (2 * g.deg)) AS s
+                   FROM dir ed JOIN pr1 p1 ON p1.n = ed.src
+                   JOIN deg g ON g.src = ed.src
+                   GROUP BY ed.dst) c ON c.dst = d.src),
+         pr3 AS (SELECT d.src AS n,
+                   CAST(150000000000 + coalesce(
+                     (2 * 85 * c.s + 100) // 200, 0) AS BIGINT) AS ru
+                 FROM deg d LEFT JOIN (
+                   SELECT ed.dst,
+                     sum((2 * p2.ru + g.deg) // (2 * g.deg)) AS s
+                   FROM dir ed JOIN pr2 p2 ON p2.n = ed.src
+                   JOIN deg g ON g.src = ed.src
+                   GROUP BY ed.dst) c ON c.dst = d.src),
+         nodecell AS (SELECT DISTINCT cell, u AS n FROM mutual
+                      UNION SELECT DISTINCT cell, v AS n FROM mutual)
+         SELECT p.n AS vec_id, nc.cell, g.deg, p.ru AS rank_e12
+         FROM pr3 p JOIN nodecell nc ON nc.n = p.n
+         JOIN deg g ON g.src = p.n
+         ORDER BY rank_e12 DESC, vec_id LIMIT 20"""
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

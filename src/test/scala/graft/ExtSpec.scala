@@ -177,6 +177,45 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("dedupClustersAlternating: identical labels to min-label CC on " +
+      "chains, empty sets, and random graphs; fewer rounds on a deep chain") {
+    import graft.ext.Dedup
+    // 24-hop chain: min-label needs ~diameter rounds, alternating ~log
+    val chain = (1L to 25L).sliding(2).map(s => (s(0), s(1), 0.9)).toSeq
+      .toDF("da", "db", "j")
+    val d = (1L to 25L).toDF("doc_id")
+    val alt = Dedup.dedupClustersAlternating(d, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(alt.values.forall(_ == 1L) && alt.size == 25)
+    val (_, altRounds) = Dedup.ccAlternatingLoop(
+      chain.select($"da", $"db"), maxRounds = 30)
+    val mirrored = chain.select($"da".as("src"), $"db".as("dst"))
+      .union(chain.select($"db", $"da"))
+    val (_, mlRounds) = Dedup.ccMinLabelLoop(mirrored, maxIters = 50)
+    assert(altRounds < mlRounds,
+      s"alternating $altRounds rounds vs min-label $mlRounds on a 24-hop chain")
+    // empty edge set
+    assert(Dedup.dedupClustersAlternating(d, Seq.empty[(Long, Long, Double)]
+      .toDF("da", "db", "j")).as[(Long, Long)].collect()
+      .forall(p => p._1 == p._2))
+    // random graphs: label-for-label identical to the min-label path
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.04
+      } yield (a, b, 1.0)).toSeq
+      val docs = (0L until n).toDF("doc_id")
+      val pairs = edges.toDF("da", "db", "j")
+      val ml = Dedup.dedupClusters(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      val al = Dedup.dedupClustersAlternating(docs, pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(al == ml, s"seed=$seed")
+    }
+  }
+
   test("dedupClusters equals union-find on random graphs") {
     for (seed <- Seq(7, 23, 99)) {
       val rnd = new scala.util.Random(seed)
@@ -2448,5 +2487,97 @@ class ExtSpec extends AnyFunSuite {
     assert(out(0)._5 == f0, s"${out(0)._5} vs $f0")
     assert(out(1)._2 == 2L && out(1)._3 == 1L && out(1)._4 == 2L)
     assert(out(2)._2 == 1L && out(2)._4 == 1L, "empty text = one empty token")
+  }
+
+  test("weightedSample: matches driver-replicated ES priorities, " +
+      "excludes non-positive weights, is partitioning-invariant") {
+    import graft.ext.Sampling
+    val rows = Seq((1L, 10L), (2L, 10L), (3L, 0L), (4L, -5L), (5L, 7L),
+      (6L, 1000L), (7L, 3L), (8L, 10L))
+    val d = rows.toDF("doc_id", "w")
+    def prio(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wrs:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      BigDecimal(math.log((h + 1).toDouble / 1152921504606846976.0) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, prio(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }.take(3)
+    val out = Sampling.weightedSample(d, $"doc_id", $"w", k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == expected, s"$out vs $expected")
+    // same draw at a different partitioning (the rand() failure mode)
+    val out1 = Sampling.weightedSample(d.repartition(7), $"doc_id", $"w",
+      k = 3).as[(Long, Long, Double)].collect().toSeq
+    assert(out1 == expected)
+  }
+
+  test("triangleStats: path graph has wedges but no triangle; clique " +
+      "closes; singleton-edge cells roll up with null clustering") {
+    import graft.ext.Similarity
+    val oneCent = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // a1=0, c0=1, a2=2, b=3 — mutual graph is the path b–a1–c0–a2 at
+    // k=2 (derived by hand from the rounded cosines): two wedges
+    // (centered a1 and c0), zero triangles
+    val path = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.7f, 0.7f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.95f, -0.31f))
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.triangleStats(path, oneCent, k = 2).collect()
+    assert(p.length == 1)
+    assert(p(0).getLong(1) == 4L && p(0).getLong(2) == 3L &&
+      p(0).getLong(3) == 2L && p(0).getLong(4) == 0L,
+      s"path stats: ${p(0)}")
+    assert(p(0).getDouble(5) == 0.0, s"open wedges only: ${p(0)}")
+    // tight trio + a far mutual pair, k=2: K3 plus one isolated edge —
+    // one triangle, three wedges (all inside the K3), clustering 1.0
+    val trio = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.14f)),
+      (2L, Seq(0.98f, 0.2f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.1f, 0.99f))).toDF("vec_id", "embedding")
+    val t = Similarity.triangleStats(trio, oneCent, k = 2).collect()
+    assert(t.length == 1)
+    assert(t(0).getLong(1) == 5L && t(0).getLong(2) == 4L &&
+      t(0).getLong(3) == 3L && t(0).getLong(4) == 1L, s"trio: ${t(0)}")
+    assert(t(0).getDouble(5) == 1.0)
+  }
+
+  test("pageRank: 3-iteration damped ranks match an exact driver " +
+      "replication on the path graph; centers outrank leaves") {
+    import graft.ext.Similarity
+    val oneCent = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // same fixture as triangleStats: mutual graph is the path 3–0–1–2
+    val path = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.7f, 0.7f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.95f, -0.31f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pageRank(path, oneCent, k = 2, iters = 3,
+      topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val edges = Seq((0, 1), (1, 0), (0, 3), (3, 0), (1, 2), (2, 1))
+    val deg = Map(0 -> 2, 1 -> 2, 2 -> 1, 3 -> 1)
+    // exact integer replication: rank·1e12, round-half-up divides
+    var ru: Map[Int, Long] = deg.map { case (n, _) => n -> 1000000000000L }
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          (2 * ru(src) + deg(src)) / (2 * deg(src)) }.sum
+      }
+      ru = deg.map { case (n, _) =>
+        n -> (150000000000L + (2 * 85 * in.getOrElse(n, 0L) + 100) / 200) }
+    }
+    val expected = ru.toSeq
+      .map { case (n, p) => (n.toLong, 0L, deg(n).toLong, p) }
+      .sortBy { case (id, _, _, p) => (-p, id) }
+    assert(out == expected, s"$out vs $expected")
+    assert(Set(out(0)._1, out(1)._1) == Set(0L, 1L),
+      "path centers must outrank leaves")
+    // rank mass is conserved up to rounding: Σr ≈ N·1e12
+    val mass = out.map(_._4).sum
+    assert(math.abs(mass - 4000000000000L) < 100L, s"mass $mass")
   }
 }
