@@ -127,4 +127,53 @@ object Sampling {
       .orderBy(col("priority").desc, id.asc)
       .limit(k)
   }
+
+  /** Sample-representativeness audit: does a deterministic sample COVER
+    * the corpus's semantic regions, or did it silently starve some? Per
+    * trained IVF cell ([[Similarity.cellAssignments]]), the corpus
+    * share vs the share inside a [[hashBucket]] `samplePct`% sample,
+    * the per-cell log-ratio, and the cell's contribution to
+    * KL(sample ‖ corpus) — the audit read BEFORE trusting any sampled
+    * subset (x18/x38/x103) as an eval or distillation proxy; Σ kl_term
+    * near 0 means representative, a large positive cell term means the
+    * sample over-concentrated there, a null log_ratio flags a region
+    * the sample missed entirely.
+    *
+    * Determinism contract: counts are exact; the ratio inside ln is the
+    * integer-product form (n_s·C)/(n_c·S) — both factors exact in
+    * doubles up to 2^53, so both engines take ln of the identical
+    * double and the 6/9-dp rounds agree. n_sample = 0 pins log_ratio
+    * null and kl_term 0 (the standard 0·ln0 = 0 convention).
+    *
+    * Scale shape: one corpus pass against the broadcast centroids
+    * (the x15 contract) with the sample flag computed inline — no join
+    * against a sample table — then everything is cells-bounded.
+    */
+  def coverageAudit(emb: DataFrame, centroids: DataFrame,
+      samplePct: Int = 10, salt: String = "cov"): DataFrame = {
+    require(samplePct > 0 && samplePct < 100,
+      s"samplePct must be in (0, 100): $samplePct")
+    import org.apache.spark.sql.types.DoubleType
+    val flagged = Similarity.cellAssignments(emb, centroids)
+      .withColumn("in_sample",
+        hashBucket(col("vec_id"), salt, 100) < samplePct)
+    val per = flagged.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"))
+    val tot = per.agg(sum(col("n_corpus")).as("tc"),
+      sum(col("n_sample")).as("ts"))
+    val lnRatio = log((col("n_sample") * col("tc")).cast(DoubleType) /
+      (col("n_corpus") * col("ts")).cast(DoubleType))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_corpus"), col("n_sample"),
+        round(col("n_corpus").cast(DoubleType) / col("tc"), 6)
+          .as("p_corpus"),
+        when(col("ts") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(col("n_sample").cast(DoubleType) / col("ts"), 6))
+          .as("p_sample"),
+        when(col("n_sample") > 0, round(lnRatio, 6)).as("log_ratio"),
+        when(col("n_sample") > 0,
+          round((col("n_sample").cast(DoubleType) / col("ts")) * lnRatio, 9))
+          .otherwise(lit(0.0)).as("kl_term"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -327,6 +328,76 @@ object Selection {
         round(col("a") / col("a_total"), 6).as("weight"),
         round(round(col("a") / col("a_total"), 6) * col("tok_total") /
           col("n_tokens"), 6).as("sample_factor"))
+  }
+
+  /** UniMax budget allocation (Chung, Garcia, Roberts et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): split a total token budget
+    * B across sources so every source is repeated at most `epochCap`
+    * times — low-resource sources contribute their full capped mass,
+    * and whatever budget remains is split EQUALLY among the sources
+    * rich enough to fill it. The fairer alternative to x64's
+    * temperature mixture (which over-samples the head and still
+    * over-epochs the tail at small T).
+    *
+    * Closed form of the paper's greedy loop, fully relational: sort
+    * sources ascending by capacity cap = epochCap·n_tokens; a source at
+    * ascending position i gets its full cap iff
+    * cap_i·(L−i+1) ≤ B − Σ_{j<i} cap_j (EXACT integer comparison —
+    * BIGINT masses, DECIMAL(38,0) product), and once one source fails
+    * the test every later (richer) one fails too, all receiving the
+    * identical equal share E = (B − Σ_{j<t} cap_j)/(L−t+1). One
+    * ascending-capacity window (cumsum + row_number over the
+    * source-cardinality relation) + a 1-row broadcast of the boundary —
+    * no iteration, no driver state.
+    *
+    * Output per source: n_tokens, cap_tokens, alloc_tokens (3-dp; the
+    * equal share is one integer division so engines agree bitwise),
+    * epochs = alloc/n_tokens (6-dp) — the sampling plan a data loader
+    * consumes directly.
+    *
+    * Scale shape: one tokenize pass to source cardinality, then every
+    * relation is sources-bounded. The window sorts SOURCES, not docs.
+    */
+  def uniMaxAllocation(docs: DataFrame, budget: Long,
+      epochCap: Int = 4): DataFrame = {
+    require(budget > 0 && epochCap > 0)
+    val dec0 = DecimalType(38, 0)
+    val perSrc = docs
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .groupBy(col("source"))
+      .agg(sum(size(col("ws")).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val ranked = perSrc
+      .withColumn("idx", row_number().over(w))
+      .withColumn("pre",
+        coalesce(sum(col("cap").cast(dec0))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast(dec0)))
+      .withColumn("nsrc", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("fits",
+        col("cap").cast(dec0) * (col("nsrc") - col("idx") + 1) <=
+          lit(budget).cast(dec0) - col("pre"))
+    // boundary t = first ascending position where the cap no longer
+    // fits; sources past it share (B − Σ_{j<t} cap_j)/(L−t+1) equally
+    val boundary = ranked.filter(not(col("fits")))
+      .agg(min(col("idx")).as("t"),
+        min_by(col("pre"), col("idx")).as("pre_t"))
+    ranked.crossJoin(broadcast(boundary))
+      .select(col("source"), col("n_tokens"), col("cap").as("cap_tokens"),
+        when(col("t").isNull || col("idx") < col("t"),
+          col("cap").cast(DoubleType))
+          .otherwise(round(
+            (lit(budget).cast(dec0) - col("pre_t")).cast(DoubleType) /
+              (col("nsrc") - col("t") + 1).cast(DoubleType), 3))
+          .as("alloc_tokens"))
+      .withColumn("epochs",
+        round(col("alloc_tokens") / col("n_tokens"), 6))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs"))
   }
 
   /** Held-out trigram LM score with stupid backoff (Brants et al. 2007,

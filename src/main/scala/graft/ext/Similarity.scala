@@ -1669,4 +1669,68 @@ object Similarity {
         coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0))
           .as("rr"))
   }
+
+  /** Greedy k-center (farthest-point) coreset selection — Gonzalez
+    * 1985, "Clustering to minimize the maximum intercluster distance",
+    * the 2-approximation to the k-center cover. The diversity
+    * complement of x39's SemDeDup: instead of dropping near-duplicates,
+    * pick the k most SPREAD-OUT exemplars (active-learning seed sets,
+    * labeling budgets, eval panels, coreset distillation).
+    *
+    * Deterministic contract: seed = lowest vec_id; each step adds the
+    * vector minimizing its max 6-dp-rounded cosine to the selected set
+    * (= farthest in cosine distance), ties broken by lowest vec_id.
+    * Output (sel_rank 1..k, vec_id, cov_cos): cov_cos = the winner's
+    * max cosine to the PRIOR selection (null for the seed) — the
+    * non-decreasing coverage curve a diversity-budget decision reads
+    * (stop when cov_cos crosses "close enough to something selected").
+    *
+    * Scale shape: k−1 passes, each ONE map over the corpus comparing
+    * against the newest center as a broadcast literal (constant-folded
+    * norm) + a TakeOrdered(1) (per-partition top-1 heaps — no sort, 1
+    * row per partition shuffles) + a checkpoint of the running
+    * (vec_id, embedding, mc) relation. Driver state = the selected
+    * vectors themselves: k × dim floats, dim-table-class, the same
+    * bound as the trainCentroids codebook. O(k·n) total — the exact
+    * greedy algorithm, no approximation beyond 6-dp quantization.
+    */
+  def kCenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].head()
+    def cosTo(vec: Seq[Float]): Column = {
+      val c = typedlit(vec)
+      round(dot(col("embedding"), c) / (col("nrm") * sqrt(dot(c, c))), 6)
+    }
+    val sel = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seed._1, None))
+    var mc = base.filter(col("vec_id") =!= seed._1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        cosTo(seed._2).as("mc"))
+      .materialized
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val next = mc.orderBy(col("mc").asc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("embedding"), col("mc"))
+        .as[(Long, Seq[Float], Double)].collect().headOption
+      next match {
+        case None => exhausted = true // k > corpus size: stop early
+        case Some((vid, vec, cov)) =>
+          sel += ((r, vid, Some(cov)))
+          if (r < k)
+            mc = mc.filter(col("vec_id") =!= vid)
+              .select(col("vec_id"), col("embedding"), col("nrm"),
+                greatest(col("mc"), cosTo(vec)).as("mc"))
+              .materialized
+          r += 1
+      }
+    }
+    sel.toSeq.toDF("sel_rank", "vec_id", "cov_cos")
+  }
 }

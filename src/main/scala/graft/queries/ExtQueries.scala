@@ -1197,6 +1197,32 @@ object ExtQueries {
       val e = emb(s, dir)
       Similarity.pageRank(e,
         Similarity.trainCentroids(e, nCentroids = 8), k = 5)
+    }),
+
+    // greedy k-center (farthest-point) coreset: the 8 most spread-out
+    // exemplars by min-max 6-dp cosine (Gonzalez 1985), seed = lowest
+    // vec_id, with the non-decreasing coverage curve
+    "x106_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(emb(s, dir), k = 8)
+        .orderBy(col("sel_rank"))),
+
+    // UniMax budget allocation (Chung et al. 2023): 100k-token budget,
+    // 4-epoch cap — poor sources contribute their full capped mass,
+    // rich ones split the remainder equally; exact-integer boundary
+    // test, one source-cardinality window
+    "x107_unimax_alloc" -> ((s, dir) =>
+      graft.ext.Selection.uniMaxAllocation(docs(s, dir),
+        budget = 100000L, epochCap = 4)
+        .orderBy(col("source"))),
+
+    // sample-representativeness audit: per trained-IVF-cell corpus vs
+    // 10%-hash-sample shares, log-ratio, KL(sample ‖ corpus) terms —
+    // the coverage check before trusting a sampled subset
+    "x108_coverage_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.Sampling.coverageAudit(e,
+        Similarity.trainCentroids(e, nCentroids = 8), samplePct = 10)
+        .orderBy(col("cell"))
     })
   )
 
@@ -3635,7 +3661,83 @@ object ExtQueries {
          SELECT p.n AS vec_id, nc.cell, g.deg, p.ru AS rank_e12
          FROM pr3 p JOIN nodecell nc ON nc.n = p.n
          JOIN deg g ON g.src = p.n
-         ORDER BY rank_e12 DESC, vec_id LIMIT 20"""
+         ORDER BY rank_e12 DESC, vec_id LIMIT 20""",
+
+    // mirrors x106: unrolled greedy farthest-point steps — each one
+    // (argmin max-cos, tie by id) + a min-cos... see kCenterSql
+    "x106_kcenter_coreset" -> kCenterSql(k = 8),
+
+    // mirrors x107: same ascending-capacity window and exact-integer
+    // boundary test; the equal share is one integer-derived division
+    "x107_unimax_alloc" ->
+      """WITH t AS (SELECT source,
+                len(regexp_split_to_array(trim(text), '\s+')) AS nt
+              FROM documents),
+         s AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+               FROM t GROUP BY source),
+         c AS (SELECT source, n_tokens, n_tokens * 4 AS cap FROM s),
+         r AS (SELECT source, n_tokens, cap,
+                 row_number() OVER (ORDER BY cap ASC, source ASC) AS idx,
+                 coalesce(sum(cap) OVER (ORDER BY cap ASC, source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS pre,
+                 count(*) OVER () AS nsrc
+               FROM c),
+         f AS (SELECT *, cap * (nsrc - idx + 1) <= 100000 - pre AS fits
+               FROM r),
+         b AS (SELECT min(idx) AS t, min_by(pre, idx) AS pre_t
+               FROM f WHERE NOT fits),
+         a AS (SELECT source, n_tokens, cap, nsrc,
+                 CASE WHEN b.t IS NULL OR idx < b.t THEN CAST(cap AS DOUBLE)
+                      ELSE round(CAST(100000 - b.pre_t AS DOUBLE)
+                                 / (nsrc - b.t + 1), 3)
+                 END AS alloc
+               FROM f CROSS JOIN b)
+         SELECT source, n_tokens, cap AS cap_tokens, alloc AS alloc_tokens,
+                round(alloc / n_tokens, 6) AS epochs
+         FROM a ORDER BY source""",
+
+    // mirrors x108: the x104 cell assignment, the x18 md5 bucket as the
+    // sample flag, exact counts, integer-product ratios inside ln
+    "x108_coverage_audit" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         fl AS (SELECT vid, cell,
+                  (CAST('0x' || substr(md5('cov:' || CAST(vid AS VARCHAR)),
+                        1, 8) AS BIGINT) % 100) < 10 AS in_sample
+                FROM asg),
+         per AS (SELECT cell, count(*) AS n_corpus,
+                   CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sample
+                 FROM fl GROUP BY cell),
+         tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS tc,
+                   CAST(sum(n_sample) AS BIGINT) AS ts FROM per)
+         SELECT cell, n_corpus, n_sample,
+                round(CAST(n_corpus AS DOUBLE) / tc, 6) AS p_corpus,
+                CASE WHEN ts = 0 THEN NULL
+                     ELSE round(CAST(n_sample AS DOUBLE) / ts, 6)
+                END AS p_sample,
+                CASE WHEN n_sample > 0
+                     THEN round(ln(CAST(n_sample * tc AS DOUBLE)
+                                   / CAST(n_corpus * ts AS DOUBLE)), 6)
+                END AS log_ratio,
+                CASE WHEN n_sample > 0
+                     THEN round((CAST(n_sample AS DOUBLE) / ts)
+                                * ln(CAST(n_sample * tc AS DOUBLE)
+                                     / CAST(n_corpus * ts AS DOUBLE)), 9)
+                     ELSE 0.0
+                END AS kl_term
+         FROM per CROSS JOIN tot ORDER BY cell"""
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
@@ -3668,6 +3770,45 @@ object ExtQueries {
     * as DECIMAL(38,12) for the per-dim accumulations, 6-dp re-normalized
     * v per pass, λ₁ = vᵀg/n with the v that produced the final g.
     */
+  /** DuckDB replication of [[graft.ext.Similarity.kCenterCoreset]]:
+    * `k−1` unrolled greedy steps — each picks argmin of the running
+    * max-6-dp-cosine (tie: lowest vec_id) and folds the winner into the
+    * running max via `greatest` — then stitches the selection order
+    * back together. Same 6-dp quantization as the Spark side, so the
+    * argmin comparisons see identical doubles.
+    */
+  private def kCenterSql(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val prev = if (i == 2) "m1" else s"m${i - 1}"
+      val fold =
+        if (i == k) "" // the last winner needs no updated relation
+        else s""",
+         m$i AS (SELECT x.vec_id, x.e, x.nrm,
+                   greatest(x.mc, round(list_dot_product(x.e, s.e)
+                     / (x.nrm * s.nrm), 6)) AS mc
+                 FROM $prev x, s$i s WHERE x.vec_id != s.vec_id)"""
+      s"""s$i AS (SELECT vec_id, e, nrm, mc FROM $prev
+                 ORDER BY mc ASC, vec_id LIMIT 1)$fold"""
+    }.mkString(",\n         ")
+    val out = (2 to k)
+      .map(i => s"UNION ALL SELECT $i, vec_id, mc FROM s$i")
+      .mkString("\n         ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+               FROM e),
+         s1 AS (SELECT vec_id, e, nrm FROM n ORDER BY vec_id LIMIT 1),
+         m1 AS (SELECT x.vec_id, x.e, x.nrm,
+                  round(list_dot_product(x.e, s.e) / (x.nrm * s.nrm), 6)
+                    AS mc
+                FROM n x, s1 s WHERE x.vec_id != s.vec_id),
+         $steps
+         SELECT * FROM (
+           SELECT 1 AS sel_rank, vec_id, CAST(NULL AS DOUBLE) AS cov_cos
+           FROM s1
+           $out)
+         ORDER BY sel_rank"""
+  }
+
   private def pcaSql(dim: Int, iters: Int): String = {
     val steps = (0 until iters).map { i =>
       s"""c$i AS (SELECT em, list_dot_product(em, (SELECT v FROM v$i)) AS c

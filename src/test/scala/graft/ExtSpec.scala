@@ -2545,6 +2545,96 @@ class ExtSpec extends AnyFunSuite {
     assert(t(0).getDouble(5) == 1.0)
   }
 
+  test("kCenterCoreset: hand-derived greedy order on exact-dot vectors; " +
+      "early stop when k exceeds the corpus") {
+    import graft.ext.Similarity
+    // unit vectors with exact small dots: seed 0=(1,0); farthest is
+    // 2=(-1,0) (cos -1), then 1=(0,1) (cos 0), then 3=(.8,.6) (cov .8)
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(-1.0f, 0.0f)), (3L, Seq(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterCoreset(e, k = 4).orderBy($"sel_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      (1, 0L, None), (2, 2L, Some(-1.0)), (3, 1L, Some(0.0)),
+      (4, 3L, Some(0.8))), out.mkString(", "))
+    // identical under a different partitioning
+    val out2 = Similarity.kCenterCoreset(e.repartition(5), k = 4)
+      .orderBy($"sel_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out2.toSeq == out.toSeq)
+    // k larger than the corpus: stop after exhausting it
+    assert(Similarity.kCenterCoreset(e, k = 10).count() == 4)
+  }
+
+  test("uniMaxAllocation: capped poor sources + equal-share rich ones; " +
+      "all-capped and all-equal-share degenerate budgets") {
+    import graft.ext.Selection
+    val docs = Seq(
+      ("A", "t1 t2"),                                 // 2 tokens, cap 8
+      ("B", (1 to 10).map(i => s"b$i").mkString(" ")), // 10, cap 40
+      ("C", (1 to 100).map(i => s"c$i").mkString(" ")) // 100, cap 400
+    ).toDF("source", "text")
+    val mixed = Selection.uniMaxAllocation(docs, budget = 100L)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(mixed == Seq(
+      ("A", 2L, 8L, 8.0, 4.0),
+      ("B", 10L, 40L, 40.0, 4.0),
+      ("C", 100L, 400L, 52.0, 0.52)), mixed.toString)
+    // budget above total capacity: everyone gets the full cap
+    val rich = Selection.uniMaxAllocation(docs, budget = 1000L)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(rich.map(_._4) == Seq(8.0, 40.0, 400.0))
+    // budget below even the poorest cap: pure equal split
+    val tight = Selection.uniMaxAllocation(docs, budget = 9L)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(tight.map(_._4) == Seq(3.0, 3.0, 3.0), tight.toString)
+  }
+
+  test("coverageAudit: counts and KL terms match a driver replication " +
+      "of the md5 bucket and cell assignment") {
+    import graft.ext.Sampling
+    // two orthogonal centroids; even ids → cell of (1,0), odd → (0,1)
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) Seq(0.9f, 0.1f) else Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    def inSample(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cov:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100 < 10
+    }
+    val expPer = (0L until 40L).groupBy(_ % 2).map { case (cell, ids) =>
+      cell -> (ids.size.toLong, ids.count(inSample).toLong)
+    }
+    val ts = expPer.values.map(_._2).sum
+    val out = Sampling.coverageAudit(e, cents, samplePct = 10)
+      .orderBy($"cell").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val cell = r.getLong(0)
+      val (nc, nsmp) = expPer(cell)
+      assert(r.getLong(1) == nc && r.getLong(2) == nsmp, r.toString)
+      if (nsmp > 0) {
+        val lr = math.log(nsmp.toDouble * 40 / (nc * ts))
+        assert(math.abs(r.getDouble(5) - lr) < 1e-6, r.toString)
+        assert(math.abs(r.getDouble(6) -
+          nsmp.toDouble / ts * lr) < 1e-6, r.toString)
+      } else {
+        assert(r.isNullAt(5) && r.getDouble(6) == 0.0)
+      }
+    }
+  }
+
   test("pageRank: 3-iteration damped ranks match an exact driver " +
       "replication on the path graph; centers outrank leaves") {
     import graft.ext.Similarity

@@ -50,7 +50,9 @@ class PlanSpec extends AnyFunSuite {
     "x92_pmi_collocations", // 1-row token/bigram totals, x13/x14 pattern
     "x93_cluster_silhouette", // k-row centroid side: the x15 assignment
     "x94_knn_graph", // k-row centroid side: the x15 cell assignment
-    "x102_hll_novelty") // 1-row exact-count audit onto the 1-row sketch
+    "x102_hll_novelty", // 1-row exact-count audit onto the 1-row sketch
+    "x107_unimax_alloc", // 1-row waterfilling boundary onto sources
+    "x108_coverage_audit") // 1-row corpus/sample totals onto cells
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
