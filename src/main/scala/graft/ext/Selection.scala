@@ -400,6 +400,83 @@ object Selection {
         col("alloc_tokens"), col("epochs"))
   }
 
+  /** Reliability diagram of a scored relation — the calibration audit
+    * (Guo et al., ICML'17, "On Calibration of Modern Neural Networks")
+    * run on [[linearProbe]]'s (or any classifier-filter's) scores
+    * before its threshold gates data: sigmoid the margin, bin the
+    * probability into `bins` equal-width bins, and compare each bin's
+    * mean predicted probability against its empirical positive rate.
+    * `gap` per bin is the reliability-diagram deviation; `ece_term` is
+    * the bin's contribution to Expected Calibration Error (Σ over the
+    * output = ECE). An uncalibrated filter makes its "keep everything
+    * above 0.9" knob meaningless — this is the audit that says whether
+    * 0.9 means 90%.
+    *
+    * Determinism: p = round(sigmoid, 6); bin = floor(p·bins) clamped
+    * (p = 1 joins the top bin); mean_p is a round-then-DECIMAL sum;
+    * frac_pos is an exact count ratio — engine-portable throughout.
+    *
+    * Scale shape: one map + one `bins`-cardinality agg; the 1-row total
+    * broadcast shapes the ece terms. Nothing retains the corpus.
+    */
+  def calibrationCurve(scored: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val dec = DecimalType(38, 12)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-score)), 6)
+    val binned = scored
+      .select(p.as("p"), label.cast("int").as("y"))
+      .withColumn("bin",
+        least(floor(col("p") * bins), lit((bins - 1).toDouble)).cast("int"))
+    val per = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("p").cast(dec)).as("p_sum"))
+    val tot = per.agg(sum(col("n")).as("n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("p_sum").cast(DoubleType) / col("n"), 6).as("mean_p"),
+        round(col("n_pos").cast(DoubleType) / col("n"), 6).as("frac_pos"),
+        col("n_total"))
+      .withColumn("gap",
+        round(abs(col("mean_p") - col("frac_pos")), 6))
+      .withColumn("ece_term",
+        round(col("n").cast(DoubleType) / col("n_total") * col("gap"), 9))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_p"),
+        col("frac_pos"), col("gap"), col("ece_term"))
+  }
+
+  /** Effective-number-of-samples class weights (Cui, Jia, Lin, Song &
+    * Belongie, CVPR'19, "Class-Balanced Loss Based on Effective Number
+    * of Samples"): weight_c ∝ (1−β)/(1−β^{n_c}) — the re-weighting that
+    * interpolates between no balancing (β = 0) and inverse-frequency
+    * (β → 1) by modeling diminishing returns of near-duplicate samples,
+    * exactly the regime a deduplicated-but-skewed corpus sits in.
+    * Weights are normalized to sum to the class count (mean 1), the
+    * paper's convention.
+    *
+    * Scale shape: one keyed count to label cardinality, then
+    * label-bounded arithmetic with a 1-row normalizer broadcast.
+    */
+  def effectiveNumberWeights(labeled: DataFrame, label: Column,
+      beta: Double = 0.999): DataFrame = {
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    val counts = labeled.groupBy(label.as("label"))
+      .agg(count(lit(1)).as("n"))
+      // raw = (1−β)/(1−β^n), 9-dp so the normalizer sums fixed-point
+      .withColumn("raw",
+        round(lit(1.0 - beta) /
+          (lit(1.0) - pow(lit(beta), col("n").cast(DoubleType))), 9))
+    val tot = counts.agg(
+      sum(col("raw").cast(DecimalType(38, 12))).cast(DoubleType)
+        .as("raw_sum"),
+      count(lit(1)).as("n_classes"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        round(col("raw") * col("n_classes") / col("raw_sum"), 6)
+          .as("weight"))
+  }
+
   /** Held-out trigram LM score with stupid backoff (Brants et al. 2007,
     * "Large Language Models in Machine Translation" §4): per document,
     * the mean negative log score of its word trigrams under a trigram

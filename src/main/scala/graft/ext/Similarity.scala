@@ -1670,6 +1670,45 @@ object Similarity {
           .as("rr"))
   }
 
+  /** kNN label-agreement audit — the confident-learning-style mislabel
+    * detector (cf. Northcutt, Jiang & Chuang, JAIR'21): for each
+    * labeled vector, the fraction of its cell-local top-`k` cosine
+    * neighbors sharing its label. A vector whose neighborhood
+    * overwhelmingly disagrees (`suspect` = agreement < 0.5) is either
+    * mislabeled or sits on a genuine class boundary — the triage list a
+    * labeling-QA pass reviews before the labels feed training or the
+    * x55/x95 per-label machinery. Pairs with [[labelDispersion]]: that
+    * audits classes in aggregate, this names the individual rows.
+    *
+    * Scale shape: rides [[knnEdges]] (Σ|cell|² cell-local scoring,
+    * top-k window); the label joins and the per-vector agreement agg
+    * are all ≤ n·k rows. Output is one row per vector that has
+    * neighbors (vectors alone in their cell have no evidence and are
+    * excluded — documented, mirrors the knnGraph degree-0 contract
+    * pre-advisor-fix but here absence IS the semantics: no neighbors,
+    * no agreement estimate).
+    */
+  def labelAgreement(emb: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val cells = assignCells(emb, centroidRelation(centroids))
+    val edges = knnEdges(cells, k)
+    val lab = emb.select(col("vec_id"), col("label"))
+    edges
+      .join(lab.select(col("vec_id").as("cid"), col("label").as("l_self")),
+        Seq("cid"))
+      .join(lab.select(col("vec_id").as("nid"), col("label").as("l_nbr")),
+        Seq("nid"))
+      .groupBy(col("cid"), col("l_self"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("l_nbr") === col("l_self"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("cid").as("vec_id"), col("l_self").as("label"),
+        col("n_nbrs"), col("n_same"),
+        round(col("n_same").cast(DoubleType) / col("n_nbrs"), 6)
+          .as("agreement"))
+      .withColumn("suspect", col("agreement") < 0.5)
+  }
+
   /** Greedy k-center (farthest-point) coreset selection — Gonzalez
     * 1985, "Clustering to minimize the maximum intercluster distance",
     * the 2-approximation to the k-center cover. The diversity

@@ -1223,7 +1223,50 @@ object ExtQueries {
       graft.ext.Sampling.coverageAudit(e,
         Similarity.trainCentroids(e, nCentroids = 8), samplePct = 10)
         .orderBy(col("cell"))
-    })
+    }),
+
+    // DDSketch-style mergeable quantile sketch (integer log-linear
+    // buckets, 8 per octave): per-source p50/p90/p99 of n_chars read
+    // from the groups×S·log₂(max) counter relation — the third
+    // mergeable sketch next to CMS (x88) and HLL (x90/x102)
+    "x109_quantile_sketch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ext.Sketches.quantileEstimates(
+        graft.ext.Sketches.quantileBuckets(d, col("source"),
+          col("n_chars")),
+        qs = Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"), col("q"))
+    }),
+
+    // calibration audit of the x58 probe: sigmoid scores → 10 bins →
+    // mean predicted vs empirical positive rate, per-bin gap and ECE
+    // contribution — whether the filter's 0.9 means 90%
+    "x110_probe_calibration" -> ((s, dir) => {
+      val probe = graft.ext.Selection.linearProbe(emb(s, dir),
+        col("label") === 0)
+      graft.ext.Selection.calibrationCurve(probe, col("score"),
+        col("label_target"))
+        .orderBy(col("bin"))
+    }),
+
+    // kNN label-agreement mislabel triage: per labeled vector, the
+    // share of its cell-local top-5 neighbors agreeing with its label;
+    // suspect = agreement < 0.5 (confident-learning-style QA list)
+    "x111_label_agreement" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.labelAgreement(e,
+        Similarity.trainCentroids(e, nCentroids = 8), k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
+    // effective-number class weights (Cui et al. CVPR'19): per-label
+    // (1−β)/(1−β^n) re-weighting normalized to mean 1 — the
+    // class-balance dial for a deduplicated-but-skewed corpus
+    "x112_class_weights" -> ((s, dir) =>
+      graft.ext.Selection.effectiveNumberWeights(emb(s, dir),
+        col("label"))
+        .orderBy(col("label")))
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -3737,7 +3780,128 @@ object ExtQueries {
                                      / CAST(n_corpus * ts AS DOUBLE)), 9)
                      ELSE 0.0
                 END AS kl_term
-         FROM per CROSS JOIN tot ORDER BY cell"""
+         FROM per CROSS JOIN tot ORDER BY cell""",
+
+    // mirrors x109: same integer bucket math (bit-length octave + 8
+    // linear sub-buckets), window cumsum, interpolated read-out; /8 is
+    // exact so the interpolation sees identical doubles
+    "x109_quantile_sketch" ->
+      """WITH v AS (SELECT source, greatest(n_chars, 1) AS v
+                    FROM documents),
+         bk AS (SELECT source, length(bin(v)) AS b,
+                  (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS lo,
+                  ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 8)
+                    // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS sub
+                FROM v),
+         sk AS (SELECT source, b, sub, lo, count(*) AS cnt
+                FROM bk GROUP BY 1, 2, 3, 4),
+         c AS (SELECT *,
+                 CAST(sum(cnt) OVER (PARTITION BY source
+                   ORDER BY b, sub) AS BIGINT) AS cum
+               FROM sk),
+         t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+               FROM sk GROUP BY source),
+         qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+                  AS q),
+         j AS (SELECT c.source, qq.q, t.n, c.lo, c.sub, c.cnt,
+                 c.cum - c.cnt AS cum_before, qq.q * t.n AS target, c.cum
+               FROM c JOIN t USING (source) CROSS JOIN qq)
+         SELECT source, q, n,
+                round(CAST(lo * (8 + sub) AS DOUBLE) / 8
+                      + (CAST(lo * (9 + sub) AS DOUBLE) / 8
+                         - CAST(lo * (8 + sub) AS DOUBLE) / 8)
+                        * (target - cum_before) / cnt, 6) AS est_value
+         FROM j WHERE cum_before < target AND target <= cum
+         ORDER BY source, q""",
+
+    // mirrors x110: the full x58 GD unroll as a nested-WITH subquery,
+    // then sigmoid → 6-dp → clamped equal-width bins → exact-count and
+    // round-then-DECIMAL bin stats
+    "x110_probe_calibration" ->
+      s"""WITH probe AS (
+           SELECT * FROM (${linearProbeSql(dim = 64, iters = 3,
+             lr = "0.1")}) lp
+         ),
+         b AS (SELECT round(1.0 / (1.0 + exp(-score)), 6) AS p,
+                 label_target AS y
+               FROM probe),
+         g AS (SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+                 count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS p_sum
+               FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+         SELECT bin, n, n_pos,
+                round(p_sum / n, 6) AS mean_p,
+                round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+                round(abs(round(p_sum / n, 6)
+                          - round(CAST(n_pos AS DOUBLE) / n, 6)), 6)
+                  AS gap,
+                round(CAST(n AS DOUBLE) / n_total *
+                      round(abs(round(p_sum / n, 6)
+                            - round(CAST(n_pos AS DOUBLE) / n, 6)), 6), 9)
+                  AS ece_term
+         FROM g CROSS JOIN t ORDER BY bin""",
+
+    // mirrors x111: the x94/x104 knn CTE chain + label joins on both
+    // edge endpoints, per-vector agreement over exact counts
+    "x111_label_agreement" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         p AS (SELECT a.vid AS cid, b.vid AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
+               JOIN e x ON x.vec_id = a.vid
+               JOIN e y ON y.vec_id = b.vid),
+         knn AS (SELECT cid, nid FROM (
+                   SELECT cid, nid,
+                          row_number() OVER (PARTITION BY cid
+                                             ORDER BY cos DESC, nid) AS rn
+                   FROM p) t WHERE rn <= 5),
+         lab AS (SELECT vec_id, label FROM embeddings)
+         SELECT k.cid AS vec_id, ls.label, count(*) AS n_nbrs,
+                CAST(sum(CASE WHEN ln.label = ls.label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_same,
+                round(CAST(sum(CASE WHEN ln.label = ls.label
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS agreement,
+                round(CAST(sum(CASE WHEN ln.label = ls.label
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) < 0.5 AS suspect
+         FROM knn k
+         JOIN lab ls ON ls.vec_id = k.cid
+         JOIN lab ln ON ln.vec_id = k.nid
+         GROUP BY k.cid, ls.label
+         ORDER BY vec_id""",
+
+    // mirrors x112: per-label counts, (1−β)/(1−β^n) at 9 dp, decimal
+    // normalizer, mean-1 normalization at 6 dp
+    "x112_class_weights" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings
+                    GROUP BY label),
+         r AS (SELECT label, n,
+                 round((1.0 - 0.999)
+                       / (1.0 - pow(0.999, CAST(n AS DOUBLE))), 9) AS raw
+               FROM c),
+         t AS (SELECT CAST(sum(CAST(raw AS DECIMAL(38,12))) AS DOUBLE)
+                   AS raw_sum,
+                 count(*) AS n_classes
+               FROM r)
+         SELECT label, n,
+                round(raw * n_classes / raw_sum, 6) AS weight
+         FROM r CROSS JOIN t ORDER BY label"""
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

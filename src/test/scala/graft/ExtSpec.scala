@@ -2635,6 +2635,118 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileSketch: estimates stay within the 1/S relative-error " +
+      "bound of true quantiles; split-sketch merge equals whole-corpus " +
+      "sketch; values below 1 clamp") {
+    import graft.ext.Sketches
+    val rnd = new scala.util.Random(5)
+    val vals = (1 to 500).map(_ => (rnd.nextInt(2000) + 1).toLong)
+    val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp0", "v")
+    val sk = Sketches.quantileBuckets(d, $"grp0", $"v")
+    val est = Sketches.quantileEstimates(sk, Seq(0.5, 0.9, 0.99))
+      .orderBy($"q").as[(String, Double, Long, Double)].collect()
+    val sorted = vals.sorted
+    for ((_, q, n, ev) <- est) {
+      assert(n == 500)
+      val truth = sorted(math.ceil(q * 500).toInt - 1).toDouble
+      // bucket width ≤ lo/8 ⇒ relative error ≤ 1/8 against any value
+      // in the crossed bucket
+      assert(math.abs(ev - truth) / truth <= 0.125 + 1e-9,
+        s"q=$q est=$ev truth=$truth")
+    }
+    // mergeability: sum of two half-corpus sketches = whole sketch
+    val (h1, h2) = (d.filter($"id" < 250), d.filter($"id" >= 250))
+    val merged = Sketches.quantileBuckets(h1, $"grp0", $"v")
+      .union(Sketches.quantileBuckets(h2, $"grp0", $"v"))
+      .groupBy($"grp", $"b", $"sub", $"lo")
+      .agg(sum($"cnt").as("cnt"))
+    val whole = sk.orderBy($"b", $"sub")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    val m2 = merged.orderBy($"b", $"sub")
+      .select($"grp", $"b", $"sub", $"lo", $"cnt")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(m2 == whole)
+    // estimates off the merged sketch are identical too
+    val estM = Sketches.quantileEstimates(merged, Seq(0.5, 0.9, 0.99))
+      .orderBy($"q").as[(String, Double, Long, Double)].collect().toSeq
+    assert(estM == est.toSeq)
+    // non-positive values clamp to 1 (one singleton bucket)
+    val z = Seq((1L, "z", 0L), (2L, "z", -5L), (3L, "z", 1L))
+      .toDF("id", "grp0", "v")
+    val zs = Sketches.quantileBuckets(z, $"grp0", $"v").collect()
+    assert(zs.length == 1 && zs(0).getLong(4) == 3L)
+  }
+
+  test("calibrationCurve: hand-computed bins, p=1.0 clamps into the top " +
+      "bin, ECE terms sum to the weighted gap") {
+    import graft.ext.Selection
+    // score 0 → p=0.5 → bin 5; score 20 → p rounds to 1.0 → clamped bin
+    // 9; score −3 → p≈0.047 → bin 0
+    val d = Seq((0.0, 1), (0.0, 0), (20.0, 1), (20.0, 1), (-3.0, 0))
+      .toDF("score", "y")
+    val out = Selection.calibrationCurve(d, $"score", $"y")
+      .orderBy($"bin")
+      .as[(Int, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.map(_._1) == Seq(0, 5, 9), out.toString)
+    val p3 = BigDecimal(1.0 / (1.0 + math.exp(3.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == (0, 1L, 0L, p3, 0.0, p3,
+      BigDecimal(p3 / 5).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble), out(0).toString)
+    assert(out(1) == (5, 2L, 1L, 0.5, 0.5, 0.0, 0.0))
+    assert(out(2)._2 == 2L && out(2)._4 == 1.0 && out(2)._5 == 1.0 &&
+      out(2)._6 == 0.0)
+    // ECE = Σ ece_term = Σ n_b/N · gap_b
+    val ece = out.map(_._7).sum
+    assert(math.abs(ece - p3 / 5) < 1e-9)
+  }
+
+  test("labelAgreement: hand-derived neighbor agreement; singleton-cell " +
+      "vectors are excluded") {
+    import graft.ext.Similarity
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // v0,v1 (label 0) and v2 (label 1) share cell 0; v3 is alone in
+    // cell 1 (no neighbors → no row). k=2: everyone's neighbors are the
+    // other two cellmates.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.99f, 0.14f), 0),
+      (2L, Seq(0.98f, 0.2f), 1), (3L, Seq(0.0f, 1.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelAgreement(e, cents, k = 2)
+      .orderBy($"vec_id")
+      .as[(Long, Int, Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0, 2L, 1L, 0.5, false),
+      (1L, 0, 2L, 1L, 0.5, false),
+      (2L, 1, 2L, 0L, 0.0, true)), out.toString)
+  }
+
+  test("effectiveNumberWeights: matches the CVPR'19 formula on skewed " +
+      "counts and normalizes to mean 1") {
+    import graft.ext.Selection
+    val d = (Seq.fill(1)("a") ++ Seq.fill(100)("b") ++ Seq.fill(10)("c"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "label")
+    val out = Selection.effectiveNumberWeights(d, $"label")
+      .orderBy($"label").as[(String, Long, Double)].collect().toSeq
+    def rnd(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raws = Seq(1L, 100L, 10L).map(n =>
+      rnd((1.0 - 0.999) / (1.0 - math.pow(0.999, n.toDouble)), 9))
+    val rs = raws.map(BigDecimal(_)).sum.toDouble
+    val exp = Seq(("a", 1L, raws(0)), ("b", 100L, raws(1)),
+      ("c", 10L, raws(2))).map { case (l, n, r) =>
+      (l, n, rnd(r * 3 / rs, 6)) }
+    assert(out == exp, s"$out vs $exp")
+    // mean weight ≈ 1 (paper's normalization)
+    assert(math.abs(out.map(_._3).sum / 3 - 1.0) < 1e-5)
+    // rare class upweighted vs frequent
+    assert(out.head._3 > out(1)._3)
+  }
+
   test("pageRank: 3-iteration damped ranks match an exact driver " +
       "replication on the path graph; centers outrank leaves") {
     import graft.ext.Similarity

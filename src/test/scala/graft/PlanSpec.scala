@@ -52,7 +52,9 @@ class PlanSpec extends AnyFunSuite {
     "x94_knn_graph", // k-row centroid side: the x15 cell assignment
     "x102_hll_novelty", // 1-row exact-count audit onto the 1-row sketch
     "x107_unimax_alloc", // 1-row waterfilling boundary onto sources
-    "x108_coverage_audit") // 1-row corpus/sample totals onto cells
+    "x108_coverage_audit", // 1-row corpus/sample totals onto cells
+    "x110_probe_calibration", // 1-row total onto bins-bounded rows
+    "x112_class_weights") // 1-row normalizer onto label cardinality
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
