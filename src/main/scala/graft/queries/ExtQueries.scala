@@ -149,8 +149,7 @@ object ExtQueries {
     // the documented scale alternative for the edge step).
     "x17_dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupClusters(d,
-        Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
+      Dedup.dedupClusters(d, Dedup.cachedPairs(d))
         .orderBy(col("doc_id"))
     }),
 
@@ -708,8 +707,7 @@ object ExtQueries {
     // component and mismatches many output rows).
     "x56_fuzzy_dedup_corpus" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.fuzzyDedupCorpus(d,
-        Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
+      Dedup.fuzzyDedupFromClusters(d, Dedup.cachedClusters(d))
         .orderBy(col("doc_id"))
     }),
 
@@ -843,8 +841,7 @@ object ExtQueries {
     // docs they hold; two keyed aggs on top of the clustering
     "x69_dedup_histogram" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.dedupClusters(d,
-          Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
+      Dedup.cachedClusters(d)
         .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("sz") * col("n_clusters"))
@@ -1006,9 +1003,7 @@ object ExtQueries {
     // assignment exactly (x17's CC clusters ∘ x18's hash split)
     "x85_leakage_safe_split" -> ((s, dir) => {
       val d = docs(s, dir)
-      Sampling.leakageSafeSplit(
-        Dedup.dedupClusters(d,
-          Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5)))
+      Sampling.leakageSafeSplit(Dedup.cachedClusters(d))
         .orderBy(col("doc_id"))
     }),
 
@@ -1016,9 +1011,7 @@ object ExtQueries {
     // near-dup pairs under the NAIVE per-doc split — off-diagonal mass
     // is the eval contamination x85 eliminates
     "x86_split_leakage_audit" -> ((s, dir) =>
-      Sampling.splitLeakageAudit(
-        Dedup.jaccardPairsIndexHashed(docs(s, dir), n = 3,
-          threshold = 0.5))
+      Sampling.splitLeakageAudit(Dedup.cachedPairs(docs(s, dir)))
         .orderBy(col("split_a"), col("split_b"))),
 
     // held-out stupid-backoff trigram LM: model trained on the non-src0

@@ -216,6 +216,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("cachedPairs/cachedClusters: row-identical to the uncached " +
+      "builders, hit the session cache on re-use, and key by params") {
+    import graft.ext.Dedup
+    Dedup.invalidateDedupArtifacts()
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (3L, "one two three four five six seven", "s2"),
+      (4L, "totally different text goes right here", "s2")
+    ).toDF("doc_id", "text", "source")
+    val direct = Dedup.dedupClusters(d,
+      Dedup.jaccardPairsIndexHashed(d, n = 3, threshold = 0.5))
+      .as[(Long, Long)].collect().toMap
+    val cached = Dedup.cachedClusters(d).as[(Long, Long)].collect().toMap
+    assert(cached == direct)
+    val sizeAfterFirst = Dedup.artifactCacheSize
+    assert(sizeAfterFirst == 2, s"pairs + labels: $sizeAfterFirst")
+    // re-use hits the cache (no new entries), same rows
+    assert(Dedup.cachedClusters(d).as[(Long, Long)].collect().toMap
+      == direct)
+    assert(Dedup.artifactCacheSize == sizeAfterFirst)
+    // different hyperparameters get their own entries
+    Dedup.cachedPairs(d, n = 2, threshold = 0.4).count()
+    assert(Dedup.artifactCacheSize == sizeAfterFirst + 1)
+    Dedup.invalidateDedupArtifacts()
+    assert(Dedup.artifactCacheSize == 0)
+  }
+
   test("dedupClusters equals union-find on random graphs") {
     for (seed <- Seq(7, 23, 99)) {
       val rnd = new scala.util.Random(seed)
