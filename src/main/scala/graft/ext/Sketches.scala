@@ -295,13 +295,18 @@ object Sketches {
     import org.apache.spark.sql.types.DoubleType
     val s = subBuckets
     val w = Window.partitionBy(col("grp")).orderBy(col("b"), col("sub"))
+    // group total as an unbounded window over the SAME partitioning —
+    // one Exchange feeds both, and no self-join (which also breaks on
+    // re-read sinks like the streaming memory table)
+    val wAll = Window.partitionBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = sketch
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    val tot = sketch.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+      .withColumn("n", sum(col("cnt")).over(wAll))
     val blo = (col("lo") * (lit(s) + col("sub"))).cast(DoubleType) / s
     val bhi = (col("lo") * (lit(s) + col("sub") + 1)).cast(DoubleType) / s
-    cum.join(tot, Seq("grp"))
+    cum
       .select(col("grp"), col("n"), col("lo"), col("sub"), col("cnt"),
         col("cum"), col("cum_before"),
         explode(array(qs.map(lit): _*)).as("q"))

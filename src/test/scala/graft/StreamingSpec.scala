@@ -380,4 +380,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("resource.subject.reference").startsWith("urn:"))
       .count() == 0)
   }
+
+  test("x109 quantile sketch maintains at ingest: Complete-mode " +
+    "streaming counts equal the batch sketch, estimates included") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Sketches
+    val docs = graft.engine.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val rows = docs.as[(Long, String, Long)].collect()
+    val src = MemoryStream[(Long, String, Long)]
+    // the batch operator IS the streaming operator: groupBy-count is a
+    // legal streaming aggregation, so sketch maintenance at ingest is
+    // the same code path in Complete mode
+    val q = Sketches.quantileBuckets(
+        src.toDF().toDF("doc_id", "source", "n_chars"),
+        col("source"), col("n_chars"))
+      .writeStream.format("memory").queryName("qsketch")
+      .outputMode(OutputMode.Complete()).start()
+    src.addData(rows.take(rows.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    src.addData(rows.drop(rows.length / 2).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qsketch")
+      .orderBy(col("grp"), col("b"), col("sub"))
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    val batch = Sketches.quantileBuckets(docs, col("source"),
+        col("n_chars"))
+      .orderBy(col("grp"), col("b"), col("sub"))
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    val estS = Sketches.quantileEstimates(spark.table("qsketch"),
+        Seq(0.5, 0.9)).orderBy(col("grp"), col("q"))
+      .as[(String, Double, Long, Double)].collect().toSeq
+    val estB = Sketches.quantileEstimates(
+        Sketches.quantileBuckets(docs, col("source"), col("n_chars")),
+        Seq(0.5, 0.9)).orderBy(col("grp"), col("q"))
+      .as[(String, Double, Long, Double)].collect().toSeq
+    assert(estS == estB && estS.nonEmpty)
+  }
 }
