@@ -26,12 +26,18 @@ object SparkEntry {
     CoreQueries.oracleSql ++ ExtQueries.oracleSql
 
   /** Short id for the stdout bench line: the query name up to the first
-    * '_' (q01..q36, x01..x102 — unique by construction, unlike the fixed
-    * take(3) that collided for x100+ in round 9). BenchIdSpec gates
-    * uniqueness and the stdout line-length budget at build time.
+    * '_' with the zero-padding stripped (q01 → q1, x05 → x5, x114 →
+    * x114 — unique by construction, unlike the fixed take(3) that
+    * collided for x100+ in round 9; stripping the pad bought the
+    * 150-query surface ~105 chars of the 2000-char driver window).
+    * BenchIdSpec gates uniqueness and the stdout line-length budget at
+    * build time.
     */
-  def shortId(name: String): String = name.indexOf('_') match {
-    case -1 => name
-    case i  => name.substring(0, i)
+  def shortId(name: String): String = {
+    val prefix = name.indexOf('_') match {
+      case -1 => name
+      case i  => name.substring(0, i)
+    }
+    prefix.replaceFirst("^([a-z]+)0+(?=[0-9])", "$1")
   }
 }

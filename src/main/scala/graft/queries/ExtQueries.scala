@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Tables
 import graft.engine.Checkpoints.MaterializeOps
@@ -1259,7 +1260,25 @@ object ExtQueries {
     "x112_class_weights" -> ((s, dir) =>
       graft.ext.Selection.effectiveNumberWeights(emb(s, dir),
         col("label"))
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    // ingest-rate anomaly detection: per (event_type, day) counts with
+    // a trailing-7-day z-score — the pipeline-health monitor that
+    // flags a feed going dark or a scraper runaway. Variance from
+    // EXACT integer window sums ((Σx² − k·m²)/(k−1)), z only when the
+    // full 7-day history exists and variance > 0; one daily rollup
+    // then a types×days-bounded window
+    "x113_event_anomaly" -> ((s, dir) =>
+      graft.ext.Events.dailyAnomaly(Tables.load(s, dir, "events"))
+        .orderBy(col("event_type"), col("day"))),
+
+    // per-doc character-entropy gate: Shannon entropy of the character
+    // distribution via the x36-shape explode + two partial-aggregated
+    // groupBys — the gibberish/encoding-garbage filter: natural text
+    // sits ~3.5–4.5 bits, runs of one char near 0
+    "x114_char_entropy" -> ((s, dir) =>
+      graft.ext.TextAnalysis.charEntropyPerDoc(docs(s, dir))
+        .orderBy(col("doc_id")))
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -3894,7 +3913,59 @@ object ExtQueries {
                FROM r)
          SELECT label, n,
                 round(raw * n_classes / raw_sum, 6) AS weight
-         FROM r CROSS JOIN t ORDER BY label"""
+         FROM r CROSS JOIN t ORDER BY label""",
+
+    // mirrors x113: daily counts, trailing-7 ROWS window, variance from
+    // exact integer window sums, z gated on full history + positive
+    // variance
+    "x113_event_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, n,
+                 count(*) OVER tw AS k,
+                 CAST(sum(n) OVER tw AS BIGINT) AS sx,
+                 CAST(sum(n * n) OVER tw AS BIGINT) AS sxx
+               FROM daily
+               WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         v AS (SELECT *, CAST(sx AS DOUBLE) / k AS m,
+                 (CAST(sxx AS DOUBLE) - k * (CAST(sx AS DOUBLE) / k)
+                    * (CAST(sx AS DOUBLE) / k)) / (k - 1) AS variance
+               FROM w)
+         SELECT event_type, day, n,
+                CASE WHEN k = 7 THEN round(m, 6) END AS trail_mean,
+                CASE WHEN k = 7 AND variance > 0
+                     THEN round((n - m) / sqrt(variance), 6)
+                END AS z,
+                coalesce(abs(CASE WHEN k = 7 AND variance > 0
+                     THEN round((n - m) / sqrt(variance), 6)
+                END) >= 3, false) AS anomaly
+         FROM v ORDER BY event_type, day""",
+
+    // mirrors x114: char explode → exact counts → H = log2(n) −
+    // (Σ round(cnt·ln cnt, 6) DECIMAL-summed)/(n·ln 2), empties at 0
+    "x114_char_entropy" ->
+      """WITH c AS (SELECT doc_id, source,
+                  unnest([substr(text, CAST(i AS INTEGER), 1)
+                          for i in generate_series(1, len(text))]) AS ch
+                FROM documents WHERE len(coalesce(text, '')) > 0),
+         cnts AS (SELECT doc_id, source, ch, count(*) AS cnt
+                  FROM c GROUP BY 1, 2, 3),
+         e AS (SELECT doc_id, source,
+                 CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(cnt * ln(CAST(cnt AS DOUBLE)), 6)
+                   AS DECIMAL(38,12))) AS DOUBLE) AS s
+               FROM cnts GROUP BY 1, 2),
+         out AS (SELECT doc_id, source,
+                   round((ln(CAST(n AS DOUBLE)) - s / n) / ln(2), 6)
+                     AS entropy
+                 FROM e
+                 UNION ALL
+                 SELECT doc_id, source, 0.0 FROM documents
+                 WHERE len(coalesce(text, '')) = 0)
+         SELECT doc_id, source, entropy, entropy < 2.0 AS low_entropy
+         FROM out ORDER BY doc_id"""
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

@@ -2775,6 +2775,64 @@ class ExtSpec extends AnyFunSuite {
     assert(out.head._3 > out(1)._3)
   }
 
+  test("dailyAnomaly: planted spike flags after a full trailing window; " +
+      "warm-up days and flat histories stay null") {
+    import graft.ext.Events
+    // type "a": 8 quiet days (counts 5,6 alternating) then a 50-spike;
+    // type "flat": constant 5 → variance 0 → z null forever
+    val rows =
+      (1 to 8).flatMap(d => (1 to (if (d % 2 == 0) 6 else 5)).map(i =>
+        (d * 100L + i, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+          1L, "a", 1.0, ""))) ++
+      (1 to 50).map(i =>
+        (900L + i, java.sql.Timestamp.valueOf("2024-01-09 10:00:00"),
+          1L, "a", 1.0, "")) ++
+      (1 to 9).flatMap(d => (1 to 5).map(i =>
+        (2000L + d * 10 + i,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+          1L, "flat", 1.0, "")))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val out = Events.dailyAnomaly(ev).orderBy($"event_type", $"day")
+      .collect()
+    val a = out.filter(_.getString(0) == "a")
+    // days 1..7: incomplete trailing window → null z
+    assert(a.take(7).forall(_.isNullAt(4)))
+    // day 8: full window over days 1-7 (5,6,5,6,5,6,5): m=38/7,
+    // var=(208-38^2/7)/6; count 6 is NOT anomalous
+    val m = 38.0 / 7
+    val v = (208 - 7 * m * m) / 6
+    def rnd(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a(7).getDouble(4) == rnd((6 - m) / math.sqrt(v)) &&
+      !a(7).getBoolean(5), a(7).toString)
+    // day 9 (the 50-spike): anomalous
+    assert(a(8).getBoolean(5) && a(8).getDouble(4) > 3, a(8).toString)
+    // flat type: full window but zero variance → null z, never flagged
+    val f = out.filter(_.getString(0) == "flat")
+    assert(f.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    assert(f.drop(7).forall(r => !r.isNullAt(3)), "trail_mean present")
+  }
+
+  test("charEntropyPerDoc: exact on hand-derivable distributions, " +
+      "empties pinned to zero and flagged low") {
+    import graft.ext.TextAnalysis
+    val d = Seq((1L, "s", "aaaa"), (2L, "s", "ab"), (3L, "s", "abcd"),
+      (4L, "s", ""), (5L, "s", "aab"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.charEntropyPerDoc(d)
+      .as[(Long, String, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out(1L)._1 == 0.0 && out(1L)._2)
+    assert(out(2L)._1 == 1.0 && out(2L)._2)
+    assert(out(3L)._1 == 2.0 && !out(3L)._2)
+    assert(out(4L) == (0.0, true))
+    // aab: p = (2/3, 1/3) → 0.918296 bits
+    val exp = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) /
+      math.log(2)
+    assert(math.abs(out(5L)._1 - exp) < 1e-6 && out(5L)._2)
+  }
+
   test("pageRank: 3-iteration damped ranks match an exact driver " +
       "replication on the path graph; centers outrank leaves") {
     import graft.ext.Similarity
