@@ -534,6 +534,52 @@ object TextAnalysis {
       .withColumn("low_entropy", col("entropy") < lowThreshold)
   }
 
+  /** [[charEntropyPerDoc]]'s per-row form: the identical H from ONE
+    * sorted-run fold over the char array — sort once, then a single
+    * O(len) pass accumulating Σ round(run·ln run, 6) as DECIMAL(38,12)
+    * in a struct accumulator (run boundaries in sorted order, so the
+    * sum is the same exact decimal the per-doc groupBy produces and the
+    * same oracle matches both forms bit-for-bit; spec-asserted). Unlike
+    * the 46-s distinct×length draft this never re-materializes the
+    * array: one build, one sort, one fold.
+    *
+    * Measured at sf0.1: 5.95 s vs the explode form's 2.8 s — Spark's
+    * higher-order functions are interpreted (CodegenFallback), and the
+    * per-char struct allocation costs more than the explode form's
+    * combine-collapsed exchange (~|Σ| rows per doc, not chars). Kept as
+    * the zero-shuffle alternative for exchange-hostile deployments; the
+    * declared x114 uses [[charEntropyPerDoc]].
+    */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val chars = array_sort(transform(sequence(lit(1), length(text)),
+      i => text.substr(i, lit(1))))
+    def runTerm(run: Column): Column =
+      round(run.cast(DoubleType) * log(run.cast(DoubleType)), 6).cast(dec)
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0).cast(dec).as("s"))
+    val s = aggregate(chars, acc0,
+      (a, c) => struct(
+        c.as("prev"),
+        when(c === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1L)).as("run"),
+        // decimal + widens the scale (38,12)+(38,12) → (38,11); cast
+        // back so the accumulator type stays fixed across iterations
+        when(c === a.getField("prev"), a.getField("s"))
+          .otherwise((a.getField("s") +
+            when(a.getField("run") > 0, runTerm(a.getField("run")))
+              .otherwise(lit(0).cast(dec))).cast(dec)).as("s")),
+      a => (a.getField("s") +
+        when(a.getField("run") > 0, runTerm(a.getField("run")))
+          .otherwise(lit(0).cast(dec))).cast(dec))
+    val n = length(text)
+    when(coalesce(n, lit(0)) === 0, lit(0.0))
+      .otherwise(round(
+        (log(n.cast(DoubleType)) - s.cast(DoubleType) / n) /
+          log(lit(2.0)), 6))
+  }
+
   /** Mean word length in characters, rounded to 6 — a Gopher-style
     * quality gate input (word soup and OCR noise sit far from the 3–10
     * band of natural prose).

@@ -1274,8 +1274,10 @@ object ExtQueries {
 
     // per-doc character-entropy gate: Shannon entropy of the character
     // distribution via the x36-shape explode + two partial-aggregated
-    // groupBys — the gibberish/encoding-garbage filter: natural text
-    // sits ~3.5–4.5 bits, runs of one char near 0
+    // groupBys (2.8 s at sf0.1 vs 5.95 s for the bit-identical in-row
+    // fold TextAnalysis.charEntropy — interpreted-HOF struct churn
+    // loses to a combine-collapsed shuffle) — the gibberish/
+    // encoding-garbage filter: natural text sits ~3.5–4.5 bits
     "x114_char_entropy" -> ((s, dir) =>
       graft.ext.TextAnalysis.charEntropyPerDoc(docs(s, dir))
         .orderBy(col("doc_id")))

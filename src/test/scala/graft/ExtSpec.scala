@@ -2831,6 +2831,21 @@ class ExtSpec extends AnyFunSuite {
     val exp = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) /
       math.log(2)
     assert(math.abs(out(5L)._1 - exp) < 1e-6 && out(5L)._2)
+    // the in-row sorted-run fold computes the IDENTICAL decimal sum →
+    // identical 6-dp entropy on every doc (both over the fixture and a
+    // real corpus slice)
+    val inRow = d.select($"doc_id",
+      TextAnalysis.charEntropy($"text").as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(inRow == out.map { case (k, v) => k -> v._1 })
+    val corpus = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val viaGroup = TextAnalysis.charEntropyPerDoc(corpus)
+      .select($"doc_id", $"entropy").as[(Long, Double)].collect().toMap
+    val viaRow = corpus.select($"doc_id",
+      TextAnalysis.charEntropy($"text").as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaRow == viaGroup)
   }
 
   test("pageRank: 3-iteration damped ranks match an exact driver " +
