@@ -110,17 +110,20 @@ object Bench {
     // rounded output halves the line length (70 queries × full-precision
     // doubles overflowed the driver's capture window in round 4); explicit
     // ROOT locale so a comma-decimal host locale can't corrupt the JSON.
-    // The stdout line uses 2 decimals (138 entries must fit the driver's
-    // 2000-char window — BenchIdSpec gates the worst-case budget); the
-    // bench_result.json artifact keeps 3.
+    // The stdout line uses 1 decimal per query (151 entries must fit the
+    // driver's 2000-char window — BenchIdSpec gates the worst-case
+    // budget; 2 decimals overflowed it at 151); the bench_result.json
+    // artifact keeps 3 and is the precision source for BASELINE.md.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def r2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def r1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     // reported per-query number = min across passes; -1 marks an error so
     // the driver's name→number contract still parses
     def toJson(f: String => String): String = results
-      .map { r => "\"" + f(r.name) + "\":" + r.min.map(r2).getOrElse("-1") }
+      .map { r => "\"" + f(r.name) + "\":" + r.min.map(r1).getOrElse("-1") }
       .mkString("{", ",", "}")
     val errNames = results.filter(_.err.isDefined).map(_.name)
     val total = results.flatMap(_.min).sum

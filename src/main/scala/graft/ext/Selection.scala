@@ -477,6 +477,48 @@ object Selection {
           .as("weight"))
   }
 
+  /** Rank-average quality ensemble — the signal-blending step real
+    * curation pipelines run instead of trusting any single filter
+    * (cf. the multi-signal gating in Gopher/RefinedWeb/Dolma): each
+    * document's x02 quality score, x98 Flesch readability, and x114
+    * character entropy are converted to PER-SOURCE percentiles
+    * (percent_rank with the doc_id tie-break, the x30 normalizer — so
+    * no signal's scale dominates and cross-source score drift cancels)
+    * and averaged; `ens_rank` orders each source by the blend. Rank
+    * averaging is the standard scale-free ensemble when signals are
+    * heterogeneous (a z-score blend would let one heavy-tailed signal
+    * swamp the others).
+    *
+    * Determinism: percentiles are exact rationals (rank−1)/(n−1) from
+    * totally-ordered windows (NULLS FIRST pinned explicitly — engines
+    * default differently); the average of three such doubles is the
+    * identical IEEE value in both engines.
+    *
+    * Scale shape: the three signal passes are linear (entropy's counts
+    * collapse map-side); the windows partition by source — the shuffle
+    * a per-source pipeline already pays, never a global sort.
+    */
+  def qualityEnsemble(docs: DataFrame): DataFrame = {
+    import graft.ext.TextAnalysis
+    val q = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val r = TextAnalysis.readability(docs)
+      .select(col("doc_id"), col("flesch"))
+    val e = TextAnalysis.charEntropyPerDoc(docs)
+      .select(col("doc_id"), col("entropy"))
+    def pct(c: String) = percent_rank().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col(c).asc_nulls_first, col("doc_id").asc))
+    val blended = q.join(r, Seq("doc_id")).join(e, Seq("doc_id"))
+      .withColumn("ens_pct",
+        round((pct("quality") + pct("flesch") + pct("entropy")) / 3, 6))
+    blended.withColumn("ens_rank",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("ens_pct").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("source"), col("quality"), col("flesch"),
+        col("entropy"), col("ens_pct"), col("ens_rank"))
+  }
+
   /** Held-out trigram LM score with stupid backoff (Brants et al. 2007,
     * "Large Language Models in Machine Translation" §4): per document,
     * the mean negative log score of its word trigrams under a trigram

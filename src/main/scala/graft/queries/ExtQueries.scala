@@ -1280,7 +1280,14 @@ object ExtQueries {
     // encoding-garbage filter: natural text sits ~3.5–4.5 bits
     "x114_char_entropy" -> ((s, dir) =>
       graft.ext.TextAnalysis.charEntropyPerDoc(docs(s, dir))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // rank-average quality ensemble: per-source percentiles of the x02
+    // quality score, x98 readability, and x114 entropy, averaged —
+    // the scale-free multi-signal blend a curation pipeline gates on
+    "x115_quality_ensemble" -> ((s, dir) =>
+      graft.ext.Selection.qualityEnsemble(docs(s, dir))
+        .orderBy(col("source"), col("ens_rank")))
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -3967,7 +3974,79 @@ object ExtQueries {
                  SELECT doc_id, source, 0.0 FROM documents
                  WHERE len(coalesce(text, '')) = 0)
          SELECT doc_id, source, entropy, entropy < 2.0 AS low_entropy
-         FROM out ORDER BY doc_id"""
+         FROM out ORDER BY doc_id""",
+
+    // mirrors x115: the x02/x98/x114 signal formulas, per-source
+    // percent_rank with NULLS FIRST pinned + doc_id tie-break, exact
+    // rational percentiles averaged, row_number blend rank
+    "x115_quality_ensemble" ->
+      """WITH qc AS (SELECT doc_id, source,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS INTEGER) AS n_tokens,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '\b(the|and|of|to|a|in|is|it|for|on)\b'))
+                       AS INTEGER) AS n_stop,
+                  CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                       AS INTEGER) AS n_punct,
+                  length(text) AS n_chars
+                FROM documents),
+         q AS (SELECT doc_id, source,
+                 round(0.5 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 5,
+                                   1.0)
+                     + 0.2 * (1.0 - least((CAST(n_punct AS DOUBLE)
+                                           / greatest(n_chars, 1)) * 10,
+                                          1.0)), 6) AS quality
+               FROM qc),
+         ft AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS ws,
+                  greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS ns
+                FROM documents),
+         f AS (SELECT doc_id,
+                 CASE WHEN len(ws) = 0 THEN NULL
+                      ELSE round(206.835
+                          - 1.015 * (CAST(len(ws) AS DOUBLE) / ns)
+                          - 84.6 * (CAST(list_sum(list_transform(ws,
+                              w -> greatest(1, len(regexp_extract_all(
+                                     lower(w), '[aeiouy]+')))))
+                                    AS DOUBLE) / len(ws)), 6)
+                 END AS flesch
+               FROM ft),
+         ec AS (SELECT doc_id,
+                  unnest([substr(text, CAST(i AS INTEGER), 1)
+                          for i in generate_series(1, len(text))]) AS ch
+                FROM documents WHERE len(coalesce(text, '')) > 0),
+         ecnt AS (SELECT doc_id, ch, count(*) AS cnt
+                  FROM ec GROUP BY 1, 2),
+         esum AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(cnt * ln(CAST(cnt AS DOUBLE)), 6)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS s
+                  FROM ecnt GROUP BY 1),
+         e AS (SELECT doc_id,
+                 round((ln(CAST(n AS DOUBLE)) - s / n) / ln(2), 6)
+                   AS entropy
+               FROM esum
+               UNION ALL
+               SELECT doc_id, 0.0 FROM documents
+               WHERE len(coalesce(text, '')) = 0),
+         j AS (SELECT q.doc_id, q.source, q.quality, f.flesch, e.entropy
+               FROM q JOIN f ON f.doc_id = q.doc_id
+               JOIN e ON e.doc_id = q.doc_id),
+         p AS (SELECT *,
+                 round((percent_rank() OVER (PARTITION BY source
+                          ORDER BY quality ASC NULLS FIRST, doc_id ASC)
+                      + percent_rank() OVER (PARTITION BY source
+                          ORDER BY flesch ASC NULLS FIRST, doc_id ASC)
+                      + percent_rank() OVER (PARTITION BY source
+                          ORDER BY entropy ASC NULLS FIRST, doc_id ASC))
+                       / 3, 6) AS ens_pct
+               FROM j)
+         SELECT doc_id, source, quality, flesch, entropy, ens_pct,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY ens_pct DESC, doc_id ASC) AS INTEGER)
+                  AS ens_rank
+         FROM p ORDER BY source, ens_rank"""
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

@@ -43,9 +43,10 @@ class BenchIdSpec extends AnyFunSuite {
 
   test("worst-case stdout bench line fits the driver's 2000-char window") {
     // mirror Bench.line()/toJson() with every value at a pessimistic width:
-    // "99.99" (5 chars, 2-decimal stdout precision) per query — real sf0.1
-    // per-query mins are < 4 s, so two extra digits of slack each
-    val entries = ids.map(id => "\"" + id + "\":99.99").mkString(",")
+    // "99.9" (4 chars, 1-decimal stdout precision) per query — real sf0.1
+    // per-query mins are < 7 s, so one extra digit of slack each; full
+    // 3-decimal values live in the bench_runs artifact
+    val entries = ids.map(id => "\"" + id + "\":99.9").mkString(",")
     val line =
       s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"/root/testdata/sf0.1","passes":3}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer

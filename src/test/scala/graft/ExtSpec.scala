@@ -2848,6 +2848,35 @@ class ExtSpec extends AnyFunSuite {
     assert(viaRow == viaGroup)
   }
 
+  test("qualityEnsemble: a doc dominating every signal ranks first in " +
+      "its source; percentiles are the exact rationals") {
+    import graft.ext.Selection
+    // s1: d1 = long prose (top quality + top entropy; its flesch pct
+    // is 0 — the formula rates vowel-less noise "easy", exactly why a
+    // single signal is not trusted), d2 = low-entropy run, d3 =
+    // punctuation noise
+    val prose = (1 to 60).map(i =>
+      s"the quick brown fox number $i jumps over it and rests.")
+      .mkString(" ")
+    val d = Seq(
+      (1L, "s1", prose),
+      (2L, "s1", "zz zz zz zz zz zz zz zz"),
+      (3L, "s1", ";;;; !!!! ???? ;;;; %%%% ;;;;"),
+      (4L, "s2", "only doc in its source")
+    ).toDF("doc_id", "source", "text")
+    val out = Selection.qualityEnsemble(d)
+      .orderBy($"source", $"ens_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(5), r.getInt(6)))
+    assert(out(0)._1 == 1L && out(0)._4 == 1, out.mkString(", "))
+    // d1: quality pct 2/2, entropy pct 2/2, flesch pct 0/2 -> 2/3
+    assert(out(0)._3 == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // singleton source: percent_rank 0 everywhere, rank 1
+    val solo = out.filter(_._2 == "s2").head
+    assert(solo._3 == 0.0 && solo._4 == 1)
+    assert(out.filter(_._2 == "s1").map(_._4).toSeq == Seq(1, 2, 3))
+  }
+
   test("cachedKnnEdges: graph-family queries share one edge artifact " +
       "and stay output-identical to the live path") {
     import graft.ext.Similarity
