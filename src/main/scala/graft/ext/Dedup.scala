@@ -1080,12 +1080,13 @@ object Dedup {
     * DECIMAL(38,12) (the repo-wide exact-sum contract).
     */
   def tfidfCosinePairs(docs: DataFrame, threshold: Double,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, maxDf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     require(threshold > 0 && threshold <= 1,
       s"cosine threshold must be in (0, 1], got $threshold")
     require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(maxDf.forall(_ >= 1), s"maxDf must be >= 1: $maxDf")
     val occurrences =
       if (n == 1)
         docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -1101,7 +1102,15 @@ object Dedup {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // maxDf is the x41-style APPROXIMATION hatch for saturated term
+    // spaces (constant background similarity — see SCALE.md's 100×
+    // analysis): terms hotter than the cap drop from weights AND norms,
+    // so cosines shift slightly (unlike the lossless prefix filter).
+    // Hot terms are boilerplate with near-zero idf weight, so the shift
+    // is small where it matters; measured time/recall in SCALE.md.
+    val dfreqAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = maxDf.map(c => dfreqAll.filter(col("df") <= c))
+      .getOrElse(dfreqAll)
     // materialized once: nrm, the prefix cut, the probe side, and the
     // pair verify all reuse this relation — the one-shot DAG would
     // re-tokenize the corpus five times otherwise

@@ -504,7 +504,7 @@ object Selection {
       TextAnalysis.qualityScore(col("text")).as("quality"))
     val r = TextAnalysis.readability(docs)
       .select(col("doc_id"), col("flesch"))
-    val e = TextAnalysis.charEntropyPerDoc(docs)
+    val e = TextAnalysis.cachedCharEntropy(docs)
       .select(col("doc_id"), col("entropy"))
     def pct(c: String) = percent_rank().over(
       Window.partitionBy(col("source"))

@@ -534,6 +534,34 @@ object TextAnalysis {
       .withColumn("low_entropy", col("entropy") < lowThreshold)
   }
 
+  /** Session-lifetime memo of the per-doc entropy SIGNAL relation —
+    * the cachedPairs/cachedKnnEdges pattern for quality signals: a
+    * pipeline computes each per-doc signal once and every consumer
+    * (the x115 ensemble today) reads the artifact, while x114 keeps
+    * computing live so the signal's own cost stays measured. Keyed by
+    * plan hash + file fingerprint.
+    */
+  private val entropyCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), DataFrame]()
+
+  private[graft] def entropyCacheSize: Int = entropyCache.size()
+
+  /** Invalidation hook, the cache-family analog. */
+  def invalidateEntropyCache(): Unit = entropyCache.clear()
+
+  def cachedCharEntropy(docs: DataFrame): DataFrame = {
+    val key = (docs.queryExecution.analyzed.semanticHash(),
+      Similarity.corpusFingerprint(docs))
+    val hit = entropyCache.get(key)
+    if (hit != null) hit
+    else {
+      val built = graft.engine.Checkpoints.materialize(
+        charEntropyPerDoc(docs))
+      val prior = entropyCache.putIfAbsent(key, built)
+      if (prior != null) prior else built
+    }
+  }
+
   /** [[charEntropyPerDoc]]'s per-row form: the identical H from ONE
     * sorted-run fold over the char array — sort once, then a single
     * O(len) pass accumulating Σ round(run·ln run, 6) as DECIMAL(38,12)
