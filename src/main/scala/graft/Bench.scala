@@ -130,10 +130,17 @@ object Bench {
     // a filtered run is flagged so its total can't be ingested as a
     // full-bench total
     val partial = if (only.isDefined) ""","partial":true""" else ""
+    // the stdout errs field is BOUNDED (first 10 ids + a total count):
+    // an unbounded list on a badly broken run — exactly when the parsed
+    // stdout matters most — could push the line past the driver's
+    // 2000-char capture window and truncate it back to parsed=null.
+    // BenchIdSpec gates the worst case WITH this bounded field present;
+    // the full per-query err detail is always in bench_result.json.
     val errsField =
       if (errNames.isEmpty) ""
-      else errNames.map(n => "\"" + SparkEntry.shortId(n) + "\"")
-        .mkString(""","errs":[""", ",", "]")
+      else s""","nerrs":${errNames.size}""" +
+        errNames.take(10).map(n => "\"" + SparkEntry.shortId(n) + "\"")
+          .mkString(""","errs":[""", ",", "]")
     def line(qs: String): String =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$errsField$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded

@@ -810,9 +810,12 @@ object Dedup {
     * canonicalized plan hash + the file-metadata fingerprint + the
     * hyperparameters. A real pipeline materializes the pair graph once
     * and every consumer (rewrite, histogram, split, savings report)
-    * reads the artifact; the declared rider queries do the same, while
-    * x06 and x17 keep building their own so pair-generation and
-    * clustering costs stay independently measured. Values are
+    * reads the artifact; the declared rider queries do the same, and
+    * each artifact keeps exactly ONE live builder so its cost stays
+    * measured: x06 builds the pair relation from scratch, and x17 runs
+    * the CC fixpoint live over the cached pair artifact (its recorded
+    * time is clustering cost alone — pair generation is x06's row).
+    * Values are
     * localCheckpointed relations, edge/label-bounded (near-dup graphs
     * are sparse — the artifact is orders of magnitude smaller than the
     * corpus it audits).
@@ -828,14 +831,25 @@ object Dedup {
     */
   def invalidateDedupArtifacts(): Unit = artifactCache.clear()
 
+  // double-checked build guard, NOT putIfAbsent: a losing racer's
+  // already-checkpointed relation would leak executor storage for the
+  // session (computeIfAbsent is out — the ccLabels build calls
+  // cachedPairs, and nested computeIfAbsent on one ConcurrentHashMap is
+  // undefined; synchronized is reentrant, so the nested build is safe).
+  // Concurrent first builds of DIFFERENT artifacts serialize — the
+  // builds are rare one-per-session events, the trade is fine.
   private def memoized(key: (Int, Int, String))(
       build: => DataFrame): DataFrame = {
     val hit = artifactCache.get(key)
     if (hit != null) hit
-    else {
-      val built = build.materialized
-      val prior = artifactCache.putIfAbsent(key, built)
-      if (prior != null) prior else built
+    else artifactCache.synchronized {
+      val again = artifactCache.get(key)
+      if (again != null) again
+      else {
+        val built = build.materialized
+        artifactCache.put(key, built)
+        built
+      }
     }
   }
 

@@ -1354,11 +1354,18 @@ object Similarity {
       corpusFingerprint(centroids), k)
     val hit = edgeCache.get(key)
     if (hit != null) hit
-    else {
-      // knnEdges is already materialized; store the checkpointed frame
-      val built = knnEdges(assignCells(emb, centroidRelation(centroids)), k)
-      val prior = edgeCache.putIfAbsent(key, built)
-      if (prior != null) prior else built
+    // double-checked build guard, not putIfAbsent: a losing racer's
+    // checkpointed edge relation would leak executor storage for the
+    // session (same rationale as Dedup.memoized)
+    else edgeCache.synchronized {
+      val again = edgeCache.get(key)
+      if (again != null) again
+      else {
+        // knnEdges is already materialized; store the checkpointed frame
+        val built = knnEdges(assignCells(emb, centroidRelation(centroids)), k)
+        edgeCache.put(key, built)
+        built
+      }
     }
   }
 

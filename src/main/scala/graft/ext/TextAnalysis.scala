@@ -554,11 +554,18 @@ object TextAnalysis {
       Similarity.corpusFingerprint(docs))
     val hit = entropyCache.get(key)
     if (hit != null) hit
-    else {
-      val built = graft.engine.Checkpoints.materialize(
-        charEntropyPerDoc(docs))
-      val prior = entropyCache.putIfAbsent(key, built)
-      if (prior != null) prior else built
+    // double-checked build guard, not putIfAbsent: a losing racer's
+    // checkpointed relation would leak executor storage for the
+    // session (same rationale as Dedup.memoized)
+    else entropyCache.synchronized {
+      val again = entropyCache.get(key)
+      if (again != null) again
+      else {
+        val built = graft.engine.Checkpoints.materialize(
+          charEntropyPerDoc(docs))
+        entropyCache.put(key, built)
+        built
+      }
     }
   }
 

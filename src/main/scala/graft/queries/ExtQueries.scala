@@ -1262,12 +1262,14 @@ object ExtQueries {
         col("label"))
         .orderBy(col("label"))),
 
-    // ingest-rate anomaly detection: per (event_type, day) counts with
-    // a trailing-7-day z-score — the pipeline-health monitor that
-    // flags a feed going dark or a scraper runaway. Variance from
-    // EXACT integer window sums ((Σx² − k·m²)/(k−1)), z only when the
-    // full 7-day history exists and variance > 0; one daily rollup
-    // then a types×days-bounded window
+    // ingest-rate anomaly detection: per (event_type, day) counts on a
+    // DENSIFIED per-type calendar grid (outage days appear as n = 0
+    // rows — a feed going completely dark is detectable, and the ROWS
+    // frame is a true trailing week, not "last 7 observed days") with
+    // a trailing-7-day z-score. Variance from EXACT integer window
+    // sums ((Σx² − k·m²)/(k−1)), z only when the full 7-day history
+    // exists and variance > 0; one daily rollup then a
+    // types×days-bounded grid + window
     "x113_event_anomaly" -> ((s, dir) =>
       graft.ext.Events.dailyAnomaly(Tables.load(s, dir, "events"))
         .orderBy(col("event_type"), col("day"))),
@@ -3924,13 +3926,24 @@ object ExtQueries {
                 round(raw * n_classes / raw_sum, 6) AS weight
          FROM r CROSS JOIN t ORDER BY label""",
 
-    // mirrors x113: daily counts, trailing-7 ROWS window, variance from
+    // mirrors x113: daily counts densified to each type's min..max
+    // calendar-day grid (outage days appear as n = 0 instead of
+    // vanishing from the rollup), trailing-7 ROWS window, variance from
     // exact integer window sums, z gated on full history + positive
     // variance
     "x113_event_anomaly" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      """WITH observed AS (SELECT event_type, CAST(ts AS DATE) AS day,
                   count(*) AS n
                 FROM events GROUP BY 1, 2),
+         grid AS (SELECT event_type,
+                    CAST(unnest(generate_series(d0, d1,
+                      INTERVAL 1 DAY)) AS DATE) AS day
+                  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                        FROM observed GROUP BY 1)),
+         daily AS (SELECT g.event_type, g.day,
+                     coalesce(o.n, 0) AS n
+                   FROM grid g LEFT JOIN observed o
+                     ON g.event_type = o.event_type AND g.day = o.day),
          w AS (SELECT event_type, day, n,
                  count(*) OVER tw AS k,
                  CAST(sum(n) OVER tw AS BIGINT) AS sx,
