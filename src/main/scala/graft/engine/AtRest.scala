@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Fingerprint-stamped build-or-reuse for artifacts AT REST — the seam
+  * behind `Similarity.ensureIvfIndex` and `Dedup.ensureDedupIndex`.
+  *
+  * A 100 TB pipeline amortizes its expensive derived artifacts (IVF
+  * index, near-dup pair graph, CC labels) across JOBS, not one JVM: the
+  * artifact lives on the cluster filesystem with a sidecar stamp of
+  * (input data fingerprint, input plan hash, hyperparameters), and every
+  * run compares the stamp instead of rebuilding. The stamp is written
+  * AFTER the build completes, so a crash mid-build leaves no stamp and
+  * the next ensure rebuilds instead of trusting a torn artifact. All IO
+  * goes through the Hadoop FS API so `path` can live on any cluster
+  * filesystem, not just local disk.
+  */
+object AtRest {
+
+  /** Run `build` only when the sidecar `path/metaName` is absent or its
+    * content differs from `stamp` (or `force`). `force` is the
+    * out-of-band-mutation hatch: data fingerprints typically see only
+    * file (path, length, mtime), so a rewrite preserving sizes within
+    * mtime granularity — or an object-store restore preserving mtimes —
+    * needs an explicit rebuild lever. Returns true when a (re)build
+    * happened.
+    */
+  def ensureStamped(spark: SparkSession, path: String, metaName: String,
+      stamp: String, force: Boolean)(build: => Unit): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, metaName)
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val isRegularFile =
+      try fs.getFileStatus(metaPath).isFile
+      catch { case _: java.io.FileNotFoundException => false }
+    val current =
+      if (!isRegularFile) None
+      else {
+        val in = fs.open(metaPath)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    if (!force && current.contains(stamp)) false
+    else {
+      build
+      val out = fs.create(metaPath, true)
+      try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    }
+  }
+}

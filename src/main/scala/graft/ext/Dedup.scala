@@ -888,6 +888,77 @@ object Dedup {
         coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** The near-dup artifacts AT REST: the verified pair relation
+    * (`path/pairs`) and the CC labels over edge-touched docs
+    * (`path/clusters`) written once as parquet. [[cachedPairs]] /
+    * [[cachedClusters]] die with the JVM; a real 100 TB pipeline
+    * deduplicates across JOBS and days — the pair graph and component
+    * labels are exactly the artifacts every downstream consumer
+    * (rewrite, split, savings ledger, incremental probes x31/x59) wants
+    * to read without re-paying the banded index join, so they get the
+    * same at-rest treatment as the IVF index ([[Similarity
+    * .writeIvfIndex]]). Only edge-touched labels are stored — near-dup
+    * graphs are sparse, so the at-rest form is orders of magnitude
+    * smaller than the corpus; singletons re-enter at read time
+    * ([[readDedupClusters]]' coalesce), exactly as in [[dedupClusters]].
+    */
+  def writeDedupIndex(docs: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.5, maxIters: Int = 50): Unit = {
+    // built live, not via the session cache: an at-rest build is its own
+    // job and must not silently alias a possibly-stale JVM memo
+    val pairs = jaccardPairsIndexHashed(docs, n, threshold).materialized
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    val p = pairs.select(col("da"), col("db"))
+    val edges = p.toDF("src", "dst")
+      .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+      .materialized
+    ccMinLabelLoop(edges, maxIters)._1
+      .write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** [[writeDedupIndex]] only when needed — the [[Similarity
+    * .ensureIvfIndex]] discipline applied to the dedup artifacts: the
+    * corpus data fingerprint + plan hash + hyperparameters are stamped
+    * into a `_graft_dedup_meta` sidecar after a successful build and
+    * compared on entry, so an unchanged corpus reuses the at-rest pair
+    * graph and labels across JVMs and days while any drift (or `force`,
+    * the out-of-band-mutation hatch) rebuilds. Crash-safety and FS
+    * plumbing live in [[graft.engine.AtRest.ensureStamped]]. Returns
+    * true when a (re)build happened.
+    */
+  def ensureDedupIndex(docs: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.5, maxIters: Int = 50,
+      force: Boolean = false): Boolean = {
+    val stamp = Seq(Similarity.corpusFingerprint(docs),
+      docs.queryExecution.analyzed.semanticHash(), n, threshold, maxIters, 1)
+      .mkString(":")
+    graft.engine.AtRest.ensureStamped(docs.sparkSession, path,
+      "_graft_dedup_meta", stamp, force) {
+      writeDedupIndex(docs, path, n, threshold, maxIters)
+    }
+  }
+
+  /** The at-rest verified pair relation (da, db, j) of a
+    * [[writeDedupIndex]] build — a plain parquet scan, no recompute.
+    */
+  def readDedupPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/pairs")
+
+  /** Full corpus labeling from a [[writeDedupIndex]] build: the at-rest
+    * edge-touched labels joined back to the corpus, singletons
+    * re-entering as their own cluster — row-identical to
+    * [[dedupClusters]] over the same corpus and parameters
+    * (spec-asserted), but the expensive half is one parquet scan.
+    */
+  def readDedupClusters(docs: DataFrame, path: String): DataFrame = {
+    val labels = docs.sparkSession.read.parquet(s"$path/clusters")
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster", "edge_cluster"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Alternating large-star / small-star connected components (Kiveris,
     * Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected Components
     * in MapReduce and Beyond", SoCC'14) — the round-count alternative to

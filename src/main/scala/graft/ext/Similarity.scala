@@ -524,34 +524,13 @@ object Similarity {
     val stamp = Seq(corpusFingerprint(corpus),
       corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 1)
       .mkString(":")
-    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta")
-    val fs = metaPath.getFileSystem(
-      corpus.sparkSession.sessionState.newHadoopConf())
-    val isRegularFile =
-      try fs.getFileStatus(metaPath).isFile
-      catch { case _: java.io.FileNotFoundException => false }
-    val current =
-      if (!isRegularFile) None
-      else {
-        val in = fs.open(metaPath)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      }
     // `force` is the out-of-band-mutation hatch (the at-rest analogue of
-    // [[invalidateTrainedCentroids]]): the fingerprint sees only file
-    // (path, length, mtime), so a rewrite that preserves sizes within
-    // mtime granularity — or an object-store restore that preserves
-    // mtimes — needs an explicit rebuild lever.
-    if (!force && current.contains(stamp)) false
-    else {
+    // [[invalidateTrainedCentroids]]); stamp/crash semantics live in
+    // [[graft.engine.AtRest.ensureStamped]], shared with
+    // [[graft.ext.Dedup.ensureDedupIndex]].
+    graft.engine.AtRest.ensureStamped(corpus.sparkSession, path,
+      "_graft_ivf_meta", stamp, force) {
       writeIvfIndex(corpus, path, nCentroids, iters)
-      // stamped AFTER the write completes: a crash mid-build leaves no
-      // meta, so the next ensure rebuilds instead of trusting a torn index
-      val out = fs.create(metaPath, true)
-      try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
     }
   }
 

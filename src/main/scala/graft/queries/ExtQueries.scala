@@ -1289,7 +1289,22 @@ object ExtQueries {
     // the scale-free multi-signal blend a curation pipeline gates on
     "x115_quality_ensemble" -> ((s, dir) =>
       graft.ext.Selection.qualityEnsemble(docs(s, dir))
-        .orderBy(col("source"), col("ens_rank")))
+        .orderBy(col("source"), col("ens_rank"))),
+
+    // near-dup artifacts AT REST: ensureDedupIndex writes the verified
+    // pair graph + CC labels once (fingerprint-stamped sidecar), every
+    // later call finds the stamp and REUSES them — the x47 resident
+    // discipline applied to dedup, so across jobs/passes the recorded
+    // cost converges to one parquet scan + the singleton coalesce join
+    // while x06/x17 keep the live build+cluster costs measured. Same
+    // exact pairs and min-label CC contract as x17, so the oracle is
+    // identical by construction.
+    "x116_dedup_index_resident" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = dedupIndexPath(s, dir, "resident")
+      Dedup.ensureDedupIndex(d, path)
+      Dedup.readDedupClusters(d, path).orderBy(col("doc_id"))
+    })
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -1316,9 +1331,19 @@ object ExtQueries {
       tag: String): String = ivfIndexPath(s, dir, tag)
 
   private def ivfIndexPath(s: SparkSession, dir: String,
-      tag: String): String = {
+      tag: String): String = scratchPath(s, dir, "graft_ivf_" + tag)
+
+  /** x116's at-rest dedup-index scratch — same lifecycle contract as
+    * [[ivfIndexPath]]: stable within a JVM (so ensureDedupIndex reuses
+    * across bench passes), applicationId-suffixed, exit-cleaned.
+    */
+  private def dedupIndexPath(s: SparkSession, dir: String,
+      tag: String): String = scratchPath(s, dir, "graft_dedup_" + tag)
+
+  private def scratchPath(s: SparkSession, dir: String,
+      prefix: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + tag + "_" + s.sparkContext.applicationId + "_" +
+      prefix + "_" + s.sparkContext.applicationId + "_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_"))
     cleanupOnExit(f)
     f.toString
@@ -1354,6 +1379,29 @@ object ExtQueries {
                       (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
        WHERE j >= 0.5 ORDER BY da, db"""
+
+  /** The x17 contract as SQL — exact shingle-Jaccard pairs, mirrored
+    * edges, recursive-CTE connected components, min-label per node.
+    * Shared by x17 (live build) and x116 (the at-rest artifact read):
+    * both produce the identical full-corpus labeling.
+    */
+  private val dedupClustersSql =
+    shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+         pairs AS (
+           SELECT da, db FROM (
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE j >= 0.5),
+         edges AS (SELECT da AS src, db AS dst FROM pairs
+                   UNION ALL SELECT db, da FROM pairs),
+         reach(node, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
+         SELECT node AS doc_id, min(lbl) AS cluster
+         FROM reach GROUP BY node ORDER BY doc_id"""
 
   private val cosSql =
     """round(list_dot_product(a.e, b.e) /
@@ -1658,23 +1706,11 @@ object ExtQueries {
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY fp""",
     "x06_ngram_jaccard_pairs" -> jaccardPairsSql,
-    "x17_dedup_clusters" ->
-      (shingleCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
-         pairs AS (
-           SELECT da, db FROM (
-             SELECT a.doc_id AS da, b.doc_id AS db,
-                    round(len(list_intersect(a.sg, b.sg))::DOUBLE /
-                          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE j >= 0.5),
-         edges AS (SELECT da AS src, db AS dst FROM pairs
-                   UNION ALL SELECT db, da FROM pairs),
-         reach(node, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.node)
-         SELECT node AS doc_id, min(lbl) AS cluster
-         FROM reach GROUP BY node ORDER BY doc_id"""),
+    "x17_dedup_clusters" -> dedupClustersSql,
+    // x116 reads the AT-REST pair graph + labels that ensureDedupIndex
+    // wrote — same exact-pair + min-label-CC contract as x17, so the
+    // recursive-CTE oracle is shared verbatim
+    "x116_dedup_index_resident" -> dedupClustersSql,
     "x24_ann_topk_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          js AS (SELECT unnest(generate_series(0, 7)) AS j),

@@ -1485,6 +1485,50 @@ class ExtSpec extends AnyFunSuite {
       "a forced rebuild re-stamps, so the next ensure reuses again")
   }
 
+  test("ensureDedupIndex builds once, reuses on unchanged data, rebuilds " +
+      "on param or corpus change; at-rest reads equal the live build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-ensure")
+      .toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-dedup-corpus").toString
+    def writeCorpus(tag: String): Unit = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s2", s"completely different text entirely $tag words here"),
+      (4L, "s2", "another unrelated document body of words"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    writeCorpus("one")
+    val d1 = spark.read.parquet(corpusDir)
+    assert(Dedup.ensureDedupIndex(d1, dir), "first ensure must build")
+    assert(!Dedup.ensureDedupIndex(d1, dir),
+      "unchanged (data, params) must reuse the artifacts at rest")
+    assert(Dedup.ensureDedupIndex(d1, dir, threshold = 0.4),
+      "changed params must rebuild")
+    writeCorpus("two")
+    val d2 = spark.read.parquet(corpusDir)
+    assert(Dedup.ensureDedupIndex(d2, dir, threshold = 0.4),
+      "rewritten corpus files must invalidate the stamp")
+    assert(Dedup.ensureDedupIndex(d2, dir),
+      "returning to default params is a different stamp — rebuild")
+    // the at-rest artifacts serve the same relations as a live build
+    val livePairs = Dedup.jaccardPairsIndexHashed(d2, 3, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val restPairs = Dedup.readDedupPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(restPairs == livePairs && livePairs.nonEmpty)
+    val liveClusters = Dedup
+      .dedupClusters(d2, Dedup.jaccardPairsIndexHashed(d2, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    val restClusters = Dedup.readDedupClusters(d2, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(restClusters == liveClusters)
+    // force is the out-of-band-mutation hatch, and re-stamps
+    assert(!Dedup.ensureDedupIndex(d2, dir))
+    assert(Dedup.ensureDedupIndex(d2, dir, force = true))
+    assert(!Dedup.ensureDedupIndex(d2, dir))
+  }
+
   test("x47 resident probe equals x15's in-query IVF output and reuses " +
       "the index after the first build") {
     val x15 = graft.queries.ExtQueries.queries("x15_ann_topk_ivf")(spark, sf)
