@@ -1083,8 +1083,14 @@ object Dedup {
     *
     * sig → band keys (hash r consecutive sig slots) → explode to
     * (band, key, id) → self-join per bucket → distinct candidate pairs →
-    * exact-Jaccard verify ≥ threshold. Tuned b=64, r=2 (numHashes=128) for
-    * near-certain recall at j ≥ 0.5.
+    * exact-Jaccard verify ≥ threshold. The default b=64, r=2
+    * (numHashes=128) buys near-certain recall at j ≥ 0.5 on corpora
+    * with LOW background similarity; on vocabulary-saturated /
+    * boilerplate-heavy corpora the short r=2 bands collide on the
+    * background (collision mass ~C(n,2)·b·j₀^r — measured exp 1.48 in
+    * the 10→100× decade, SCALE.md) and r=4 is the right shape (449 s →
+    * 16.4 s at 100×, same corpus). [[jaccardPairsLshAuto]] picks per
+    * corpus from a sampled j₀ estimate — the production default.
     */
   def jaccardPairsLsh(
       docs: DataFrame,
@@ -1125,6 +1131,77 @@ object Dedup {
       .select(col("da"), col("db"),
         round(jaccard(col("sga"), col("sgb")), 6).as("j"))
       .filter(col("j") >= threshold)
+  }
+
+  /** Background-similarity estimate for the banding heuristic: the mean
+    * pairwise exact Jaccard over a deterministic hash-ordered sample of
+    * `sampleSize` documents. Hash order (not lowest doc_ids) so ingest
+    * order cannot bias the sample toward one source; the TakeOrdered
+    * top-k needs one corpus scan and no shuffle, the pairwise mean runs
+    * over ≤ C(sampleSize, 2) broadcast-joined rows, and the result is a
+    * single double — bounded driver state. 0.0 on corpora too small to
+    * form a pair.
+    */
+  private[graft] def estimateBackgroundJaccard(docs: DataFrame, n: Int,
+      sampleSize: Int = 128): Double = {
+    val sampleDocs = docs
+      .orderBy(md5(concat(lit("lshbg:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(sampleSize)
+    val sample = shingled(sampleDocs, n).materialized
+    val a = sample.select(col("doc_id").as("da"), col("sg").as("sga"))
+    val b = sample.select(col("doc_id").as("db"), col("sg").as("sgb"))
+    val row = a.join(broadcast(b), col("da") < col("db"))
+      .agg(avg(jaccard(col("sga"), col("sgb"))).as("j0"))
+      .collect()(0)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** The banding choice behind [[jaccardPairsLshAuto]], exposed as a
+    * seam so specs can assert the decision: rows-per-band r = 2 on
+    * clean corpora, r = 4 once the sampled background Jaccard j₀ makes
+    * the EXPECTED false-collision mass at r = 2 — (numHashes/2)·j₀²
+    * band collisions per non-matching pair — exceed 0.5, i.e. once the
+    * r=2 banding would shortlist a constant fraction of ALL C(n,2)
+    * pairs and the verify step goes quadratic (the measured 100×
+    * melt, SCALE.md). At r = 4 the same mass is (numHashes/4)·j₀⁴ —
+    * e.g. j₀ = 0.45: 6.5 → 0.66 band collisions/pair, and each
+    * collision still passes the lossless size-ratio prune before any
+    * exact verify. Returns (bands, j₀).
+    */
+  private[graft] def chooseLshBands(docs: DataFrame, n: Int,
+      numHashes: Int): (Int, Double) = {
+    require(numHashes % 4 == 0, s"numHashes must be divisible by 4: $numHashes")
+    val j0 = estimateBackgroundJaccard(docs, n)
+    val falseBandsAtR2 = (numHashes / 2).toDouble * j0 * j0
+    (if (falseBandsAtR2 > 0.5) numHashes / 4 else numHashes / 2, j0)
+  }
+
+  /** [[jaccardPairsLsh]] with the banding parameters chosen PER CORPUS —
+    * the production default and x07's declared path. Two conf hatches
+    * pin the choice without a code change:
+    * `spark.graft.lsh.numHashes` (default 128) and
+    * `spark.graft.lsh.bands` (set → skips the sampling estimate
+    * entirely and uses the given band count).
+    *
+    * On a natural-vocabulary corpus the sampled j₀ is small and the
+    * choice degenerates to the classic b = numHashes/2, r = 2 — output
+    * identical to the fixed default, which is what keeps the exact
+    * oracle hash-green at the correctness SF. On a saturated corpus
+    * (constant background j₀ — scraped boilerplate, the one place
+    * near-dup dedup matters most) it switches to r = 4, the measured
+    * remedy that flattened the 100× probe from 449 s to 16.4 s with
+    * 99.6% recall at j ≥ 0.7 (SCALE.md).
+    */
+  def jaccardPairsLshAuto(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val numHashes = conf.get("spark.graft.lsh.numHashes", "128").toInt
+    val bands = conf.get("spark.graft.lsh.bands", "") match {
+      case "" => chooseLshBands(docs, n, numHashes)._1
+      case b  => b.toInt
+    }
+    jaccardPairsLsh(docs, n, threshold, numHashes, bands)
   }
 
   /** TF-IDF weighted cosine near-dup pairs with the WEIGHTED prefix

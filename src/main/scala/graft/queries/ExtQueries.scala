@@ -61,8 +61,14 @@ object ExtQueries {
       Dedup.jaccardPairsIndexHashed(docs(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("da"), col("db"))),
 
+    // banding parameters chosen PER CORPUS from a sampled background-
+    // Jaccard estimate (conf-overridable): r=2 on natural vocabularies
+    // (identical output to the fixed b=64/r=2 default — exact-oracle
+    // green), r=4 once the background would melt the r=2 candidate set
+    // (the measured 100x remedy, SCALE.md). x118 benches the r=4
+    // production shape continuously.
     "x07_minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsLsh(docs(s, dir), n = 3, threshold = 0.5)
+      Dedup.jaccardPairsLshAuto(docs(s, dir), n = 3, threshold = 0.5)
         .orderBy(col("da"), col("db"))),
 
     "x08_simhash" -> ((s, dir) =>
@@ -1304,7 +1310,19 @@ object ExtQueries {
       val path = dedupIndexPath(s, dir, "resident")
       Dedup.ensureDedupIndex(d, path)
       Dedup.readDedupClusters(d, path).orderBy(col("doc_id"))
-    })
+    }),
+
+    // the saturation-production LSH parametrization as its own declared
+    // query: r=4 (256 hashes / 64 bands) at threshold 0.7 — the banding
+    // shape that stays flat on boilerplate-heavy corpora where x07's
+    // r=2 melts (SCALE.md 100x: 449 s -> 16.4 s). 64 bands of 4 rows
+    // put the per-pair miss probability at j = 0.7 near 2e-8, so the
+    // EXACT-Jaccard oracle stays hash-green while the banded plan is
+    // what actually runs and gets benched every round.
+    "x118_minhash_lsh_r4" -> ((s, dir) =>
+      Dedup.jaccardPairsLsh(docs(s, dir), n = 3, threshold = 0.7,
+        numHashes = 256, bands = 64)
+        .orderBy(col("da"), col("db")))
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -1371,14 +1389,16 @@ object ExtQueries {
                FROM documents)
          WHERE len(ws) >= 3)"""
 
-  private val jaccardPairsSql =
-    shingleCte + """
+  private def jaccardPairsSqlAt(threshold: String) =
+    shingleCte + s"""
        SELECT * FROM (
          SELECT a.doc_id AS da, b.doc_id AS db,
                 round(len(list_intersect(a.sg, b.sg))::DOUBLE /
                       (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-       WHERE j >= 0.5 ORDER BY da, db"""
+       WHERE j >= $threshold ORDER BY da, db"""
+
+  private val jaccardPairsSql = jaccardPairsSqlAt("0.5")
 
   /** The x17 contract as SQL — exact shingle-Jaccard pairs, mirrored
     * edges, recursive-CTE connected components, min-label per node.
@@ -1917,6 +1937,9 @@ object ExtQueries {
     // brute-force set (miss probability ~1e-8 at j=0.5, ~0 at the planted
     // pairs' j>=0.9).
     "x07_minhash_lsh_pairs" -> jaccardPairsSql,
+    // exact pairs at the x118 threshold — the banded r=4 plan's miss
+    // probability at j >= 0.7 is ~2e-8, so exact SQL is the oracle
+    "x118_minhash_lsh_r4" -> jaccardPairsSqlAt("0.7"),
     "x08_simhash" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w

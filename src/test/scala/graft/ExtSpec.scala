@@ -1485,6 +1485,40 @@ class ExtSpec extends AnyFunSuite {
       "a forced rebuild re-stamps, so the next ensure reuses again")
   }
 
+  test("jaccardPairsLshAuto picks r=2 on clean corpora, r=4 on saturated " +
+      "ones, honors the conf pins, and matches the fixed-band output") {
+    // clean: disjoint vocabularies -> background j0 ~ 0 -> bands = nh/2
+    val clean = (0 until 24).map(i =>
+      (i.toLong, "s", s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+      .toDF("doc_id", "source", "text")
+    val (cleanBands, cleanJ0) = Dedup.chooseLshBands(clean, 3, 128)
+    assert(cleanJ0 < 0.1 && cleanBands == 64)
+    // saturated: every doc is mostly the same boilerplate -> r=4
+    val boiler = (0 until 24).map(_ => "the same boilerplate run of words"
+      + " repeated across every single page in this scraped corpus")
+    val sat = boiler.zipWithIndex.map { case (b, i) =>
+      (i.toLong, "s", s"$b tail$i") }
+      .toDF("doc_id", "source", "text")
+    val (satBands, satJ0) = Dedup.chooseLshBands(sat, 3, 128)
+    assert(satJ0 > 0.3 && satBands == 32,
+      s"saturated corpus must pick r=4 (j0=$satJ0, bands=$satBands)")
+    // auto == fixed-band output at the chosen parametrization
+    val auto = Dedup.jaccardPairsLshAuto(sat, 3, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val fixed = Dedup.jaccardPairsLsh(sat, 3, 0.5, 128, satBands)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == fixed && auto.nonEmpty)
+    // conf pins skip the estimate / change the hash budget
+    spark.conf.set("spark.graft.lsh.bands", "64")
+    try {
+      val pinned = Dedup.jaccardPairsLshAuto(sat, 3, 0.5)
+        .collect().map(_.toString).sorted.toSeq
+      val fixed64 = Dedup.jaccardPairsLsh(sat, 3, 0.5, 128, 64)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pinned == fixed64)
+    } finally spark.conf.unset("spark.graft.lsh.bands")
+  }
+
   test("ensureDedupIndex builds once, reuses on unchanged data, rebuilds " +
       "on param or corpus change; at-rest reads equal the live build") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-ensure")
