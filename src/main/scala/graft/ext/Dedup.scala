@@ -1397,6 +1397,83 @@ object Dedup {
       .filter(col("hamming") <= radius)
   }
 
+  /** [[simhashNearDup]] over a WIDE (120-bit) fingerprint — the
+    * saturation lever the 60-bit scheme lacks. As a corpus grows on a
+    * bounded vocabulary, 60-bit simhashes concentrate (every doc votes
+    * the same background tokens), Hamming distances compress, and the
+    * ≤ radius candidate mass inflates even though the block-combination
+    * keys are doing their job (measured exp 1.46 in the 10→100× decade,
+    * SCALE.md). A second INDEPENDENT hash family — the same tokens under
+    * a salted md5 ([[TextAnalysis.simhashSalted]]) — doubles the
+    * fingerprint to (sh1, sh2): near-identical docs still agree on both
+    * words, but background pairs must now survive a 120-bit Hamming
+    * test, re-spreading the distance distribution.
+    *
+    * The Manku key scheme scales with it: `blocks` slices of
+    * 120/blocks bits, equi-join on every C(blocks, blocks − radius)
+    * combination of kept blocks (pigeonhole-exact as in
+    * [[simhashNearDup]]). The default radius 3 over 8 blocks joins on
+    * C(8,5) = 56 combinations of 75-bit keys — a 2^75 key space, so
+    * expected random-collision mass is ~56·N²/2^75 vs the 60-bit
+    * default's 20·N²/2^30: ~10^10× fewer background collisions for
+    * 2.8× the index rows. Keys over 64 bits pack into TWO longs
+    * (kh, kl) and the join stays a plain exact equi-join — no hashed
+    * key, no false candidates beyond the blocks themselves. Verify is
+    * bit_count over both words; only 16-byte fingerprints shuffle.
+    *
+    * Note the CONTRACT CHANGE vs [[simhashNearDup]]: `radius` is a
+    * budget on the 120-bit distance, a strictly finer similarity test
+    * than the same radius on 60 bits (output pairs are a subset in
+    * expectation, not identical — the wide fingerprint exists to reject
+    * background pairs the narrow one cannot tell apart).
+    */
+  def simhashNearDupWide(docs: DataFrame, radius: Int = 3,
+      blocks: Int = 8): DataFrame = {
+    require(radius < blocks,
+      s"pigeonhole exactness needs radius < blocks, got $radius >= $blocks")
+    require(120 % blocks == 0, s"blocks must divide 120, got $blocks")
+    val blockBits = 120 / blocks
+    require(60 % blockBits == 0,
+      s"block width $blockBits must align to the 60-bit fingerprint words")
+    val mask = (1L << blockBits) - 1
+    val perWord = 60 / blockBits
+    val keep = blocks - radius
+    require((keep - keep / 2) * blockBits <= 63,
+      s"packed key half exceeds 63 bits: keep=$keep x $blockBits")
+    val combos = (0 until blocks).combinations(keep).toSeq.zipWithIndex
+    val sh = docs.select(col("doc_id"),
+      simhash(col("text")).as("sh1"),
+      graft.ext.TextAnalysis.simhashSalted(col("text"), "w2:").as("sh2"))
+    def blockVal(j: Int): org.apache.spark.sql.Column = {
+      val word = if (j < perWord) col("sh1") else col("sh2")
+      shiftright(word, (j % perWord) * blockBits).bitwiseAND(lit(mask))
+    }
+    def pack(ix: Seq[Int]): org.apache.spark.sql.Column =
+      ix.foldLeft(lit(0L).cast("long"): org.apache.spark.sql.Column) {
+        (acc, j) => shiftleft(acc, blockBits).bitwiseOR(blockVal(j))
+      }
+    val keyed = sh.select(col("doc_id"), col("sh1"), col("sh2"),
+      explode(array(combos.map { case (idxs, cid) =>
+        val (hiIdx, loIdx) = idxs.splitAt(idxs.size / 2)
+        struct(lit(cid).as("cid"), pack(hiIdx).as("kh"), pack(loIdx).as("kl"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("sh1"), col("sh2"),
+        col("c.cid").as("cid"), col("c.kh").as("kh"), col("c.kl").as("kl"))
+    val a = keyed.select(col("doc_id").as("da"), col("sh1").as("s1a"),
+      col("sh2").as("s2a"), col("cid"), col("kh"), col("kl"))
+    val b = keyed.select(col("doc_id").as("db"), col("sh1").as("s1b"),
+      col("sh2").as("s2b"), col("cid"), col("kh"), col("kl"))
+    a.join(b, Seq("cid", "kh", "kl"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("s1a"), col("s2a"),
+        col("s1b"), col("s2b"))
+      .distinct()
+      .select(col("da"), col("db"),
+        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+          bit_count(col("s2a").bitwiseXOR(col("s2b")))).as("hamming"))
+      .filter(col("hamming") <= radius)
+  }
+
   /** Per-source dedup savings ledger — the "what would dedup buy" price
     * sheet a pipeline reads BEFORE committing to a corpus-wide rewrite:
     * for each source, the doc and token mass sitting in non-representative

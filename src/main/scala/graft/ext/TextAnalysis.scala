@@ -791,6 +791,18 @@ object TextAnalysis {
     graft.functions.SimHash60.simhash60(
       transform(array_distinct(tokens(text)), w => hash60(w)))
 
+  /** [[simhash]] under a salted feature-hash family: prefixing every
+    * token with `salt` before the md5 yields an independent 60-bit
+    * fingerprint word, which is how [[graft.ext.Dedup.simhashNearDupWide]]
+    * widens the fingerprint past one long (120-bit = the plain word +
+    * the `"w2:"` word) without a new hash primitive — portable to any
+    * engine with md5, exactly like [[hash60]] itself.
+    */
+  def simhashSalted(text: Column, salt: String): Column =
+    graft.functions.SimHash60.simhash60(
+      transform(array_distinct(tokens(text)),
+        w => hash60(concat(lit(salt), w))))
+
   /** The portable HOF formulation of [[simhash]] — kept as the
     * cross-check oracle for the codegen expression (GraftFunctionsSpec
     * asserts bit-equality). 60 interpreted passes over the feature array

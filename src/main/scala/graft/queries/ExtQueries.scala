@@ -1322,6 +1322,18 @@ object ExtQueries {
     "x118_minhash_lsh_r4" -> ((s, dir) =>
       Dedup.jaccardPairsLsh(docs(s, dir), n = 3, threshold = 0.7,
         numHashes = 256, bands = 64)
+        .orderBy(col("da"), col("db"))),
+
+    // x82's saturation lever made real: 120-bit SimHash (two salted
+    // md5 families) with Manku keys over 8 blocks of 15 bits —
+    // C(8,5)=56 combos of 75-bit keys packed into two longs, exact
+    // equi-join, pigeonhole-complete at radius 3 on the TOTAL 120-bit
+    // Hamming distance. The wide fingerprint re-spreads the distance
+    // distribution that 60 bits compress on bounded-vocabulary corpora
+    // (SCALE.md's measured 10->100x exp 1.46); collision key space
+    // grows 2^30 -> 2^75 for 2.8x the index rows.
+    "x117_simhash_wide_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupWide(docs(s, dir), radius = 3, blocks = 8)
         .orderBy(col("da"), col("db")))
   )
 
@@ -3036,6 +3048,37 @@ object ExtQueries {
                 CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY da, db""",
+
+    // mirrors x117: the x82 simhash replicated under TWO salted md5
+    // families (plain + 'w2:'-prefixed), all-pairs TOTAL Hamming over
+    // both 60-bit words <= 3 (the block-combination keys are a lossless
+    // candidate filter exactly as in x82, so the oracle needn't
+    // replicate them)
+    "x117_simhash_wide_neardup" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+           FROM documents),
+         h AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv1,
+                 CAST('0x' || substr(md5('w2:' || w), 1, 15) AS BIGINT) AS hv2
+               FROM toks),
+         bits AS (
+           SELECT doc_id, bb.b AS b,
+                  CASE WHEN sum(((hv1 >> bb.b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit1,
+                  CASE WHEN sum(((hv2 >> bb.b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit2
+           FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+           GROUP BY doc_id, bb.b),
+         sh AS (SELECT doc_id,
+                  CAST(sum(CAST(bit1 AS BIGINT) << b) AS BIGINT) AS sh1,
+                  CAST(sum(CAST(bit2 AS BIGINT) << b) AS BIGINT) AS sh2
+                FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                CAST(bit_count(xor(a.sh1, b.sh1))
+                     + bit_count(xor(a.sh2, b.sh2)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh1, b.sh1))
+               + bit_count(xor(a.sh2, b.sh2)) <= 3
          ORDER BY da, db""",
 
     // mirrors x83: per-token min(doc_id) first-seen, 50-doc buckets,

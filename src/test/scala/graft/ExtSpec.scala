@@ -1485,6 +1485,35 @@ class ExtSpec extends AnyFunSuite {
       "a forced rebuild re-stamps, so the next ensure reuses again")
   }
 
+  test("simhashNearDupWide equals brute-force 120-bit Hamming pairs and " +
+      "finds the exact/near duplicates") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (1L, "s", base),
+      (2L, "s", base), // exact dup -> hamming 0
+      (3L, "s", base.replace("kappa", "lambda")), // near dup
+      (4L, "s", "entirely different words about completely other topics"),
+      (5L, "s", "yet another unrelated document body full of text"))
+      .toDF("doc_id", "source", "text")
+    val banded = Dedup.simhashNearDupWide(fixture, radius = 3, blocks = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val sh = fixture.select($"doc_id",
+      graft.ext.TextAnalysis.simhash($"text").as("sh1"),
+      graft.ext.TextAnalysis.simhashSalted($"text", "w2:").as("sh2"))
+    val a = sh.select($"doc_id".as("da"), $"sh1".as("s1a"), $"sh2".as("s2a"))
+    val brute = a.join(
+        sh.select($"doc_id".as("db"), $"sh1".as("s1b"), $"sh2".as("s2b")),
+        $"da" < $"db")
+      .select($"da", $"db",
+        (bit_count($"s1a".bitwiseXOR($"s1b")) +
+          bit_count($"s2a".bitwiseXOR($"s2b"))).as("hamming"))
+      .filter($"hamming" <= 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(banded == brute)
+    assert(banded.exists(_.contains("[1,2,0]")),
+      s"exact dup must collide at hamming 0: $banded")
+  }
+
   test("jaccardPairsLshAuto picks r=2 on clean corpora, r=4 on saturated " +
       "ones, honors the conf pins, and matches the fixed-band output") {
     // clean: disjoint vocabularies -> background j0 ~ 0 -> bands = nh/2
