@@ -130,7 +130,7 @@ object Bench {
     // a filtered run is flagged so its total can't be ingested as a
     // full-bench total
     val partial = if (only.isDefined) ""","partial":true""" else ""
-    // the stdout errs field is BOUNDED (first 10 ids + a total count):
+    // the stdout errs field is BOUNDED (first 5 ids + a total count):
     // an unbounded list on a badly broken run — exactly when the parsed
     // stdout matters most — could push the line past the driver's
     // 2000-char capture window and truncate it back to parsed=null.
@@ -139,7 +139,7 @@ object Bench {
     val errsField =
       if (errNames.isEmpty) ""
       else s""","nerrs":${errNames.size}""" +
-        errNames.take(10).map(n => "\"" + SparkEntry.shortId(n) + "\"")
+        errNames.take(5).map(n => "\"" + SparkEntry.shortId(n) + "\"")
           .mkString(""","errs":[""", ",", "]")
     def line(qs: String): String =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$errsField$partial}"""

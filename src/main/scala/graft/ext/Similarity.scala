@@ -669,6 +669,26 @@ object Similarity {
   val LiteralKMaxKey = "spark.graft.ivf.literalKMax"
   private val literalKMaxDefault = 64
 
+  /** The kNN-family cell-count CONTRACT made executable: centroids
+    * scale with the corpus, k = max(floor, n / perCell), so expected
+    * cell size stays ~perCell and the cell-local pair mass Σ|cell|² ≈
+    * n·perCell is LINEAR in n (perCell = 250 matches the measured
+    * KnnCellProbe remedy row: k = 80 at the 10× corpus). At a fixed k that mass is n²/k — the
+    * self-inflicted quadratic the x94-family 10× probes measured at
+    * exp ≈ 1.0, with the k ∝ n remedy measured at exp 0.05
+    * (KnnCellProbe, SCALE.md). One count() action — bounded driver
+    * state, trivially cheaper than the training it sizes. The declared
+    * x94/x104/x105/x111 queries derive k through this, and their
+    * DuckDB oracles compute the identical `greatest(floor, n//perCell)`
+    * from the same relation.
+    */
+  def adaptiveCellCount(corpus: DataFrame, floor: Int = 8,
+      perCell: Int = 250): Int = {
+    require(floor >= 1 && perCell >= 1,
+      s"floor/perCell must be >= 1: $floor, $perCell")
+    math.max(floor, (corpus.count() / perCell).toInt)
+  }
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3, init: String = "first"): DataFrame = {
     val spark = corpus.sparkSession

@@ -803,6 +803,87 @@ object TextAnalysis {
       transform(array_distinct(tokens(text)),
         w => hash60(concat(lit(salt), w))))
 
+  /** The checked-in BPE merge fixture (src/main/resources/graft/
+    * bpe_merges.txt): 64 training-ordered merges learned from the
+    * sf0.01 corpus by a standard frequency-greedy char-level trainer
+    * (highest pair count, lexicographically-smallest tie-break — fully
+    * deterministic). Training order is load-bearing: [[bpeTokenCount]]
+    * applies merges sequentially, which equals the classic
+    * find-min-rank-pair loop ONLY for training-ordered lists (a pair of
+    * pre-merge symbols can never re-form once its merge has run,
+    * because merging only ever creates adjacency to NEW symbols).
+    */
+  lazy val bpeMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "graft/bpe_merges.txt fixture missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l => val Array(a, b) = l.split(" ", 2); (a, b) }.toVector
+    finally in.close()
+  }
+
+  /** Symbol-boundary separators for the relational BPE apply. Each
+    * symbol is wrapped `␟sym␞` (distinct OPEN and CLOSE control chars),
+    * which makes one plain left-to-right `replace` per merge EXACTLY
+    * the tokenizer's merge-all-occurrences pass: the pattern
+    * `␟a␞␟b␞ → ␟ab␞` can only match whole symbols (anchored by the
+    * wrap), and two occurrences never share characters unless they
+    * share a symbol (a = b runs), where greedy left-to-right is the
+    * tokenizer's own rule. A single shared separator between symbols
+    * would break that: in `␟a␟a␟a␟a␟` the 2nd match overlaps the 1st
+    * match's trailing separator and a run of 8 merges only 3 pairs per
+    * pass instead of 4.
+    */
+  private[graft] val BpeOpen = "\u001f"
+  private[graft] val BpeClose = "\u001e"
+
+  /** A word rendered as wrapped symbols with every merge applied in
+    * training order — the relational GPT-2-style BPE apply. The chain
+    * is |merges| nested literal `replace` calls evaluated over the
+    * DISTINCT-word relation only (vocabulary-bounded — Heaps-law small
+    * next to the corpus), never per occurrence.
+    */
+  private[graft] def bpeSegment(word: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      regexp_replace(word, "(.)", BpeOpen + "$1" + BpeClose)) {
+      case (acc, (a, b)) =>
+        replace(acc, lit(BpeOpen + a + BpeClose + BpeOpen + b + BpeClose),
+          lit(BpeOpen + a + b + BpeClose))
+    }
+
+  /** Real-tokenizer token accounting: per document, the whitespace word
+    * count and the TRUE BPE token count under the checked-in merges
+    * fixture — the apply half of the x73 pair-count machinery, so token
+    * budgets (x26 packing, x63 manifests, x107 UniMax) can price in
+    * tokenizer units instead of x01's heuristic approximation.
+    *
+    * Scale shape: one explode to (doc_id, word), one DISTINCT to the
+    * vocabulary, the merge chain evaluated once per distinct word, one
+    * keyed join back and one per-doc agg. The expensive expression
+    * runs on the VOCABULARY relation (bounded by Heaps' law — millions
+    * of rows at 100 TB, not trillions); the corpus-scale work is one
+    * explode + join + partial-aggregated groupBy. Documents with no
+    * parseable words keep a 0-count row (left join + coalesce).
+    */
+  def bpeTokenCount(docs: DataFrame,
+      merges: Seq[(String, String)] = bpeMerges): DataFrame = {
+    val dw = docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val seg = bpeSegment(col("word"), merges)
+    val wordCost = dw.select(col("word")).distinct()
+      .select(col("word"),
+        (length(seg) - length(replace(seg, lit(BpeOpen), lit(""))))
+          .cast("long").as("n_sub"))
+    val agg = dw.join(wordCost, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("w"), sum(col("n_sub")).as("s"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w"), lit(0L)).as("n_words"),
+        coalesce(col("s"), lit(0L)).as("n_bpe_tokens"))
+  }
+
   /** The portable HOF formulation of [[simhash]] — kept as the
     * cross-check oracle for the codegen expression (GraftFunctionsSpec
     * asserts bit-equality). 60 interpreted passes over the feature array

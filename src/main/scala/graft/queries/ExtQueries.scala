@@ -1102,10 +1102,14 @@ object ExtQueries {
 
     // cell-local approximate kNN graph with mutual-degree stats: the
     // input ledger for graph-based corpus work; edges only within
-    // trained k-means cells (Σ|cell|², the SemDeDup locality shape)
+    // trained k-means cells (the SemDeDup locality shape). Cell count
+    // is ADAPTIVE (max(8, n/250), oracle computes the same) so
+    // Σ|cell|² stays ~n·250 instead of the fixed-k n²/8 the scale
+    // probes measured at exp ≈ 1.0
     "x94_knn_graph" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.knnGraph(e, Similarity.trainCentroids(e, nCentroids = 8),
+      Similarity.knnGraph(e,
+        Similarity.trainCentroids(e, Similarity.adaptiveCellCount(e)),
         k = 5).orderBy(col("vec_id"))
     }),
 
@@ -1184,7 +1188,8 @@ object ExtQueries {
     "x104_triangle_stats" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.triangleStats(e,
-        Similarity.trainCentroids(e, nCentroids = 8), k = 5)
+        Similarity.trainCentroids(e, Similarity.adaptiveCellCount(e)),
+        k = 5)
         .orderBy(col("cell"))
     }),
 
@@ -1196,7 +1201,8 @@ object ExtQueries {
     "x105_pagerank" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pageRank(e,
-        Similarity.trainCentroids(e, nCentroids = 8), k = 5)
+        Similarity.trainCentroids(e, Similarity.adaptiveCellCount(e)),
+        k = 5)
     }),
 
     // greedy k-center (farthest-point) coreset: the 8 most spread-out
@@ -1256,7 +1262,8 @@ object ExtQueries {
     "x111_label_agreement" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.labelAgreement(e,
-        Similarity.trainCentroids(e, nCentroids = 8), k = 5)
+        Similarity.trainCentroids(e, Similarity.adaptiveCellCount(e)),
+        k = 5)
         .orderBy(col("vec_id"))
     }),
 
@@ -1334,7 +1341,16 @@ object ExtQueries {
     // grows 2^30 -> 2^75 for 2.8x the index rows.
     "x117_simhash_wide_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupWide(docs(s, dir), radius = 3, blocks = 8)
-        .orderBy(col("da"), col("db")))
+        .orderBy(col("da"), col("db"))),
+
+    // real-BPE token accounting under the checked-in training-ordered
+    // 64-merge fixture — the APPLY half of x73's pair-count trainer, so
+    // token budgets (x26/x63/x107) can price in true tokenizer units
+    // instead of x01's heuristic. The merge chain evaluates once per
+    // DISTINCT word (vocabulary-bounded); the corpus-scale work is one
+    // explode + keyed join + partial-aggregated groupBy.
+    "x119_bpe_token_count" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCount(docs(s, dir)).orderBy(col("doc_id")))
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -1435,6 +1451,37 @@ object ExtQueries {
          SELECT node AS doc_id, min(lbl) AS cluster
          FROM reach GROUP BY node ORDER BY doc_id"""
 
+  /** x119's oracle, GENERATED from the same checked-in merges fixture
+    * the Spark path loads — the nested `replace` chain is identical
+    * text on both engines (plain literal replace, no regex), applied
+    * over the distinct-word CTE with the same ␟sym␞ wrapped-symbol
+    * encoding (see [[graft.ext.TextAnalysis.bpeSegment]] for why the
+    * two-separator wrap makes one replace per merge exactly the
+    * tokenizer's merge-all-occurrences pass).
+    */
+  private lazy val bpeOracleSql: String = {
+    val o = "\u001f"; val c = "\u001e"
+    val seg0 = s"regexp_replace(word, '(.)', '$o\\1$c', 'g')"
+    val chain = graft.ext.TextAnalysis.bpeMerges.foldLeft(seg0) {
+      case (acc, (a, b)) => s"replace($acc, '$o$a$c$o$b$c', '$o$a$b$c')"
+    }
+    s"""WITH dw AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+           FROM documents),
+       vocab AS (SELECT DISTINCT word FROM dw),
+       wc AS (SELECT word,
+                CAST(length(seg) - length(replace(seg, '$o', ''))
+                  AS BIGINT) AS n_sub
+              FROM (SELECT word, $chain AS seg FROM vocab)),
+       agg AS (SELECT dw.doc_id, count(*) AS n_words,
+                 CAST(sum(wc.n_sub) AS BIGINT) AS n_bpe_tokens
+               FROM dw JOIN wc USING (word) GROUP BY 1)
+       SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+              coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+       FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       ORDER BY d.doc_id"""
+  }
+
   private val cosSql =
     """round(list_dot_product(a.e, b.e) /
              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)"""
@@ -1501,9 +1548,20 @@ object ExtQueries {
     * Spark's float centroid array. Emits `cent(cent_id, ce)`; expects a
     * preceding `e(vec_id, e DOUBLE[])` CTE.
     */
-  private def kmeansCte(nCent: Int, iters: Int, dim: Int): String = {
+  private def kmeansCte(nCent: Int, iters: Int, dim: Int): String =
+    kmeansCteSeed(nCent.toString, iters, dim)
+
+  /** The x94-family adaptive cell count as SQL — identical arithmetic
+    * to [[graft.ext.Similarity.adaptiveCellCount]] over the same `e`
+    * CTE, so the oracle derives k from the corpus exactly like the
+    * declared query does.
+    */
+  private val adaptiveCellsSql = "(SELECT greatest(8, count(*) // 250) FROM e)"
+
+  private def kmeansCteSeed(nCentSql: String, iters: Int,
+      dim: Int): String = {
     val init =
-      s"cent0 AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $nCent)"
+      s"cent0 AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $nCentSql)"
     val steps = (0 until iters).map { i =>
       s"""cc$i AS (SELECT x.vec_id AS vid, c.cent_id,
                 round(list_dot_product(x.e, c.ce) /
@@ -3081,6 +3139,10 @@ object ExtQueries {
                + bit_count(xor(a.sh2, b.sh2)) <= 3
          ORDER BY da, db""",
 
+    // mirrors x119: generated from the same merges fixture (see
+    // bpeOracleSql)
+    "x119_bpe_token_count" -> bpeOracleSql,
+
     // mirrors x83: per-token min(doc_id) first-seen, 50-doc buckets,
     // cumulative window over buckets only
     "x83_vocab_growth" ->
@@ -3433,7 +3495,7 @@ object ExtQueries {
     // left-join stats with coalesce(0)
     "x94_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                   round(list_dot_product(x.e, c.ce) /
                         (sqrt(list_dot_product(x.e, x.e)) *
@@ -3697,7 +3759,7 @@ object ExtQueries {
     // undirected edge list, per-cell rollup
     "x104_triangle_stats" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                   round(list_dot_product(x.e, c.ce) /
                         (sqrt(list_dot_product(x.e, x.e)) *
@@ -3765,7 +3827,7 @@ object ExtQueries {
     // no doubles anywhere, so the engines agree bit-for-bit)
     "x105_pagerank" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                   round(list_dot_product(x.e, c.ce) /
                         (sqrt(list_dot_product(x.e, x.e)) *
@@ -3972,7 +4034,7 @@ object ExtQueries {
     // edge endpoints, per-vector agreement over exact counts
     "x111_label_agreement" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                   round(list_dot_product(x.e, c.ce) /
                         (sqrt(list_dot_product(x.e, x.e)) *

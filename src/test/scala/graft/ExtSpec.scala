@@ -1485,6 +1485,28 @@ class ExtSpec extends AnyFunSuite {
       "a forced rebuild re-stamps, so the next ensure reuses again")
   }
 
+  test("bpeTokenCount applies the checked-in merges in training order " +
+      "and keeps zero-rows for wordless docs") {
+    // fixture merges include (e,r) then (i,n): "erin" -> [er, in] = 2
+    // subtokens; "xyz" has no applicable merge -> 3 chars
+    val m = graft.ext.TextAnalysis.bpeMerges
+    assert(m.take(2) == Seq(("e", "r"), ("i", "n")),
+      s"fixture head changed: ${m.take(2)}")
+    val d = Seq((1L, "s", "erin xyz erin"), (2L, "s", " ")) // doc 2: no words
+      .toDF("doc_id", "source", "text")
+    val got = graft.ext.TextAnalysis.bpeTokenCount(d)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    // doc 2's trim -> "" tokenizes to [""] (the x01 contract): one empty
+    // word of zero subtokens
+    assert(got == Seq("[1,3,7]", "[2,1,0]"), got.toString)
+    // a run of the same mergeable pair follows the tokenizer's greedy
+    // left-to-right rule: with (e,r)... no (a,a)-style merge exists in
+    // the fixture, so check wrap-encoding via a repeated-pair word
+    val rep = Seq((1L, "s", "erererer")).toDF("doc_id", "source", "text")
+    val n = graft.ext.TextAnalysis.bpeTokenCount(rep).collect()(0).getLong(2)
+    assert(n == 4, s"erererer must be [er,er,er,er]: $n") // 4 er symbols
+  }
+
   test("simhashNearDupWide equals brute-force 120-bit Hamming pairs and " +
       "finds the exact/near duplicates") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
