@@ -781,6 +781,23 @@ object Dedup {
     */
   private[graft] def ccMinLabelLoop(edges: DataFrame,
       maxIters: Int): (DataFrame, Int) = {
+    val (labels, rounds, done) = ccMinLabelLoopBounded(edges, maxIters)
+    // exhausting the cap means labels are still moving — failing loudly
+    // beats silently returning a split component (the caller can raise
+    // maxIters; diameter can't exceed the longest near-dup chain)
+    if (!done) throw new IllegalStateException(
+      s"dedupClusters did not converge within $maxIters iterations; " +
+        "raise maxIters for very long chain components")
+    (labels, rounds)
+  }
+
+  /** [[ccMinLabelLoop]] that STOPS at the cap instead of throwing —
+    * (labels-so-far, rounds run, converged). The seam behind
+    * [[dedupClustersAuto]]'s depth probe, where hitting the cap is a
+    * signal (the graph is deep), not an error.
+    */
+  private[graft] def ccMinLabelLoopBounded(edges: DataFrame,
+      maxIters: Int): (DataFrame, Int, Boolean) = {
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("cluster"))
       .select(col("src").as("doc_id"), col("cluster"))
@@ -795,13 +812,40 @@ object Dedup {
         .forall(_.asInstanceOf[Long] == 0L)
       i += 1
     }
-    // exhausting the cap means labels are still moving — failing loudly
-    // beats silently returning a split component (the caller can raise
-    // maxIters; diameter can't exceed the longest near-dup chain)
-    if (!done) throw new IllegalStateException(
-      s"dedupClusters did not converge within $maxIters iterations; " +
-        "raise maxIters for very long chain components")
-    (labels, i + 1)
+    (labels, i + 1, done)
+  }
+
+  /** [[dedupClusters]] with the CC shape chosen BY THE GRAPH, not the
+    * caller: run min-label propagation for at most `probeRounds`
+    * rounds — on shallow graphs (measured D ≤ 3 on every real near-dup
+    * corpus probed, SCALE.md) this both IS the depth probe and IS the
+    * answer, at zero wasted work; if labels are still moving at the
+    * cap the graph is chain-deep, min-label would need ~D rounds, and
+    * the run switches to alternating large/small-star (SoCC'14,
+    * O(log² ) rounds — [[dedupClustersAlternating]]), whose higher
+    * per-round price is exactly what the shallow case avoids paying.
+    * CcCompare measured both shapes head-to-head; this turns its
+    * documented "deep-graph escape hatch" into an automatic choice.
+    * Output contract identical to [[dedupClusters]] (min doc_id per
+    * component; spec-asserted on both branches).
+    */
+  def dedupClustersAuto(docs: DataFrame, pairs: DataFrame,
+      probeRounds: Int = 5, maxRounds: Int = 30): DataFrame = {
+    require(probeRounds >= 1, s"probeRounds must be >= 1: $probeRounds")
+    val p = pairs.select(col("da"), col("db")).materialized
+    val edges = p.toDF("src", "dst")
+      .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+      .materialized
+    val (probeLabels, _, converged) =
+      ccMinLabelLoopBounded(edges, probeRounds)
+    val labels =
+      if (converged) probeLabels
+      else ccAlternatingLoop(p, maxRounds)._1
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster", "edge_cluster"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("edge_cluster"), col("doc_id")).as("cluster"))
   }
 
   /** Session-lifetime memo of the expensive near-dup ARTIFACTS — the
@@ -1098,18 +1142,11 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 128,
       bands: Int = 64): DataFrame = {
-    val rows = numHashes / bands
     // checkpointed: the banding side and BOTH exact-verify joins read
     // the shingle relation; un-materialized they would each re-tokenize
     // + re-shingle the corpus
     val sg = shingled(docs, n).materialized
-    val withBands = sg
-      .withColumn("hv", shingleHashes(col("sg"))) // md5 once per shingle
-      .withColumn("sig", minhashSignature(col("hv"), numHashes))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bkey",
-        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
-      .select(col("doc_id"), size(col("sg")).as("sz"), col("band"), col("bkey"))
+    val withBands = bandedKeys(sg, numHashes, bands)
     val l = withBands.select(col("band"), col("bkey"),
       col("doc_id").as("da"), col("sz").as("sza"))
     val r = withBands.select(col("band"), col("bkey"),
@@ -1133,65 +1170,95 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
-  /** Background-similarity estimate for the banding heuristic: the mean
-    * pairwise exact Jaccard over a deterministic hash-ordered sample of
-    * `sampleSize` documents. Hash order (not lowest doc_ids) so ingest
-    * order cannot bias the sample toward one source; the TakeOrdered
-    * top-k needs one corpus scan and no shuffle, the pairwise mean runs
-    * over ≤ C(sampleSize, 2) broadcast-joined rows, and the result is a
-    * single double — bounded driver state. 0.0 on corpora too small to
-    * form a pair.
+  /** The minhash-signature banding relation: (doc_id, shingle-set
+    * size, band, 64-bit band key). Shared by [[jaccardPairsLsh]]'s
+    * candidate join and the [[estimateBandCollisionsPerDoc]] probe, so
+    * the probe measures EXACTLY the key distribution the join will see.
     */
-  private[graft] def estimateBackgroundJaccard(docs: DataFrame, n: Int,
-      sampleSize: Int = 128): Double = {
-    val sampleDocs = docs
+  private def bandedKeys(sg: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sg
+      .withColumn("hv", shingleHashes(col("sg"))) // md5 once per shingle
+      .withColumn("sig", minhashSignature(col("hv"), numHashes))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bkey",
+        hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .select(col("doc_id"), size(col("sg")).as("sz"), col("band"), col("bkey"))
+  }
+
+  /** Measured expected banding-candidate mass PER DOCUMENT at
+    * (numHashes, bands): build the actual band keys for a
+    * deterministic hash-ordered `sampleSize`-doc sample (hash order so
+    * ingest order cannot bias toward one source), count the sample's
+    * collision pairs Σ_key C(df,2) exactly, and extrapolate to the
+    * full corpus — collision mass scales with the number of pairs, so
+    * mass_full ≈ mass_sample·(N/s)² and per-doc = mass_sample·N/s².
+    *
+    * Measured, not modeled, deliberately: a mean-Jaccard moment
+    * estimate under-predicts the melt badly (a 128-doc pairwise probe
+    * on the saturated 10× corpus reads E[j²] ≈ 4·10⁻⁶ — implying ~10⁵
+    * false candidates — while the real r=2 banding produces enough
+    * collision mass to cost 12+ s; the tail structure that banding
+    * keys actually hash on is exactly what a direct key-histogram
+    * sample sees and a low-order moment doesn't). Cost: one
+    * shingle+minhash pass over ≤ sampleSize docs, one skinny groupBy,
+    * one corpus count — all bounded.
+    */
+  private[graft] def estimateBandCollisionsPerDoc(docs: DataFrame, n: Int,
+      numHashes: Int, bands: Int, sampleSize: Int = 1024): Double = {
+    val nDocs = docs.count().toDouble
+    if (nDocs < 2) return 0.0
+    val sample = docs
       .orderBy(md5(concat(lit("lshbg:"), col("doc_id").cast("string"))),
         col("doc_id"))
       .limit(sampleSize)
-    val sample = shingled(sampleDocs, n).materialized
-    val a = sample.select(col("doc_id").as("da"), col("sg").as("sga"))
-    val b = sample.select(col("doc_id").as("db"), col("sg").as("sgb"))
-    val row = a.join(broadcast(b), col("da") < col("db"))
-      .agg(avg(jaccard(col("sga"), col("sgb"))).as("j0"))
+    val sg = shingled(sample, n).materialized
+    val s = sg.count().toDouble
+    if (s < 2) return 0.0
+    val row = bandedKeys(sg, numHashes, bands)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("df"))
+      // df·(df−1) as exact longs; halve driver-side (Spark `/` is
+      // double division)
+      .agg(sum(col("df") * (col("df") - 1)).as("mass2"))
       .collect()(0)
-    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val mass = (if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble) / 2.0
+    mass * nDocs / (s * s)
   }
 
   /** The banding choice behind [[jaccardPairsLshAuto]], exposed as a
-    * seam so specs can assert the decision: rows-per-band r = 2 on
-    * clean corpora, r = 4 once the sampled background Jaccard j₀ makes
-    * the EXPECTED false-collision mass at r = 2 — (numHashes/2)·j₀²
-    * band collisions per non-matching pair — exceed 0.5, i.e. once the
-    * r=2 banding would shortlist a constant fraction of ALL C(n,2)
-    * pairs and the verify step goes quadratic (the measured 100×
-    * melt, SCALE.md). At r = 4 the same mass is (numHashes/4)·j₀⁴ —
-    * e.g. j₀ = 0.45: 6.5 → 0.66 band collisions/pair, and each
-    * collision still passes the lossless size-ratio prune before any
-    * exact verify. Returns (bands, j₀).
+    * seam so specs can assert the decision: rows-per-band r = 2 (the
+    * recall-maximal classic) while the measured r=2 candidate mass
+    * stays linear-bounded — ≤ 32 expected candidates per document —
+    * and r = 4 once it exceeds that, i.e. once the r=2 shortlist is
+    * growing ~n² and the verify step melts (the measured 100× blowup:
+    * 449 s at r=2 vs 16.4 s at r=4, SCALE.md). Returns
+    * (bands, measured r=2 candidates/doc).
     */
   private[graft] def chooseLshBands(docs: DataFrame, n: Int,
       numHashes: Int): (Int, Double) = {
     require(numHashes % 4 == 0, s"numHashes must be divisible by 4: $numHashes")
-    val j0 = estimateBackgroundJaccard(docs, n)
-    val falseBandsAtR2 = (numHashes / 2).toDouble * j0 * j0
-    (if (falseBandsAtR2 > 0.5) numHashes / 4 else numHashes / 2, j0)
+    val perDocR2 =
+      estimateBandCollisionsPerDoc(docs, n, numHashes, numHashes / 2)
+    (if (perDocR2 > 32) numHashes / 4 else numHashes / 2, perDocR2)
   }
 
   /** [[jaccardPairsLsh]] with the banding parameters chosen PER CORPUS —
     * the production default and x07's declared path. Two conf hatches
     * pin the choice without a code change:
     * `spark.graft.lsh.numHashes` (default 128) and
-    * `spark.graft.lsh.bands` (set → skips the sampling estimate
-    * entirely and uses the given band count).
+    * `spark.graft.lsh.bands` (set → skips the sampling probe entirely
+    * and uses the given band count).
     *
-    * On a natural-vocabulary corpus the sampled j₀ is small and the
-    * choice degenerates to the classic b = numHashes/2, r = 2 — output
-    * identical to the fixed default, which is what keeps the exact
-    * oracle hash-green at the correctness SF. On a saturated corpus
-    * (constant background j₀ — scraped boilerplate, the one place
-    * near-dup dedup matters most) it switches to r = 4, the measured
-    * remedy that flattened the 100× probe from 449 s to 16.4 s with
-    * 99.6% recall at j ≥ 0.7 (SCALE.md).
+    * On a natural-vocabulary corpus the measured r=2 collision mass is
+    * tiny and the choice degenerates to the classic b = numHashes/2,
+    * r = 2 — output identical to the fixed default, which is what
+    * keeps the exact oracle hash-green at the correctness SF. On a
+    * saturated corpus (scraped boilerplate, the one place near-dup
+    * dedup matters most) it switches to r = 4, the measured remedy
+    * that flattened the 100× probe from 449 s to 16.4 s with 99.6%
+    * recall at j ≥ 0.5 and < 0.4% worst-case miss at j ≥ 0.7
+    * (SCALE.md).
     */
   def jaccardPairsLshAuto(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {

@@ -87,10 +87,13 @@ object PipelineMain {
       // repeated runs in a session (bench passes, notebook re-runs)
       // reuse the model instead of re-training per pass
       shards0.join(
+        // adaptive cell count (the x39/x94 contract): within-cell pair
+        // mass stays ~n·250 instead of the fixed-k n²/8 the 100× probe
+        // measured as this composite's second-decade quadratic
         Similarity.semanticDedup(survivingEmb, threshold = 0.4,
           centroids = Similarity.trainCentroidsKeyed(survivingEmb,
             s"pipeline-semdedup:scrub=$scrubText", Seq(raw, emb),
-            nCentroids = 8))
+            nCentroids = Similarity.adaptiveCellCount(survivingEmb)))
           .select(col("vec_id").as("doc_id"),
             col("is_rep").as("sem_rep")),
         Seq("doc_id"), "left")

@@ -498,13 +498,16 @@ object ExtQueries {
         .orderBy(col("doc_id"))),
 
     // SemDeDup: near-dup representatives WITHIN k-means cells — the
-    // embedding-dedup scale path (Σ|cell|² verify instead of n²),
-    // sharing x15/x35's trained centroids so the oracle replicates the
-    // cells via the same unrolled-Lloyd CTE
+    // embedding-dedup scale path (Σ|cell|² verify instead of n²). Cell
+    // count is ADAPTIVE (max(8, n/250), the x94-family contract — the
+    // oracle derives the same) so the within-cell pair mass stays
+    // ~n·250: at a fixed k it is n²/k, the exact quadratic the 100×
+    // probe measured on the x43 composite that embeds this stage
     "x39_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.semanticDedup(e, threshold = 0.4,
-        centroids = Similarity.trainCentroids(e, nCentroids = 8))
+        centroids = Similarity.trainCentroids(e,
+          Similarity.adaptiveCellCount(e)))
         .orderBy(col("vec_id"))
     }),
 
@@ -1652,7 +1655,7 @@ object ExtQueries {
        exp AS ($export),
        e AS (SELECT em.vec_id, em.embedding::DOUBLE[] AS e
              FROM embeddings em JOIN exp ON em.vec_id = exp.doc_id),
-       ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+       ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
        cc AS (SELECT x.vec_id AS vid, c.cent_id,
                      round(list_dot_product(x.e, c.ce) /
                            (sqrt(list_dot_product(x.e, x.e)) *
@@ -2278,7 +2281,7 @@ object ExtQueries {
          WHERE rn <= 5 ORDER BY doc_id""",
     "x39_semantic_dedup" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${kmeansCte(nCent = 8, iters = 3, dim = 64)},
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                        round(list_dot_product(x.e, c.ce) /
                              (sqrt(list_dot_product(x.e, x.e)) *

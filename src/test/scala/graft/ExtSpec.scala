@@ -1485,6 +1485,28 @@ class ExtSpec extends AnyFunSuite {
       "a forced rebuild re-stamps, so the next ensure reuses again")
   }
 
+  test("dedupClustersAuto converges in-probe on shallow graphs and " +
+      "switches to alternating-star on deep chains, same labels both ways") {
+    val docsDf = (0L to 20L).toDF("doc_id")
+    // shallow: two 2-cliques -> probe converges, min-label IS the answer
+    val shallow = Seq((0L, 1L), (5L, 6L)).toDF("da", "db")
+    val a1 = Dedup.dedupClustersAuto(docsDf, shallow)
+      .collect().map(_.toString).sorted.toSeq
+    val b1 = Dedup.dedupClusters(docsDf, shallow)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a1 == b1)
+    // deep: a 20-hop chain -> min-label needs ~20 rounds, the 5-round
+    // probe hits its cap and the alternating-star branch takes over
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("da", "db")
+    val a2 = Dedup.dedupClustersAuto(docsDf, chain, probeRounds = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b2 = Dedup.dedupClusters(docsDf, chain)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a2 == b2, "auto (alternating branch) must match min-label labels")
+    assert(a2.count(_.endsWith(",0]")) == 21,
+      s"all 21 chained docs must label to component-min 0: $a2")
+  }
+
   test("bpeTokenCount applies the checked-in merges in training order " +
       "and keeps zero-rows for wordless docs") {
     // fixture merges include (e,r) then (i,n): "erin" -> [er, in] = 2
@@ -1538,21 +1560,23 @@ class ExtSpec extends AnyFunSuite {
 
   test("jaccardPairsLshAuto picks r=2 on clean corpora, r=4 on saturated " +
       "ones, honors the conf pins, and matches the fixed-band output") {
-    // clean: disjoint vocabularies -> background j0 ~ 0 -> bands = nh/2
+    // clean: disjoint vocabularies -> zero measured band collisions ->
+    // bands = nh/2 (r=2)
     val clean = (0 until 24).map(i =>
       (i.toLong, "s", s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
       .toDF("doc_id", "source", "text")
-    val (cleanBands, cleanJ0) = Dedup.chooseLshBands(clean, 3, 128)
-    assert(cleanJ0 < 0.1 && cleanBands == 64)
-    // saturated: every doc is mostly the same boilerplate -> r=4
+    val (cleanBands, cleanMass) = Dedup.chooseLshBands(clean, 3, 128)
+    assert(cleanMass < 32 && cleanBands == 64)
+    // saturated: every doc is mostly the same boilerplate -> the
+    // measured r=2 collision mass blows past the linear budget -> r=4
     val boiler = (0 until 24).map(_ => "the same boilerplate run of words"
       + " repeated across every single page in this scraped corpus")
     val sat = boiler.zipWithIndex.map { case (b, i) =>
       (i.toLong, "s", s"$b tail$i") }
       .toDF("doc_id", "source", "text")
-    val (satBands, satJ0) = Dedup.chooseLshBands(sat, 3, 128)
-    assert(satJ0 > 0.3 && satBands == 32,
-      s"saturated corpus must pick r=4 (j0=$satJ0, bands=$satBands)")
+    val (satBands, satMass) = Dedup.chooseLshBands(sat, 3, 128)
+    assert(satMass > 32 && satBands == 32,
+      s"saturated corpus must pick r=4 (mass=$satMass, bands=$satBands)")
     // auto == fixed-band output at the chosen parametrization
     val auto = Dedup.jaccardPairsLshAuto(sat, 3, 0.5)
       .collect().map(_.toString).sorted.toSeq
