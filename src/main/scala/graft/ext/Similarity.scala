@@ -449,6 +449,71 @@ object Similarity {
         max_by(col("cent_id"),
           struct(col("cent_cos"), (-col("cent_id")).as("nid"))).as("cell"))
 
+  /** [[assignCells]]' (vec_id, cell) face for probes/tests. */
+  private[graft] def assignCellsFlat(corpus: DataFrame,
+      centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroidRelation(centroids))
+      .select(col("cid").as("vec_id"), col("cell"))
+
+  /** TWO-LEVEL (coarse-quantized) cell assignment — the measured lever
+    * for the n·k assignment term that appears once the cell count
+    * scales with the corpus ([[adaptiveCellCount]]: k = n/250 makes
+    * flat argmax assignment n·k = n²/250 cosine evaluations, the
+    * x94/x39 second-decade cost in SCALE.md). Standard two-level IVF:
+    * cluster the k CENTROIDS into ~√k coarse groups (k-means over a
+    * k-row dim-table relation — trivial), then each vector argmaxes
+    * over the √k coarse centers and afterwards only over its winning
+    * group's ~√k member centroids — ~2·n·√k total, both stages
+    * broadcast joins with map-side partial aggregation, zero shuffle
+    * of the corpus.
+    *
+    * APPROXIMATE by construction: a vector whose true best centroid
+    * lives outside its best coarse group gets that group's best
+    * instead — the standard IVF probe trade (HierAssignProbe measures
+    * agreement alongside the speedup; raise `nprobeGroups` to trade
+    * time back for fidelity). The DECLARED x94-family queries keep the
+    * exact flat argmax (their oracles replicate it bit-for-bit); this
+    * is the documented production path past ~10⁶ vectors.
+    */
+  private[graft] def assignCellsCoarse(corpus: DataFrame,
+      centroids: DataFrame, coarseK: Int = 0,
+      nprobeGroups: Int = 1): DataFrame = {
+    val k = centroids.count().toInt
+    val cK = if (coarseK > 0) coarseK
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = trainCentroids(centroids, cK)
+    // member centroids labeled with their coarse group — k rows
+    val centGroups = assignCells(centroids, centroidRelation(coarse))
+      .select(col("cid").as("cent_id"), col("ce").as("cent_e"),
+        col("cn").as("cent_n"), col("cell").as("grp"))
+    val coarseRel = centroidRelation(coarse)
+      .select(col("cent_id").as("grp_id"), col("cent_e").as("grp_e"),
+        col("cent_n").as("grp_n"))
+    val probeAgg = udaf(new graft.functions.TopKAgg(nprobeGroups))
+    // stage 1: each vector's nprobeGroups best coarse groups (n·√k)
+    val probed = corpus
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn"))
+      .join(broadcast(coarseRel))
+      .withColumn("gcos",
+        round(dot(col("ce"), col("grp_e")) / (col("cn") * col("grp_n")), 6))
+      .groupBy(col("cid"))
+      .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+        probeAgg(col("gcos"), col("grp_id")).as("grps"))
+      .select(col("cid"), col("ce"), col("cn"),
+        explode(col("grps")).as("g"))
+      .withColumn("grp", col("g._2")).drop("g")
+    // stage 2: exact argmax over the probed groups' members (n·~√k·p)
+    probed
+      .join(broadcast(centGroups), Seq("grp"))
+      .withColumn("ccos",
+        round(dot(col("ce"), col("cent_e")) / (col("cn") * col("cent_n")), 6))
+      .groupBy(col("cid"))
+      .agg(first(col("ce")).as("ce"), first(col("cn")).as("cn"),
+        max_by(col("cent_id"),
+          struct(col("ccos"), (-col("cent_id")).as("nid"))).as("cell"))
+  }
+
   /** Per-query probed cells: each query exploded to its `nprobe` nearest
     * centroid ids, carrying its embedding and norm for the scoring join.
     */

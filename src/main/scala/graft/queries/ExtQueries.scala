@@ -1346,6 +1346,21 @@ object ExtQueries {
       Dedup.simhashNearDupWide(docs(s, dir), radius = 3, blocks = 8)
         .orderBy(col("da"), col("db"))),
 
+    // two-level (coarse-quantized) IVF assignment as a DECLARED,
+    // hash-checked query: ~sqrt(k) coarse groups trained over the k
+    // adaptive centroids, each vector routed coarse-then-fine
+    // (2*n*sqrt(k) work instead of the flat n*k — the measured
+    // x94/x39 second-decade lever, HierAssignProbe). The oracle
+    // replicates BOTH k-means levels and both argmax stages, so the
+    // approximate route's exact semantics are pinned every round.
+    "x120_assign_hier" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.assignCellsCoarse(e,
+        Similarity.trainCentroids(e, Similarity.adaptiveCellCount(e)))
+        .select(col("cid").as("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // real-BPE token accounting under the checked-in training-ordered
     // 64-merge fixture — the APPLY half of x73's pair-count trainer, so
     // token budgets (x26/x63/x107) can price in true tokenizer units
@@ -1562,33 +1577,42 @@ object ExtQueries {
   private val adaptiveCellsSql = "(SELECT greatest(8, count(*) // 250) FROM e)"
 
   private def kmeansCteSeed(nCentSql: String, iters: Int,
-      dim: Int): String = {
+      dim: Int): String = kmeansCtePrefixed(nCentSql, iters, dim)
+
+  /** [[kmeansCteSeed]] with every CTE name prefixed `p` and the source
+    * relation `src` (columns (vec_id, e)) — the second-level chain
+    * x120's coarse quantizer needs: the SAME unrolled Lloyd arithmetic
+    * run over the first level's `cent` relation instead of the corpus.
+    * Emits `${p}cent(cent_id, ce)`.
+    */
+  private def kmeansCtePrefixed(nCentSql: String, iters: Int, dim: Int,
+      src: String = "e", p: String = ""): String = {
     val init =
-      s"cent0 AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < $nCentSql)"
+      s"${p}cent0 AS (SELECT vec_id AS cent_id, e AS ce FROM $src WHERE vec_id < $nCentSql)"
     val steps = (0 until iters).map { i =>
-      s"""cc$i AS (SELECT x.vec_id AS vid, c.cent_id,
+      s"""${p}cc$i AS (SELECT x.vec_id AS vid, c.cent_id,
                 round(list_dot_product(x.e, c.ce) /
                       (sqrt(list_dot_product(x.e, x.e)) *
                        sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
-              FROM e x CROSS JOIN cent$i c),
-       asg$i AS (SELECT vid, cent_id AS cell FROM (
+              FROM $src x CROSS JOIN ${p}cent$i c),
+       ${p}asg$i AS (SELECT vid, cent_id AS cell FROM (
                 SELECT vid, cent_id,
                        row_number() OVER (PARTITION BY vid
                                           ORDER BY ccos DESC, cent_id) AS rn
-                FROM cc$i) t WHERE rn = 1),
-       m$i AS (SELECT a.cell, g.d AS d,
+                FROM ${p}cc$i) t WHERE rn = 1),
+       ${p}m$i AS (SELECT a.cell, g.d AS d,
                  sum(CAST(round(x.e[g.d] * 1000000.0) AS BIGINT)) AS s,
                  count(*) AS n
-               FROM asg$i a JOIN e x ON x.vec_id = a.vid,
+               FROM ${p}asg$i a JOIN $src x ON x.vec_id = a.vid,
                     generate_series(1, $dim) AS g(d)
                GROUP BY 1, 2),
-       cent${i + 1} AS (SELECT cell AS cent_id,
+       ${p}cent${i + 1} AS (SELECT cell AS cent_id,
                  list(CAST(CAST(CAST(s AS DOUBLE) / n / 1000000.0 AS REAL)
                            AS DOUBLE) ORDER BY d) AS ce
-               FROM m$i GROUP BY cell)"""
+               FROM ${p}m$i GROUP BY cell)"""
     }
     (init +: steps).mkString(",\n       ") +
-      s",\n       cent AS (SELECT cent_id, ce FROM cent$iters)"
+      s",\n       ${p}cent AS (SELECT cent_id, ce FROM ${p}cent$iters)"
   }
 
   /** DuckDB replication of [[graft.ext.Dedup.substringOverlapPairs]] —
@@ -3145,6 +3169,47 @@ object ExtQueries {
     // mirrors x119: generated from the same merges fixture (see
     // bpeOracleSql)
     "x119_bpe_token_count" -> bpeOracleSql,
+
+    // mirrors x120: level-1 kmeans (adaptive k) -> level-2 kmeans over
+    // the CENTROIDS (ceil(sqrt(k)) coarse groups, same unrolled Lloyd
+    // arithmetic via the prefixed CTE chain) -> member-centroid group
+    // labels -> per-vector coarse argmax -> exact argmax within the
+    // winning group's members; every argmax is the rounded-cosine /
+    // low-id row_number idiom both engines share
+    "x120_assign_hier" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
+         centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM cent),
+         ${kmeansCtePrefixed(
+        "(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM centsrc)",
+        iters = 3, dim = 64, src = "centsrc", p = "g")},
+         grpassign AS (SELECT cent_id, cent_e, cent_n, grp FROM (
+             SELECT c.cent_id, c.ce AS cent_e,
+                    sqrt(list_dot_product(c.ce, c.ce)) AS cent_n,
+                    g.cent_id AS grp,
+                    row_number() OVER (PARTITION BY c.cent_id ORDER BY
+                      round(list_dot_product(c.ce, g.ce) /
+                            (sqrt(list_dot_product(c.ce, c.ce)) *
+                             sqrt(list_dot_product(g.ce, g.ce))), 6) DESC,
+                      g.cent_id) AS rn
+             FROM cent c CROSS JOIN gcent g) t WHERE rn = 1),
+         s1 AS (SELECT vec_id, grp FROM (
+             SELECT x.vec_id, g.cent_id AS grp,
+                    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                      round(list_dot_product(x.e, g.ce) /
+                            (sqrt(list_dot_product(x.e, x.e)) *
+                             sqrt(list_dot_product(g.ce, g.ce))), 6) DESC,
+                      g.cent_id) AS rn
+             FROM e x CROSS JOIN gcent g) t WHERE rn = 1),
+         s2 AS (SELECT vec_id, cell FROM (
+             SELECT x.vec_id, ga.cent_id AS cell,
+                    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                      round(list_dot_product(x.e, ga.cent_e) /
+                            (sqrt(list_dot_product(x.e, x.e)) * ga.cent_n),
+                            6) DESC, ga.cent_id) AS rn
+             FROM e x JOIN s1 ON s1.vec_id = x.vec_id
+                  JOIN grpassign ga ON ga.grp = s1.grp) t WHERE rn = 1)
+         SELECT vec_id, cell FROM s2 ORDER BY vec_id"""),
 
     // mirrors x83: per-token min(doc_id) first-seen, 50-doc buckets,
     // cumulative window over buckets only

@@ -1485,6 +1485,36 @@ class ExtSpec extends AnyFunSuite {
       "a forced rebuild re-stamps, so the next ensure reuses again")
   }
 
+  test("assignCellsCoarse equals the flat argmax when probing all " +
+      "groups, and agrees near-totally at nprobeGroups=1 on real data") {
+    val cents = Similarity.trainCentroids(emb, nCentroids = 8)
+    val flat = Similarity.assignCellsFlat(emb, cents)
+      .collect().map(_.toString).sorted.toSeq
+    // probing every coarse group makes stage 2 an argmax over ALL
+    // centroids — exactly the flat assignment (the correctness anchor)
+    val full = Similarity.assignCellsCoarse(emb, cents, coarseK = 3,
+        nprobeGroups = 3)
+      .select($"cid".as("vec_id"), $"cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(full == flat)
+    // approximation quality on the real embedding table: k = 8 over 3
+    // coarse groups is the WORST case for the route (group boundaries
+    // cut through most of the space — at production k the groups are
+    // finer and HierAssignProbe measures the real number); the
+    // nprobeGroups dial must buy agreement back monotonically
+    def agreement(p: Int): Double = {
+      val agree = flat.toSet
+      Similarity.assignCellsCoarse(emb, cents, nprobeGroups = p)
+        .select($"cid".as("vec_id"), $"cell")
+        .collect().map(_.toString).count(agree.contains).toDouble / flat.size
+    }
+    val a1 = agreement(1)
+    val a2 = agreement(2)
+    assert(a1 >= 0.6, s"nprobe=1 agreement too low: $a1")
+    assert(a2 >= a1 && a2 >= 0.85,
+      s"nprobe=2 must recover agreement: $a1 -> $a2")
+  }
+
   test("dedupClustersAuto converges in-probe on shallow graphs and " +
       "switches to alternating-star on deep chains, same labels both ways") {
     val docsDf = (0L to 20L).toDF("doc_id")
