@@ -1515,6 +1515,27 @@ class ExtSpec extends AnyFunSuite {
       s"nprobe=2 must recover agreement: $a1 -> $a2")
   }
 
+  test("trainCentroidsSampled: full-corpus sample reproduces " +
+      "trainCentroids exactly; small samples still quantize well") {
+    // sample >= corpus -> the re-id map is the identity permutation of
+    // vec_id order, so training must match the full run bit-for-bit
+    val full = Similarity.trainCentroids(emb, nCentroids = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val all = Similarity.trainCentroidsSampled(emb, nCentroids = 4,
+        maxTrainRows = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all == full)
+    // a genuine subsample trains different but comparable centroids:
+    // quantization quality within a few percent of the full run
+    val sub = Similarity.trainCentroidsSampled(emb, nCentroids = 4,
+      maxTrainRows = 100)
+    val qFull = Similarity.meanAssignedCosine(emb,
+      Similarity.trainCentroids(emb, nCentroids = 4))
+    val qSub = Similarity.meanAssignedCosine(emb, sub)
+    assert(qSub >= qFull - 0.05,
+      s"sampled training quality collapsed: $qSub vs $qFull")
+  }
+
   test("dedupClustersAuto converges in-probe on shallow graphs and " +
       "switches to alternating-star on deep chains, same labels both ways") {
     val docsDf = (0L to 20L).toDF("doc_id")
