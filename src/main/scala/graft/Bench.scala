@@ -130,7 +130,7 @@ object Bench {
     // a filtered run is flagged so its total can't be ingested as a
     // full-bench total
     val partial = if (only.isDefined) ""","partial":true""" else ""
-    // the stdout errs field is BOUNDED (first 5 ids + a total count):
+    // the stdout errs field is BOUNDED (first 4 ids + an "ne" total):
     // an unbounded list on a badly broken run — exactly when the parsed
     // stdout matters most — could push the line past the driver's
     // 2000-char capture window and truncate it back to parsed=null.
@@ -138,8 +138,8 @@ object Bench {
     // the full per-query err detail is always in bench_result.json.
     val errsField =
       if (errNames.isEmpty) ""
-      else s""","nerrs":${errNames.size}""" +
-        errNames.take(5).map(n => "\"" + SparkEntry.shortId(n) + "\"")
+      else s""","ne":${errNames.size}""" +
+        errNames.take(4).map(n => "\"" + SparkEntry.shortId(n) + "\"")
           .mkString(""","errs":[""", ",", "]")
     def line(qs: String): String =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$errsField$partial}"""

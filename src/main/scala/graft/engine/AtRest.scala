@@ -25,21 +25,32 @@ object AtRest {
     * needs an explicit rebuild lever. Returns true when a (re)build
     * happened.
     */
-  def ensureStamped(spark: SparkSession, path: String, metaName: String,
-      stamp: String, force: Boolean)(build: => Unit): Boolean = {
+  /** The sidecar's current stamp, if a well-formed one exists — the
+    * read half of [[ensureStamped]], exposed so incremental extenders
+    * (e.g. `Dedup.extendDedupIndex`) can distinguish "artifact matches
+    * my base, extend it" from "drifted, rebuild from scratch".
+    */
+  def readStamp(spark: SparkSession, path: String,
+      metaName: String): Option[String] = {
     val metaPath = new org.apache.hadoop.fs.Path(path, metaName)
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val isRegularFile =
       try fs.getFileStatus(metaPath).isFile
       catch { case _: java.io.FileNotFoundException => false }
-    val current =
-      if (!isRegularFile) None
-      else {
-        val in = fs.open(metaPath)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      }
+    if (!isRegularFile) None
+    else {
+      val in = fs.open(metaPath)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  def ensureStamped(spark: SparkSession, path: String, metaName: String,
+      stamp: String, force: Boolean)(build: => Unit): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, metaName)
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val current = readStamp(spark, path, metaName)
     if (!force && current.contains(stamp)) false
     else {
       build

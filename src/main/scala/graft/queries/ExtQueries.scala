@@ -1346,6 +1346,22 @@ object ExtQueries {
       Dedup.simhashNearDupWide(docs(s, dir), radius = 3, blocks = 8)
         .orderBy(col("da"), col("db"))),
 
+    // the at-rest index EXTENDED incrementally: ensure on the first
+    // half of the corpus, extendDedupIndex with the second half (only
+    // batch-internal + batch x base pairs computed - never base x base
+    // again), read the full labeling. The oracle is the FULL-corpus
+    // x17 clustering, so incremental == batch is hash-asserted every
+    // round; the cost benched is base build + the incremental delta.
+    "x121_dedup_index_extend" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+      val path = dedupIndexPath(s, dir, "extend")
+      Dedup.ensureDedupIndex(base, path)
+      Dedup.extendDedupIndex(base, batch, path)
+      Dedup.readDedupClusters(d, path).orderBy(col("doc_id"))
+    }),
+
     // two-level (coarse-quantized) IVF assignment as a DECLARED,
     // hash-checked query: ~sqrt(k) coarse groups trained over the k
     // adaptive centroids, each vector routed coarse-then-fine
@@ -1828,6 +1844,9 @@ object ExtQueries {
     // wrote — same exact-pair + min-label-CC contract as x17, so the
     // recursive-CTE oracle is shared verbatim
     "x116_dedup_index_resident" -> dedupClustersSql,
+    // x121's incremental extension must equal the batch rebuild — the
+    // FULL-corpus clustering oracle asserts exactly that
+    "x121_dedup_index_extend" -> dedupClustersSql,
     "x24_ann_topk_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          js AS (SELECT unnest(generate_series(0, 7)) AS j),

@@ -47,12 +47,12 @@ class BenchIdSpec extends AnyFunSuite {
     // per-query mins are < 7 s, so one extra digit of slack each; full
     // 3-decimal values live in the bench_runs artifact
     val entries = ids.map(id => "\"" + id + "\":99.9").mkString(",")
-    // pessimistic optional fields: Bench bounds the errs field to the 5
+    // pessimistic optional fields: Bench bounds the errs field to the 4
     // WIDEST short ids plus an "nerrs" count, and a filtered run appends
     // ","partial":true" — both must fit alongside the full query map
     // (a run with errors is exactly when the parsed stdout matters most)
-    val worstErrs = ""","nerrs":999""" +
-      ids.sortBy(-_.length).take(5).map("\"" + _ + "\"")
+    val worstErrs = ""","ne":999""" +
+      ids.sortBy(-_.length).take(4).map("\"" + _ + "\"")
         .mkString(""","errs":[""", ",", "]")
     val line =
       s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"/root/testdata/sf0.1","passes":3$worstErrs,"partial":true}"""

@@ -1609,6 +1609,53 @@ class ExtSpec extends AnyFunSuite {
       s"exact dup must collide at hamming 0: $banded")
   }
 
+  test("extendDedupIndex: incremental pairs+labels equal a batch " +
+      "rebuild; stamps roll forward; drifted base falls back to rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-ext")
+      .toString
+    // near-dups STRADDLE the base/batch split on purpose
+    val all = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s2", "totally different text entirely other words here"),
+      (10L, "s1", "alpha beta gamma delta epsilon theta"), // dups 1,2
+      (11L, "s2", "totally different text entirely other words also"), // dups 3
+      (12L, "s2", "an unrelated singleton document body of words"))
+      .toDF("doc_id", "source", "text")
+    val base = all.filter($"doc_id" < 10)
+    val batch = all.filter($"doc_id" >= 10)
+    assert(Dedup.ensureDedupIndex(base, dir))
+    assert(Dedup.extendDedupIndex(base, batch, dir),
+      "matching base stamp must extend")
+    // incremental artifacts == full batch rebuild
+    val pairsInc = Dedup.readDedupPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val pairsFull = Dedup.jaccardPairsIndexHashed(all, 3, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pairsInc == pairsFull && pairsFull.nonEmpty)
+    val clustersInc = Dedup.readDedupClusters(all, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val clustersFull = Dedup
+      .dedupClusters(all, Dedup.jaccardPairsIndexHashed(all, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(clustersInc == clustersFull)
+    // the stamp now covers the union: ensure over it reuses, and a
+    // repeated extend is an idempotent no-op
+    assert(!Dedup.ensureDedupIndex(base.union(batch), dir))
+    assert(!Dedup.extendDedupIndex(base, batch, dir))
+    // a drifted base (stamp mismatch) must fall back to a full rebuild
+    // of the new union, not silently merge onto foreign artifacts
+    val otherBase = all.filter($"doc_id" <= 2)
+    assert(Dedup.extendDedupIndex(otherBase, batch, dir),
+      "stamp mismatch must rebuild")
+    val rebuilt = Dedup.readDedupPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val expected = Dedup
+      .jaccardPairsIndexHashed(otherBase.union(batch), 3, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rebuilt == expected)
+  }
+
   test("jaccardPairsLshAuto picks r=2 on clean corpora, r=4 on saturated " +
       "ones, honors the conf pins, and matches the fixed-band output") {
     // clean: disjoint vocabularies -> zero measured band collisions ->
