@@ -141,8 +141,12 @@ object Bench {
       else s""","ne":${errNames.size}""" +
         errNames.take(4).map(n => "\"" + SparkEntry.shortId(n) + "\"")
           .mkString(""","errs":[""", ",", "]")
+    // stdout carries the sf BASENAME (the full dir path lives in the
+    // bench_result.json artifact): 15 chars of the driver's 2000-char
+    // capture window buy ~3 more queries of headroom at 1-dp values
+    val sfShort = sfDir.replaceAll(".*/", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes$errsField$partial}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","passes":$passes$errsField$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,

@@ -1362,6 +1362,24 @@ object ExtQueries {
       Dedup.readDedupClusters(d, path).orderBy(col("doc_id"))
     }),
 
+    // sampled-centroid training as a DECLARED query: the hash-ordered
+    // 100-row sample (ORDER BY md5('ktrain:'||vec_id) - both engines
+    // order the same hex strings), re-identified 0..s-1 by vec_id
+    // order, then the identical unrolled Lloyd arithmetic; centroid
+    // vectors emitted per-dim at 6 dp. Pins trainCentroidsSampled's
+    // semantics cross-engine - the measured 6x training remedy
+    // (TrainSampleProbe, SCALE.md) is hash-checked, not just timed.
+    "x122_sampled_centroids" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.trainCentroidsSampled(e, nCentroids = 8,
+        maxTrainRows = 100)
+        .select(col("vec_id").as("cent_id"),
+          posexplode(col("embedding")).as(Seq("p", "v")))
+        .select(col("cent_id"), (col("p") + 1).cast("long").as("d"),
+          round(col("v").cast("double"), 6).as("v"))
+        .orderBy(col("cent_id"), col("d"))
+    }),
+
     // two-level (coarse-quantized) IVF assignment as a DECLARED,
     // hash-checked query: ~sqrt(k) coarse groups trained over the k
     // adaptive centroids, each vector routed coarse-then-fine
@@ -3188,6 +3206,25 @@ object ExtQueries {
     // mirrors x119: generated from the same merges fixture (see
     // bpeOracleSql)
     "x119_bpe_token_count" -> bpeOracleSql,
+
+    // mirrors x122: hash-ordered 100-row sample, vec_id-order re-id,
+    // the prefixed Lloyd chain over the sample, per-dim 6-dp emit
+    "x122_sampled_centroids" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ranked AS (SELECT vec_id, e,
+                      row_number() OVER (ORDER BY
+                        md5('ktrain:' || CAST(vec_id AS VARCHAR)),
+                        vec_id) AS rn
+                    FROM e),
+         samp0 AS (SELECT vec_id, e FROM ranked WHERE rn <= 100),
+         samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS BIGINT) AS vec_id, e
+                  FROM samp0),
+         ${kmeansCtePrefixed("8", iters = 3, dim = 64, src = "samp",
+        p = "s")}
+         SELECT cent_id, g.d AS d, round(scent.ce[g.d], 6) AS v
+         FROM scent, generate_series(1, 64) AS g(d)
+         ORDER BY cent_id, d"""),
 
     // mirrors x120: level-1 kmeans (adaptive k) -> level-2 kmeans over
     // the CENTROIDS (ceil(sqrt(k)) coarse groups, same unrolled Lloyd

@@ -55,7 +55,7 @@ class BenchIdSpec extends AnyFunSuite {
       ids.sortBy(-_.length).take(4).map("\"" + _ + "\"")
         .mkString(""","errs":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"/root/testdata/sf0.1","passes":3$worstErrs,"partial":true}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstErrs,"partial":true}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
     assert(line.length <= budget,
       s"worst-case bench stdout line is ${line.length} chars > $budget — " +
