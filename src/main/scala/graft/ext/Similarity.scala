@@ -455,6 +455,14 @@ object Similarity {
     assignCells(corpus, centroidRelation(centroids))
       .select(col("cid").as("vec_id"), col("cell"))
 
+  /** [[assignCells]]' full (cid, ce, cn, cell) shape over a trained
+    * centroid frame — the [[knnEdges]] input, for probes composing
+    * alternate assignment routes.
+    */
+  private[graft] def assignCellsFlatFull(corpus: DataFrame,
+      centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroidRelation(centroids))
+
   /** TWO-LEVEL (coarse-quantized) cell assignment — the measured lever
     * for the n·k assignment term that appears once the cell count
     * scales with the corpus ([[adaptiveCellCount]]: k = n/250 makes
@@ -1432,7 +1440,7 @@ object Similarity {
     * Materialized — every consumer reads the edge list at least twice
     * (reversal for the mutual check, stats, wedge joins).
     */
-  private[ext] def knnEdges(cells: DataFrame, k: Int): DataFrame = {
+  private[graft] def knnEdges(cells: DataFrame, k: Int): DataFrame = {
     val nb = cells.select(col("cell"), col("cid").as("nid"),
       col("ce").as("ne"), col("cn").as("nn"))
     val scored = cells.select(col("cell"), col("cid"), col("ce"), col("cn"))

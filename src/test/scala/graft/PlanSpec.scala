@@ -54,7 +54,8 @@ class PlanSpec extends AnyFunSuite {
     "x107_unimax_alloc", // 1-row waterfilling boundary onto sources
     "x108_coverage_audit", // 1-row corpus/sample totals onto cells
     "x110_probe_calibration", // 1-row total onto bins-bounded rows
-    "x112_class_weights") // 1-row normalizer onto label cardinality
+    "x112_class_weights", // 1-row normalizer onto label cardinality
+    "x120_assign_hier") // √k-row coarse + k-row member centroid sides
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
