@@ -120,10 +120,19 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def r1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // stdout per-query format: 1 decimal below 10 s, integer seconds
+    // above (0.1 s is noise at that magnitude and the artifact keeps 3
+    // decimals) — caps the per-value width at 3 chars up to 999 s, which
+    // is what lets the 163-query map fit the driver's capture window
+    // (BenchIdSpec gates the worst case at this width)
+    def rq(v: Double): String =
+      if (v >= 9.95) String.format(java.util.Locale.ROOT, "%.0f",
+        Double.box(v))
+      else r1(v)
     // reported per-query number = min across passes; -1 marks an error so
     // the driver's name→number contract still parses
     def toJson(f: String => String): String = results
-      .map { r => "\"" + f(r.name) + "\":" + r.min.map(r1).getOrElse("-1") }
+      .map { r => "\"" + f(r.name) + "\":" + r.min.map(rq).getOrElse("-1") }
       .mkString("{", ",", "}")
     val errNames = results.filter(_.err.isDefined).map(_.name)
     val total = results.flatMap(_.min).sum

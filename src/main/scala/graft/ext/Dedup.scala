@@ -1691,4 +1691,120 @@ object Dedup {
         round(sum(when(col("n") >= 2, col("n")).otherwise(0L))
           .cast(DoubleType) / sum(col("n")), 6).as("template_rate"))
   }
+
+  /** ASYMMETRIC shingle-containment pairs: c(A,B) = |S(A)∩S(B)| /
+    * min(|S(A)|, |S(B)|) ≥ `threshold` — the snippet-in-document
+    * detector symmetric Jaccard structurally misses. A 30-token quote
+    * embedded verbatim in a 500-token page has j = inter/union ≈ 0.06
+    * (the union is dominated by the big doc) but containment 1.0; for
+    * syndicated snippets, quote farms, and doc-inside-doc scrapes the
+    * containment join, not the Jaccard join, is the dedup primitive
+    * (Broder's resemblance/containment pair, 1997). Every qualifying
+    * Jaccard pair also qualifies here (inter/min ≥ inter/union), so
+    * this is a strict superset signal at the same threshold.
+    *
+    * Same two-stage exactness discipline as [[jaccardPairsIndexHashed]]:
+    * hashed inverted-index candidates (xxhash64 keys — the quadratic
+    * join compares longs) over-count only, the exact array verify on
+    * the ~candidate-bounded join-back decides. NOTE the size-ratio
+    * prune is deliberately ABSENT: containment has no min/max-size
+    * bound by design (the whole point is catching extreme size
+    * mismatches), so candidate mass is the full Σ_shingle df² of the
+    * inverted index. At saturation the measured hatches are x06's:
+    * the df cap (boilerplate shingles never discriminate containment
+    * either) or a smaller-side prefix filter — for c ≥ t a doc's
+    * |A|−⌈t·|A|⌉+1 rarest shingles must hit any container (Chaudhuri
+    * et al. ICDE'06's overlap prefix applied to the min() denominator).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sg = shingled(docs, n).materialized
+    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
+      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
+    val l = inv.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
+    val r = inv.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
+    val cand = l.join(r, Seq("sh"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter_hat"),
+        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
+      // hashed counts over-count only → this keeps a superset; the
+      // exact verify below is the decider
+      .filter(col("inter_hat").cast(DoubleType) /
+        least(col("sza"), col("szb")) >= threshold - 1e-6)
+      .select(col("da"), col("db"))
+    cand
+      .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .select(col("da"), col("db"),
+        round(size(array_intersect(col("sga"), col("sgb"))).cast(DoubleType) /
+          least(size(col("sga")), size(col("sgb"))), 6).as("cont"))
+      .filter(col("cont") >= threshold)
+  }
+
+  /** Near-dup THRESHOLD SWEEP — the price sheet read before choosing a
+    * dedup cutoff: for each candidate threshold, how many verified
+    * pairs and how many distinct documents a rewrite at that cutoff
+    * would touch. Rides an already-verified pair relation (each pair
+    * carries its exact `j`), so the whole sweep is grid×edges work on
+    * the artifact — the corpus is never re-shingled per threshold; in
+    * the declared query the input is [[cachedPairs]] at the loosest
+    * threshold of interest, making the sweep a rider in the
+    * one-live-builder protocol (x06 keeps the build cost measured).
+    *
+    * Scale shape: the pair relation is edge-bounded (near-dup graphs
+    * are sparse); the grid is a broadcast literal of ~10 rows; both
+    * aggregates are keyed partial aggs. Grid rows with zero qualifying
+    * pairs still surface (left join from the grid) — a sweep that
+    * silently dropped the "nothing to dedup here" thresholds would
+    * misread as truncation.
+    */
+  def thresholdSweep(pairs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
+        0.8, 0.85, 0.9, 0.95)): DataFrame = {
+    val grid = pairs.sparkSession.range(1)
+      .select(explode(lit(thresholds.toArray)).as("t"))
+    val flagged = grid.join(pairs, col("j") >= col("t"))
+    val pairAgg = flagged.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docAgg = flagged
+      .select(col("t"), explode(array(col("da"), col("db"))).as("d"))
+      .groupBy(col("t"))
+      .agg(countDistinct(col("d")).as("n_docs"))
+    grid.join(pairAgg, Seq("t"), "left").join(docAgg, Seq("t"), "left")
+      .select(col("t"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  /** Cross-doc duplicate TOKEN-MASS ledger per source — [[repeatedSpans]]
+    * aggregated to the one-page answer of "which sources are worth
+    * pointing the span-dedup machinery at, and how many tokens does it
+    * buy": per source, total docs/tokens, docs carrying at least one
+    * removable span, tokens inside removal spans, and the duplicate
+    * token fraction (the Gopher/Lee-et-al. dup-mass number at corpus
+    * grain; x84 is the doc-level analog over exact+fuzzy clusters, this
+    * is the sub-document span complement).
+    *
+    * Scale shape: everything corpus-scale is [[repeatedSpans]]' own
+    * (measured 1×/10×/100×, SCALE.md); the rollup adds one per-doc
+    * tokenize projection, a doc-keyed left join against the
+    * span-bounded span relation, and a sources-bounded agg.
+    */
+  def spanDupLedger(docs: DataFrame, l: Int = 16): DataFrame = {
+    val spans = repeatedSpans(docs, l)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_toks"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("dup_toks").isNotNull, 1L).otherwise(0L))
+          .as("docs_hit"),
+        sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"),
+        round(sum(coalesce(col("dup_toks"), lit(0L))).cast(DoubleType) /
+          sum(col("n_toks")), 6).as("dup_frac"))
+  }
 }

@@ -625,4 +625,31 @@ object Selection {
       .groupBy(col("source"), col("phase"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("phase_tokens"))
   }
+
+  /** Per-source QUALITY-RANKED DOC CAP — the RefinedWeb/C4-style
+    * "no single domain dominates the mix" rule, but ranked instead of
+    * random: each source keeps its top-`cap` documents by the x02
+    * quality score (doc_id ascending on 6-dp ties, so the cut is
+    * deterministic and engine-portable). x38 caps strata by RANDOM
+    * hash-rank (unbiased sampling); x55 caps LEARNED cells; this caps
+    * the provenance dimension while spending the quota on the best
+    * docs — the shape used when a crawl has a few mega-domains whose
+    * long tail is boilerplate.
+    *
+    * Scale shape: one map pass for the score, one window partitioned
+    * by source (distributes across sources; row_number needs no full
+    * sort beyond each source's partition). A mega-source whose
+    * partition alone overwhelms a task uses the documented x30/x38
+    * hatch: a per-source quality-percentile PREFILTER (percent_rank
+    * keeps ~cap/n quantile) bounds the window input before ranking.
+    */
+  def sourceQualityCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
 }

@@ -884,6 +884,40 @@ object TextAnalysis {
         coalesce(col("s"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** TOKENIZER-EFFICIENCY ledger per source — chars-per-BPE-token
+    * (the compression ratio a byte-priced storage/serving budget needs)
+    * and BPE-tokens-per-word fertility (the tokenizer-cost number x79
+    * reports per language, here per source under the REAL checked-in
+    * merge list instead of the x01 heuristic). Sources whose
+    * chars/token runs hot (code, tables, non-Latin transliteration)
+    * cost disproportionate sequence length per byte — this is the
+    * table read when splitting a token budget across sources priced in
+    * true tokenizer units (x107's allocation upstream).
+    *
+    * Scale shape: [[bpeTokenCount]]'s distinct-word trick carries the
+    * whole merge cost (vocabulary-bounded, not corpus-bounded); the
+    * ledger adds one per-doc length projection and a sources-bounded
+    * agg. All ratios are exact-integer quotients rounded at 6 dp —
+    * engine-portable.
+    */
+  def tokenizerEfficiency(docs: DataFrame,
+      merges: Seq[(String, String)] = bpeMerges): DataFrame = {
+    val per = bpeTokenCount(docs, merges)
+    docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nc"))
+      .join(per, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe"),
+        round(sum(col("nc")).cast(DoubleType) /
+          sum(col("n_bpe_tokens")), 6).as("chars_per_token"),
+        round(sum(col("n_bpe_tokens")).cast(DoubleType) /
+          sum(col("n_words")), 6).as("fertility"))
+  }
+
   /** The portable HOF formulation of [[simhash]] — kept as the
     * cross-check oracle for the codegen expression (GraftFunctionsSpec
     * asserts bit-equality). 60 interpreted passes over the feature array

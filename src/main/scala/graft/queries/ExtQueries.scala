@@ -1402,7 +1402,39 @@ object ExtQueries {
     // DISTINCT word (vocabulary-bounded); the corpus-scale work is one
     // explode + keyed join + partial-aggregated groupBy.
     "x119_bpe_token_count" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCount(docs(s, dir)).orderBy(col("doc_id")))
+      TextAnalysis.bpeTokenCount(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // asymmetric shingle CONTAINMENT pairs — the snippet-in-document
+    // near-dup Jaccard structurally misses (inter/min vs inter/union);
+    // hashed inverted index + exact verify, same discipline as x06
+    "x123_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.9)
+        .orderBy(col("da"), col("db"))),
+
+    // the dedup-cutoff price sheet: verified pairs + touched docs at
+    // each candidate threshold, riding the cached pair artifact (x06
+    // keeps the build cost measured — one-live-builder protocol)
+    "x124_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Dedup.cachedPairs(docs(s, dir)))
+        .orderBy(col("t"))),
+
+    // per-source duplicate token-mass ledger: x49's removal spans
+    // aggregated to "which source is worth span-dedup and what does it
+    // buy" — the sub-document complement of x84's doc-level savings
+    "x125_span_dup_ledger" -> ((s, dir) =>
+      Dedup.spanDupLedger(docs(s, dir), l = 16).orderBy(col("source"))),
+
+    // tokenizer-efficiency ledger under the REAL merge fixture:
+    // chars/BPE-token (byte-priced budgets) + fertility per source
+    "x126_tokenizer_efficiency" -> ((s, dir) =>
+      TextAnalysis.tokenizerEfficiency(docs(s, dir))
+        .orderBy(col("source"))),
+
+    // RefinedWeb-style per-source doc cap, quality-ranked: each source
+    // keeps its top-10 docs by x02 quality (deterministic tie-break)
+    "x127_source_quality_cap" -> ((s, dir) =>
+      graft.ext.Selection.sourceQualityCap(docs(s, dir), cap = 10)
+        .orderBy(col("source"), col("rk")))
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -1511,7 +1543,7 @@ object ExtQueries {
     * two-separator wrap makes one replace per merge exactly the
     * tokenizer's merge-all-occurrences pass).
     */
-  private lazy val bpeOracleSql: String = {
+  private lazy val bpeCountCtes: String = {
     val o = "\u001f"; val c = "\u001e"
     val seg0 = s"regexp_replace(word, '(.)', '$o\\1$c', 'g')"
     val chain = graft.ext.TextAnalysis.bpeMerges.foldLeft(seg0) {
@@ -1527,12 +1559,30 @@ object ExtQueries {
               FROM (SELECT word, $chain AS seg FROM vocab)),
        agg AS (SELECT dw.doc_id, count(*) AS n_words,
                  CAST(sum(wc.n_sub) AS BIGINT) AS n_bpe_tokens
-               FROM dw JOIN wc USING (word) GROUP BY 1)
+               FROM dw JOIN wc USING (word) GROUP BY 1)"""
+  }
+
+  private lazy val bpeOracleSql: String = bpeCountCtes + """
        SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
               coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens
        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        ORDER BY d.doc_id"""
-  }
+
+  /** x126: the x119 word-cost CTEs aggregated to the per-source
+    * tokenizer-efficiency ledger.
+    */
+  private lazy val tokenizerEffSql: String = bpeCountCtes + """,
+       per AS (SELECT d.doc_id, d.source, length(d.text) AS nc,
+                      coalesce(agg.n_words, 0) AS nw,
+                      coalesce(agg.n_bpe_tokens, 0) AS nb
+               FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(nc) AS BIGINT) AS n_chars,
+              CAST(sum(nw) AS BIGINT) AS n_words,
+              CAST(sum(nb) AS BIGINT) AS n_bpe,
+              round(sum(nc)::DOUBLE / sum(nb), 6) AS chars_per_token,
+              round(sum(nb)::DOUBLE / sum(nw), 6) AS fertility
+       FROM per GROUP BY source ORDER BY source"""
 
   private val cosSql =
     """round(list_dot_product(a.e, b.e) /
@@ -3206,6 +3256,98 @@ object ExtQueries {
     // mirrors x119: generated from the same merges fixture (see
     // bpeOracleSql)
     "x119_bpe_token_count" -> bpeOracleSql,
+
+    // asymmetric containment: inter/min instead of inter/union over
+    // the same distinct-shingle sets as x06
+    "x123_containment_pairs" -> (shingleCte + """
+       SELECT * FROM (
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                      least(len(a.sg), len(b.sg)), 6) AS cont
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+       WHERE cont >= 0.9 ORDER BY da, db"""),
+
+    // the x06 pair relation swept over the threshold grid; zero-pair
+    // thresholds kept by the LEFT joins from the grid
+    "x124_threshold_sweep" -> (shingleCte + """,
+       p AS (SELECT * FROM (
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                      (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 6) AS j
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t0 WHERE j >= 0.5),
+       g AS (SELECT unnest([0.5, 0.55, 0.6, 0.65, 0.7, 0.75,
+                            0.8, 0.85, 0.9, 0.95]::DOUBLE[]) AS t),
+       f AS (SELECT g.t, p.da, p.db FROM g JOIN p ON p.j >= g.t),
+       pa AS (SELECT t, count(*) AS n_pairs FROM f GROUP BY t),
+       dd AS (SELECT t, count(DISTINCT d) AS n_docs
+              FROM (SELECT t, unnest([da, db]) AS d FROM f) GROUP BY t)
+       SELECT g.t, coalesce(pa.n_pairs, 0) AS n_pairs,
+              coalesce(dd.n_docs, 0) AS n_docs
+       FROM g LEFT JOIN pa USING (t) LEFT JOIN dd USING (t)
+       ORDER BY g.t"""),
+
+    // x49's span chain rolled up to the per-source dup-token ledger
+    "x125_span_dup_ledger" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents),
+         w AS (SELECT doc_id, start,
+                      md5(array_to_string(ws[start : start + 15], ' ')) AS fp
+               FROM t, unnest(generate_series(1, len(ws) - 15, 1)) AS u(start)
+               WHERE len(ws) >= 16),
+         f AS (SELECT doc_id, start, start + 15 AS e,
+                      row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id, start) AS rn
+               FROM w),
+         fl AS (SELECT doc_id, start, e FROM f WHERE rn >= 2),
+         m AS (SELECT doc_id, start, e,
+                      CASE WHEN start > coalesce(max(e) OVER (
+                             PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             -1) + 1
+                           THEN 1 ELSE 0 END AS brk
+               FROM fl),
+         g AS (SELECT doc_id, start, e,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                     ROWS UNBOUNDED PRECEDING) AS span_id
+               FROM m),
+         sp AS (SELECT doc_id, min(start) AS s, max(e) AS en
+                FROM g GROUP BY doc_id, span_id),
+         dt AS (SELECT doc_id, CAST(sum(en - s + 1) AS BIGINT) AS dup_toks
+                FROM sp GROUP BY doc_id),
+         base AS (SELECT doc_id, source,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS n_toks
+                  FROM documents)
+         SELECT base.source, count(*) AS n_docs,
+                CAST(sum(base.n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN dt.dup_toks IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS docs_hit,
+                CAST(sum(coalesce(dt.dup_toks, 0)) AS BIGINT) AS dup_tokens,
+                round(sum(coalesce(dt.dup_toks, 0))::DOUBLE /
+                      sum(base.n_toks), 6) AS dup_frac
+         FROM base LEFT JOIN dt ON dt.doc_id = base.doc_id
+         GROUP BY base.source ORDER BY base.source""",
+
+    "x126_tokenizer_efficiency" -> tokenizerEffSql,
+
+    // x02's quality CTE ranked per source, top-10 kept
+    "x127_source_quality_cap" ->
+      """WITH c AS (SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS INTEGER) AS n_stop,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+           length(text) AS n_chars FROM documents),
+         q AS (SELECT doc_id, source,
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 5, 1.0)
+               + 0.2 * (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10, 1.0)), 6) AS quality
+           FROM c),
+         r AS (SELECT doc_id, source, quality,
+                      CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS rk
+               FROM q)
+         SELECT doc_id, source, quality, rk FROM r WHERE rk <= 10
+         ORDER BY source, rk""",
 
     // mirrors x122: hash-ordered 100-row sample, vec_id-order re-id,
     // the prefixed Lloyd chain over the sample, per-dim 6-dp emit

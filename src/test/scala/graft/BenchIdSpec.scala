@@ -42,11 +42,12 @@ class BenchIdSpec extends AnyFunSuite {
   }
 
   test("worst-case stdout bench line fits the driver's 2000-char window") {
-    // mirror Bench.line()/toJson() with every value at a pessimistic width:
-    // "99.9" (4 chars, 1-decimal stdout precision) per query — real sf0.1
-    // per-query mins are < 7 s, so one extra digit of slack each; full
-    // 3-decimal values live in the bench_runs artifact
-    val entries = ids.map(id => "\"" + id + "\":99.9").mkString(",")
+    // mirror Bench.line()/toJson() with every value at a pessimistic
+    // width: Bench.rq prints 1 decimal below 10 s and integer seconds
+    // above, so the per-value width is ≤ 3 chars for any query up to
+    // 999 s (real sf0.1 per-query mins are < 7 s); full 3-decimal values
+    // live in the bench_runs artifact
+    val entries = ids.map(id => "\"" + id + "\":999").mkString(",")
     // pessimistic optional fields: Bench bounds the errs field to the 4
     // WIDEST short ids plus an "nerrs" count, and a filtered run appends
     // ","partial":true" — both must fit alongside the full query map

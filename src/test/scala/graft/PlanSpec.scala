@@ -55,7 +55,8 @@ class PlanSpec extends AnyFunSuite {
     "x108_coverage_audit", // 1-row corpus/sample totals onto cells
     "x110_probe_calibration", // 1-row total onto bins-bounded rows
     "x112_class_weights", // 1-row normalizer onto label cardinality
-    "x120_assign_hier") // √k-row coarse + k-row member centroid sides
+    "x120_assign_hier", // √k-row coarse + k-row member centroid sides
+    "x124_threshold_sweep") // 10-row grid onto the edge-bounded pairs
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
