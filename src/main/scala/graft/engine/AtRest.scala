@@ -46,6 +46,25 @@ object AtRest {
     }
   }
 
+  /** Remove the sidecar stamp, if present. An IN-PLACE mutator (e.g.
+    * `Dedup.extendDedupIndex`, which reads the existing artifacts and
+    * overwrites them) MUST call this before its first overwrite: the
+    * stamp-after-build crash-safety argument only holds for builds that
+    * never read the existing artifact — a crash between the first
+    * overwrite and the re-stamp would otherwise leave the OLD stamp
+    * pointing at half-mutated files, and a retry would extend on top of
+    * already-extended pairs (silently duplicating every batch pair).
+    * With the stamp gone, a crashed mutation falls back to a full
+    * rebuild on retry.
+    */
+  def deleteStamp(spark: SparkSession, path: String,
+      metaName: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, metaName)
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(metaPath, false)
+    ()
+  }
+
   def ensureStamped(spark: SparkSession, path: String, metaName: String,
       stamp: String, force: Boolean)(build: => Unit): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(path, metaName)

@@ -950,8 +950,15 @@ object Dedup {
       threshold: Double = 0.5, maxIters: Int = 50): Unit = {
     // built live, not via the session cache: an at-rest build is its own
     // job and must not silently alias a possibly-stale JVM memo
-    val pairs = jaccardPairsIndexHashed(docs, n, threshold).materialized
+    val sg = shingled(docs, n).materialized
+    val pairs = jaccardPairsFromShingled(sg, threshold).materialized
     pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    // the base's hashed PREFIX index rides at rest next to the pairs:
+    // future incremental extensions probe the batch against these rows
+    // instead of re-tokenizing + re-shingling the whole base corpus
+    // (the O(base) pass the first extendDedupIndex draft paid per batch)
+    prefixIndexRows(sg, threshold)
+      .write.mode("overwrite").parquet(s"$path/prefix")
     val p = pairs.select(col("da"), col("db"))
     val edges = p.toDF("src", "dst")
       .union(p.select(col("db"), col("da")).toDF("src", "dst"))
@@ -959,6 +966,31 @@ object Dedup {
     ccMinLabelLoop(edges, maxIters)._1
       .write.mode("overwrite").parquet(s"$path/clusters")
   }
+
+  /** The PPJoin-style PREFIX rows of a shingled relation, with 64-bit
+    * hashed keys — the at-rest probe index `writeDedupIndex` persists
+    * and [[newDocPairs]] joins against. Shingles are canonically
+    * ordered by their STRING (not rarest-first like
+    * [[prefixCollisions]]): document frequencies drift as a corpus
+    * grows, so an at-rest index needs an order that is stable across
+    * builds and batches — lexicographic is globally consistent,
+    * injective per doc (shingle sets are distinct strings), and free
+    * (one per-row array_sort, no df join). For Jaccard ≥ t a qualifying
+    * pair must share an element inside BOTH prefixes of length
+    * |X| − ⌈t·|X|⌉ + 1 under ANY shared total order (Chaudhuri et al.
+    * ICDE'06 / Xiao et al. WWW'08), so prefix×prefix candidate
+    * generation is lossless; hashing the key afterwards can only ADD
+    * candidates (collisions), and the exact verify decides membership.
+    */
+  private[ext] def prefixIndexRows(sg: DataFrame,
+      threshold: Double): DataFrame =
+    sg.select(col("doc_id"), size(col("sg")).as("sz"),
+        array_sort(col("sg")).as("ss"))
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("ss"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          .as("s"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("sh"))
 
   /** [[writeDedupIndex]] only when needed — the [[Similarity
     * .ensureIvfIndex]] discipline applied to the dedup artifacts: the
@@ -974,8 +1006,10 @@ object Dedup {
 
   private def dedupStamp(docs: DataFrame, n: Int, threshold: Double,
       maxIters: Int): String =
+    // trailing layout version: 2 added the at-rest prefix index, so a
+    // v1 artifact dir (no prefix/) can never stamp-match and extend
     Seq(Similarity.corpusFingerprint(docs),
-      docs.queryExecution.analyzed.semanticHash(), n, threshold, maxIters, 1)
+      docs.queryExecution.analyzed.semanticHash(), n, threshold, maxIters, 2)
       .mkString(":")
 
   def ensureDedupIndex(docs: DataFrame, path: String, n: Int = 3,
@@ -989,9 +1023,10 @@ object Dedup {
   /** Every verified pair INVOLVING the new batch, in
     * [[jaccardPairsIndexHashed]]'s exact (da < db, j) contract:
     * batch-internal pairs from the hashed index over the batch alone,
-    * plus batch×base pairs from an ASYMMETRIC probe join (the batch's
-    * hashed shingles against the base's — the x59/x31 incremental
-    * shape, so the base is never re-joined against itself). Together
+    * plus batch×base pairs from an ASYMMETRIC prefix-filtered probe
+    * (the batch's prefix rows against the base's AT-REST prefix index
+    * — the x59/x31 incremental shape, so the base is never re-joined
+    * against itself nor even re-shingled). Together
     * with the base's own pair relation this IS the full corpus pair
     * set: every pair of base∪batch has either both ends in the base
     * (at rest already), both in the batch (the index here), or one in
@@ -1000,22 +1035,37 @@ object Dedup {
     * batch rebuild (x121 hash-asserts it against the full-corpus
     * oracle every round).
     */
-  private[graft] def newDocPairs(base: DataFrame, batch: DataFrame,
-      n: Int, threshold: Double): DataFrame = {
-    val internal = jaccardPairsIndexHashed(batch, n, threshold)
-    val sgBase = shingled(base, n).materialized
-    val sgBatch = shingled(batch, n).materialized
-    def inv(sg: DataFrame, id: String, sz: String) = sg.select(
-      col("doc_id").as(id), size(col("sg")).as(sz),
-      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
-    val cand = inv(sgBatch, "na", "sza")
-      .join(inv(sgBase, "nb", "szb"), Seq("sh"))
+  private[graft] def newDocPairs(base: DataFrame, basePrefix: DataFrame,
+      sgBatch: DataFrame, batchPrefix: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val internal = jaccardPairsFromShingled(sgBatch, threshold)
+    // prefix×prefix candidate join — NOT the raw full-shingle equi-join
+    // of the first draft, whose Σ df_batch·df_base mass re-opened the
+    // hot-shingle blowup x06's scale story documents on saturated
+    // corpora. Both sides carry only their string-ordered prefix rows
+    // (lossless for J ≥ t — see [[prefixIndexRows]]), so a
+    // corpus-saturating boilerplate shingle sits in almost no prefix
+    // and contributes ~0 candidates instead of df_batch·df_base.
+    val cand = batchPrefix
+      .select(col("sh"), col("doc_id").as("na"), col("sz").as("sza"))
+      .join(basePrefix
+        .select(col("sh"), col("doc_id").as("nb"), col("sz").as("szb")),
+        Seq("sh"))
       .filter(least(col("sza"), col("szb")).cast(DoubleType) /
         greatest(col("sza"), col("szb")) >= threshold - 1e-6)
       .select(col("na"), col("nb")).distinct()
+      .materialized
+    // exact verify is CANDIDATE-bounded on the base side: only the base
+    // docs that actually appear in a candidate pair are re-shingled (a
+    // left-semi prune before the tokenizer), so per-batch work is
+    // O(batch) + O(candidates) — never an O(base) pass
+    val sgBaseCand = shingled(
+      base.join(cand.select(col("nb").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), n)
     val cross = cand
       .join(sgBatch.select(col("doc_id").as("na"), col("sg").as("sga")), "na")
-      .join(sgBase.select(col("doc_id").as("nb"), col("sg").as("sgb")), "nb")
+      .join(sgBaseCand.select(col("doc_id").as("nb"), col("sg").as("sgb")),
+        "nb")
       .select(col("na"), col("nb"),
         round(jaccard(col("sga"), col("sgb")), 6).as("j"))
       .filter(col("j") >= threshold)
@@ -1050,13 +1100,28 @@ object Dedup {
       val baseStamp = dedupStamp(baseDocs, n, threshold, maxIters)
       if (graft.engine.AtRest.readStamp(spark, path, DedupMeta)
           .contains(baseStamp)) {
+        // the extension MUTATES artifacts it also reads, so the base
+        // stamp comes off BEFORE the first overwrite: a crash anywhere
+        // below leaves a stampless dir and the retry full-rebuilds,
+        // instead of re-matching the base stamp against half-extended
+        // pairs and unioning the batch pairs onto themselves
+        graft.engine.AtRest.deleteStamp(spark, path, DedupMeta)
         // materialized BEFORE the overwrite below deletes the files
         // they were read from
         val basePairs = readDedupPairs(spark, path).materialized
+        val sgBatch = shingled(newDocs, n).materialized
+        val batchPrefix = prefixIndexRows(sgBatch, threshold)
         val pairs = basePairs
-          .unionByName(newDocPairs(baseDocs, newDocs, n, threshold))
+          .unionByName(newDocPairs(baseDocs,
+            spark.read.parquet(s"$path/prefix"), sgBatch, batchPrefix,
+            n, threshold))
           .materialized
         pairs.write.mode("overwrite").parquet(s"$path/pairs")
+        // roll the at-rest prefix index forward too (append — the batch
+        // rows only), so the NEXT extension probes base∪batch without
+        // any rebuild; computed purely from sgBatch, never reading the
+        // files it appends to
+        batchPrefix.write.mode("append").parquet(s"$path/prefix")
         val p = pairs.select(col("da"), col("db"))
         val edges = p.toDF("src", "dst")
           .union(p.select(col("db"), col("da")).toDF("src", "dst"))
@@ -1317,15 +1382,24 @@ object Dedup {
     * stays linear-bounded — ≤ 32 expected candidates per document —
     * and r = 4 once it exceeds that, i.e. once the r=2 shortlist is
     * growing ~n² and the verify step melts (the measured 100× blowup:
-    * 449 s at r=2 vs 16.4 s at r=4, SCALE.md). Returns
-    * (bands, measured r=2 candidates/doc).
+    * 449 s at r=2 vs 16.4 s at r=4, SCALE.md). The r = 4 switch
+    * DOUBLES the hash budget (2·numHashes signatures in numHashes/2
+    * bands — x118's 256/64 shape at the default): keeping the original
+    * 128 hashes would leave only 32 bands of 4, whose per-pair miss
+    * probability at the j = 0.5 threshold is (1 − 0.5⁴)^32 ≈ 13% —
+    * nowhere near the near-certain recall the declared query promises.
+    * At 64 bands it is ≈ 1.9% at j = 0.5 and ≈ 2·10⁻⁸ at j = 0.7, and
+    * the signature is a per-row expression, so the wider budget costs
+    * map-side compute only — never more shuffle rows per band. Returns
+    * (numHashes, bands, measured r=2 candidates/doc).
     */
   private[graft] def chooseLshBands(docs: DataFrame, n: Int,
-      numHashes: Int): (Int, Double) = {
+      numHashes: Int): (Int, Int, Double) = {
     require(numHashes % 4 == 0, s"numHashes must be divisible by 4: $numHashes")
     val perDocR2 =
       estimateBandCollisionsPerDoc(docs, n, numHashes, numHashes / 2)
-    (if (perDocR2 > 32) numHashes / 4 else numHashes / 2, perDocR2)
+    if (perDocR2 > 32) (numHashes * 2, numHashes / 2, perDocR2)
+    else (numHashes, numHashes / 2, perDocR2)
   }
 
   /** [[jaccardPairsLsh]] with the banding parameters chosen PER CORPUS —
@@ -1340,20 +1414,24 @@ object Dedup {
     * r = 2 — output identical to the fixed default, which is what
     * keeps the exact oracle hash-green at the correctness SF. On a
     * saturated corpus (scraped boilerplate, the one place near-dup
-    * dedup matters most) it switches to r = 4, the measured remedy
-    * that flattened the 100× probe from 449 s to 16.4 s with 99.6%
-    * recall at j ≥ 0.5 and < 0.4% worst-case miss at j ≥ 0.7
-    * (SCALE.md).
+    * dedup matters most) it switches to r = 4 at a DOUBLED hash budget
+    * (256 hashes / 64 bands — see [[chooseLshBands]] for the recall
+    * arithmetic; the 128/32 first cut of this switch would have
+    * silently dropped ≈ 13% of j≈0.5 borderline pairs), the measured
+    * remedy class that flattened the 100× probe from 449 s at r=2 to
+    * 16.4 s at 128/32 — 256/64 re-measured in SCALE.md's round-12 row.
     */
   def jaccardPairsLshAuto(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val conf = docs.sparkSession.conf
     val numHashes = conf.get("spark.graft.lsh.numHashes", "128").toInt
-    val bands = conf.get("spark.graft.lsh.bands", "") match {
-      case "" => chooseLshBands(docs, n, numHashes)._1
-      case b  => b.toInt
+    val (nh, bands) = conf.get("spark.graft.lsh.bands", "") match {
+      case "" =>
+        val (h, b, _) = chooseLshBands(docs, n, numHashes)
+        (h, b)
+      case b => (numHashes, b.toInt)
     }
-    jaccardPairsLsh(docs, n, threshold, numHashes, bands)
+    jaccardPairsLsh(docs, n, threshold, nh, bands)
   }
 
   /** TF-IDF weighted cosine near-dup pairs with the WEIGHTED prefix

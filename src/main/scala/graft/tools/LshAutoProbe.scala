@@ -21,8 +21,8 @@ object LshAutoProbe {
     args.foreach { dir =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val t0 = System.nanoTime()
-      val (bands, perDoc) = graft.ext.Dedup.chooseLshBands(docs, 3, 128)
-      println(f"LSHAUTO dir=$dir bands=$bands rows=${128 / bands} " +
+      val (nh, bands, perDoc) = graft.ext.Dedup.chooseLshBands(docs, 3, 128)
+      println(f"LSHAUTO dir=$dir hashes=$nh bands=$bands rows=${nh / bands} " +
         f"r2CandidatesPerDoc=$perDoc%.1f probe=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

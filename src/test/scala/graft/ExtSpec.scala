@@ -1656,6 +1656,35 @@ class ExtSpec extends AnyFunSuite {
     assert(rebuilt == expected)
   }
 
+  test("a crashed extend (stamp gone, artifacts already mutated) retries " +
+      "as a full rebuild — never re-extends onto extended pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-crash")
+      .toString
+    val all = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (10L, "s1", "alpha beta gamma delta epsilon theta"))
+      .toDF("doc_id", "source", "text")
+    val base = all.filter($"doc_id" < 10)
+    val batch = all.filter($"doc_id" >= 10)
+    assert(Dedup.ensureDedupIndex(base, dir))
+    assert(Dedup.extendDedupIndex(base, batch, dir))
+    val once = Dedup.readDedupPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate the crash window: the extend mutated pairs/clusters but
+    // died before re-stamping — exactly the state deleteStamp guarantees
+    graft.engine.AtRest.deleteStamp(spark, dir, "_graft_dedup_meta")
+    // the retry must NOT find a base stamp and re-union the batch pairs
+    // onto the already-extended relation; it falls back to a full
+    // rebuild of the union, and the pair set is unchanged (no dupes)
+    assert(Dedup.extendDedupIndex(base, batch, dir),
+      "stampless dir must rebuild")
+    val retried = Dedup.readDedupPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(retried == once && once.nonEmpty,
+      s"retry after crash must be duplicate-free: $retried vs $once")
+  }
+
   test("jaccardPairsLshAuto picks r=2 on clean corpora, r=4 on saturated " +
       "ones, honors the conf pins, and matches the fixed-band output") {
     // clean: disjoint vocabularies -> zero measured band collisions ->
@@ -1663,8 +1692,8 @@ class ExtSpec extends AnyFunSuite {
     val clean = (0 until 24).map(i =>
       (i.toLong, "s", s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
       .toDF("doc_id", "source", "text")
-    val (cleanBands, cleanMass) = Dedup.chooseLshBands(clean, 3, 128)
-    assert(cleanMass < 32 && cleanBands == 64)
+    val (cleanHashes, cleanBands, cleanMass) = Dedup.chooseLshBands(clean, 3, 128)
+    assert(cleanMass < 32 && cleanHashes == 128 && cleanBands == 64)
     // saturated: every doc is mostly the same boilerplate -> the
     // measured r=2 collision mass blows past the linear budget -> r=4
     val boiler = (0 until 24).map(_ => "the same boilerplate run of words"
@@ -1672,13 +1701,14 @@ class ExtSpec extends AnyFunSuite {
     val sat = boiler.zipWithIndex.map { case (b, i) =>
       (i.toLong, "s", s"$b tail$i") }
       .toDF("doc_id", "source", "text")
-    val (satBands, satMass) = Dedup.chooseLshBands(sat, 3, 128)
-    assert(satMass > 32 && satBands == 32,
-      s"saturated corpus must pick r=4 (mass=$satMass, bands=$satBands)")
+    val (satHashes, satBands, satMass) = Dedup.chooseLshBands(sat, 3, 128)
+    assert(satMass > 32 && satHashes == 256 && satBands == 64,
+      s"saturated corpus must pick r=4 at the DOUBLED hash budget " +
+        s"(mass=$satMass, hashes=$satHashes, bands=$satBands)")
     // auto == fixed-band output at the chosen parametrization
     val auto = Dedup.jaccardPairsLshAuto(sat, 3, 0.5)
       .collect().map(_.toString).sorted.toSeq
-    val fixed = Dedup.jaccardPairsLsh(sat, 3, 0.5, 128, satBands)
+    val fixed = Dedup.jaccardPairsLsh(sat, 3, 0.5, satHashes, satBands)
       .collect().map(_.toString).sorted.toSeq
     assert(auto == fixed && auto.nonEmpty)
     // conf pins skip the estimate / change the hash budget
