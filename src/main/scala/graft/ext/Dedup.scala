@@ -982,7 +982,7 @@ object Dedup {
     * generation is lossless; hashing the key afterwards can only ADD
     * candidates (collisions), and the exact verify decides membership.
     */
-  private[ext] def prefixIndexRows(sg: DataFrame,
+  private[graft] def prefixIndexRows(sg: DataFrame,
       threshold: Double): DataFrame =
     sg.select(col("doc_id"), size(col("sg")).as("sz"),
         array_sort(col("sg")).as("ss"))
@@ -1625,6 +1625,88 @@ object Dedup {
       .select(col("da"), col("db"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
       .filter(col("hamming") <= radius)
+  }
+
+  /** Measured expected SimHash block-combination candidate mass PER
+    * DOCUMENT at the 60-bit default — [[estimateBandCollisionsPerDoc]]'s
+    * discipline applied to the x82 family: build the ACTUAL C(blocks,
+    * blocks−radius) combo keys over a deterministic hash-ordered
+    * `sampleSize`-doc sample, count the sample's collision pairs
+    * Σ_key df·(df−1)/2 exactly, extrapolate by the pair-mass scaling
+    * (mass_full ≈ mass_sample·(N/s)², per-doc = mass_sample·N/s²). This
+    * is the saturation dial the 60-bit fingerprint compresses on
+    * bounded-vocabulary corpora (SCALE.md x82: second-decade exp 1.46):
+    * concentrated Hamming distances show up directly as combo-key
+    * collision mass, which is exactly what the probe histograms. Fully
+    * engine-portable (md5 sample order, md5-derived fingerprints,
+    * integer block packing), so x132's oracle replicates the statistic
+    * and the auto decision bit for bit.
+    */
+  private[graft] def estimateSimhashCollisionsPerDoc(docs: DataFrame,
+      radius: Int = 3, blocks: Int = 6,
+      sampleSize: Int = 1024): Double = {
+    require(radius < blocks && 60 % blocks == 0,
+      s"bad simhash probe geometry: radius=$radius blocks=$blocks")
+    val nDocs = docs.count().toDouble
+    if (nDocs < 2) return 0.0
+    val blockBits = 60 / blocks
+    val mask = (1L << blockBits) - 1
+    val combos = (0 until blocks).combinations(blocks - radius)
+      .toSeq.zipWithIndex
+    // token-empty docs are excluded from the probe on BOTH engines:
+    // their fingerprint is an engine-edge-case (zero tokens) the
+    // decision statistic must not hinge on
+    val sample = docs
+      .filter(length(trim(col("text"))) > 0)
+      .orderBy(md5(concat(lit("shw:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(sampleSize)
+    val sh = sample.select(simhash(col("text")).as("sh")).materialized
+    val s = sh.count().toDouble
+    if (s < 2) return 0.0
+    def blockVal(j: Int) =
+      shiftright(col("sh"), j * blockBits).bitwiseAND(lit(mask))
+    val row = sh.select(
+      explode(array(combos.map { case (idxs, cid) =>
+        val kv = idxs.foldLeft(lit(0L).cast("long"):
+            org.apache.spark.sql.Column) {
+          (acc, j) => shiftleft(acc, blockBits).bitwiseOR(blockVal(j))
+        }
+        struct(lit(cid).as("cid"), kv.as("kv"))
+      }: _*)).as("c"))
+      .groupBy(col("c.cid"), col("c.kv")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1)).as("mass2"))
+      .collect()(0)
+    val mass = (if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble) / 2.0
+    mass * nDocs / (s * s)
+  }
+
+  /** [[simhashNearDup]] with the fingerprint WIDTH chosen per corpus —
+    * the auto story that completes the x82/x117 family the way
+    * [[jaccardPairsLshAuto]] completed x07's: 60 bits (the cheap
+    * default, C(6,3)=20 combos) while the measured combo-key collision
+    * mass stays linear-bounded (≤ 32 expected candidates/doc, the same
+    * cutoff as [[chooseLshBands]] — past it the candidate shortlist
+    * grows ~n² and the verify join dominates), 120 bits
+    * ([[simhashNearDupWide]], the measured saturation remedy: 100×
+    * 118.8 → 20.7 s) once it exceeds that. The conf hatch
+    * `spark.graft.simhash.width` (60 | 120) pins either shape and skips
+    * the probe. NOTE the width changes the declared SEMANTICS (radius
+    * is a budget on the chosen fingerprint's Hamming distance), so
+    * unlike x07 the oracle replicates the probe + decision itself —
+    * which is why every probe ingredient is engine-portable.
+    */
+  def simhashNearDupAuto(docs: DataFrame, radius: Int = 3): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val width = conf.get("spark.graft.simhash.width", "") match {
+      case "" =>
+        if (estimateSimhashCollisionsPerDoc(docs, radius) > 32) 120 else 60
+      case w => w.toInt
+    }
+    require(width == 60 || width == 120,
+      s"spark.graft.simhash.width must be 60 or 120, got $width")
+    if (width == 120) simhashNearDupWide(docs, radius)
+    else simhashNearDup(docs, radius)
   }
 
   /** [[simhashNearDup]] over a WIDE (120-bit) fingerprint — the

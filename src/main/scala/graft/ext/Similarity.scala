@@ -346,30 +346,31 @@ object Similarity {
     * recall with more probes/tables via [[nearDupPairsLsh]] instead.
     */
   def semanticDedup(emb: DataFrame, threshold: Double,
-      centroids: DataFrame): DataFrame = {
-    val cent = centroids.select(col("vec_id").as("cent_id"),
-      col("embedding").as("cent_e"), norm(col("embedding")).as("cent_n"))
-    val cells = emb
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .join(broadcast(cent))
-      .withColumn("cent_cos",
-        round(dot(col("embedding"), col("cent_e")) /
-          (col("nrm") * col("cent_n")), 6))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("e"), first(col("nrm")).as("nrm"),
-        max_by(col("cent_id"),
-          struct(col("cent_cos"), (-col("cent_id")).as("nid"))).as("cell"))
-    val a = cells.select(col("cell"), col("vec_id").as("va"),
-      col("e").as("ea"), col("nrm").as("na"))
-    val b = cells.select(col("cell"), col("vec_id").as("vb"),
-      col("e").as("eb"), col("nrm").as("nb"))
+      centroids: DataFrame): DataFrame =
+    semanticDedupAssigned(
+      assignCells(emb, centroidRelation(centroids)), threshold)
+
+  /** [[semanticDedup]] over a PRE-ASSIGNED cell relation in
+    * [[assignCells]]' (cid, ce, cn, cell) shape — the seam that lets the
+    * production profile swap the exact flat argmax for the two-level
+    * [[assignCellsCoarse]] route without touching the within-cell dedup
+    * semantics (x130 composes exactly that; its oracle replicates both
+    * assignment levels plus this dup chain).
+    */
+  private[graft] def semanticDedupAssigned(cells: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = cells.select(col("cell"), col("cid").as("va"),
+      col("ce").as("ea"), col("cn").as("na"))
+    val b = cells.select(col("cell"), col("cid").as("vb"),
+      col("ce").as("eb"), col("cn").as("nb"))
     val dups = a.join(b, Seq("cell"))
       .filter(col("va") < col("vb"))
       .filter(round(dot(col("ea"), col("eb")) /
         (col("na") * col("nb")), 6) >= threshold)
       .select(col("vb").as("vec_id")).distinct()
       .withColumn("is_dup", lit(1))
-    cells.join(dups, Seq("vec_id"), "left")
+    cells.select(col("cid").as("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("is_dup").isNull.as("is_rep"))
   }
 
@@ -606,6 +607,59 @@ object Similarity {
       writeIvfIndex(corpus, path, nCentroids, iters)
     }
   }
+
+  /** Layout version folded into the kNN-index stamp so a format change
+    * invalidates v-old artifact dirs instead of misreading them. */
+  private val KnnIndexLayoutVersion = 1
+
+  /** The x94 kNN EDGE relation at rest: cell-local top-`k` edges (cid,
+    * cell, nid, cos) under `path/edges` with the trained centroids as a
+    * sidecar table under `path/_centroids` — [[writeIvfIndex]]'s
+    * discipline applied to the graph family's shared artifact. Cell
+    * count is the adaptive contract (k = max(8, n/`perCell`)), i.e. the
+    * exact flat-argmax path the declared x94/x104/x105/x111 queries
+    * run, so the at-rest edges equal [[cachedKnnEdges]]' output row for
+    * row and x131's DuckDB oracle replicates them from scratch. A cold
+    * JVM that [[ensureKnnIndex]]es pays one parquet scan instead of the
+    * train+assign+score build the session cache only amortizes within
+    * one process.
+    */
+  def writeKnnIndex(emb: DataFrame, path: String, k: Int,
+      perCell: Int = 250): Unit = {
+    val cents = trainCentroids(emb, adaptiveCellCount(emb, perCell = perCell))
+    knnEdges(assignCells(emb, centroidRelation(cents)), k)
+      .write.mode("overwrite").parquet(s"$path/edges")
+    cents.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** [[writeKnnIndex]] only when needed — the [[ensureIvfIndex]] /
+    * `Dedup.ensureDedupIndex` stamp protocol (data fingerprint + plan
+    * hash + hyperparameters + layout version, written after the build,
+    * compared on entry) applied to the kNN edge artifact. Returns true
+    * when a (re)build happened.
+    */
+  def ensureKnnIndex(emb: DataFrame, path: String, k: Int,
+      perCell: Int = 250, force: Boolean = false): Boolean = {
+    val stamp = Seq(corpusFingerprint(emb),
+      emb.queryExecution.analyzed.semanticHash(), k, perCell,
+      KnnIndexLayoutVersion).mkString(":")
+    graft.engine.AtRest.ensureStamped(emb.sparkSession, path,
+      "_graft_knn_meta", stamp, force) {
+      writeKnnIndex(emb, path, k, perCell)
+    }
+  }
+
+  /** The at-rest edge relation of a [[writeKnnIndex]] dir. */
+  def readKnnEdges(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/edges")
+
+  /** The trained-centroid sidecar of a [[writeKnnIndex]] dir — the
+    * (vec_id, embedding) shape every `centroids` parameter takes, so a
+    * cold consumer can reuse the trained model without re-running Lloyd
+    * (the cross-JVM face of the session centroid memo).
+    */
+  def readKnnCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/_centroids")
 
   /** Probe a [[writeIvfIndex]] table. The probed cell ids are collected
     * to literals — nprobe × |query batch| longs, the same bounded driver
@@ -1497,10 +1551,19 @@ object Similarity {
     }
   }
 
-  def knnGraph(emb: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+  def knnGraph(emb: DataFrame, centroids: DataFrame, k: Int): DataFrame =
+    knnGraphAssigned(assignCells(emb, centroidRelation(centroids)), k)
+
+  /** [[knnGraph]] over a PRE-ASSIGNED (cid, ce, cn, cell) relation —
+    * the seam the composed PRODUCTION profile plugs into: x128 feeds it
+    * [[assignCellsCoarse]] over [[trainCentroidsSampled]] centroids (the
+    * measured 3.1× KnnProductionProbe path), while x94 keeps the exact
+    * flat-argmax route through [[knnGraph]]. Identical per-node stats
+    * semantics either way; only the cell partition differs.
+    */
+  private[graft] def knnGraphAssigned(cells: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 12)
-    val cells = assignCells(emb, centroidRelation(centroids))
     val knn = knnEdges(cells, k)
     val rev = knn.select(col("nid").as("cid"), col("cid").as("nid"))
     val mut = knn.join(rev, Seq("cid", "nid"), "left_semi")

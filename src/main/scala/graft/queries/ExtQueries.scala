@@ -1434,7 +1434,82 @@ object ExtQueries {
     // keeps its top-10 docs by x02 quality (deterministic tie-break)
     "x127_source_quality_cap" -> ((s, dir) =>
       graft.ext.Selection.sourceQualityCap(docs(s, dir), cap = 10)
-        .orderBy(col("source"), col("rk")))
+        .orderBy(col("source"), col("rk"))),
+
+    // the COMPOSED x94 production profile as a DECLARED, hash-checked
+    // query — every measured second-decade lever pulled in one plan:
+    // adaptive cell count (k = n/250), SAMPLED centroid training
+    // (Lloyd over a hash-ordered 50·k-row sample — the 6× training
+    // remedy, x122's semantics), TWO-LEVEL assignment (coarse-then-fine
+    // argmax, ~2·n·√k instead of n·k — x120's semantics), then the
+    // cell-local kNN edge/stat step. KnnProductionProbe measured this
+    // composition at 31.2 s vs the exact path's 96.2 s at 100×/k=800
+    // for −3·10⁻⁴ mean edge cosine; declaring it makes the production
+    // path continuously benched AND oracle-pinned (the x118 pattern),
+    // so a refactor can't silently regress it. x94 stays the exact
+    // declared twin.
+    "x128_knn_production" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val k = Similarity.adaptiveCellCount(e)
+      Similarity.knnGraphAssigned(
+        Similarity.assignCellsCoarse(e,
+          Similarity.trainCentroidsSampled(e, k, maxTrainRows = 50 * k)),
+        k = 5).orderBy(col("vec_id"))
+    }),
+
+    // x41's scale-safe parametrization as its own DECLARED query: the
+    // df ≤ 100 fingerprint cap (X41CapProbe: 20.9 s at 100× where the
+    // uncapped winnow self-join's Σdf² = 23.7·10⁹ extrapolates to
+    // ~30–40 min; 87% of pairs retained at 10× — the dropped pairs
+    // ride boilerplate-hot fingerprints by construction). Output
+    // differs from x41 (n_shared no longer counts capped fingerprints)
+    // so it carries its OWN oracle with the identical df-cap CTE.
+    "x129_substring_overlap_capped" -> ((s, dir) =>
+      Dedup.substringOverlapPairs(docs(s, dir), k = 16, w = 8,
+        minShared = 10, maxDf = Some(100))
+        .orderBy(col("da"), col("db"))),
+
+    // SemDeDup's production parametrization: the same sampled-training
+    // ∘ two-level-assignment front end as x128 feeding the within-cell
+    // dup chain — the declared remedy for x39's second-decade n·k
+    // assignment term (exp 1.11 at 10→100×, SCALE.md). x39 stays the
+    // exact declared twin; this pins the approximate route's exact
+    // semantics (both k-means levels + both argmax stages + the dup
+    // join) in its oracle.
+    "x130_semantic_dedup_production" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val k = Similarity.adaptiveCellCount(e)
+      Similarity.semanticDedupAssigned(
+        Similarity.assignCellsCoarse(e,
+          Similarity.trainCentroidsSampled(e, k, maxTrainRows = 50 * k)),
+        threshold = 0.4).orderBy(col("vec_id"))
+    }),
+
+    // fingerprint WIDTH chosen per corpus — the auto story completing
+    // the x82/x117 family the way x07's auto-banding was completed in
+    // r11: a 1024-doc hash-ordered sample's ACTUAL C(6,3) combo-key
+    // collision mass decides 60 vs 120 bits (cutoff 32 cand/doc, the
+    // chooseLshBands constant). Width changes declared semantics, so
+    // the oracle replicates the probe + decision themselves (every
+    // ingredient is engine-portable), then runs the chosen chain.
+    "x132_simhash_auto_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupAuto(docs(s, dir), radius = 3)
+        .orderBy(col("da"), col("db"))),
+
+    // the kNN edge relation AT REST (x116's resident discipline applied
+    // to the graph family): ensureKnnIndex writes cell-local edges +
+    // trained centroids once behind the shared fingerprint-stamp seam;
+    // every later call — bench passes, downstream graph consumers,
+    // cold JVMs — reads the parquet instead of re-paying train + assign
+    // + score. Edges are the exact adaptive-cell path, so the oracle
+    // replicates them from scratch and the at-rest artifact is
+    // hash-checked every round.
+    "x131_knn_index_resident" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = knnIndexPath(s, dir, "resident")
+      Similarity.ensureKnnIndex(e, path, k = 5)
+      Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    })
   )
 
   /** The x97 blocklist literal — stands in for a C4-style badwords list
@@ -1469,6 +1544,10 @@ object ExtQueries {
     */
   private def dedupIndexPath(s: SparkSession, dir: String,
       tag: String): String = scratchPath(s, dir, "graft_dedup_" + tag)
+
+  /** x131's at-rest kNN-index scratch — same lifecycle contract. */
+  private def knnIndexPath(s: SparkSession, dir: String,
+      tag: String): String = scratchPath(s, dir, "graft_knn_" + tag)
 
   private def scratchPath(s: SparkSession, dir: String,
       prefix: String): String = {
@@ -1699,6 +1778,145 @@ object ExtQueries {
       s",\n       ${p}cent AS (SELECT cent_id, ce FROM ${p}cent$iters)"
   }
 
+  /** The composed x94-family PRODUCTION front end in SQL, shared by the
+    * x128/x130 oracles: hash-ordered 50·k-row sample (k adaptive) →
+    * vec_id-order re-id → the prefixed Lloyd chain over the sample
+    * (x122's semantics, parametrized) → the two-level coarse-then-fine
+    * argmax over the SAMPLED centroids (x120's semantics, retargeted
+    * from `cent` to `scent`). Expects `e(vec_id, e)` upstream; emits
+    * `s2(vec_id, cell)` — exactly what
+    * `assignCellsCoarse(e, trainCentroidsSampled(e, k, 50·k))` returns.
+    */
+  private def productionAssignCtes: String =
+    s"""ranked AS (SELECT vec_id, e,
+                row_number() OVER (ORDER BY
+                  md5('ktrain:' || CAST(vec_id AS VARCHAR)),
+                  vec_id) AS rn
+              FROM e),
+       samp0 AS (SELECT vec_id, e FROM ranked
+                 WHERE rn <= (SELECT 50 * greatest(8, count(*) // 250)
+                              FROM e)),
+       samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                  AS BIGINT) AS vec_id, e
+                FROM samp0),
+       ${kmeansCtePrefixed(adaptiveCellsSql, iters = 3, dim = 64,
+        src = "samp", p = "s")},
+       centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM scent),
+       ${kmeansCtePrefixed(
+        "(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM centsrc)",
+        iters = 3, dim = 64, src = "centsrc", p = "g")},
+       grpassign AS (SELECT cent_id, cent_e, cent_n, grp FROM (
+           SELECT c.cent_id, c.ce AS cent_e,
+                  sqrt(list_dot_product(c.ce, c.ce)) AS cent_n,
+                  g.cent_id AS grp,
+                  row_number() OVER (PARTITION BY c.cent_id ORDER BY
+                    round(list_dot_product(c.ce, g.ce) /
+                          (sqrt(list_dot_product(c.ce, c.ce)) *
+                           sqrt(list_dot_product(g.ce, g.ce))), 6) DESC,
+                    g.cent_id) AS rn
+           FROM scent c CROSS JOIN gcent g) t WHERE rn = 1),
+       s1 AS (SELECT vec_id, grp FROM (
+           SELECT x.vec_id, g.cent_id AS grp,
+                  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                    round(list_dot_product(x.e, g.ce) /
+                          (sqrt(list_dot_product(x.e, x.e)) *
+                           sqrt(list_dot_product(g.ce, g.ce))), 6) DESC,
+                    g.cent_id) AS rn
+           FROM e x CROSS JOIN gcent g) t WHERE rn = 1),
+       s2 AS (SELECT vec_id, cell FROM (
+           SELECT x.vec_id, ga.cent_id AS cell,
+                  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                    round(list_dot_product(x.e, ga.cent_e) /
+                          (sqrt(list_dot_product(x.e, x.e)) * ga.cent_n),
+                          6) DESC, ga.cent_id) AS rn
+           FROM e x JOIN s1 ON s1.vec_id = x.vec_id
+                JOIN grpassign ga ON ga.grp = s1.grp) t WHERE rn = 1)"""
+
+  /** DuckDB replication of [[graft.ext.Dedup.simhashNearDupAuto]] —
+    * the probe + width decision + the chosen pair chain. The combo
+    * rows are generated from the SAME Scala combinatorics as the
+    * engine's key builder (ascending indices, ascending fold-packing),
+    * so the sample's (cid, kv) histogram is identical by construction;
+    * the chains themselves are x82's / x117's oracles verbatim (the
+    * block-combination keys are a lossless candidate filter, so the
+    * chains need only the fingerprints + the Hamming test).
+    */
+  private def simhashAutoSql: String = {
+    val comboRows = (0 until 6).combinations(3).toSeq.zipWithIndex
+      .map { case (ix, cid) => s"($cid, ${ix(0)}, ${ix(1)}, ${ix(2)})" }
+      .mkString(", ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       samp AS (SELECT doc_id, text FROM documents
+                WHERE length(trim(text)) > 0
+                ORDER BY md5('shw:' || CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT 1024),
+       stoks AS (SELECT doc_id,
+                   unnest(list_distinct(regexp_split_to_array(trim(text),
+                     '\\s+'))) AS w
+                 FROM samp),
+       sh0 AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv
+               FROM stoks),
+       sbits AS (SELECT doc_id, bb.b AS b,
+                   CASE WHEN sum(((hv >> bb.b) & 1) * 2 - 1) > 0
+                        THEN 1 ELSE 0 END AS bit
+                 FROM sh0 CROSS JOIN
+                   (SELECT unnest(generate_series(0, 59)) AS b) bb
+                 GROUP BY doc_id, bb.b),
+       ssh AS (SELECT doc_id,
+                 CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS sh
+               FROM sbits GROUP BY doc_id),
+       combos AS (SELECT * FROM (VALUES $comboRows)
+                  AS t(cid, b0, b1, b2)),
+       keyed AS (SELECT s.doc_id, c.cid,
+                   ((((sh >> (c.b0 * 10)) & 1023) << 10
+                     | ((sh >> (c.b1 * 10)) & 1023)) << 10)
+                   | ((sh >> (c.b2 * 10)) & 1023) AS kv
+                 FROM ssh s CROSS JOIN combos c),
+       mass AS (SELECT coalesce(sum(df * (df - 1)), 0) AS m2 FROM
+                  (SELECT cid, kv, count(*) AS df FROM keyed
+                   GROUP BY cid, kv) g),
+       est AS (SELECT (m2 / 2.0) * (SELECT n FROM nn)
+                      / (CAST((SELECT count(*) FROM samp) AS DOUBLE)
+                         * (SELECT count(*) FROM samp)) AS e
+               FROM mass),
+       toks AS (SELECT doc_id,
+                  unnest(list_distinct(regexp_split_to_array(trim(text),
+                    '\\s+'))) AS w
+                FROM documents),
+       h AS (SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv1,
+               CAST('0x' || substr(md5('w2:' || w), 1, 15) AS BIGINT) AS hv2
+             FROM toks),
+       bits AS (SELECT doc_id, bb.b AS b,
+                  CASE WHEN sum(((hv1 >> bb.b) & 1) * 2 - 1) > 0
+                       THEN 1 ELSE 0 END AS bit1,
+                  CASE WHEN sum(((hv2 >> bb.b) & 1) * 2 - 1) > 0
+                       THEN 1 ELSE 0 END AS bit2
+                FROM h CROSS JOIN
+                  (SELECT unnest(generate_series(0, 59)) AS b) bb
+                GROUP BY doc_id, bb.b),
+       fps AS (SELECT doc_id,
+                 CAST(sum(CAST(bit1 AS BIGINT) << b) AS BIGINT) AS sh1,
+                 CAST(sum(CAST(bit2 AS BIGINT) << b) AS BIGINT) AS sh2
+               FROM bits GROUP BY doc_id),
+       p60 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
+               FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.sh1, b.sh1)) <= 3),
+       p120 AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                  CAST(bit_count(xor(a.sh1, b.sh1))
+                       + bit_count(xor(a.sh2, b.sh2)) AS INTEGER) AS hamming
+                FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.sh1, b.sh1))
+                      + bit_count(xor(a.sh2, b.sh2)) <= 3)
+       SELECT da, db, hamming FROM (
+         SELECT * FROM p60 WHERE (SELECT e FROM est) <= 32
+         UNION ALL
+         SELECT * FROM p120 WHERE (SELECT e FROM est) > 32) u
+       ORDER BY da, db"""
+  }
+
   /** DuckDB replication of [[graft.ext.Dedup.substringOverlapPairs]] —
     * the RollingWinnow polynomial k-gram hashes computed RELATIONALLY
     * (positions unnested to rows, the k-term sum as a join against a
@@ -1708,11 +1926,21 @@ object ExtQueries {
     * at k=16 cost ~18 s at sf0.01; this runs in ~0.3 s). Every
     * intermediate stays < 2^47, plain BIGINT arithmetic.
     */
-  private def winnowPairsSql(k: Int, w: Int, minShared: Long): String = {
+  private def winnowPairsSql(k: Int, w: Int, minShared: Long,
+      maxDf: Option[Long] = None): String = {
     val M = BigInt(1000000007L)
     val lits = (0 until k).map(t => BigInt(257).modPow(BigInt(k - 1 - t), M))
     val litrows = lits.zipWithIndex
       .map { case (l, t) => s"($t, $l)" }.mkString(", ")
+    // x129's df cap: drop fingerprints whose document frequency exceeds
+    // the cap BEFORE the pair join — the identical left-semi the Spark
+    // path applies (Dedup.substringOverlapPairs maxDf)
+    val capCtes = maxDf.map(c =>
+      s""",
+       rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $c),
+       fc AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))""")
+      .getOrElse("")
+    val pairSrc = if (maxDf.isDefined) "fc" else "f"
     s"""WITH pos AS (
          SELECT doc_id, text, length(text) AS len,
                 unnest(generate_series(1, length(text))) AS i
@@ -1732,10 +1960,11 @@ object ExtQueries {
        nw AS (SELECT doc_id, max(s) AS smax FROM h GROUP BY doc_id),
        f AS (SELECT DISTINCT w2.doc_id, w2.fp
              FROM wmin w2 JOIN nw ON w2.doc_id = nw.doc_id
-             WHERE w2.j <= nw.smax - ${w - 1})
+             WHERE w2.j <= nw.smax - ${w - 1})$capCtes
        SELECT da, db, n_shared FROM (
          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
-         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         FROM $pairSrc a JOIN $pairSrc b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2) t
        WHERE n_shared >= $minShared ORDER BY da, db"""
   }
@@ -4489,7 +4718,100 @@ object ExtQueries {
                 CAST(row_number() OVER (PARTITION BY source
                   ORDER BY ens_pct DESC, doc_id ASC) AS INTEGER)
                   AS ens_rank
-         FROM p ORDER BY source, ens_rank"""
+         FROM p ORDER BY source, ens_rank""",
+
+    // mirrors x128: the production front end (sampled training +
+    // two-level assignment, productionAssignCtes) feeding x94's
+    // cell-local edge/stat chain — the composed path hash-checked end
+    // to end
+    "x128_knn_production" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         $productionAssignCtes,
+         p AS (SELECT a.vec_id AS cid, a.cell, b.vec_id AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM s2 a JOIN s2 b ON a.cell = b.cell
+                                  AND a.vec_id != b.vec_id
+               JOIN e x ON x.vec_id = a.vec_id
+               JOIN e y ON y.vec_id = b.vec_id),
+         knn AS (SELECT cid, cell, nid, cos FROM (
+                   SELECT cid, cell, nid, cos,
+                          row_number() OVER (PARTITION BY cid
+                                             ORDER BY cos DESC, nid) AS rn
+                   FROM p) t WHERE rn <= 5),
+         mut AS (SELECT k.cid, count(*) AS mutual_degree
+                 FROM knn k JOIN knn r ON r.cid = k.nid AND r.nid = k.cid
+                 GROUP BY k.cid),
+         stats AS (SELECT cid, cell, count(*) AS degree,
+                     round(CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*), 6) AS mean_cos
+                   FROM knn GROUP BY cid, cell)
+         SELECT a.vec_id, a.cell,
+                coalesce(s.degree, 0) AS degree,
+                coalesce(m.mutual_degree, 0) AS mutual_degree, s.mean_cos
+         FROM s2 a LEFT JOIN stats s ON s.cid = a.vec_id
+                   LEFT JOIN mut m ON m.cid = a.vec_id
+         ORDER BY vec_id"""),
+
+    // mirrors x132: the width DECISION replicated bit for bit (1024-doc
+    // md5-ordered sample of non-empty docs, 60-bit fingerprints, the
+    // same 20 ascending-packed C(6,3) combo keys, pair-mass
+    // extrapolation (m2/2)·n/s², cutoff 32), then the chosen chain —
+    // x82's 60-bit pairs under est <= 32, x117's 120-bit pairs past it
+    "x132_simhash_auto_neardup" -> simhashAutoSql,
+
+    // mirrors x129: x41's winnow chain with the df <= 100 cap CTE
+    "x129_substring_overlap_capped" ->
+      winnowPairsSql(k = 16, w = 8, minShared = 10, maxDf = Some(100L)),
+
+    // mirrors x130: the shared production front end feeding x39's
+    // within-cell dup chain
+    "x130_semantic_dedup_production" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         $productionAssignCtes,
+         dups AS (SELECT DISTINCT b.vec_id AS dup_id
+                  FROM s2 a
+                  JOIN s2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  JOIN e ea ON ea.vec_id = a.vec_id
+                  JOIN e eb ON eb.vec_id = b.vec_id
+                  WHERE round(list_dot_product(ea.e, eb.e) /
+                              (sqrt(list_dot_product(ea.e, ea.e)) *
+                               sqrt(list_dot_product(eb.e, eb.e))), 6)
+                        >= 0.4)
+         SELECT c.vec_id, c.cell, (d.dup_id IS NULL) AS is_rep
+         FROM s2 c LEFT JOIN dups d ON c.vec_id = d.dup_id
+         ORDER BY vec_id"""),
+
+    // mirrors x131: the at-rest edge relation equals the exact
+    // adaptive-cell kNN edge build from scratch (x94's assignment +
+    // edge CTEs, edge rows instead of per-node stats)
+    "x131_knn_index_resident" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         p AS (SELECT a.vid AS cid, a.cell, b.vid AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
+               JOIN e x ON x.vec_id = a.vid
+               JOIN e y ON y.vec_id = b.vid)
+         SELECT cid, cell, nid, cos FROM (
+           SELECT cid, cell, nid, cos,
+                  row_number() OVER (PARTITION BY cid
+                                     ORDER BY cos DESC, nid) AS rn
+           FROM p) t WHERE rn <= 5
+         ORDER BY cid, nid""")
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

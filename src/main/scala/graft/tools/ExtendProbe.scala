@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure the incremental-extension cost of the at-rest dedup index at
+  * scale, after the round-12 prefix-filtered probe
+  * ([[graft.ext.Dedup.newDocPairs]]: the batch's PPJoin prefix rows
+  * against the base's AT-REST prefix index — never a base×base re-join,
+  * never an O(base) re-shingle; base-side work is candidate-bounded).
+  *
+  * Two modes:
+  *
+  * `full <dir> [batchFrac=0.1]` — ensure the index on the first
+  * (1−batchFrac) of the corpus, extend with the rest, full-rebuild
+  * reference over the union: the three-phase cycle a pipeline runs.
+  * Affordable wherever the BASE pair build is (the x06 Σdf² class —
+  * 1×/10× on the saturated GenCorpus; its own SCALE.md row documents
+  * why the 100× base build is not, and LSH/prefix paths as the levers).
+  *
+  * `probe <dir> <batchSize>` — the 100×-capable experiment: FIXED batch
+  * (last `batchSize` docs), growing base (the rest). Times (a) the
+  * base prefix-index build (linear; lives at rest in production — paid
+  * once, amortized across batches) and (b) the incremental delta
+  * itself: batch-internal pairs + the prefix-filtered batch×base probe
+  * + candidate-bounded verify. If (b) holds ~flat as the base grows
+  * 10×, the "work ∝ batch, not corpus" contract is measured, not
+  * asserted.
+  */
+object ExtendProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.engine.GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.Dedup
+    import graft.engine.Checkpoints.MaterializeOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    def time(body: => Unit): Double = {
+      val s = System.nanoTime(); body; (System.nanoTime() - s) / 1e9
+    }
+    mode match {
+      case "full" =>
+        val batchFrac = if (args.length > 2) args(2).toDouble else 0.1
+        val cut = (n * (1 - batchFrac)).toLong
+        val base = docs.filter(col("doc_id") < cut)
+        val batch = docs.filter(col("doc_id") >= cut)
+        val extDir = java.nio.file.Files
+          .createTempDirectory("graft-extend-probe").toString
+        val tBase = time(Dedup.ensureDedupIndex(base, extDir))
+        val tExtend = time(Dedup.extendDedupIndex(base, batch, extDir))
+        val nPairs = Dedup.readDedupPairs(spark, extDir).count()
+        val fullDir = java.nio.file.Files
+          .createTempDirectory("graft-extend-full").toString
+        val tFull = time(Dedup.ensureDedupIndex(docs, fullDir))
+        println(f"EXTEND full dir=$dir base=$cut batch=${n - cut} " +
+          f"tBase=$tBase%.2fs tExtend=$tExtend%.2fs " +
+          f"tFullRebuild=$tFull%.2fs pairs=$nPairs")
+      case "probe" =>
+        val batchSize = args(2).toLong
+        val cut = n - batchSize
+        val base = docs.filter(col("doc_id") < cut)
+        val batch = docs.filter(col("doc_id") >= cut)
+        var basePrefix: org.apache.spark.sql.DataFrame = null
+        val tPrefix = time {
+          basePrefix = Dedup
+            .prefixIndexRows(Dedup.shingled(base, 3), 0.5).materialized
+        }
+        var nDelta = 0L
+        val tDelta = time {
+          val sgBatch = Dedup.shingled(batch, 3).materialized
+          val batchPrefix = Dedup.prefixIndexRows(sgBatch, 0.5)
+          nDelta = Dedup
+            .newDocPairs(base, basePrefix, sgBatch, batchPrefix, 3, 0.5)
+            .count()
+        }
+        println(f"EXTEND probe dir=$dir base=$cut batch=$batchSize " +
+          f"tBasePrefix=$tPrefix%.2fs tDelta=$tDelta%.2fs " +
+          f"deltaPairs=$nDelta")
+      case other => sys.error(s"unknown mode $other (full | probe)")
+    }
+    spark.stop()
+  }
+}

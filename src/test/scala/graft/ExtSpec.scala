@@ -632,6 +632,124 @@ class ExtSpec extends AnyFunSuite {
     assert(firstProbe.nonEmpty)
   }
 
+  test("ensureKnnIndex builds once, reuses on unchanged data, rebuilds " +
+      "when the corpus or params change; at-rest edges equal the live " +
+      "session-cached build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-ensure")
+      .toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-knn-corpus").toString
+    def writeCorpus(scale: Float): Unit =
+      (0 until 60).map(i => (i.toLong,
+        Seq(math.cos(i * 0.3f) * scale, math.sin(i * 0.3f), 0.1f * (i % 5))
+          .map(_.toFloat)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(corpusDir)
+    writeCorpus(1.0f)
+    val v1 = spark.read.parquet(corpusDir)
+    assert(Similarity.ensureKnnIndex(v1, dir, k = 3),
+      "first ensure must build")
+    assert(!Similarity.ensureKnnIndex(v1, dir, k = 3),
+      "unchanged (data, params) must reuse the edges at rest")
+    // the at-rest edges equal the session-cached live build over the
+    // same adaptive-cell centroids
+    val atRest = Similarity.readKnnEdges(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val live = Similarity.cachedKnnEdges(v1,
+      Similarity.trainCentroids(v1, Similarity.adaptiveCellCount(v1)), 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(atRest == live)
+    // the centroid sidecar round-trips as a usable centroids relation
+    val cents = Similarity.readKnnCentroids(spark, dir)
+    assert(cents.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(cents.count() >= 1)
+    assert(Similarity.ensureKnnIndex(v1, dir, k = 4),
+      "changed params must rebuild")
+    writeCorpus(3.0f)
+    val v2 = spark.read.parquet(corpusDir)
+    assert(Similarity.ensureKnnIndex(v2, dir, k = 4),
+      "rewritten corpus files must invalidate the stamp")
+  }
+
+  test("x128 production composition with all coarse groups probed " +
+      "equals the exact knnGraph over the same sampled centroids") {
+    // with nprobeGroups = #groups the two-level route IS the flat
+    // argmax, so the composed production graph must equal knnGraph
+    // (same sampled centroids) row for row — the lossless-composition
+    // gate behind the declared x128/x130 approximate defaults
+    val k = Similarity.adaptiveCellCount(emb)
+    val cents = Similarity.trainCentroidsSampled(emb, k, 50 * k)
+    val nGroups = math.max(1,
+      math.ceil(math.sqrt(cents.count().toDouble)).toInt)
+    val prod = Similarity.knnGraphAssigned(
+      Similarity.assignCellsCoarse(emb, cents, nprobeGroups = nGroups), 5)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    val exact = Similarity.knnGraph(emb, cents, 5)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(prod == exact)
+    val prodDedup = Similarity.semanticDedupAssigned(
+      Similarity.assignCellsCoarse(emb, cents, nprobeGroups = nGroups), 0.4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val exactDedup = Similarity.semanticDedup(emb, 0.4, cents)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(prodDedup == exactDedup)
+  }
+
+  test("x129 capped winnow pairs are a subset of x41's uncapped pairs " +
+      "with n_shared never above the uncapped count") {
+    val uncapped = Dedup.substringOverlapPairs(docs, 16, 8, 10)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    val capped = Dedup.substringOverlapPairs(docs, 16, 8, 10,
+      maxDf = Some(100))
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(capped.nonEmpty, "testdata should keep sub-cap overlap pairs")
+    capped.foreach { case (pair, n) =>
+      assert(uncapped.contains(pair),
+        s"capped pair $pair absent from the uncapped relation")
+      assert(n <= uncapped(pair),
+        s"cap must only remove shared fingerprints for $pair")
+    }
+  }
+
+  test("x132 auto-width simhash picks 60 bits on a dispersed corpus, " +
+      "120 on the saturated testdata, and the conf hatch pins either") {
+    // disjoint vocabularies -> dispersed fingerprints -> ~zero measured
+    // combo-key collision mass -> the cheap 60-bit default
+    val clean = (0 until 24).map(i =>
+      (i.toLong, "s", s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+      .toDF("doc_id", "source", "text")
+    val cleanEst = Dedup.estimateSimhashCollisionsPerDoc(clean)
+    assert(cleanEst <= 32, s"dispersed corpus must read sub-cutoff: $cleanEst")
+    assert(Dedup.simhashNearDupAuto(clean)
+      .as[(Long, Long, Int)].collect().toSet ==
+      Dedup.simhashNearDup(clean)
+        .as[(Long, Long, Int)].collect().toSet)
+    // the ~40-word-vocabulary testdata concentrates 60-bit Hamming
+    // distances (the x82 saturation SCALE.md measures) -> the probe
+    // reads far past the cutoff -> the wide fingerprint runs
+    val satEst = Dedup.estimateSimhashCollisionsPerDoc(docs)
+    assert(satEst > 32,
+      s"bounded-vocabulary testdata must read past the cutoff: $satEst")
+    val auto = Dedup.simhashNearDupAuto(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    val wide = Dedup.simhashNearDupWide(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto == wide)
+    // conf pins skip the probe and force either width
+    spark.conf.set("spark.graft.simhash.width", "60")
+    try {
+      val narrow = Dedup.simhashNearDup(docs)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(Dedup.simhashNearDupAuto(docs)
+        .as[(Long, Long, Int)].collect().toSet == narrow)
+      spark.conf.set("spark.graft.simhash.width", "120")
+      assert(Dedup.simhashNearDupAuto(docs)
+        .as[(Long, Long, Int)].collect().toSet == wide)
+    } finally spark.conf.unset("spark.graft.simhash.width")
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)

@@ -56,7 +56,9 @@ class PlanSpec extends AnyFunSuite {
     "x110_probe_calibration", // 1-row total onto bins-bounded rows
     "x112_class_weights", // 1-row normalizer onto label cardinality
     "x120_assign_hier", // √k-row coarse + k-row member centroid sides
-    "x124_threshold_sweep") // 10-row grid onto the edge-bounded pairs
+    "x124_threshold_sweep", // 10-row grid onto the edge-bounded pairs
+    "x128_knn_production", // x120's √k/k-row centroid sides, composed
+    "x130_semantic_dedup_production") // same composed centroid sides
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
