@@ -1709,6 +1709,68 @@ object Dedup {
     else simhashNearDup(docs, radius)
   }
 
+  /** Measured expected winnow-fingerprint candidate mass PER DOCUMENT —
+    * [[estimateSimhashCollisionsPerDoc]]'s discipline applied to the
+    * x41 family: winnow a deterministic md5-ordered `sampleSize`-doc
+    * sample (docs long enough to carry ≥1 fingerprint), count the
+    * sample's inverted-index collision pairs Σ_fp df·(df−1)/2 exactly,
+    * extrapolate per-doc by the pair-mass scaling (mass·N/s²). This is
+    * the Σdf² saturation dial directly: the 100× GenCorpus corpus whose
+    * uncapped winnow join extrapolates to ~30–40 min (SCALE.md, Σdf² =
+    * 23.7·10⁹) reads orders of magnitude over the cutoff here for the
+    * price of a 1024-doc winnow. Engine-portable end to end (md5 sample
+    * order, the polynomial rolling hash the oracle already replicates
+    * relationally), so x133's oracle re-derives the statistic and the
+    * decision bit for bit.
+    */
+  private[graft] def estimateWinnowCollisionsPerDoc(docs: DataFrame,
+      k: Int = 16, w: Int = 8, sampleSize: Int = 1024): Double = {
+    val eligible = docs.filter(length(col("text")) >= k + w - 1)
+    val nDocs = eligible.count().toDouble
+    if (nDocs < 2) return 0.0
+    val sample = eligible
+      .orderBy(md5(concat(lit("wac:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(sampleSize)
+    val fps = sample.select(
+      explode(array_distinct(
+        graft.functions.RollingWinnow.rolling_winnow(col("text"), k, w)))
+        .as("fp")).materialized
+    val s = math.min(nDocs, sampleSize.toDouble)
+    val row = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1)).as("m2"))
+      .collect()(0)
+    val mass = (if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble) / 2.0
+    mass * nDocs / (s * s)
+  }
+
+  /** [[substringOverlapPairs]] with the boilerplate df cap chosen per
+    * corpus — the auto story completing the x41 family the way
+    * [[jaccardPairsLshAuto]] completed x07's and [[simhashNearDupAuto]]
+    * x82's: exact (no cap) while the measured winnow collision mass
+    * stays linear-bounded (≤ 32 expected candidates/doc, the family
+    * cutoff), the measured df ≤ 100 cap (X41CapProbe: 20.9 s at 100×
+    * where uncapped extrapolates to ~30–40 min; dropped pairs ride
+    * boilerplate-hot fingerprints by construction) once it exceeds
+    * that. The conf hatch `spark.graft.winnow.maxdf` pins either shape
+    * and skips the probe ("0" = uncapped, any other long = that cap).
+    * The cap changes declared semantics (n_shared stops counting capped
+    * fingerprints), so the oracle replicates the probe + decision
+    * themselves — every ingredient is engine-portable.
+    */
+  def substringOverlapAuto(docs: DataFrame, k: Int = 16, w: Int = 8,
+      minShared: Long = 10): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val cap: Option[Long] = conf.get("spark.graft.winnow.maxdf", "") match {
+      case "" =>
+        if (estimateWinnowCollisionsPerDoc(docs, k, w) > 32) Some(100L)
+        else None
+      case "0" => None
+      case c => Some(c.toLong)
+    }
+    substringOverlapPairs(docs, k, w, minShared, cap)
+  }
+
   /** [[simhashNearDup]] over a WIDE (120-bit) fingerprint — the
     * saturation lever the 60-bit scheme lacks. As a corpus grows on a
     * bounded vocabulary, 60-bit simhashes concentrate (every doc votes
@@ -1878,24 +1940,66 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.9): DataFrame = {
-    val sg = shingled(docs, n).materialized
-    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
-      explode(transform(col("sg"), s => xxhash64(s))).as("sh"))
-    val l = inv.select(col("sh"), col("doc_id").as("da"), col("sz").as("sza"))
-    val r = inv.select(col("sh"), col("doc_id").as("db"), col("sz").as("szb"))
-    val cand = l.join(r, Seq("sh"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter_hat"),
-        first(col("sza")).as("sza"), first(col("szb")).as("szb"))
-      // hashed counts over-count only → this keeps a superset; the
-      // exact verify below is the decider
-      .filter(col("inter_hat").cast(DoubleType) /
-        least(col("sza"), col("szb")) >= threshold - 1e-6)
+    import org.apache.spark.sql.expressions.Window
+    // Candidate generation is MIN-SIDE-PREFIX against the full index,
+    // not the plain Σdf² self-join (which melted at the saturated 100×
+    // probe — SCALE.md round 12): C(A,B) = |A∩B|/min(|A|,|B|) ≥ t
+    // bounds the MIN side's non-shared mass, so if B misses all of
+    // min-side M's first |M| − ⌈t·|M|⌉ + 1 elements in ANY shared
+    // canonical order then |A∩B| ≤ ⌈t·|M|⌉ − 1 < t·|M| — prefix(min) ⋈
+    // full(other) is lossless (Chaudhuri et al. ICDE'06, adapted to the
+    // asymmetric containment denominator; the Jaccard form is
+    // [[prefixCollisions]]). At t = 0.9 the probe side shrinks ~10×,
+    // and rarest-first canonical order keeps corpus-hot shingles out of
+    // prefixes, so candidate mass is Σ_key prefdf·df, not Σ_key df².
+    // Each unordered pair is generated from its unique min side (size,
+    // then doc_id on ties — the tied case is symmetric so either
+    // prefix finding it suffices). The PPJoin positional filter rides
+    // along: a qualifying pair's FIRST common element sits inside the
+    // min side's prefix, and at that collision |A∩B| ≤ 1 + |M| − pos,
+    // so requiring 1 + |M| − pos ≥ t·|M| at SOME collision is lossless.
+    // Hashing keys after ordering only ADDS candidates; the exact
+    // verify below decides membership, so output is bit-identical to
+    // the plain-index form (ExtSpec asserts it).
+    val sgh = shingled(docs, n)
+      .withColumn("sgh", transform(col("sg"), s => xxhash64(s)))
+      .materialized
+    val inv = sgh.select(col("doc_id"), size(col("sg")).as("sz"),
+      explode(col("sg")).as("s"))
+      .withColumn("sh", xxhash64(col("s")))
+    val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("sh"), col("s"))
+    val prefix = inv.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      // positional bound on the min side alone: 1 + |M| − pos ≥ t·|M|
+      .filter((lit(1L) + col("sz") - col("pos")).cast(DoubleType) >=
+        col("sz") * threshold - 1e-6)
+      .select(col("sh"), col("doc_id").as("dp"), col("sz").as("szp"))
+    val full = inv.select(col("sh"), col("doc_id").as("df_"),
+      col("sz").as("szf"))
+    val cand = prefix.join(full, Seq("sh"))
+      .filter(col("szp") < col("szf") ||
+        (col("szp") === col("szf") && col("dp") < col("df_")))
+      .select(least(col("dp"), col("df_")).as("da"),
+        greatest(col("dp"), col("df_")).as("db"))
+      .distinct()
+    // two-stage verify, [[jaccardPairsPrefix]]'s pattern: the candidate
+    // bulk is decided on 8-byte hashed arrays (collisions inflate the
+    // intersection, so the filter keeps a superset), then the
+    // true-pair-scale survivors re-verify on the real shingle strings —
+    // output bit-identical to the plain-index form even under a hash
+    // collision
+    val survivors = cand
+      .join(sgh.select(col("doc_id").as("da"), col("sgh").as("ha")), "da")
+      .join(sgh.select(col("doc_id").as("db"), col("sgh").as("hb")), "db")
+      .filter(size(array_intersect(col("ha"), col("hb"))).cast(DoubleType) /
+        least(size(col("ha")), size(col("hb"))) >= threshold - 1e-6)
       .select(col("da"), col("db"))
-    cand
-      .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
-      .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+    survivors
+      .join(sgh.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(sgh.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
       .select(col("da"), col("db"),
         round(size(array_intersect(col("sga"), col("sgb"))).cast(DoubleType) /
           least(size(col("sga")), size(col("sgb"))), 6).as("cont"))

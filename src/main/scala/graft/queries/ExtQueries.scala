@@ -1496,6 +1496,18 @@ object ExtQueries {
       Dedup.simhashNearDupAuto(docs(s, dir), radius = 3)
         .orderBy(col("da"), col("db"))),
 
+    // x41's cap chosen per corpus — the auto story completing the
+    // winnow family the way x07's (r11) and x82's (x132) were: a
+    // 1024-doc md5-ordered sample's ACTUAL fingerprint collision mass
+    // decides uncapped vs the measured df ≤ 100 cap (cutoff 32
+    // cand/doc, the family constant). The cap changes declared
+    // semantics, so the oracle replicates probe + decision + both
+    // chains and selects with the identical comparison.
+    "x133_substring_overlap_auto" -> ((s, dir) =>
+      Dedup.substringOverlapAuto(docs(s, dir), k = 16, w = 8,
+        minShared = 10)
+        .orderBy(col("da"), col("db"))),
+
     // the kNN edge relation AT REST (x116's resident discipline applied
     // to the graph family): ensureKnnIndex writes cell-local edges +
     // trained centroids once behind the shared fingerprint-stamp seam;
@@ -1926,6 +1938,84 @@ object ExtQueries {
     * at k=16 cost ~18 s at sf0.01; this runs in ~0.3 s). Every
     * intermediate stays < 2^47, plain BIGINT arithmetic.
     */
+  /** DuckDB replication of [[graft.ext.Dedup.substringOverlapAuto]] —
+    * mirrors x132's auto-oracle discipline: the cap DECISION replicated
+    * bit for bit (1024-doc md5-ordered sample of fingerprint-capable
+    * docs, the same relational RollingWinnow machinery over the sample,
+    * pair-mass extrapolation (m2/2)·n/s², cutoff 32), then the chosen
+    * chain — x41's uncapped pairs under est ≤ 32, x129's df ≤ 100
+    * capped pairs past it.
+    */
+  private def winnowAutoSql(k: Int, w: Int, minShared: Long): String = {
+    val M = BigInt(1000000007L)
+    val lits = (0 until k).map(t => BigInt(257).modPow(BigInt(k - 1 - t), M))
+    val litrows = lits.zipWithIndex
+      .map { case (l, t) => s"($t, $l)" }.mkString(", ")
+    s"""WITH lt AS (SELECT * FROM (VALUES $litrows) AS t(t, lw)),
+       nn AS (SELECT count(*) AS n FROM documents
+              WHERE length(text) >= ${k + w - 1}),
+       samp AS (SELECT doc_id, text FROM documents
+                WHERE length(text) >= ${k + w - 1}
+                ORDER BY md5('wac:' || CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT 1024),
+       spos AS (SELECT doc_id, text, length(text) AS len,
+                  unnest(generate_series(1, length(text))) AS i
+                FROM samp),
+       schars AS (SELECT doc_id, i, ord(substr(text, i, 1))::BIGINT AS o,
+                    len
+                  FROM spos),
+       sh AS (SELECT doc_id, i - t AS s, sum(o * lw) % $M AS hv
+              FROM schars CROSS JOIN lt
+              WHERE i - t >= 1 AND i - t <= len - ${k - 1}
+              GROUP BY doc_id, i - t),
+       ofs AS (SELECT unnest(generate_series(0, ${w - 1})) AS x),
+       swmin AS (SELECT doc_id, s - x AS j, min(hv) AS fp
+                 FROM sh CROSS JOIN ofs
+                 WHERE s - x >= 1
+                 GROUP BY doc_id, s - x),
+       snw AS (SELECT doc_id, max(s) AS smax FROM sh GROUP BY doc_id),
+       sf AS (SELECT DISTINCT w2.doc_id, w2.fp
+              FROM swmin w2 JOIN snw ON w2.doc_id = snw.doc_id
+              WHERE w2.j <= snw.smax - ${w - 1}),
+       mass AS (SELECT coalesce(sum(df * (df - 1)), 0) AS m2 FROM
+                  (SELECT fp, count(*) AS df FROM sf GROUP BY fp) g),
+       est AS (SELECT (m2 / 2.0) * (SELECT n FROM nn)
+                      / (CAST((SELECT count(*) FROM samp) AS DOUBLE)
+                         * (SELECT count(*) FROM samp)) AS e
+               FROM mass),
+       pos AS (SELECT doc_id, text, length(text) AS len,
+                 unnest(generate_series(1, length(text))) AS i
+               FROM documents WHERE length(text) >= ${k + w - 1}),
+       chars AS (SELECT doc_id, i, ord(substr(text, i, 1))::BIGINT AS o,
+                   len
+                 FROM pos),
+       h AS (SELECT doc_id, i - t AS s, sum(o * lw) % $M AS hv
+             FROM chars CROSS JOIN lt
+             WHERE i - t >= 1 AND i - t <= len - ${k - 1}
+             GROUP BY doc_id, i - t),
+       wmin AS (SELECT doc_id, s - x AS j, min(hv) AS fp
+                FROM h CROSS JOIN ofs
+                WHERE s - x >= 1
+                GROUP BY doc_id, s - x),
+       nw AS (SELECT doc_id, max(s) AS smax FROM h GROUP BY doc_id),
+       f AS (SELECT DISTINCT w2.doc_id, w2.fp
+             FROM wmin w2 JOIN nw ON w2.doc_id = nw.doc_id
+             WHERE w2.j <= nw.smax - ${w - 1}),
+       rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+       fc AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+       pu AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+              FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       pc AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+              FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       SELECT da, db, n_shared FROM (
+         SELECT * FROM pu WHERE (SELECT e FROM est) <= 32
+         UNION ALL
+         SELECT * FROM pc WHERE (SELECT e FROM est) > 32) u
+       ORDER BY da, db"""
+  }
+
   private def winnowPairsSql(k: Int, w: Int, minShared: Long,
       maxDf: Option[Long] = None): String = {
     val M = BigInt(1000000007L)
@@ -4764,6 +4854,10 @@ object ExtQueries {
     // mirrors x129: x41's winnow chain with the df <= 100 cap CTE
     "x129_substring_overlap_capped" ->
       winnowPairsSql(k = 16, w = 8, minShared = 10, maxDf = Some(100L)),
+
+    // mirrors x133: probe + decision + the chosen winnow chain
+    "x133_substring_overlap_auto" ->
+      winnowAutoSql(k = 16, w = 8, minShared = 10),
 
     // mirrors x130: the shared production front end feeding x39's
     // within-cell dup chain

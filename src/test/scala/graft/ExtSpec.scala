@@ -750,6 +750,89 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.width")
   }
 
+  test("x123 prefix-filtered containment pairs equal the brute " +
+      "all-pairs computation (snippet-in-doc, equal-size tie, testdata)") {
+    def brute(d: org.apache.spark.sql.DataFrame, t: Double) = {
+      val sg = Dedup.shingled(d, 3)
+      val a = sg.select($"doc_id".as("da"), $"sg".as("sga"))
+      val b = sg.select($"doc_id".as("db"), $"sg".as("sgb"))
+      a.join(b, $"da" < $"db")
+        .select($"da", $"db",
+          round(size(array_intersect($"sga", $"sgb")).cast("double") /
+            least(size($"sga"), size($"sgb")), 6).as("cont"))
+        .filter($"cont" >= t)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    // a snippet fully contained in a larger doc (containment 1.0 where
+    // Jaccard would read ~0.3), an equal-size near-identical pair (the
+    // min-side tie both prefixes could generate), and noise
+    val fix = Seq(
+      (0L, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "s", "intro words alpha beta gamma delta epsilon zeta eta " +
+        "theta and a long tail of extra unrelated content here"),
+      (2L, "s", "one two three four five six seven eight nine ten"),
+      (3L, "s", "one two three four five six seven eight nine eleven"),
+      (4L, "s", "completely different text with nothing shared at all"))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.containmentPairs(fix, 3, 0.8)
+      .as[(Long, Long, Double)].collect().toSet == brute(fix, 0.8))
+    assert(Dedup.containmentPairs(docs, 3, 0.9)
+      .as[(Long, Long, Double)].collect().toSet == brute(docs, 0.9))
+  }
+
+  test("x133 auto-cap winnow picks uncapped on a dispersed corpus, the " +
+      "df cap on a boilerplate-saturated one, and the conf hatch pins " +
+      "either") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // 32-hex-char texts with no shared 16-char run w.h.p. -> ~zero
+    // measured fingerprint collision mass -> exact uncapped chain
+    val clean = (0 until 24).map(i =>
+      (i.toLong, "s", md5hex(s"clean:$i") + md5hex(s"tail:$i")))
+      .toDF("doc_id", "source", "text")
+    val cleanEst = Dedup.estimateWinnowCollisionsPerDoc(clean)
+    assert(cleanEst <= 32, s"dispersed corpus must read sub-cutoff: $cleanEst")
+    assert(Dedup.substringOverlapAuto(clean, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Dedup.substringOverlapPairs(clean, 16, 8, 1)
+        .as[(Long, Long, Long)].collect().toSet)
+    // a 64-char boilerplate run in every document: one fingerprint
+    // family with df = corpus size, the exact Sigma df^2 melt the cap
+    // exists for
+    val boiler = (0 until 300).map(i =>
+      (i.toLong, "s", ("z" * 64) + md5hex(s"b:$i")))
+      .toDF("doc_id", "source", "text")
+    val boilerEst = Dedup.estimateWinnowCollisionsPerDoc(boiler)
+    assert(boilerEst > 32,
+      s"boilerplate corpus must read past the cutoff: $boilerEst")
+    assert(Dedup.substringOverlapAuto(boiler, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Dedup.substringOverlapPairs(boiler, 16, 8, 1, maxDf = Some(100))
+        .as[(Long, Long, Long)].collect().toSet)
+    // the declared testdata corpus: auto must equal whichever branch
+    // its measured estimate selects
+    val est = Dedup.estimateWinnowCollisionsPerDoc(docs)
+    val expected = Dedup.substringOverlapPairs(docs, 16, 8, 10,
+      maxDf = if (est > 32) Some(100L) else None)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Dedup.substringOverlapAuto(docs)
+      .as[(Long, Long, Long)].collect().toSet == expected)
+    // conf pins skip the probe and force either shape
+    spark.conf.set("spark.graft.winnow.maxdf", "0")
+    try {
+      assert(Dedup.substringOverlapAuto(boiler, minShared = 1)
+        .as[(Long, Long, Long)].collect().toSet ==
+        Dedup.substringOverlapPairs(boiler, 16, 8, 1)
+          .as[(Long, Long, Long)].collect().toSet)
+      spark.conf.set("spark.graft.winnow.maxdf", "50")
+      assert(Dedup.substringOverlapAuto(boiler, minShared = 1)
+        .as[(Long, Long, Long)].collect().toSet ==
+        Dedup.substringOverlapPairs(boiler, 16, 8, 1, maxDf = Some(50))
+          .as[(Long, Long, Long)].collect().toSet)
+    } finally spark.conf.unset("spark.graft.winnow.maxdf")
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)
