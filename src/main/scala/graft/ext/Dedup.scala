@@ -168,6 +168,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  private[graft] val MinhashMod = 1000000007L
+
+  /** The `k` universal-hash coefficient pairs behind
+    * [[sourceMinhashMatrix]] — plain deterministic integer arithmetic,
+    * embedded as LITERALS in both the Spark plan and the DuckDB oracle
+    * (the winnow literal-row pattern), so the generator never needs
+    * cross-engine replication.
+    */
+  private[graft] def minhashCoeffs(k: Int): IndexedSeq[(Long, Long)] =
+    (1 to k).map { i =>
+      val a = (2654435761L * i + 1013904223L) % (MinhashMod - 1) + 1
+      val b = (1103515245L * i + 12345L) % MinhashMod
+      (a, b)
+    }
+
+  /** Per-SOURCE MinHash similarity matrix — the linear sketch twin of
+    * [[sourceOverlap]]: estimated shingle-set Jaccard between every
+    * source pair from `k` per-source min-hash slots (Broder '97,
+    * min-wise estimator: P[min_a,i = min_b,i] = J(A,B), ĵ = slot
+    * agreement / k). Where x37 shuffles the full distinct shingle
+    * universe to collect per-shingle source sets, this shuffles ONLY
+    * (source × k) partial-aggregated minima — at 100 TB the map side
+    * reduces each partition to ≤ |sources|·k rows before the exchange,
+    * so corpus size never touches the shuffle. The sketch domain is the
+    * mod-M hashed shingle universe (one md5-derived 60-bit value per
+    * distinct (source, shingle), slot values by k literal universal
+    * hashes (a_i·x + b_i) mod M) — the documented count contract, all
+    * integer arithmetic, so the oracle replicates it bit for bit.
+    */
+  def sourceMinhashMatrix(docs: DataFrame, n: Int = 3,
+      k: Int = 64): DataFrame = {
+    val coeffs = minhashCoeffs(k)
+    val keyed = docs
+      .select(col("source"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("source"),
+        explode(shinglesFromTokens(col("ws"), n)).as("sg"))
+      .select(col("source"),
+        (graft.ext.TextAnalysis.hash60(col("sg")) % MinhashMod).as("x"))
+      .distinct()
+    val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % MinhashMod).as(s"m$i")
+    }
+    val mins = keyed.groupBy(col("source"))
+      .agg(minExprs.head, minExprs.tail: _*)
+    val la = mins.select(col("source").as("sa") +:
+      (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+    val lb = mins.select(col("source").as("sb") +:
+      (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // dim²-bounded pair expansion of a ≤|sources|-row relation — the
+    // broadcast-crossJoin class every other dim-matrix query uses
+    la.crossJoin(broadcast(lb))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        round(agree.cast(DoubleType) / k, 6).as("j_hat"))
+  }
+
   /** Substring-level near-dup pairs: documents sharing ≥ `minShared`
     * winnowing fingerprints ([[graft.functions.RollingWinnow]], the MOSS
     * scheme) — the character-level complement of the word-shingle

@@ -918,6 +918,38 @@ object TextAnalysis {
           sum(col("n_words")), 6).as("fertility"))
   }
 
+  /** Corpus-frequency boilerplate share per document — the C4-style
+    * cleanup signal the regex scrub (x40) and span dedup (x49/x50)
+    * don't cover: a shingle appearing in more than 1/`denom` of all
+    * documents (df·denom > N, exact integer arithmetic — no float
+    * threshold) is boilerplate by ubiquity, and each document reports
+    * how much of its distinct-shingle mass is that. High fractions mark
+    * templated/navigation-heavy documents for the quality gates; the
+    * flagged shingle list itself is the data-driven stop-gram
+    * complement of x97's literal blocklist.
+    *
+    * Scale shape: two partial-aggregated shuffles on the shingle string
+    * (df count, then the flag join — the df relation is
+    * vocabulary-bounded by Heaps' law, never corpus-scale) and one on
+    * doc_id. Documents shorter than `n` tokens carry no shingles and
+    * don't appear — the documented contract.
+    */
+  def boilerplateStats(docs: DataFrame, n: Int = 3,
+      denom: Int = 20): DataFrame = {
+    val nDocs = docs.count()
+    val f = graft.ext.Dedup.shingled(docs, n)
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+    val df = f.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    f.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sg"),
+        sum(when(col("df") * denom > nDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .select(col("doc_id"), col("n_sg"), col("n_boiler"),
+        round(col("n_boiler").cast(DoubleType) / col("n_sg"), 6)
+          .as("boiler_frac"))
+  }
+
   /** The portable HOF formulation of [[simhash]] — kept as the
     * cross-check oracle for the codegen expression (GraftFunctionsSpec
     * asserts bit-equality). 60 interpreted passes over the feature array

@@ -1496,6 +1496,43 @@ object ExtQueries {
       Dedup.simhashNearDupAuto(docs(s, dir), radius = 3)
         .orderBy(col("da"), col("db"))),
 
+    // recall AUDIT of the declared auto-LSH near-dup path against the
+    // exact inverted index, in ONE plan — x35's discipline applied to
+    // the text family: any future banding/hash-budget change that
+    // silently drops borderline pairs flips the measured recall below
+    // 1.0 and hash-mismatches the oracle (which pins the exact-side
+    // identity). LSH candidates are exact-verified, so hits = |lsh|.
+    "x136_lsh_recall_audit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.jaccardPairsIndexHashed(d, 3, 0.5)
+        .select(col("da"), col("db"))
+      val lsh = Dedup.jaccardPairsLshAuto(d, 3, 0.5)
+        .select(col("da"), col("db"), lit(1L).as("hit"))
+      exact.join(lsh, Seq("da", "db"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / col("n_exact"), 6)
+            .as("recall"))
+    }),
+
+    // corpus-df boilerplate share per doc — the data-driven stop-gram
+    // signal (a shingle in > 5% of documents is boilerplate by
+    // ubiquity); vocabulary-bounded df relation, linear pipeline
+    "x135_boilerplate_fraction" -> ((s, dir) =>
+      graft.ext.TextAnalysis.boilerplateStats(docs(s, dir))
+        .orderBy(col("doc_id"))),
+
+    // per-source MinHash similarity matrix — the linear sketch twin of
+    // x37's exact overlap counts: k=64 per-source min-hash slots over
+    // the mod-M hashed shingle universe, pairwise slot agreement as the
+    // Jaccard estimate. Shuffles only |sources|×k partial-aggregated
+    // minima where x37 shuffles the distinct shingle universe — the
+    // 100 TB shape for corpus-level source similarity.
+    "x134_source_minhash_matrix" -> ((s, dir) =>
+      Dedup.sourceMinhashMatrix(docs(s, dir))
+        .orderBy(col("sa"), col("sb"))),
+
     // x41's cap chosen per corpus — the auto story completing the
     // winnow family the way x07's (r11) and x82's (x132) were: a
     // 1024-doc md5-ordered sample's ACTUAL fingerprint collision mass
@@ -1938,6 +1975,33 @@ object ExtQueries {
     * at k=16 cost ~18 s at sf0.01; this runs in ~0.3 s). Every
     * intermediate stays < 2^47, plain BIGINT arithmetic.
     */
+  /** DuckDB replication of [[graft.ext.Dedup.sourceMinhashMatrix]] —
+    * the coefficient pairs are the SAME Scala-computed literals the
+    * Spark plan embeds, so the estimator is integer-arithmetic-
+    * identical across engines.
+    */
+  private def sourceMinhashSql(k: Int): String = {
+    val rows = graft.ext.Dedup.minhashCoeffs(k).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val M = graft.ext.Dedup.MinhashMod
+    s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+       ssg AS (SELECT DISTINCT source,
+                 (CAST('0x' || substr(md5(unnest(list_distinct(
+                    [ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                     for i in generate_series(1, len(ws)-2)]))), 1, 15)
+                   AS BIGINT)) % $M AS x
+               FROM t WHERE len(ws) >= 3),
+       co AS (SELECT * FROM (VALUES $rows) AS t(i, a, b)),
+       slots AS (SELECT source, i, min((a * x + b) % $M) AS mn
+                 FROM ssg CROSS JOIN co GROUP BY source, i)
+       SELECT a.source AS sa, b.source AS sb,
+              round(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)::DOUBLE
+                    / $k, 6) AS j_hat
+       FROM slots a JOIN slots b ON a.i = b.i AND a.source < b.source
+       GROUP BY 1, 2 ORDER BY sa, sb"""
+  }
+
   /** DuckDB replication of [[graft.ext.Dedup.substringOverlapAuto]] —
     * mirrors x132's auto-oracle discipline: the cap DECISION replicated
     * bit for bit (1024-doc md5-ordered sample of fingerprint-capable
@@ -4858,6 +4922,43 @@ object ExtQueries {
     // mirrors x133: probe + decision + the chosen winnow chain
     "x133_substring_overlap_auto" ->
       winnowAutoSql(k = 16, w = 8, minShared = 10),
+
+    // mirrors x134: the same mod-M hashed shingle universe, the same
+    // k literal universal-hash slot minima, the same agreement ratio
+    "x134_source_minhash_matrix" -> sourceMinhashSql(64),
+
+    // mirrors x136: the exact pair set audits itself — a correct LSH
+    // run hits every exact pair (auto picks r=2 here; miss ~1e-8), so
+    // n_hit = n_exact and recall = 1.0 by construction on the oracle
+    // side; a Spark-side recall drop hash-mismatches
+    "x136_lsh_recall_audit" ->
+      (shingleCte + """,
+         p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                       (len(a.sg) + len(b.sg)
+                        - len(list_intersect(a.sg, b.sg))), 6) AS j
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         e AS (SELECT da, db FROM p WHERE j >= 0.5)
+         SELECT count(*) AS n_exact,
+                CAST(count(*) AS BIGINT) AS n_hit,
+                round(count(*)::DOUBLE / count(*), 6) AS recall
+         FROM e"""),
+
+    // mirrors x135: per-doc distinct-shingle rows, integer df·20 > N
+    // ubiquity flag, 6-dp share
+    "x135_boilerplate_fraction" ->
+      (shingleCte + """,
+         f AS (SELECT doc_id, unnest(sg) AS s FROM sh),
+         df AS (SELECT s, count(*) AS df FROM f GROUP BY s),
+         nn AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, count(*) AS n_sg,
+                CAST(sum(CASE WHEN df.df * 20 > (SELECT n FROM nn)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                round(sum(CASE WHEN df.df * 20 > (SELECT n FROM nn)
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                  AS boiler_frac
+         FROM f JOIN df USING (s)
+         GROUP BY doc_id ORDER BY doc_id"""),
 
     // mirrors x130: the shared production front end feeding x39's
     // within-cell dup chain

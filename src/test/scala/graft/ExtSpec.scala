@@ -750,6 +750,65 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.simhash.width")
   }
 
+  test("x135 boilerplate fraction flags exactly the >5%-df shingles") {
+    import graft.ext.TextAnalysis
+    // 30 docs share a 4-token header (2 of each doc's 5 shingles are
+    // corpus-wide: df 30, 30·20 > 30); the other 3 ride unique tokens
+    // (df 1, 1·20 <= 30)
+    val fix = (0 until 30).map(i =>
+      (i.toLong, "s", s"terms of service apply u${i}x u${i}y u${i}z"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.boilerplateStats(fix)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.length == 30)
+    r.foreach { case (_, nsg, nb, fr) =>
+      assert(nsg == 5 && nb == 2 && fr == 0.4)
+    }
+    // a doc shorter than n tokens carries no row (documented contract)
+    val short = fix.union(Seq((99L, "s", "too short"))
+      .toDF("doc_id", "source", "text"))
+    assert(!TextAnalysis.boilerplateStats(short)
+      .as[(Long, Long, Long, Double)].collect().exists(_._1 == 99L))
+  }
+
+  test("x134 source minhash matrix reads 1.0 on identical sources, 0.0 " +
+      "on disjoint ones, and tracks exact source Jaccard on testdata") {
+    val fix = Seq(
+      (0L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (1L, "s1", "one two three four five six"),
+      (2L, "s2", "alpha beta gamma delta epsilon zeta"),
+      (3L, "s2", "one two three four five six"),
+      (4L, "s3", "completely different words appearing here entirely " +
+        "novel tokens"))
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.sourceMinhashMatrix(fix)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m(("s1", "s2")) == 1.0)
+    assert(m(("s1", "s3")) == 0.0 && m(("s2", "s3")) == 0.0)
+    // exact Jaccard over the SAME mod-M hashed universe the sketch
+    // declares; k = 64 slots → s.e. ≤ 1/8, so 0.25 is a ±2σ band and
+    // the run is deterministic (fixed literal hash family)
+    val sets = Dedup.shingled(docs, 3)
+      .select($"doc_id", explode($"sg").as("sg"))
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source",
+        (graft.ext.TextAnalysis.hash60($"sg") % Dedup.MinhashMod).as("x"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val est = Dedup.sourceMinhashMatrix(docs)
+      .as[(String, String, Double)].collect()
+    assert(est.nonEmpty)
+    val errs = est.map { case (a, b, j) =>
+      val exact = (sets(a) & sets(b)).size.toDouble /
+        (sets(a) | sets(b)).size
+      math.abs(j - exact)
+    }
+    assert(errs.max <= 0.25, s"worst slot-agreement error ${errs.max}")
+    assert(errs.sum / errs.length <= 0.08,
+      s"mean estimator error ${errs.sum / errs.length}")
+  }
+
   test("x123 prefix-filtered containment pairs equal the brute " +
       "all-pairs computation (snippet-in-doc, equal-size tie, testdata)") {
     def brute(d: org.apache.spark.sql.DataFrame, t: Double) = {
