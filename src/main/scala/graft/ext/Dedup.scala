@@ -1198,6 +1198,166 @@ object Dedup {
   def readDedupPairs(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(s"$path/pairs")
 
+  private val DedupLshMeta = "_graft_dedup_lsh_meta"
+
+  /** The banding parameters an at-rest LSH index build (or extension)
+    * runs under — the conf hatches and the sampled auto-probe of
+    * [[jaccardPairsLshAuto]], resolved AGAINST A NAMED CORPUS so the
+    * decision is reproducible across JVMs: the probe samples a
+    * deterministic md5-ordered 1024 docs, so the same corpus under the
+    * same conf always lands on the same (numHashes, bands). The chosen
+    * pair is baked into the index STAMP — an extension re-derives the
+    * base's parameters the same way, and any drift (a conf pin added
+    * later, a corpus whose probe flips the banding) mismatches the
+    * stamp and falls back to a full rebuild instead of ever probing
+    * batch keys against base keys hashed under different banding.
+    */
+  private[graft] def lshIndexParams(docs: DataFrame,
+      n: Int): (Int, Int) = {
+    val conf = docs.sparkSession.conf
+    val numHashes = conf.get("spark.graft.lsh.numHashes", "128").toInt
+    conf.get("spark.graft.lsh.bands", "") match {
+      case "" =>
+        val (h, b, _) = chooseLshBands(docs, n, numHashes)
+        (h, b)
+      case b => (numHashes, b.toInt)
+    }
+  }
+
+  private def dedupLshStamp(docs: DataFrame, n: Int, threshold: Double,
+      maxIters: Int, params: (Int, Int)): String =
+    Seq(Similarity.corpusFingerprint(docs),
+      docs.queryExecution.analyzed.semanticHash(), n, threshold, maxIters,
+      params._1, params._2, 1).mkString(":")
+
+  /** The LSH-keyed at-rest near-dup index — [[writeDedupIndex]] with
+    * banded minhash keys (`path/bands`) in place of the exact prefix
+    * index (`path/prefix`) as the persisted probe structure. Pairs are
+    * the declared x07 path's ([[jaccardPairsLshAuto]] semantics at the
+    * stamped banding), NOT the exact inverted-index relation: on
+    * natural-vocabulary corpora the two are measured identical (x136
+    * audits recall = 1.0 every round) while on saturated corpora —
+    * where the exact Σdf² build and its prefix probe melt (the measured
+    * 386 s fixed-batch extension at 100×, SCALE.md round 12) — the
+    * banded keys keep BOTH the build and every incremental extension
+    * collision-bounded. The per-doc key count is `bands` (64), constant
+    * in corpus size, so the at-rest key index is a skinny linear
+    * artifact; on a real cluster it would be written bucketed by
+    * `bkey` so extensions probe without a base-side shuffle.
+    */
+  def writeDedupIndexLsh(docs: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.5, maxIters: Int = 50,
+      params: Option[(Int, Int)] = None): Unit = {
+    val (numHashes, bands) = params.getOrElse(lshIndexParams(docs, n))
+    val sg = shingled(docs, n).materialized
+    val keys = bandedKeys(sg, numHashes, bands).materialized
+    keys.write.mode("overwrite").parquet(s"$path/bands")
+    val pairs = lshPairsFromBanded(sg, keys, threshold).materialized
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    val p = pairs.select(col("da"), col("db"))
+    val edges = p.toDF("src", "dst")
+      .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+      .materialized
+    ccMinLabelLoop(edges, maxIters)._1
+      .write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** [[writeDedupIndexLsh]] behind the stamped build-or-reuse seam —
+    * the LSH twin of [[ensureDedupIndex]]. Returns true on (re)build.
+    */
+  def ensureDedupIndexLsh(docs: DataFrame, path: String, n: Int = 3,
+      threshold: Double = 0.5, maxIters: Int = 50,
+      force: Boolean = false): Boolean = {
+    val params = lshIndexParams(docs, n)
+    graft.engine.AtRest.ensureStamped(docs.sparkSession, path,
+      DedupLshMeta, dedupLshStamp(docs, n, threshold, maxIters, params),
+      force) {
+      writeDedupIndexLsh(docs, path, n, threshold, maxIters, Some(params))
+    }
+  }
+
+  /** Incremental extension of an at-rest LSH dedup index — the
+    * 100×-CAPABLE counterpart of [[extendDedupIndex]]: batch×base
+    * candidates come from equi-joining the batch's band keys against
+    * the base's AT-REST key index on (band, bkey), so per-batch work is
+    * the batch's own banding + a collision-bounded candidate join + a
+    * candidate-bounded exact verify — the quantity banding CONTROLS
+    * (the auto probe flips to r=4 exactly when collision mass
+    * saturates), where the exact prefix probe's Σ_key df·df mass grows
+    * with the base on saturated vocabularies (measured: fixed 2 000-doc
+    * batch against a 498 000-doc saturated base — prefix probe 386 s,
+    * this path's row in SCALE.md round 12). Same crash discipline as
+    * the exact extension: the base stamp comes off before the first
+    * overwrite; the base-side verify re-shingles ONLY candidate docs
+    * (left-semi prune). Returns true when any build ran.
+    */
+  def extendDedupIndexLsh(baseDocs: DataFrame, newDocs: DataFrame,
+      path: String, n: Int = 3, threshold: Double = 0.5,
+      maxIters: Int = 50): Boolean = {
+    val spark = baseDocs.sparkSession
+    val union = baseDocs.union(newDocs)
+    val unionParams = lshIndexParams(union, n)
+    val unionStamp = dedupLshStamp(union, n, threshold, maxIters,
+      unionParams)
+    graft.engine.AtRest.ensureStamped(spark, path, DedupLshMeta,
+      unionStamp, force = false) {
+      val baseParams = lshIndexParams(baseDocs, n)
+      val baseStamp = dedupLshStamp(baseDocs, n, threshold, maxIters,
+        baseParams)
+      // extend only when the at-rest keys were hashed under the SAME
+      // banding the union build would use — a probe that flips the
+      // banding between base and union (a corpus crossing saturation)
+      // must rebuild, never mix key spaces
+      if (graft.engine.AtRest.readStamp(spark, path, DedupLshMeta)
+          .contains(baseStamp) && baseParams == unionParams) {
+        graft.engine.AtRest.deleteStamp(spark, path, DedupLshMeta)
+        val basePairs = readDedupPairs(spark, path).materialized
+        val sgBatch = shingled(newDocs, n).materialized
+        val batchKeys = bandedKeys(sgBatch, baseParams._1, baseParams._2)
+          .materialized
+        // batch-internal pairs: the same banded semantics over the
+        // batch alone
+        val internal = lshPairsFromBanded(sgBatch, batchKeys, threshold)
+        // batch×base: band-key equi-join against the at-rest index
+        val baseKeys = spark.read.parquet(s"$path/bands")
+        val cand = batchKeys
+          .select(col("band"), col("bkey"), col("doc_id").as("na"),
+            col("sz").as("sza"))
+          .join(baseKeys.select(col("band"), col("bkey"),
+            col("doc_id").as("nb"), col("sz").as("szb")),
+            Seq("band", "bkey"))
+          .filter(least(col("sza"), col("szb")).cast(DoubleType) /
+            greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+          .select(col("na"), col("nb")).distinct()
+          .materialized
+        val sgBaseCand = shingled(
+          baseDocs.join(cand.select(col("nb").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi"), n)
+        val cross = cand
+          .join(sgBatch.select(col("doc_id").as("na"),
+            col("sg").as("sga")), "na")
+          .join(sgBaseCand.select(col("doc_id").as("nb"),
+            col("sg").as("sgb")), "nb")
+          .select(col("na"), col("nb"),
+            round(jaccard(col("sga"), col("sgb")), 6).as("j"))
+          .filter(col("j") >= threshold)
+          .select(least(col("na"), col("nb")).as("da"),
+            greatest(col("na"), col("nb")).as("db"), col("j"))
+        val pairs = basePairs.unionByName(internal.unionByName(cross))
+          .materialized
+        pairs.write.mode("overwrite").parquet(s"$path/pairs")
+        batchKeys.write.mode("append").parquet(s"$path/bands")
+        val p = pairs.select(col("da"), col("db"))
+        val edges = p.toDF("src", "dst")
+          .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+          .materialized
+        ccMinLabelLoop(edges, maxIters)._1
+          .write.mode("overwrite").parquet(s"$path/clusters")
+      } else writeDedupIndexLsh(union, path, n, threshold, maxIters,
+        Some(unionParams))
+    }
+  }
+
   /** Full corpus labeling from a [[writeDedupIndex]] build: the at-rest
     * edge-touched labels joined back to the corpus, singletons
     * re-entering as their own cluster — row-identical to
@@ -1356,7 +1516,17 @@ object Dedup {
     // the shingle relation; un-materialized they would each re-tokenize
     // + re-shingle the corpus
     val sg = shingled(docs, n).materialized
-    val withBands = bandedKeys(sg, numHashes, bands)
+    lshPairsFromBanded(sg, bandedKeys(sg, numHashes, bands), threshold)
+  }
+
+  /** The candidate-join + exact-verify tail of [[jaccardPairsLsh]],
+    * factored over an already-shingled relation and its band keys so
+    * the at-rest LSH index ([[writeDedupIndexLsh]]) and the incremental
+    * extension ([[extendDedupIndexLsh]]) run the identical pair
+    * semantics the declared x07 path runs.
+    */
+  private[graft] def lshPairsFromBanded(sg: DataFrame,
+      withBands: DataFrame, threshold: Double): DataFrame = {
     val l = withBands.select(col("band"), col("bkey"),
       col("doc_id").as("da"), col("sz").as("sza"))
     val r = withBands.select(col("band"), col("bkey"),

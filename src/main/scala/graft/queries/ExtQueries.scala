@@ -1362,6 +1362,25 @@ object ExtQueries {
       Dedup.readDedupClusters(d, path).orderBy(col("doc_id"))
     }),
 
+    // the LSH-keyed at-rest index, extended incrementally — x121's
+    // cycle with banded minhash keys as the persisted probe structure:
+    // the 100x-capable extension (the exact prefix probe's batch x base
+    // candidate mass grows with the base on saturated vocabularies -
+    // measured 386 s at a fixed 2000-doc batch / 498k base, vs this
+    // path's collision-bounded key join; SCALE.md round 12). Oracle =
+    // the exact full-corpus clustering, x07's discipline: at the
+    // correctness SF the auto-banding lands on r=2 whose measured
+    // recall is exact, so LSH == exact is hash-asserted every round.
+    "x137_dedup_index_extend_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+      val path = dedupIndexPath(s, dir, "extendlsh")
+      Dedup.ensureDedupIndexLsh(base, path)
+      Dedup.extendDedupIndexLsh(base, batch, path)
+      Dedup.readDedupClusters(d, path).orderBy(col("doc_id"))
+    }),
+
     // sampled-centroid training as a DECLARED query: the hash-ordered
     // 100-row sample (ORDER BY md5('ktrain:'||vec_id) - both engines
     // order the same hex strings), re-identified 0..s-1 by vec_id
@@ -2298,6 +2317,11 @@ object ExtQueries {
     // x121's incremental extension must equal the batch rebuild — the
     // FULL-corpus clustering oracle asserts exactly that
     "x121_dedup_index_extend" -> dedupClustersSql,
+    // x137: the LSH-keyed index's labeling — the exact full-corpus
+    // clustering, mirroring x07's oracle discipline (auto-banding lands
+    // on r=2 at this SF; its measured recall there is exact, so any
+    // banding/hash-budget regression hash-mismatches here)
+    "x137_dedup_index_extend_lsh" -> dedupClustersSql,
     "x24_ann_topk_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          js AS (SELECT unnest(generate_series(0, 7)) AS j),

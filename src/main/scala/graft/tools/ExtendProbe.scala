@@ -84,7 +84,27 @@ object ExtendProbe {
         println(f"EXTEND probe dir=$dir base=$cut batch=$batchSize " +
           f"tBasePrefix=$tPrefix%.2fs tDelta=$tDelta%.2fs " +
           f"deltaPairs=$nDelta")
-      case other => sys.error(s"unknown mode $other (full | probe)")
+      case "lsh" =>
+        // the LSH-keyed extension measured at the same fixed-batch /
+        // growing-base shape as `probe`, end to end through the at-rest
+        // API: build the base index once (timed separately — at rest in
+        // production), then time ONLY the incremental extension
+        val batchSize = args(2).toLong
+        val cut = n - batchSize
+        val base = docs.filter(col("doc_id") < cut).materialized
+        val batch = docs.filter(col("doc_id") >= cut).materialized
+        val extDir = java.nio.file.Files
+          .createTempDirectory("graft-extend-lsh").toString
+        val tBase = time(Dedup.ensureDedupIndexLsh(base, extDir))
+        var extended = false
+        val tDelta = time {
+          extended = Dedup.extendDedupIndexLsh(base, batch, extDir)
+        }
+        val nPairs = Dedup.readDedupPairs(spark, extDir).count()
+        println(f"EXTEND lsh dir=$dir base=$cut batch=$batchSize " +
+          f"tBaseBuild=$tBase%.2fs tDelta=$tDelta%.2fs " +
+          f"extended=$extended pairs=$nPairs")
+      case other => sys.error(s"unknown mode $other (full | probe | lsh)")
     }
     spark.stop()
   }

@@ -49,6 +49,32 @@ object ScaleProbe {
         .select(explode(array_distinct(
           graft.functions.RollingWinnow.rolling_winnow(col("text"), 16, 8)))
           .as("k")))
+      // x123's min-side-prefix containment candidate mass at t=0.9:
+      // Σ_key prefdf·df — the exact row count of the prefix(min) ⋈
+      // full(index) join before dedup/verify, computed from the two df
+      // relations alone (vocabulary-bounded join, no pair expansion),
+      // so the melt scale is measurable where the join itself is not
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        val t = 0.9
+        val inv = graft.ext.Dedup.shingled(docs, 3)
+          .select(col("doc_id"), size(col("sg")).as("sz"),
+            explode(col("sg")).as("s"))
+          .withColumn("sh", xxhash64(col("s")))
+        val freq = inv.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("f"), col("sh"), col("s"))
+        val prefDf = inv.join(freq, "sh")
+          .withColumn("pos", row_number().over(w))
+          .filter(col("pos") <= col("sz") - ceil(col("sz") * t) + 1)
+          .groupBy(col("sh")).agg(count(lit(1)).as("pdf"))
+        val r = prefDf.join(freq, "sh")
+          .agg(sum(col("pdf") * col("f")).as("mass"),
+            count(lit(1)).as("nkeys"), max(col("pdf")).as("maxpdf"))
+          .collect()(0)
+        println(s"CONTAIN3@0.9 dir=$dir prefmass=${r.getLong(0)} " +
+          s"nprefkeys=${r.getLong(1)} maxprefdf=${r.getLong(2)}")
+      }
     }
     spark.stop()
   }

@@ -1945,6 +1945,57 @@ class ExtSpec extends AnyFunSuite {
       s"retry after crash must be duplicate-free: $retried vs $once")
   }
 
+  test("extendDedupIndexLsh: incremental LSH pairs+labels equal the " +
+      "exact batch rebuild on a clean corpus; banding drift rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-lsh")
+      .toString
+    val all = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s2", "totally different text entirely other words here"),
+      (10L, "s1", "alpha beta gamma delta epsilon theta"), // dups 1,2
+      (11L, "s2", "totally different text entirely other words also"), // dups 3
+      (12L, "s2", "an unrelated singleton document body of words"))
+      .toDF("doc_id", "source", "text")
+    val base = all.filter($"doc_id" < 10)
+    val batch = all.filter($"doc_id" >= 10)
+    assert(Dedup.ensureDedupIndexLsh(base, dir))
+    assert(Dedup.extendDedupIndexLsh(base, batch, dir),
+      "matching base stamp + banding must extend")
+    // clean corpus -> auto lands on r=2 whose recall here is exact, so
+    // the incremental LSH artifacts equal the EXACT full rebuild
+    val pairsInc = Dedup.readDedupPairs(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val pairsFull = Dedup.jaccardPairsIndexHashed(all, 3, 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pairsInc == pairsFull && pairsFull.nonEmpty)
+    val clustersInc = Dedup.readDedupClusters(all, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val clustersFull = Dedup
+      .dedupClusters(all, Dedup.jaccardPairsIndexHashed(all, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(clustersInc == clustersFull)
+    // stamp rolled forward: union ensure reuses, repeat extend no-ops
+    assert(!Dedup.ensureDedupIndexLsh(base.union(batch), dir))
+    assert(!Dedup.extendDedupIndexLsh(base, batch, dir))
+    // the at-rest key index rolled forward too: base + batch band rows
+    val params = Dedup.lshIndexParams(all, 3)
+    assert(spark.read.parquet(s"$dir/bands").count() ==
+      all.count() * params._2)
+    // a banding pin that drifts from the stamped build must REBUILD
+    // (never probe batch keys against keys hashed under other banding)
+    spark.conf.set("spark.graft.lsh.bands", "32")
+    try {
+      assert(Dedup.extendDedupIndexLsh(base, batch, dir),
+        "banding drift must rebuild")
+      assert(spark.read.parquet(s"$dir/bands").count() ==
+        all.count() * 32)
+      val rebuilt = Dedup.readDedupPairs(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rebuilt == pairsFull)
+    } finally spark.conf.unset("spark.graft.lsh.bands")
+  }
+
   test("jaccardPairsLshAuto picks r=2 on clean corpora, r=4 on saturated " +
       "ones, honors the conf pins, and matches the fixed-band output") {
     // clean: disjoint vocabularies -> zero measured band collisions ->
