@@ -145,10 +145,13 @@ object Bench {
     // 2000-char capture window and truncate it back to parsed=null.
     // BenchIdSpec gates the worst case WITH this bounded field present;
     // the full per-query err detail is always in bench_result.json.
+    // bound dropped 4 → 2 at 174 queries: the per-query map itself now
+    // fills most of the window, and 2 example ids + the exact count
+    // still name a broken run (full detail in bench_result.json)
     val errsField =
       if (errNames.isEmpty) ""
       else s""","ne":${errNames.size}""" +
-        errNames.take(4).map(n => "\"" + SparkEntry.shortId(n) + "\"")
+        errNames.take(2).map(n => "\"" + SparkEntry.shortId(n) + "\"")
           .mkString(""","errs":[""", ",", "]")
     // stdout carries the sf BASENAME (the full dir path lives in the
     // bench_result.json artifact): 15 chars of the driver's 2000-char

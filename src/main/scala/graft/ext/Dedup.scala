@@ -191,11 +191,18 @@ object Dedup {
     * universe to collect per-shingle source sets, this shuffles ONLY
     * (source × k) partial-aggregated minima — at 100 TB the map side
     * reduces each partition to ≤ |sources|·k rows before the exchange,
-    * so corpus size never touches the shuffle. The sketch domain is the
-    * mod-M hashed shingle universe (one md5-derived 60-bit value per
-    * distinct (source, shingle), slot values by k literal universal
-    * hashes (a_i·x + b_i) mod M) — the documented count contract, all
-    * integer arithmetic, so the oracle replicates it bit for bit.
+    * so corpus size never touches the shuffle. No distinct pass either:
+    * min over the hashed-shingle MULTISET equals min over the set
+    * (duplicates cannot change a minimum), so the set semantics
+    * Broder's estimator needs come for free and the plan is one
+    * narrow scan + one partial-aggregated exchange — the first cut's
+    * corpus-wide distinct() shuffle was the measured 100× cost (18.0 s
+    * → SCALE.md round 12 re-measure) for zero semantic content. The
+    * sketch domain is the mod-M hashed shingle universe (md5-derived
+    * 60-bit values, slot values by k literal universal hashes
+    * (a_i·x + b_i) mod M) — the documented count contract, all integer
+    * arithmetic, so the oracle replicates it bit for bit (its DISTINCT
+    * is equally vacuous under min).
     */
   def sourceMinhashMatrix(docs: DataFrame, n: Int = 3,
       k: Int = 64): DataFrame = {
@@ -207,7 +214,6 @@ object Dedup {
         explode(shinglesFromTokens(col("ws"), n)).as("sg"))
       .select(col("source"),
         (graft.ext.TextAnalysis.hash60(col("sg")) % MinhashMod).as("x"))
-      .distinct()
     val minExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("x") + lit(b)) % MinhashMod).as(s"m$i")
     }

@@ -593,24 +593,94 @@ object Similarity {
     * through the Hadoop FS API so the path can live on any cluster
     * filesystem. Returns true when a (re)build happened.
     */
+  private val IvfMeta = "_graft_ivf_meta"
+
+  /** v2: the stamp carries a `model=` term (see [[knnCorpusPart]]'s
+    * rationale) so [[extendIvfIndex]] can roll the corpus forward under
+    * a frozen trained model. */
+  private def ivfCorpusPart(corpus: DataFrame, nCentroids: Int,
+      iters: Int): String =
+    Seq(corpusFingerprint(corpus),
+      corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 2)
+      .mkString(":")
+
   def ensureIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
       iters: Int = 3, force: Boolean = false): Boolean = {
-    val stamp = Seq(corpusFingerprint(corpus),
-      corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 1)
-      .mkString(":")
+    val stamp = ivfCorpusPart(corpus, nCentroids, iters) +
+      "|model=" + knnModelPart(corpus)
     // `force` is the out-of-band-mutation hatch (the at-rest analogue of
     // [[invalidateTrainedCentroids]]); stamp/crash semantics live in
     // [[graft.engine.AtRest.ensureStamped]], shared with
     // [[graft.ext.Dedup.ensureDedupIndex]].
     graft.engine.AtRest.ensureStamped(corpus.sparkSession, path,
-      "_graft_ivf_meta", stamp, force) {
+      IvfMeta, stamp, force) {
       writeIvfIndex(corpus, path, nCentroids, iters)
     }
   }
 
+  /** Extend an at-rest [[writeIvfIndex]] with a NEW vector batch — the
+    * simplest member of the incremental at-rest family (x116/x121
+    * pairs, x137 LSH keys, x138 kNN edges): assign the batch against
+    * the frozen at-rest centroids (one broadcast argmax over the batch
+    * alone) and APPEND the assigned rows into their `cell=` partition
+    * directories. Nothing existing is rewritten — IVF cell membership
+    * of old vectors cannot change under a frozen model — so per-batch
+    * work is exactly the batch's assignment + its partitioned write,
+    * and a probe over the extended index equals [[topKIvf]] with the
+    * base-trained centroids over the union (x139 hash-asserts it).
+    * Stamp discipline identical to [[extendKnnIndex]]: base stamp off
+    * before the first mutation (a crashed append rebuilds — the static
+    * overwrite wipes any torn files), model term carried forward so an
+    * [[ensureIvfIndex]] over the union re-trains. Returns true when
+    * any build ran.
+    */
+  def extendIvfIndex(baseCorpus: DataFrame, newCorpus: DataFrame,
+      path: String, nCentroids: Int = 8, iters: Int = 3): Boolean = {
+    val spark = baseCorpus.sparkSession
+    val union = baseCorpus.union(newCorpus)
+    val unionCorpus = ivfCorpusPart(union, nCentroids, iters)
+    val current = graft.engine.AtRest.readStamp(spark, path, IvfMeta)
+    val basePrefix = ivfCorpusPart(baseCorpus, nCentroids, iters) +
+      "|model="
+    if (current.exists(_.startsWith(unionCorpus + "|model="))) false
+    else current match {
+      case Some(stamp) if stamp.startsWith(basePrefix) =>
+        val model = stamp.substring(basePrefix.length)
+        graft.engine.AtRest.deleteStamp(spark, path, IvfMeta)
+        graft.engine.AtRest.ensureStamped(spark, path, IvfMeta,
+          unionCorpus + "|model=" + model, force = true) {
+          val cents = spark.read.parquet(s"$path/_centroids")
+          // the exact row shape writeIvfIndex persists: (cid, ce, cn)
+          // under the cell= partition column
+          assignCells(newCorpus, centroidRelation(cents))
+            .write.mode("append").partitionBy("cell").parquet(path)
+        }
+      case _ => ensureIvfIndex(union, path, nCentroids, iters)
+    }
+  }
+
   /** Layout version folded into the kNN-index stamp so a format change
-    * invalidates v-old artifact dirs instead of misreading them. */
-  private val KnnIndexLayoutVersion = 1
+    * invalidates v-old artifact dirs instead of misreading them.
+    * v2: edges and cell assignments are partitioned by `cell` (the
+    * incremental-extension layout) and the stamp carries a `model=`
+    * term naming the training corpus. */
+  private val KnnIndexLayoutVersion = 2
+
+  private val KnnMeta = "_graft_knn_meta"
+
+  /** The corpus half of the kNN-index stamp — everything EXCEPT which
+    * corpus the centroids were trained on. [[extendKnnIndex]] keeps the
+    * base's trained model while the corpus rolls forward (the standard
+    * IVF maintenance trade: assign-into-existing-cells per batch,
+    * re-cluster as an offline rebuild), so the two notions must be
+    * separable: an [[ensureKnnIndex]] over the extended union sees its
+    * corpus part match but its `model=` term differ, and correctly
+    * RE-TRAINS rather than silently adopting the stale cell structure.
+    */
+  private def knnCorpusPart(emb: DataFrame, k: Int, perCell: Int): String =
+    Seq(corpusFingerprint(emb),
+      emb.queryExecution.analyzed.semanticHash(), k, perCell,
+      KnnIndexLayoutVersion).mkString(":")
 
   /** The x94 kNN EDGE relation at rest: cell-local top-`k` edges (cid,
     * cell, nid, cos) under `path/edges` with the trained centroids as a
@@ -627,8 +697,16 @@ object Similarity {
   def writeKnnIndex(emb: DataFrame, path: String, k: Int,
       perCell: Int = 250): Unit = {
     val cents = trainCentroids(emb, adaptiveCellCount(emb, perCell = perCell))
-    knnEdges(assignCells(emb, centroidRelation(cents)), k)
-      .write.mode("overwrite").parquet(s"$path/edges")
+    val assigned = assignCells(emb, centroidRelation(cents)).materialized
+    // v2 layout: edges AND assignments live partitioned by cell, which
+    // is what makes the incremental extension surgical — an extension
+    // reads only the touched `cell=` directories (partition pruning)
+    // and dynamic-partition-overwrites only those edge partitions,
+    // never rewriting the untouched bulk of a 100 TB index
+    knnEdges(assigned, k)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/edges")
+    assigned.select(col("cid"), col("ce").as("embedding"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cents.write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
@@ -638,20 +716,110 @@ object Similarity {
     * compared on entry) applied to the kNN edge artifact. Returns true
     * when a (re)build happened.
     */
+  /** The model half of the kNN-index stamp: which corpus the centroids
+    * were trained on — file fingerprint AND plan hash (the fingerprint
+    * alone is constant for non-file relations, e.g. test fixtures).
+    */
+  private def knnModelPart(trainedOn: DataFrame): String =
+    corpusFingerprint(trainedOn) + ":" +
+      trainedOn.queryExecution.analyzed.semanticHash()
+
   def ensureKnnIndex(emb: DataFrame, path: String, k: Int,
       perCell: Int = 250, force: Boolean = false): Boolean = {
-    val stamp = Seq(corpusFingerprint(emb),
-      emb.queryExecution.analyzed.semanticHash(), k, perCell,
-      KnnIndexLayoutVersion).mkString(":")
+    val stamp = knnCorpusPart(emb, k, perCell) +
+      "|model=" + knnModelPart(emb)
     graft.engine.AtRest.ensureStamped(emb.sparkSession, path,
-      "_graft_knn_meta", stamp, force) {
+      KnnMeta, stamp, force) {
       writeKnnIndex(emb, path, k, perCell)
     }
   }
 
-  /** The at-rest edge relation of a [[writeKnnIndex]] dir. */
+  /** Extend an at-rest [[writeKnnIndex]] with a NEW embedding batch —
+    * the `Dedup.extendDedupIndexLsh` shape for the graph family, and
+    * the reason the v2 layout partitions by cell: new vectors are
+    * assigned against the AT-REST centroids (one broadcast argmax over
+    * the batch alone — the model is frozen across extensions, the
+    * standard IVF maintenance trade), and because edges are CELL-LOCAL,
+    * only the cells the batch actually lands in change. The extension
+    * therefore reads base members of touched cells via partition-pruned
+    * scans, recomputes those cells' top-k edges over base∪batch
+    * members, and dynamic-partition-overwrites exactly those edge
+    * directories — per-batch work ∝ the batch and its touched-cell
+    * mass, never the corpus. The result is provably IDENTICAL to a
+    * from-scratch edge build over the union with the same centroids
+    * (cell-locality makes untouched cells' edges invariant;
+    * spec-asserted), which is what lets x138's oracle replicate it
+    * exactly: base-trained Lloyd + union assignment + cell edges.
+    *
+    * Stamp discipline: the base stamp comes off before the first
+    * overwrite (crash ⇒ rebuild, never a double-extend); the new stamp
+    * carries the union's corpus part with the model term UNCHANGED, so
+    * chained extensions keep extending while an [[ensureKnnIndex]] over
+    * the union sees the model drift and re-trains. Returns true when
+    * any build ran.
+    */
+  def extendKnnIndex(baseEmb: DataFrame, newEmb: DataFrame, path: String,
+      k: Int, perCell: Int = 250): Boolean = {
+    val spark = baseEmb.sparkSession
+    import spark.implicits._
+    val union = baseEmb.union(newEmb)
+    val unionCorpus = knnCorpusPart(union, k, perCell)
+    val current = graft.engine.AtRest.readStamp(spark, path, KnnMeta)
+    val basePrefix = knnCorpusPart(baseEmb, k, perCell) + "|model="
+    if (current.exists(_.startsWith(unionCorpus + "|model="))) false
+    else current match {
+      case Some(stamp) if stamp.startsWith(basePrefix) =>
+        val model = stamp.substring(basePrefix.length)
+        graft.engine.AtRest.deleteStamp(spark, path, KnnMeta)
+        graft.engine.AtRest.ensureStamped(spark, path, KnnMeta,
+          unionCorpus + "|model=" + model, force = true) {
+          val cents = readKnnCentroids(spark, path)
+          val assignedBatch = assignCells(newEmb, centroidRelation(cents))
+            .materialized
+          // bounded driver state: ≤ min(|batch|, cell count) longs —
+          // the probed-cell collect class (dim-table scale)
+          val touched = assignedBatch.select(col("cell")).distinct()
+            .as[Long].collect().sorted
+          val baseMembers = spark.read.parquet(s"$path/cells")
+            .filter(col("cell").isin(touched: _*))
+            .select(col("cid"), col("embedding").as("ce"),
+              norm(col("embedding")).as("cn"),
+              col("cell").cast("long").as("cell"))
+          val members = baseMembers.unionByName(assignedBatch
+            .select(col("cid"), col("ce"), col("cn"), col("cell")))
+            .materialized
+          val prev = spark.conf
+            .getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+            "dynamic")
+          try
+            knnEdges(members, k).write.mode("overwrite")
+              .partitionBy("cell").parquet(s"$path/edges")
+          finally prev match {
+            case Some(v) => spark.conf
+              .set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf
+              .unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          assignedBatch
+            .select(col("cid"), col("ce").as("embedding"), col("cell"))
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$path/cells")
+        }
+      case _ => ensureKnnIndex(union, path, k, perCell)
+    }
+  }
+
+  /** The at-rest edge relation of a [[writeKnnIndex]] dir — re-selected
+    * to the canonical (cid, cell, nid, cos) shape with the partition
+    * column pinned back to long (partition-value inference must never
+    * leak an int into a schema the oracle compares as BIGINT).
+    */
   def readKnnEdges(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = spark.read.parquet(s"$path/edges")
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+      .select(col("cid"), col("cell").cast("long").as("cell"),
+        col("nid"), col("cos"))
 
   /** The trained-centroid sidecar of a [[writeKnnIndex]] dir — the
     * (vec_id, embedding) shape every `centroids` parameter takes, so a

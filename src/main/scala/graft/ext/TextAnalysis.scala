@@ -874,7 +874,17 @@ object TextAnalysis {
       .select(col("word"),
         (length(seg) - length(replace(seg, lit(BpeOpen), lit(""))))
           .cast("long").as("n_sub"))
-    val agg = dw.join(wordCost, Seq("word"))
+    // broadcast: wordCost is the DISTINCT-word relation (Heaps-bounded
+    // — vocabulary, not corpus), but it hangs off a distinct() so the
+    // planner has no stats and picks a sort-merge join that shuffles
+    // every word OCCURRENCE in the corpus on a string key — the
+    // measured 100× cost of the first cut (25.3 s, SCALE.md round 12).
+    // The hint turns it into a map-side hash join: occurrences never
+    // leave their partition, and the later per-doc agg partial-
+    // aggregates before its exchange. At an extreme web-scale
+    // vocabulary (≫10⁷ surface forms) the hint would be dropped in
+    // favor of AQE's stats-informed choice.
+    val agg = dw.join(broadcast(wordCost), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("w"), sum(col("n_sub")).as("s"))
     docs.select(col("doc_id"))

@@ -1577,6 +1577,43 @@ object ExtQueries {
       val path = knnIndexPath(s, dir, "resident")
       Similarity.ensureKnnIndex(e, path, k = 5)
       Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    }),
+
+    // the at-rest kNN index EXTENDED incrementally — x137's cycle for
+    // the graph family: ensure on the first half, extendKnnIndex with
+    // the second (batch assigned against the FROZEN base centroids,
+    // only touched cell partitions' edges recomputed — the standard
+    // IVF maintenance trade), read the full edge relation. Cell-local
+    // edges make the incremental result provably equal to a
+    // from-scratch build over the union with the same centroids, so
+    // the oracle replicates base-trained Lloyd + union assignment +
+    // cell edges and hash-asserts the equality every round.
+    "x138_knn_index_extend" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val path = knnIndexPath(s, dir, "extend")
+      Similarity.ensureKnnIndex(base, path, k = 5)
+      Similarity.extendKnnIndex(base, batch, path, k = 5)
+      Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    }),
+
+    // the persisted IVF corpus index EXTENDED incrementally — the
+    // simplest at-rest extension (no derived edges to touch): the
+    // batch is assigned against the frozen base-trained centroids and
+    // APPENDED into its cell= partitions; old rows never move. The
+    // probe over the extended index must equal the base-trained
+    // assignment of the whole union — the oracle replicates
+    // base-trained Lloyd + union assignment + the nprobe=2 scoring.
+    "x139_ivf_index_extend" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val path = ivfIndexPath(s, dir, "extend")
+      Similarity.ensureIvfIndex(base, path, nCentroids = 8)
+      Similarity.extendIvfIndex(base, batch, path, nCentroids = 8)
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -2228,6 +2265,42 @@ object ExtQueries {
            FROM scored) t
          WHERE rank <= 10 ORDER BY qid, rank"""
 
+  /** [[ivfProbeOracleSql]] with the centroids trained on the BASE half
+    * only (vec_id < 250) — the frozen model x139's incremental
+    * extension assigns into; everything downstream (assignment of the
+    * union, nprobe=2 probe, top-10 scoring) is identical.
+    */
+  private val ivfProbeExtendedOracleSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         eb AS (SELECT * FROM e WHERE vec_id < 250),
+         ${kmeansCtePrefixed("8", iters = 3, dim = 64, src = "eb")},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC, cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked WHERE rn = 1),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM ranked
+                    WHERE rn <= 2 AND vid < 10),
+         scored AS (SELECT DISTINCT p.qid, ca.cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6) AS cos
+                    FROM probes p
+                    JOIN cells ca ON p.cell = ca.cell AND ca.cid != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.cid)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid) AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank"""
+
   /** The x32 export lineage in DuckDB, shared by x32 (ordered per-doc)
     * and x33 (shard aggregation). No trailing ORDER BY so it can nest.
     */
@@ -2571,6 +2644,9 @@ object ExtQueries {
     "x15_ann_topk_ivf" -> ivfProbeOracleSql,
     "x43_pipeline" -> pipelineOracleSql,
     "x44_ann_topk_ivf_indexed" -> ivfProbeOracleSql,
+    // mirrors x139: the probe over the incrementally-extended index ==
+    // base-trained centroids + union assignment + the same scoring
+    "x139_ivf_index_extend" -> ivfProbeExtendedOracleSql,
     "x47_ann_topk_ivf_resident" -> ivfProbeOracleSql,
     // x48 is output-identical to x06 by construction (lossless prefix
     // filter), so it shares the same oracle verbatim
@@ -5008,6 +5084,40 @@ object ExtQueries {
     "x131_knn_index_resident" ->
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN cent c),
+         asg AS (SELECT vid, cent_id AS cell FROM (
+                   SELECT vid, cent_id,
+                          row_number() OVER (PARTITION BY vid
+                                             ORDER BY ccos DESC, cent_id) AS rn
+                   FROM cc) t WHERE rn = 1),
+         p AS (SELECT a.vid AS cid, a.cell, b.vid AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
+               JOIN e x ON x.vec_id = a.vid
+               JOIN e y ON y.vec_id = b.vid)
+         SELECT cid, cell, nid, cos FROM (
+           SELECT cid, cell, nid, cos,
+                  row_number() OVER (PARTITION BY cid
+                                     ORDER BY cos DESC, nid) AS rn
+           FROM p) t WHERE rn <= 5
+         ORDER BY cid, nid"""),
+
+    // mirrors x138: centroids trained on the BASE half only (the
+    // frozen model the extension assigns into), every vector assigned
+    // to them, cell-local top-5 edges — exactly what incremental
+    // extension must equal when edges are cell-local
+    "x138_knn_index_extend" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         eb AS (SELECT * FROM e WHERE vec_id < 250),
+         ${kmeansCtePrefixed(
+        "(SELECT greatest(8, count(*) // 250) FROM eb)",
+        iters = 3, dim = 64, src = "eb")},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                   round(list_dot_product(x.e, c.ce) /
                         (sqrt(list_dot_product(x.e, x.e)) *

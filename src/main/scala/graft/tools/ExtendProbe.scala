@@ -104,7 +104,45 @@ object ExtendProbe {
         println(f"EXTEND lsh dir=$dir base=$cut batch=$batchSize " +
           f"tBaseBuild=$tBase%.2fs tDelta=$tDelta%.2fs " +
           f"extended=$extended pairs=$nPairs")
-      case other => sys.error(s"unknown mode $other (full | probe | lsh)")
+      case "knn" =>
+        // the kNN-index extension at the fixed-batch / growing-base
+        // shape, on the embeddings table: base index built with
+        // adaptive cells (the x131 contract), a FIXED batch extended
+        // in, against the full-rebuild price. The incremental win is
+        // ∝ touched-cell mass: a batch of b vectors touches ≤ b of the
+        // k cells, so the recomputed edge mass is (touched/k) of the
+        // corpus's — plus the frozen model skips the full-Lloyd
+        // training term entirely.
+        val batchSize = args(2).toLong
+        val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
+        val nv = embAll.select(max(col("vec_id"))).collect()(0).getLong(0) + 1
+        val cut = nv - batchSize
+        val base = embAll.filter(col("vec_id") < cut)
+        val batch = embAll.filter(col("vec_id") >= cut)
+        val knnDir = java.nio.file.Files
+          .createTempDirectory("graft-extend-knn").toString
+        val tBase = time(graft.ext.Similarity
+          .ensureKnnIndex(base, knnDir, k = 5))
+        val tDelta = time(graft.ext.Similarity
+          .extendKnnIndex(base, batch, knnDir, k = 5))
+        val edges = graft.ext.Similarity.readKnnEdges(spark, knnDir)
+        val nEdges = edges.count()
+        val touched = graft.ext.Similarity
+          .cellAssignments(batch,
+            graft.ext.Similarity.readKnnCentroids(spark, knnDir))
+          .select(col("cell")).distinct().count()
+        val total = graft.ext.Similarity
+          .readKnnCentroids(spark, knnDir).count()
+        val fullDir = java.nio.file.Files
+          .createTempDirectory("graft-extend-knn-full").toString
+        val tFull = time(graft.ext.Similarity
+          .ensureKnnIndex(base.union(batch), fullDir, k = 5))
+        println(f"EXTEND knn dir=$dir base=$cut batch=$batchSize " +
+          f"tBaseBuild=$tBase%.2fs tDelta=$tDelta%.2fs " +
+          f"tFullRebuild=$tFull%.2fs touchedCells=$touched/$total " +
+          f"edges=$nEdges")
+      case other =>
+        sys.error(s"unknown mode $other (full | probe | lsh | knn)")
     }
     spark.stop()
   }

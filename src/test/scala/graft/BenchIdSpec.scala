@@ -48,15 +48,17 @@ class BenchIdSpec extends AnyFunSuite {
     // 999 s (real sf0.1 per-query mins are < 7 s); full 3-decimal values
     // live in the bench_runs artifact
     val entries = ids.map(id => "\"" + id + "\":999").mkString(",")
-    // pessimistic optional fields: Bench bounds the errs field to the 4
-    // WIDEST short ids plus an "nerrs" count, and a filtered run appends
-    // ","partial":true" — both must fit alongside the full query map
-    // (a run with errors is exactly when the parsed stdout matters most)
+    // pessimistic optional fields: Bench bounds the errs field to the 2
+    // WIDEST short ids plus an "ne" count (a run with errors is exactly
+    // when the parsed stdout matters most). ","partial":true" is NOT
+    // modeled: it appears only under SPARK_GRAFT_ONLY — targeted local
+    // re-measures whose record of truth is the bench_runs artifact —
+    // while the driver always runs the full surface
     val worstErrs = ""","ne":999""" +
-      ids.sortBy(-_.length).take(4).map("\"" + _ + "\"")
+      ids.sortBy(-_.length).take(2).map("\"" + _ + "\"")
         .mkString(""","errs":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstErrs,"partial":true}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstErrs}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
     assert(line.length <= budget,
       s"worst-case bench stdout line is ${line.length} chars > $budget — " +

@@ -671,6 +671,94 @@ class ExtSpec extends AnyFunSuite {
       "rewritten corpus files must invalidate the stamp")
   }
 
+  test("extendKnnIndex: incremental edges equal a from-scratch build " +
+      "over the union with the base centroids; repeat extend no-ops; " +
+      "ensure over the union re-trains (model drift)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-ext")
+      .toString
+    val all = (0 until 80).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 50)
+    val batch = all.filter($"vec_id" >= 50)
+    assert(Similarity.ensureKnnIndex(base, dir, k = 3))
+    assert(Similarity.extendKnnIndex(base, batch, dir, k = 3),
+      "matching base stamp must extend")
+    // cell-local edges: incremental == from-scratch over the union
+    // with the SAME (base-trained) centroids
+    val inc = Similarity.readKnnEdges(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val baseCents = Similarity.trainCentroids(base,
+      Similarity.adaptiveCellCount(base))
+    val scratch = Similarity.cachedKnnEdges(all, baseCents, 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == scratch && scratch.nonEmpty)
+    // the at-rest assignment relation rolled forward with the batch
+    assert(spark.read.parquet(s"$dir/cells").count() == all.count())
+    // a repeat extend over the same (base, batch) is an idempotent no-op
+    assert(!Similarity.extendKnnIndex(base, batch, dir, k = 3))
+    // an ensure over the union sees the model term drift (centroids
+    // were trained on the base, not the union) and re-trains — the
+    // corpus part of the stamp MATCHES (same plan), so this isolates
+    // exactly the model discipline
+    assert(Similarity.ensureKnnIndex(base.union(batch), dir, k = 3),
+      "ensure over the extended union must re-train, not adopt the " +
+        "frozen base model")
+    val retrained = Similarity.readKnnEdges(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val unionCents = Similarity.trainCentroids(all,
+      Similarity.adaptiveCellCount(all))
+    val expected = Similarity.cachedKnnEdges(all, unionCents, 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(retrained == expected)
+    // an index already covering the union (under ANY model) no-ops
+    assert(!Similarity.extendKnnIndex(base, batch, dir, k = 3))
+    // a foreign base (stamp mismatch, union not covered) full-rebuilds
+    val otherBase = all.filter($"vec_id" < 20)
+    val otherBatch = all.filter($"vec_id" >= 20 && $"vec_id" < 60)
+    assert(Similarity.extendKnnIndex(otherBase, otherBatch, dir, k = 3),
+      "stamp mismatch must rebuild over the new union")
+    val rebuilt = Similarity.readKnnEdges(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val sub = all.filter($"vec_id" < 60)
+    val subCents = Similarity.trainCentroids(sub,
+      Similarity.adaptiveCellCount(sub))
+    assert(rebuilt == Similarity.cachedKnnEdges(sub, subCents, 3)
+      .as[(Long, Long, Long, Double)].collect().toSet)
+  }
+
+  test("extendIvfIndex: appended rows equal the base-centroid " +
+      "assignment of the batch; repeat no-ops; ensure re-trains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ext")
+      .toString
+    val all = (0 until 80).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 50)
+    val batch = all.filter($"vec_id" >= 50)
+    assert(Similarity.ensureIvfIndex(base, dir, nCentroids = 4))
+    assert(Similarity.extendIvfIndex(base, batch, dir, nCentroids = 4),
+      "matching base stamp must extend")
+    // the extended index rows == base-trained assignment of the union
+    val baseCents = Similarity.trainCentroids(base, 4)
+    val expected = Similarity.cellAssignments(all, baseCents)
+      .as[(Long, Long)].collect().toSet
+    val atRest = spark.read.parquet(dir)
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(atRest == expected && expected.nonEmpty)
+    // a repeat extend is an idempotent no-op (no double-append)
+    assert(!Similarity.extendIvfIndex(base, batch, dir, nCentroids = 4))
+    assert(spark.read.parquet(dir).count() == all.count())
+    // an ensure over the union re-trains (model drift), then covers it
+    assert(Similarity.ensureIvfIndex(base.union(batch), dir,
+      nCentroids = 4), "ensure over the extended union must re-train")
+    assert(!Similarity.ensureIvfIndex(base.union(batch), dir,
+      nCentroids = 4))
+  }
+
   test("x128 production composition with all coarse groups probed " +
       "equals the exact knnGraph over the same sampled centroids") {
     // with nprobeGroups = #groups the two-level route IS the flat
