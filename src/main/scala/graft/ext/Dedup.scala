@@ -2242,6 +2242,103 @@ object Dedup {
       .filter(col("cont") >= threshold)
   }
 
+  /** CONTENT-DEFINED chunks per document: the token stream split at
+    * positions whose token hashes to 0 mod `p` (the LBFS/rsync anchor
+    * idea — Muthitacharoen et al., SOSP'01 — at token granularity), so
+    * chunk boundaries are ALIGNMENT-INVARIANT: a span shared verbatim
+    * by two documents yields byte-identical interior chunks in both,
+    * regardless of where in each document it sits. Fixed-stride
+    * chunking (x45) cannot do that — an embedded snippet shifts every
+    * downstream boundary — which is exactly why the snippet-in-doc
+    * detector built on THESE chunks ([[cdcContainmentPairs]]) scales
+    * where the exact shingle-containment join (x123) melts. Returns
+    * (doc_id, seg, fp, n) — md5 chunk fingerprints plus the doc's
+    * distinct-fingerprint count.
+    *
+    * Scale shape: one tokenize pass + a per-DOCUMENT running-sum window
+    * (partitioned by doc_id — no global sort) + one md5 per chunk.
+    */
+  private[graft] def cdcChunks(docs: DataFrame, p: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.filter(col("text").rlike("\\S"))
+      .select(col("doc_id"),
+        posexplode(graft.ext.TextAnalysis.tokens(col("text")))
+          .as(Seq("pos", "w")))
+      .withColumn("b",
+        when(graft.ext.TextAnalysis.hash60(col("w")) % p === 0, 1L)
+          .otherwise(0L))
+    val seg = tok.withColumn("seg",
+      sum(col("b")).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos"))))
+    seg.groupBy(col("doc_id"), col("seg"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ")).as("fp"))
+  }
+
+  /** Snippet-in-document containment over CONTENT-DEFINED chunk
+    * fingerprints — the production-scale remedy for [[containmentPairs]]
+    * (x123), whose exact shingle-inverted-index join has intrinsically
+    * ~n² candidate mass at vocabulary saturation (measured: prefix mass
+    * ×119 at the 100× probe, ScaleProbe CONTAIN3). Score: shared
+    * distinct chunk fingerprints / the smaller side's fingerprint count
+    * — the same min-denominator containment as x123, one level up: a
+    * snippet embedded verbatim in a big page shares its interior CDC
+    * chunks with the page, so min-side coverage approaches 1 while
+    * symmetric Jaccard stays near 0.
+    *
+    * Why this scales where x123 cannot: the join key is a ~`p`-token
+    * chunk fingerprint, not a 3-token shingle — its document frequency
+    * is bounded by TRUE duplication (unrelated documents virtually
+    * never share a multi-token chunk verbatim), not by the vocabulary,
+    * so Σ_fp df² tracks the real dup mass and stays near-linear even on
+    * corpora where every 3-shingle is corpus-hot. Boundary clipping
+    * (the shared span's first/last partial chunks differ) is absorbed
+    * by thresholds < 1.
+    *
+    * `maxDf` (default 100, the repo-wide hot-key constant) is
+    * SEMANTICS-BEARING, not a lossy shortcut bolted on: a chunk shared
+    * verbatim by more than `maxDf` documents is corpus boilerplate —
+    * x135's ubiquity argument at chunk grain — and counting it toward
+    * containment manufactures snippet-in-doc hits between unrelated
+    * pages that merely carry the same footer. Hot chunks therefore
+    * leave BOTH the shared count and the per-doc denominators
+    * ("containment over discriminative chunks"); a document made
+    * entirely of boilerplate has no discriminative chunks and drops
+    * out. The cap is also what bounds the join at template saturation:
+    * the UNCAPPED form ground past 18 minutes at the 100× probe —
+    * where the corpus is wall-to-wall manufactured boilerplate, dup
+    * mass ≈ n² is real and only the boilerplate/signal split makes the
+    * question answerable (SCALE.md round 12). `maxDf = None` is the
+    * exact-form hatch.
+    */
+  def cdcContainmentPairs(docs: DataFrame, p: Int = 8,
+      threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(100L)): DataFrame = {
+    val all = cdcChunks(docs, p)
+      .select(col("doc_id"), col("fp")).distinct()
+      .materialized
+    val fps = maxDf match {
+      case Some(cap) =>
+        val df = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        all.join(df.filter(col("df") <= cap).select(col("fp")), "fp")
+      case None => all
+    }
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = fps.join(counts, "doc_id")
+      .select(col("fp"), col("doc_id").as("da"), col("n").as("na"))
+    val b = fps.join(counts, "doc_id")
+      .select(col("fp"), col("doc_id").as("db"), col("n").as("nb"))
+    a.join(b, Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("da"), col("db"),
+        round(col("shared").cast(DoubleType) /
+          least(col("na"), col("nb")), 6).as("cont"))
+      .filter(col("cont") >= threshold)
+  }
+
   /** Near-dup THRESHOLD SWEEP — the price sheet read before choosing a
     * dedup cutoff: for each candidate threshold, how many verified
     * pairs and how many distinct documents a rewrite at that cutoff

@@ -1430,6 +1430,18 @@ object ExtQueries {
       Dedup.containmentPairs(docs(s, dir), n = 3, threshold = 0.9)
         .orderBy(col("da"), col("db"))),
 
+    // snippet-in-doc containment over CONTENT-DEFINED chunk
+    // fingerprints — x123's production-scale remedy: chunk boundaries
+    // anchored where a token hashes 0 mod 8 are alignment-invariant,
+    // and chunk-fp document frequency is bounded by TRUE duplication,
+    // not vocabulary. Chunks in >100 docs are corpus boilerplate and
+    // leave both score sides (semantics-bearing — see
+    // cdcContainmentPairs), which is also what bounds the join where
+    // the corpus is wall-to-wall manufactured dups (SCALE.md round 12)
+    "x140_cdc_containment" -> ((s, dir) =>
+      Dedup.cdcContainmentPairs(docs(s, dir), p = 8, threshold = 0.5)
+        .orderBy(col("da"), col("db"))),
+
     // the dedup-cutoff price sheet: verified pairs + touched docs at
     // each candidate threshold, riding the cached pair artifact (x06
     // keeps the build cost measured — one-live-builder protocol)
@@ -3739,6 +3751,42 @@ object ExtQueries {
     // mirrors x119: generated from the same merges fixture (see
     // bpeOracleSql)
     "x119_bpe_token_count" -> bpeOracleSql,
+
+    // mirrors x140: the same 60-bit md5 token hash decides the mod-8
+    // anchor boundaries, per-doc running-sum segment ids, md5 chunk
+    // fingerprints, shared/min score — all engine-portable arithmetic
+    "x140_cdc_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents WHERE regexp_matches(text, '\S')),
+         pos AS (SELECT doc_id, ws,
+                        unnest(generate_series(1, len(ws))) AS pos
+                 FROM t),
+         tok AS (SELECT doc_id, pos, ws[pos] AS w,
+                        CASE WHEN CAST('0x' || substr(md5(ws[pos]), 1, 15)
+                                  AS BIGINT) % 8 = 0
+                             THEN 1 ELSE 0 END AS b
+                 FROM pos),
+         seg AS (SELECT doc_id, pos, w,
+                        sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+                 FROM tok),
+         ch AS (SELECT doc_id, seg,
+                       md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+                FROM seg GROUP BY doc_id, seg),
+         allf AS (SELECT DISTINCT doc_id, fp FROM ch),
+         hot AS (SELECT fp FROM allf GROUP BY fp HAVING count(*) > 100),
+         fps AS (SELECT doc_id, fp FROM allf
+                 WHERE fp NOT IN (SELECT fp FROM hot)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                       ca.n AS na, cb.n AS nb, count(*) AS shared
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN cnt ca ON ca.doc_id = a.doc_id
+                JOIN cnt cb ON cb.doc_id = b.doc_id
+                GROUP BY 1, 2, 3, 4)
+         SELECT da, db,
+                round(shared::DOUBLE / least(na, nb), 6) AS cont
+         FROM pr WHERE round(shared::DOUBLE / least(na, nb), 6) >= 0.5
+         ORDER BY da, db""",
 
     // asymmetric containment: inter/min instead of inter/union over
     // the same distinct-shingle sets as x06

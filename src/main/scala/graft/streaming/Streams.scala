@@ -351,4 +351,46 @@ object Streams {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  // ---- streaming at-rest index maintenance ------------------------------
+
+  /** Keep the at-rest LSH dedup index (x137's artifact) FRESH as a
+    * document stream lands — the daily-crawl loop collapsed to a
+    * micro-batch cadence: each batch is persisted under
+    * `corpusDir/b<id>` (stable files, so the index stamps can
+    * fingerprint them), then either seeds the index
+    * ([[graft.ext.Dedup.ensureDedupIndexLsh]]) or extends it
+    * ([[graft.ext.Dedup.extendDedupIndexLsh]] — banded-key probe, work
+    * ∝ the batch). The base lineage is chained driver-side
+    * (base := base ∪ batch), so each extension's stamp matches the next
+    * call's expectation and the whole run never re-probes base×base.
+    *
+    * Restart semantics are the stamp discipline's: after a checkpoint
+    * recovery the rebuilt base lineage no longer matches the at-rest
+    * stamp, so the FIRST post-restart batch pays one full rebuild and
+    * the loop re-enters incremental mode — never a silent wrong merge,
+    * the same trade [[graft.ext.Dedup.extendDedupIndexLsh]] documents
+    * for out-of-band drift.
+    */
+  def dedupIndexStream(docs: DataFrame, corpusDir: String,
+      indexPath: String, checkpoint: String): StreamingQuery = {
+    var base: Option[DataFrame] = None
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$corpusDir/b$id")
+        val landed = spark.read.parquet(s"$corpusDir/b$id")
+        base match {
+          case None =>
+            graft.ext.Dedup.ensureDedupIndexLsh(landed, indexPath)
+            base = Some(landed)
+          case Some(b) =>
+            graft.ext.Dedup.extendDedupIndexLsh(b, landed, indexPath)
+            base = Some(b.union(landed))
+        }
+        ()
+      }
+      .start()
+  }
 }

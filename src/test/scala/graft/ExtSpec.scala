@@ -897,6 +897,51 @@ class ExtSpec extends AnyFunSuite {
       s"mean estimator error ${errs.sum / errs.length}")
   }
 
+  test("x140 CDC containment: finds a snippet embedded at an arbitrary " +
+      "offset where fixed-stride chunk fingerprints share nothing") {
+    import graft.ext.TextAnalysis
+    val snippet = (0 until 64).map(i => s"tok$i").mkString(" ")
+    val container = ((0 until 30).map(i => s"pre$i") ++
+      Seq(snippet) ++ (0 until 30).map(i => s"post$i")).mkString(" ")
+    val unrelated = (0 until 64).map(i => s"other$i").mkString(" ")
+    val fix = Seq((1L, "s", snippet), (2L, "s", container),
+      (3L, "s", unrelated), (4L, "s", snippet))
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.cdcContainmentPairs(fix, p = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // the snippet's interior CDC chunks survive embedding at offset 30
+    assert(pairs.contains((1L, 2L)),
+      s"snippet-in-doc pair missing: $pairs")
+    assert(pairs((1L, 2L)) >= 0.5)
+    // exact duplicates share every chunk
+    assert(pairs((1L, 4L)) == 1.0)
+    // the unrelated doc pairs with nothing
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // fixed-stride chunking CANNOT see the same embedding: the offset
+    // shifts every boundary, so no chunk fingerprint is shared — the
+    // measured reason cdcChunks exists
+    val strided = TextAnalysis.chunkDocs(fix.filter($"doc_id" <= 2), 32, 0)
+      .select($"doc_id", md5($"chunk_text").as("fp"))
+    val sharedStride = strided.filter($"doc_id" === 1)
+      .join(strided.filter($"doc_id" === 2), "fp").count()
+    assert(sharedStride == 0L)
+    // the hot-chunk cap is semantics-bearing: a footer shared by every
+    // doc is boilerplate, not snippet signal — with it capped out, the
+    // otherwise-unrelated docs pair with nothing; uncapped, the footer
+    // alone manufactures "containment"
+    val footer = "terms of service apply all rights reserved contact us"
+    val boiler = Seq(
+      (21L, "s", s"completely distinct alpha words here $footer"),
+      (22L, "s", s"other unrelated beta content body $footer"),
+      (23L, "s", s"third page gamma different entirely $footer"))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.cdcContainmentPairs(boiler, p = 8, threshold = 0.5,
+      maxDf = Some(2L)).count() == 0)
+    assert(Dedup.cdcContainmentPairs(boiler, p = 8, threshold = 0.5,
+      maxDf = None).count() > 0)
+  }
+
   test("x123 prefix-filtered containment pairs equal the brute " +
       "all-pairs computation (snippet-in-doc, equal-size tie, testdata)") {
     def brute(d: org.apache.spark.sql.DataFrame, t: Double) = {

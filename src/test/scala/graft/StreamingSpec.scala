@@ -17,6 +17,47 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
 
+  test("dedupIndexStream seeds the at-rest LSH index on batch 0, " +
+      "extends it per micro-batch, and the final labeling equals the " +
+      "full-corpus clustering") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpusDir = Files.createTempDirectory("graft-stream-corpus")
+      .toString
+    val indexPath = Files.createTempDirectory("graft-stream-index")
+      .toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.dedupIndexStream(
+      src.toDF().toDF("doc_id", "source", "text"),
+      corpusDir, indexPath, ckpt)
+    // batch 0 seeds; the near-dups STRADDLE batch boundaries on purpose
+    src.addData((1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s2", "totally different text entirely other words here"))
+    q.processAllAvailable()
+    // batch 1 extends with a dup of 1/2 and a dup of 3
+    src.addData((10L, "s1", "alpha beta gamma delta epsilon theta"),
+      (11L, "s2", "totally different text entirely other words also"))
+    q.processAllAvailable()
+    // batch 2 extends again — chained extension, never base x base
+    src.addData((12L, "s2", "an unrelated singleton document body"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.read.parquet(s"$corpusDir/b0", s"$corpusDir/b1",
+      s"$corpusDir/b2")
+    val streamed = Dedup.readDedupClusters(all, indexPath)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Dedup
+      .dedupClusters(all, Dedup.jaccardPairsIndexHashed(all, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // cross-batch pairs were actually found (1-2 with 10, 3 with 11)
+    val pairs = Dedup.readDedupPairs(spark, indexPath)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.exists { case (a, b, _) => a < 10 && b >= 10 })
+  }
+
   test("windowed event counts aggregate per window and type") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
