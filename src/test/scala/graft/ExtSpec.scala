@@ -752,6 +752,31 @@ class ExtSpec extends AnyFunSuite {
     // a repeat extend is an idempotent no-op (no double-append)
     assert(!Similarity.extendIvfIndex(base, batch, dir, nCentroids = 4))
     assert(spark.read.parquet(dir).count() == all.count())
+    // a probe over the EXTENDED index (appended files in the cell=
+    // dirs) still partition-prunes — the at-rest layout's point
+    // survives extension
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val nCells = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell="))
+    val probe = Similarity.topKIvfIndexed(dir,
+      all.filter($"vec_id" === 60), 5)
+    probe.collect()
+    val idxScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "cell"))
+    assert(idxScans.nonEmpty)
+    idxScans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 2 &&
+        s.selectedPartitions.partitionCount < nCells,
+        "extended-index probe must still prune cell= partitions")
+    }
     // an ensure over the union re-trains (model drift), then covers it
     assert(Similarity.ensureIvfIndex(base.union(batch), dir,
       nCentroids = 4), "ensure over the extended union must re-train")
