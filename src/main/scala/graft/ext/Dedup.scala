@@ -1145,8 +1145,15 @@ object Dedup {
     * WITHOUT re-probing the base against itself — the cross-job shape
     * a 100 TB pipeline actually runs (yesterday's corpus is indexed;
     * today's crawl lands): if the sidecar stamp matches `baseDocs`,
-    * only [[newDocPairs]] runs (batch-internal + batch×base probe —
-    * work ∝ the batch, not the corpus), the pair relation is appended
+    * only [[newDocPairs]] runs (batch-internal + batch×base prefix
+    * probe — no base×base re-join and no O(base) re-shingle; but the
+    * probe's candidate mass Σ_key pdf_batch·pdf_base still grows with
+    * the base on SATURATED vocabularies — measured 386 s at a fixed
+    * 2 000-doc batch / 498 k base, SCALE.md round 12, where
+    * [[extendDedupIndexLsh]]'s banded-key probe runs 48.5 s — so this
+    * exact form is the below-saturation/validation path and the LSH
+    * index family is the production default at scale), the pair
+    * relation is appended
     * at rest, and the CC fixpoint re-runs over the combined edges
     * (measured FLAT — ~1 s at every probed scale, SCALE.md); the
     * artifacts are then re-stamped for `baseDocs.union(newDocs)`, so a
