@@ -129,11 +129,30 @@ object Bench {
       if (v >= 9.95) String.format(java.util.Locale.ROOT, "%.0f",
         Double.box(v))
       else r1(v)
+    // The stdout "queries" map is CAPPED at the `stdoutTopK` most
+    // expensive queries (errored queries rank first — a broken run is
+    // exactly when the parsed stdout matters most); the remainder is
+    // folded into a counted bucket `"rq":<n>,"rsum":<sec>`. At 176
+    // queries the uncapped map was 1,865 of the driver's 2,000-char
+    // window (round-12 verdict) — one more round of queries would have
+    // truncated the line back to parsed=null. The cap bounds the line
+    // at ANY query count; the cut queries are all in the fastest tail
+    // (everything ≥ ~0.35 s at sf0.1 still prints individually) and the
+    // committed bench_runs artifact always carries every query at full
+    // precision — it, not stdout, is the per-query regression source.
+    val stdoutTopK = 120
+    val ranked = results.sortBy(r =>
+      (if (r.err.isDefined) 0 else 1, -r.min.getOrElse(0.0), r.name))
+    val (shownR, restR) = ranked.splitAt(stdoutTopK)
+    val shown = shownR.sortBy(_.name)
     // reported per-query number = min across passes; -1 marks an error so
     // the driver's name→number contract still parses
-    def toJson(f: String => String): String = results
+    def toJson(f: String => String): String = shown
       .map { r => "\"" + f(r.name) + "\":" + r.min.map(rq).getOrElse("-1") }
       .mkString("{", ",", "}")
+    val restField =
+      if (restR.isEmpty) ""
+      else s""","rq":${restR.size},"rsum":${r1(restR.flatMap(_.min).sum)}"""
     val errNames = results.filter(_.err.isDefined).map(_.name)
     val total = results.flatMap(_.min).sum
     // a filtered run is flagged so its total can't be ingested as a
@@ -158,7 +177,7 @@ object Bench {
     // capture window buy ~3 more queries of headroom at 1-dp values
     val sfShort = sfDir.replaceAll(".*/", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","passes":$passes$errsField$partial}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,

@@ -46,22 +46,35 @@ class BenchIdSpec extends AnyFunSuite {
     // width: Bench.rq prints 1 decimal below 10 s and integer seconds
     // above, so the per-value width is ≤ 3 chars for any query up to
     // 999 s (real sf0.1 per-query mins are < 7 s); full 3-decimal values
-    // live in the bench_runs artifact
-    val entries = ids.map(id => "\"" + id + "\":999").mkString(",")
-    // pessimistic optional fields: Bench bounds the errs field to the 2
-    // WIDEST short ids plus an "ne" count (a run with errors is exactly
-    // when the parsed stdout matters most). ","partial":true" is NOT
-    // modeled: it appears only under SPARK_GRAFT_ONLY — targeted local
-    // re-measures whose record of truth is the bench_runs artifact —
-    // while the driver always runs the full surface
+    // live in the bench_runs artifact. Round 13: Bench caps the stdout
+    // map at the stdoutTopK most expensive queries and folds the rest
+    // into a counted "rq"/"rsum" bucket, so the worst case models the
+    // CAP's entries at the WIDEST ids, not the whole surface — the line
+    // is bounded at any query count. Model at least 200 queries so the
+    // gate stays pessimistic as the surface grows past today's size.
+    val stdoutTopK = 120 // keep in sync with Bench.stdoutTopK
+    val modeled = math.max(200, ids.size)
+    val widest = ids.sortBy(id => (-id.length, id)).take(stdoutTopK)
+    val entries = widest.map(id => "\"" + id + "\":999").mkString(",")
+    // pessimistic optional fields: the rest-bucket at its widest
+    // plausible print (999 cut queries, 4-digit rsum) plus the errs
+    // field, which Bench bounds to the 2 WIDEST short ids and an "ne"
+    // count (a run with errors is exactly when the parsed stdout
+    // matters most). ","partial":true" is NOT modeled: it appears only
+    // under SPARK_GRAFT_ONLY — targeted local re-measures whose record
+    // of truth is the bench_runs artifact — while the driver always
+    // runs the full surface
+    val worstRest = s""","rq":${modeled - stdoutTopK},"rsum":9999.9"""
     val worstErrs = ""","ne":999""" +
       ids.sortBy(-_.length).take(2).map("\"" + _ + "\"")
         .mkString(""","errs":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstErrs}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
-    assert(line.length <= budget,
-      s"worst-case bench stdout line is ${line.length} chars > $budget — " +
-        "shorten ids or reduce value precision before adding more queries")
+    val headroom = 400 // round-12 verdict ask: ≥400 chars spare at the cap
+    assert(line.length <= budget - headroom,
+      s"worst-case bench stdout line is ${line.length} chars > " +
+        s"${budget - headroom} (budget $budget minus $headroom headroom) — " +
+        "lower Bench.stdoutTopK or shorten ids before adding more queries")
   }
 }
