@@ -2197,10 +2197,12 @@ object Dedup {
     // prefixes, so candidate mass is Σ_key prefdf·df, not Σ_key df².
     // Each unordered pair is generated from its unique min side (size,
     // then doc_id on ties — the tied case is symmetric so either
-    // prefix finding it suffices). The PPJoin positional filter rides
-    // along: a qualifying pair's FIRST common element sits inside the
-    // min side's prefix, and at that collision |A∩B| ≤ 1 + |M| − pos,
-    // so requiring 1 + |M| − pos ≥ t·|M| at SOME collision is lossless.
+    // prefix finding it suffices). A PPJoin-style positional filter is
+    // deliberately NOT stacked on top: the one-sided bound
+    // 1 + |M| − pos ≥ t·|M| is implied by the prefix predicate itself
+    // (pos ≤ |M| − ⌈t·|M|⌉ + 1 rearranges to exactly that), and the
+    // genuine two-sided PPJoin filter needs the partner's collision
+    // position too — extra state the exact verify below makes redundant.
     // Hashing keys after ordering only ADDS candidates; the exact
     // verify below decides membership, so output is bit-identical to
     // the plain-index form (ExtSpec asserts it).
@@ -2216,9 +2218,6 @@ object Dedup {
     val prefix = inv.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      // positional bound on the min side alone: 1 + |M| − pos ≥ t·|M|
-      .filter((lit(1L) + col("sz") - col("pos")).cast(DoubleType) >=
-        col("sz") * threshold - 1e-6)
       .select(col("sh"), col("doc_id").as("dp"), col("sz").as("szp"))
     val full = inv.select(col("sh"), col("doc_id").as("df_"),
       col("sz").as("szf"))
@@ -2259,8 +2258,8 @@ object Dedup {
     * downstream boundary — which is exactly why the snippet-in-doc
     * detector built on THESE chunks ([[cdcContainmentPairs]]) scales
     * where the exact shingle-containment join (x123) melts. Returns
-    * (doc_id, seg, fp, n) — md5 chunk fingerprints plus the doc's
-    * distinct-fingerprint count.
+    * (doc_id, seg, fp) — md5 chunk fingerprints; callers derive their
+    * own per-doc counts.
     *
     * Scale shape: one tokenize pass + a per-DOCUMENT running-sum window
     * (partitioned by doc_id — no global sort) + one md5 per chunk.
@@ -2344,6 +2343,93 @@ object Dedup {
         round(col("shared").cast(DoubleType) /
           least(col("na"), col("nb")), 6).as("cont"))
       .filter(col("cont") >= threshold)
+  }
+
+  /** Measured expected containment-candidate mass PER DOCUMENT — the
+    * sampled-probe discipline ([[estimateSimhashCollisionsPerDoc]],
+    * [[estimateWinnowCollisionsPerDoc]]) applied to the x123 family:
+    * shingle a deterministic md5-ordered `sampleSize`-doc sample (docs
+    * carrying ≥ 1 n-shingle), rank each doc's shingles rarest-first,
+    * keep the containment prefix (|A| − ⌈t·|A|⌉ + 1 rarest — exactly
+    * [[containmentPairs]]'s probe side), and count the sample's
+    * prefix-vs-index collision mass Σ over prefix rows of (df − 1),
+    * extrapolated per doc by mass·N/s². This is the Σ_key pdf·df dial
+    * the round-12 probe measured directly: the saturated 100× corpus
+    * whose exact containment join OOM-killed (SCALE.md round 12,
+    * candidate mass 995 M = ×119 over 10×) reads orders of magnitude
+    * over the cutoff here for the price of shingling 1024 docs.
+    *
+    * Engine-portable end to end — md5 sample order, plain string-ranked
+    * shingle dfs (no xxhash: the probe ranks by (df, shingle), which is
+    * deterministic because a doc's distinct-shingle rows can't tie on
+    * both) — so x141's oracle re-derives the statistic and the decision
+    * bit for bit.
+    */
+  private[graft] def estimateContainmentCandidatesPerDoc(docs: DataFrame,
+      n: Int = 3, threshold: Double = 0.9,
+      sampleSize: Int = 1024): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val eligible = docs
+      .filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= n)
+    val nDocs = eligible.count().toDouble
+    if (nDocs < 2) return 0.0
+    val sample = eligible
+      .orderBy(md5(concat(lit("cac:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(sampleSize)
+    val sg = shingled(sample, n).materialized
+    val s = math.min(nDocs, sampleSize.toDouble)
+    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
+      explode(col("sg")).as("s"))
+    val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val row = inv.join(freq, "s")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .agg(sum(col("f") - 1).as("m"))
+      .collect()(0)
+    val mass = if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble
+    mass * nDocs / (s * s)
+  }
+
+  /** Scale-adaptive snippet-in-document containment — the auto story
+    * completing the containment family the way [[jaccardPairsLshAuto]]
+    * completed x07's, [[simhashNearDupAuto]] x82's and
+    * [[substringOverlapAuto]] x41's: the EXACT shingle-containment join
+    * ([[containmentPairs]], x123) while the measured prefix-candidate
+    * mass stays linear-bounded (≤ 32 expected candidates/doc, the
+    * family cutoff), the CDC chunk-fingerprint detector
+    * ([[cdcContainmentPairs]], x140) once it exceeds that. The two
+    * branches share the min-denominator containment contract but NOT
+    * output-identical semantics (3-shingle grain at t vs
+    * discriminative-chunk grain at `cdcThreshold`) — the switch is
+    * about which detector is ANSWERABLE: at vocabulary saturation the
+    * exact join's candidate mass is intrinsically ~n² (measured ×119
+    * decade growth, 100× OOM — SCALE.md round 12) while chunk-fp df is
+    * bounded by true duplication, so the production branch completes
+    * where the exact one cannot. The conf hatch
+    * `spark.graft.containment.mode` pins either shape ("exact" /
+    * "cdc") and skips the probe. The decision changes declared
+    * semantics, so x141's oracle replicates probe + decision + both
+    * chains and selects with the identical comparison.
+    */
+  def containmentAuto(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.9, p: Int = 8,
+      cdcThreshold: Double = 0.5): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val mode = conf.get("spark.graft.containment.mode", "") match {
+      case "" =>
+        if (estimateContainmentCandidatesPerDoc(docs, n, threshold) > 32)
+          "cdc"
+        else "exact"
+      case m => m
+    }
+    mode match {
+      case "exact" => containmentPairs(docs, n, threshold)
+      case "cdc"   => cdcContainmentPairs(docs, p, cdcThreshold)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.containment.mode must be exact or cdc, got $other")
+    }
   }
 
   /** Near-dup THRESHOLD SWEEP — the price sheet read before choosing a

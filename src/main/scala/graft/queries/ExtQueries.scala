@@ -1442,6 +1442,21 @@ object ExtQueries {
       Dedup.cdcContainmentPairs(docs(s, dir), p = 8, threshold = 0.5)
         .orderBy(col("da"), col("db"))),
 
+    // the containment family's auto-switch — x133's sampled-probe
+    // discipline applied to x123: a 1024-doc md5-ordered sample's
+    // ACTUAL prefix-candidate mass (Σ over containment-prefix rows of
+    // df − 1, extrapolated per doc) decides the exact shingle join
+    // (x123) vs the CDC chunk detector (x140, the branch that
+    // completes where the exact join's ~n² saturation mass OOMs —
+    // SCALE.md round 12). Cutoff 32 cand/doc, the family constant; the
+    // decision changes declared semantics, so the oracle replicates
+    // probe + decision + both chains and selects with the identical
+    // comparison.
+    "x141_containment_auto" -> ((s, dir) =>
+      Dedup.containmentAuto(docs(s, dir), n = 3, threshold = 0.9,
+        p = 8, cdcThreshold = 0.5)
+        .orderBy(col("da"), col("db"))),
+
     // the dedup-cutoff price sheet: verified pairs + touched docs at
     // each candidate threshold, riding the cached pair artifact (x06
     // keeps the build cost measured — one-live-builder protocol)
@@ -2147,6 +2162,75 @@ object ExtQueries {
          SELECT * FROM pc WHERE (SELECT e FROM est) > 32) u
        ORDER BY da, db"""
   }
+
+  /** x141's oracle: the containment auto-switch replicated end to end —
+    * the 1024-doc md5-ordered sample, rarest-first containment-prefix
+    * rows, Σ(df − 1) collision mass extrapolated by mass·N/s², cutoff
+    * 32 — then BOTH chains (x123's exact inter/min join, x140's CDC
+    * chunk detector) with the decision selecting between them via the
+    * identical comparison the Spark side applies.
+    */
+  private def containmentAutoSql: String =
+    shingleCte + """,
+       cnn AS (SELECT count(*) AS n FROM sh),
+       cs AS (SELECT doc_id, sg FROM sh
+              ORDER BY md5('cac:' || CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT 1024),
+       cinv AS (SELECT doc_id, len(sg) AS sz, unnest(sg) AS s FROM cs),
+       cdf AS (SELECT s, count(*) AS f FROM cinv GROUP BY s),
+       cpre AS (SELECT cinv.doc_id, cinv.sz, cdf.f,
+                       row_number() OVER (PARTITION BY cinv.doc_id
+                                          ORDER BY cdf.f, cinv.s) AS pos
+                FROM cinv JOIN cdf USING (s)),
+       cmass AS (SELECT coalesce(sum(f - 1), 0) AS m FROM cpre
+                 WHERE pos <= sz - ceil(sz * 0.9) + 1),
+       cest AS (SELECT CAST(m AS DOUBLE) * (SELECT n FROM cnn)
+                       / (CAST((SELECT count(*) FROM cs) AS DOUBLE)
+                          * (SELECT count(*) FROM cs)) AS e
+                FROM cmass),
+       exq AS (SELECT * FROM (
+                 SELECT a.doc_id AS da, b.doc_id AS db,
+                        round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                              least(len(a.sg), len(b.sg)), 6) AS cont
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t0
+               WHERE cont >= 0.9),
+       dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE regexp_matches(text, '\S')),
+       dpos AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS pos
+                FROM dt),
+       dtok AS (SELECT doc_id, pos, ws[pos] AS w,
+                       CASE WHEN CAST('0x' || substr(md5(ws[pos]), 1, 15)
+                                 AS BIGINT) % 8 = 0
+                            THEN 1 ELSE 0 END AS b
+                FROM dpos),
+       dseg AS (SELECT doc_id, pos, w,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+                FROM dtok),
+       dch AS (SELECT doc_id, seg,
+                      md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+               FROM dseg GROUP BY doc_id, seg),
+       dallf AS (SELECT DISTINCT doc_id, fp FROM dch),
+       dhot AS (SELECT fp FROM dallf GROUP BY fp HAVING count(*) > 100),
+       dfps AS (SELECT doc_id, fp FROM dallf
+                WHERE fp NOT IN (SELECT fp FROM dhot)),
+       dcnt AS (SELECT doc_id, count(*) AS n FROM dfps GROUP BY doc_id),
+       dpr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                      ca.n AS na, cb.n AS nb, count(*) AS shared
+               FROM dfps a JOIN dfps b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               JOIN dcnt ca ON ca.doc_id = a.doc_id
+               JOIN dcnt cb ON cb.doc_id = b.doc_id
+               GROUP BY 1, 2, 3, 4),
+       cdq AS (SELECT da, db,
+                      round(shared::DOUBLE / least(na, nb), 6) AS cont
+               FROM dpr
+               WHERE round(shared::DOUBLE / least(na, nb), 6) >= 0.5)
+       SELECT da, db, cont FROM (
+         SELECT * FROM exq WHERE (SELECT e FROM cest) <= 32
+         UNION ALL
+         SELECT * FROM cdq WHERE (SELECT e FROM cest) > 32) u
+       ORDER BY da, db"""
 
   private def winnowPairsSql(k: Int, w: Int, minShared: Long,
       maxDf: Option[Long] = None): String = {
@@ -3787,6 +3871,10 @@ object ExtQueries {
                 round(shared::DOUBLE / least(na, nb), 6) AS cont
          FROM pr WHERE round(shared::DOUBLE / least(na, nb), 6) >= 0.5
          ORDER BY da, db""",
+
+    // mirrors x141: probe + decision + both containment chains,
+    // selected with the identical est <= 32 comparison
+    "x141_containment_auto" -> containmentAutoSql,
 
     // asymmetric containment: inter/min instead of inter/union over
     // the same distinct-shingle sets as x06

@@ -1050,6 +1050,66 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.winnow.maxdf")
   }
 
+  test("x141 containment auto picks the exact join on a dispersed " +
+      "corpus, the CDC detector on a duplicate-saturated one, and the " +
+      "conf hatch pins either") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // per-doc-unique token streams: every shingle df = 1, so the
+    // prefix-candidate mass is zero -> exact branch
+    val clean = (0 until 24).map(i =>
+      (i.toLong, "s",
+        (0 until 8).map(t => md5hex(s"c:$i:$t").take(8)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val cleanEst = Dedup.estimateContainmentCandidatesPerDoc(clean)
+    assert(cleanEst <= 32, s"dispersed corpus must read sub-cutoff: $cleanEst")
+    assert(Dedup.containmentAuto(clean)
+      .as[(Long, Long, Double)].collect().toSet ==
+      Dedup.containmentPairs(clean, 3, 0.9)
+        .as[(Long, Long, Double)].collect().toSet)
+    // 300 docs drawn from a 3-string pool: even each doc's RAREST
+    // shingles carry df = 100, so the containment prefix collides
+    // corpus-wide -- the exact join's ~n^2 saturation regime -> CDC
+    val pool = (0 until 3).map(p =>
+      (0 until 12).map(t => md5hex(s"p:$p:$t").take(8)).mkString(" "))
+    val sat = (0 until 300).map(i => (i.toLong, "s", pool(i % 3)))
+      .toDF("doc_id", "source", "text")
+    val satEst = Dedup.estimateContainmentCandidatesPerDoc(sat)
+    assert(satEst > 32,
+      s"saturated corpus must read past the cutoff: $satEst")
+    assert(Dedup.containmentAuto(sat)
+      .as[(Long, Long, Double)].collect().toSet ==
+      Dedup.cdcContainmentPairs(sat, p = 8, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet)
+    // the declared testdata corpus: auto must equal whichever branch
+    // its measured estimate selects
+    val est = Dedup.estimateContainmentCandidatesPerDoc(docs)
+    val expected =
+      (if (est > 32) Dedup.cdcContainmentPairs(docs, p = 8, threshold = 0.5)
+       else Dedup.containmentPairs(docs, 3, 0.9))
+        .as[(Long, Long, Double)].collect().toSet
+    assert(Dedup.containmentAuto(docs)
+      .as[(Long, Long, Double)].collect().toSet == expected)
+    // conf pins skip the probe and force either shape
+    spark.conf.set("spark.graft.containment.mode", "exact")
+    try {
+      assert(Dedup.containmentAuto(sat)
+        .as[(Long, Long, Double)].collect().toSet ==
+        Dedup.containmentPairs(sat, 3, 0.9)
+          .as[(Long, Long, Double)].collect().toSet)
+      spark.conf.set("spark.graft.containment.mode", "cdc")
+      assert(Dedup.containmentAuto(clean)
+        .as[(Long, Long, Double)].collect().toSet ==
+        Dedup.cdcContainmentPairs(clean, p = 8, threshold = 0.5)
+          .as[(Long, Long, Double)].collect().toSet)
+      spark.conf.set("spark.graft.containment.mode", "bogus")
+      intercept[IllegalArgumentException] {
+        Dedup.containmentAuto(clean)
+      }
+    } finally spark.conf.unset("spark.graft.containment.mode")
+  }
+
   test("x35 declared recall query matches set-computed recall@10") {
     val declared = graft.queries.ExtQueries
       .queries("x35_ann_recall")(spark, sf)
