@@ -1201,7 +1201,14 @@ object Dedup {
           .materialized
         ccMinLabelLoop(edges, maxIters)._1
           .write.mode("overwrite").parquet(s"$path/clusters")
-      } else writeDedupIndex(union, path, n, threshold, maxIters)
+      } else {
+        // same delete-before-first-overwrite discipline as the
+        // incremental branch: rebuild-over-drift overwrites the
+        // artifact dirs in place, so a crash mid-rebuild must leave a
+        // stampless dir, never the stale base stamp over torn files
+        graft.engine.AtRest.deleteStamp(spark, path, DedupMeta)
+        writeDedupIndex(union, path, n, threshold, maxIters)
+      }
     }
   }
 
@@ -1306,9 +1313,18 @@ object Dedup {
     */
   def extendDedupIndexLsh(baseDocs: DataFrame, newDocs: DataFrame,
       path: String, n: Int = 3, threshold: Double = 0.5,
-      maxIters: Int = 50): Boolean = {
+      maxIters: Int = 50, unionView: Option[DataFrame] = None): Boolean = {
     val spark = baseDocs.sparkSession
-    val union = baseDocs.union(newDocs)
+    // `unionView` is the CANONICAL plan of base ∪ batch when the caller
+    // has one (e.g. a flat multi-dir parquet read over every landed
+    // batch): the stamp written after this extension hashes the union's
+    // analyzed plan, so a long-running caller chaining .union() per
+    // batch would deepen the stamped plan — and the next call's
+    // driver-side analysis cost — linearly in batch count. With a flat
+    // view the stamp stays constant-depth and the NEXT extension's
+    // baseDocs (the same flat read) matches it. Rows must equal
+    // baseDocs ∪ newDocs; semantics are unchanged when absent.
+    val union = unionView.getOrElse(baseDocs.union(newDocs))
     val unionParams = lshIndexParams(union, n)
     val unionStamp = dedupLshStamp(union, n, threshold, maxIters,
       unionParams)
@@ -1366,8 +1382,17 @@ object Dedup {
           .materialized
         ccMinLabelLoop(edges, maxIters)._1
           .write.mode("overwrite").parquet(s"$path/clusters")
-      } else writeDedupIndexLsh(union, path, n, threshold, maxIters,
-        Some(unionParams))
+      } else {
+        // rebuild-over-drift mutates the artifact dirs in place, so the
+        // stale base stamp must come off BEFORE the first overwrite
+        // (AtRest.deleteStamp's contract): a crash mid-rebuild then
+        // leaves a stampless dir that forces a clean rebuild, never a
+        // stale stamp pointing at mixed-banding keys a later extend
+        // would silently probe against
+        graft.engine.AtRest.deleteStamp(spark, path, DedupLshMeta)
+        writeDedupIndexLsh(union, path, n, threshold, maxIters,
+          Some(unionParams))
+      }
     }
   }
 

@@ -655,7 +655,14 @@ object Similarity {
           assignCells(newCorpus, centroidRelation(cents))
             .write.mode("append").partitionBy("cell").parquet(path)
         }
-      case _ => ensureIvfIndex(union, path, nCentroids, iters)
+      case _ =>
+        // drift rebuild overwrites the artifact in place: drop the
+        // stale stamp BEFORE ensure's build starts (AtRest.deleteStamp
+        // contract), so a crash mid-rebuild leaves a stampless dir —
+        // never a stale stamp a later extend would trust over torn
+        // partitions
+        graft.engine.AtRest.deleteStamp(spark, path, IvfMeta)
+        ensureIvfIndex(union, path, nCentroids, iters)
     }
   }
 
@@ -759,10 +766,16 @@ object Similarity {
     * any build ran.
     */
   def extendKnnIndex(baseEmb: DataFrame, newEmb: DataFrame, path: String,
-      k: Int, perCell: Int = 250): Boolean = {
+      k: Int, perCell: Int = 250,
+      unionView: Option[DataFrame] = None): Boolean = {
     val spark = baseEmb.sparkSession
     import spark.implicits._
-    val union = baseEmb.union(newEmb)
+    // canonical base ∪ batch plan for the stamp, when the caller has
+    // one (a flat multi-dir parquet read) — same contract as
+    // Dedup.extendDedupIndexLsh's unionView: rows must equal
+    // baseEmb ∪ newEmb; keeps a streaming caller's stamped plan
+    // constant-depth instead of one union deeper per micro-batch
+    val union = unionView.getOrElse(baseEmb.union(newEmb))
     val unionCorpus = knnCorpusPart(union, k, perCell)
     val current = graft.engine.AtRest.readStamp(spark, path, KnnMeta)
     val basePrefix = knnCorpusPart(baseEmb, k, perCell) + "|model="
@@ -806,7 +819,13 @@ object Similarity {
             .write.mode("append").partitionBy("cell")
             .parquet(s"$path/cells")
         }
-      case _ => ensureKnnIndex(union, path, k, perCell)
+      case _ =>
+        // same delete-before-rebuild discipline as extendIvfIndex's
+        // drift arm: the ensure fallback overwrites edges/cells in
+        // place while the old stamp still names the base build — a
+        // crash window a later extend would otherwise trust
+        graft.engine.AtRest.deleteStamp(spark, path, KnnMeta)
+        ensureKnnIndex(union, path, k, perCell)
     }
   }
 

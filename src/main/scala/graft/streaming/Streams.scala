@@ -361,36 +361,113 @@ object Streams {
     * fingerprint them), then either seeds the index
     * ([[graft.ext.Dedup.ensureDedupIndexLsh]]) or extends it
     * ([[graft.ext.Dedup.extendDedupIndexLsh]] — banded-key probe, work
-    * ∝ the batch). The base lineage is chained driver-side
-    * (base := base ∪ batch), so each extension's stamp matches the next
-    * call's expectation and the whole run never re-probes base×base.
+    * ∝ the batch). The driver tracks the LANDED DIRECTORY LIST, not a
+    * chained-union DataFrame: base is one flat
+    * `spark.read.parquet(dirs: _*)` scan each batch, so the analyzed
+    * plan the stamp hashes stays constant-depth at any stream lifetime
+    * (a per-batch `base.union(landed)` chain made stamp analysis — and
+    * analyzer memory — grow linearly in batch count), and the
+    * `unionView` passed to the extension is the same flat read over
+    * dirs ∪ {new}, which is exactly the base plan the NEXT batch
+    * constructs — so stamps keep matching and the run never re-probes
+    * base×base.
     *
-    * Restart semantics are the stamp discipline's: after a checkpoint
-    * recovery the rebuilt base lineage no longer matches the at-rest
-    * stamp, so the FIRST post-restart batch pays one full rebuild and
-    * the loop re-enters incremental mode — never a silent wrong merge,
-    * the same trade [[graft.ext.Dedup.extendDedupIndexLsh]] documents
-    * for out-of-band drift.
+    * Restart semantics: the first batch of a (re)started query LISTS
+    * the existing `corpusDir/b*` directories and seeds over the WHOLE
+    * landed corpus plus the new batch — ensure either reuses a matching
+    * at-rest stamp (clean shutdown ⇒ incremental resume for free) or
+    * pays one full rebuild COVERING every landed batch; previously the
+    * post-restart rebuild covered only the replayed micro-batch, and
+    * every earlier landed batch silently dropped out of the index.
     */
   def dedupIndexStream(docs: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String): StreamingQuery = {
-    var base: Option[DataFrame] = None
+    var dirs: Option[Vector[String]] = None
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        batch.write.mode("overwrite").parquet(s"$corpusDir/b$id")
-        val landed = spark.read.parquet(s"$corpusDir/b$id")
-        base match {
+        val newDir = s"$corpusDir/b$id"
+        batch.write.mode("overwrite").parquet(newDir)
+        dirs match {
           case None =>
-            graft.ext.Dedup.ensureDedupIndexLsh(landed, indexPath)
-            base = Some(landed)
-          case Some(b) =>
-            graft.ext.Dedup.extendDedupIndexLsh(b, landed, indexPath)
-            base = Some(b.union(landed))
+            // (re)start: recover every batch already landed (sorted by
+            // batch id so the seed plan is deterministic); a replayed
+            // batch id is covered by the overwrite above
+            val landed = landedBatchDirs(spark, corpusDir)
+            graft.ext.Dedup.ensureDedupIndexLsh(
+              spark.read.parquet(landed: _*), indexPath)
+            dirs = Some(landed)
+          case Some(prev) =>
+            val all = prev :+ newDir
+            graft.ext.Dedup.extendDedupIndexLsh(
+              spark.read.parquet(prev: _*),
+              spark.read.parquet(newDir), indexPath,
+              unionView = Some(spark.read.parquet(all: _*)))
+            dirs = Some(all)
         }
         ()
       }
       .start()
+  }
+
+  /** [[dedupIndexStream]]'s discipline applied to the at-rest kNN
+    * index (x131/x138's artifact): each embedding micro-batch lands
+    * under `corpusDir/b<id>`, the first batch of a (re)started query
+    * seeds [[graft.ext.Similarity.ensureKnnIndex]] over EVERY landed
+    * batch dir, and later batches run
+    * [[graft.ext.Similarity.extendKnnIndex]] — the batch assigned
+    * against the FROZEN base centroids, only touched cells' edges
+    * recomputed, so per-batch work is ∝ batch + touched-cell mass,
+    * never a re-train. Base is a flat `spark.read.parquet(dirs: _*)`
+    * each batch with the flat union passed as `unionView`, so stamps
+    * stay constant-depth and keep matching across any stream lifetime.
+    * Model refresh stays an OFFLINE decision (an ensure over the union
+    * re-trains — the x138 discipline), exactly the standard IVF
+    * maintenance trade.
+    */
+  def knnIndexStream(emb: DataFrame, corpusDir: String,
+      indexPath: String, checkpoint: String, k: Int = 5,
+      perCell: Int = 250): StreamingQuery = {
+    var dirs: Option[Vector[String]] = None
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val newDir = s"$corpusDir/b$id"
+        batch.write.mode("overwrite").parquet(newDir)
+        dirs match {
+          case None =>
+            val landed = landedBatchDirs(spark, corpusDir)
+            graft.ext.Similarity.ensureKnnIndex(
+              spark.read.parquet(landed: _*), indexPath, k, perCell)
+            dirs = Some(landed)
+          case Some(prev) =>
+            val all = prev :+ newDir
+            graft.ext.Similarity.extendKnnIndex(
+              spark.read.parquet(prev: _*),
+              spark.read.parquet(newDir), indexPath, k, perCell,
+              unionView = Some(spark.read.parquet(all: _*)))
+            dirs = Some(all)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The `b<id>` batch directories already landed under `corpusDir`,
+    * sorted numerically by batch id — the recovery listing
+    * [[dedupIndexStream]] seeds from after a restart. Hadoop FS API so
+    * the corpus dir can live on any cluster filesystem.
+    */
+  private[graft] def landedBatchDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): Vector[String] = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toVector
+      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
+      .map(_.getPath.toString)
   }
 }

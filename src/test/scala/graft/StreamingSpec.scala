@@ -58,6 +58,137 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, _) => a < 10 && b >= 10 })
   }
 
+  test("dedupIndexStream over 20 micro-batches keeps the stamped base " +
+      "plan constant-depth (a flat read over the landed dirs matches " +
+      "the at-rest stamp) and still equals full-batch clustering") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpusDir = Files.createTempDirectory("graft-stream-c20").toString
+    val indexPath = Files.createTempDirectory("graft-stream-i20").toString
+    val ckpt = Files.createTempDirectory("graft-stream-k20").toString
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.dedupIndexStream(
+      src.toDF().toDF("doc_id", "source", "text"),
+      corpusDir, indexPath, ckpt)
+    (0 until 20).foreach { i =>
+      // every third doc is a near-dup of doc 0's template so pairs
+      // keep straddling batch boundaries through the whole run
+      val text =
+        if (i % 3 == 0) s"alpha beta gamma delta epsilon token$i"
+        else s"unique words nr$i only here body content tail$i"
+      src.addData((i.toLong, "s", text))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val dirs = Streams.landedBatchDirs(spark, corpusDir)
+    assert(dirs.size == 20)
+    val all = spark.read.parquet(dirs: _*)
+    // THE constant-depth invariant: after 20 incremental extensions the
+    // at-rest stamp must match an ensure over a FLAT read of the landed
+    // corpus — a plan whose analyzed node count is independent of batch
+    // count — i.e. ensure finds nothing to rebuild. Under the old
+    // chained base.union(landed) lineage the stamp hashed a 20-deep
+    // union and this ensure would re-run the whole build.
+    assert(!Dedup.ensureDedupIndexLsh(all, indexPath),
+      "flat-read ensure must match the streamed stamp (no rebuild)")
+    val streamed = Dedup.readDedupClusters(all, indexPath)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Dedup
+      .dedupClusters(all, Dedup.jaccardPairsIndexHashed(all, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("dedupIndexStream restart: the first batch of a restarted query " +
+      "seeds over EVERY landed batch dir, so earlier batches never " +
+      "drop out of the index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpusDir = Files.createTempDirectory("graft-stream-cr").toString
+    val indexPath = Files.createTempDirectory("graft-stream-ir").toString
+    val src1 = MemoryStream[(Long, String, String)]
+    val q1 = Streams.dedupIndexStream(
+      src1.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
+      Files.createTempDirectory("graft-stream-kr1").toString)
+    src1.addData((1L, "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s", "alpha beta gamma delta epsilon eta"))
+    q1.processAllAvailable()
+    src1.addData((3L, "s", "totally different text entirely other words"))
+    q1.processAllAvailable()
+    q1.stop()
+    // "restarted" query: fresh driver state, same corpus + index dirs.
+    // Its batch ids restart at 0, so b0 is overwritten — what matters
+    // is that b1 (NOT part of the new stream) stays in the index.
+    val src2 = MemoryStream[(Long, String, String)]
+    val q2 = Streams.dedupIndexStream(
+      src2.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
+      Files.createTempDirectory("graft-stream-kr2").toString)
+    src2.addData(
+      (10L, "s", "totally different text entirely other words too"))
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read
+      .parquet(Streams.landedBatchDirs(spark, corpusDir): _*)
+    // doc 3 (landed before the restart, absent from the new stream's
+    // batches) must cluster with doc 10 — the pre-fix behavior rebuilt
+    // over ONLY the restarted batch and under-labeled exactly this row
+    val streamed = Dedup.readDedupClusters(all, indexPath)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Dedup
+      .dedupClusters(all, Dedup.jaccardPairsIndexHashed(all, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    val pairs = Dedup.readDedupPairs(spark, indexPath)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.exists { case (a, b, _) => a == 3L && b == 10L },
+      s"restart seed must cover pre-restart batches: $pairs")
+  }
+
+  test("knnIndexStream seeds on batch 0 and extends with the frozen " +
+      "base model: 3-batch stream edges equal a from-scratch cell-local " +
+      "build over the union with the batch-0-trained centroids; an " +
+      "ensure over the union re-trains (model drift)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val corpusDir = Files.createTempDirectory("graft-stream-knc").toString
+    val indexPath = Files.createTempDirectory("graft-stream-kni").toString
+    val all = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.knnIndexStream(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir, indexPath,
+      Files.createTempDirectory("graft-stream-knk").toString, k = 3)
+    src.addData(all.filter(_._1 < 30): _*)
+    q.processAllAvailable()
+    src.addData(all.filter(t => t._1 >= 30 && t._1 < 45): _*)
+    q.processAllAvailable()
+    src.addData(all.filter(_._1 >= 45): _*)
+    q.processAllAvailable()
+    q.stop()
+    val dirs = Streams.landedBatchDirs(spark, corpusDir)
+    assert(dirs.size == 3)
+    val union = spark.read.parquet(dirs: _*)
+    // frozen-model semantics: the streamed edges equal a from-scratch
+    // cell-local build over the union ASSIGNED WITH THE BATCH-0-TRAINED
+    // centroids (extensions never re-train)
+    val base = spark.read.parquet(dirs.head)
+    val baseCents = Similarity.trainCentroids(base,
+      Similarity.adaptiveCellCount(base))
+    val inc = Similarity.readKnnEdges(spark, indexPath)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val scratch = Similarity.cachedKnnEdges(union, baseCents, 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == scratch && scratch.nonEmpty)
+    assert(spark.read.parquet(s"$indexPath/cells").count() == 60)
+    // the flat-read stamp invariant, kNN flavor: an extend whose base
+    // is the flat landed corpus minus nothing new no-ops — and model
+    // refresh stays an OFFLINE ensure, which detects the drifted model
+    // term and re-trains
+    assert(Similarity.ensureKnnIndex(union, indexPath, k = 3),
+      "ensure over the streamed union must re-train the model")
+  }
+
   test("windowed event counts aggregate per window and type") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
