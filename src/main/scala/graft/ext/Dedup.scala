@@ -2372,17 +2372,26 @@ object Dedup {
 
   /** Measured expected containment-candidate mass PER DOCUMENT — the
     * sampled-probe discipline ([[estimateSimhashCollisionsPerDoc]],
-    * [[estimateWinnowCollisionsPerDoc]]) applied to the x123 family:
-    * shingle a deterministic md5-ordered `sampleSize`-doc sample (docs
-    * carrying ≥ 1 n-shingle), rank each doc's shingles rarest-first,
-    * keep the containment prefix (|A| − ⌈t·|A|⌉ + 1 rarest — exactly
-    * [[containmentPairs]]'s probe side), and count the sample's
-    * prefix-vs-index collision mass Σ over prefix rows of (df − 1),
-    * extrapolated per doc by mass·N/s². This is the Σ_key pdf·df dial
-    * the round-12 probe measured directly: the saturated 100× corpus
-    * whose exact containment join OOM-killed (SCALE.md round 12,
-    * candidate mass 995 M = ×119 over 10×) reads orders of magnitude
-    * over the cutoff here for the price of shingling 1024 docs.
+    * [[estimateWinnowCollisionsPerDoc]]) applied to the x123 family,
+    * with one structural difference the rarest-first prefix forces:
+    * document frequencies come from the FULL corpus (one linear
+    * partial-aggregated shingle→count pass, [[boilerplateStats]]'s cost
+    * class), and only the per-doc prefix side is sampled. A
+    * sample-local df CANNOT see this family's saturation — rarest-first
+    * prefixes pick exactly the shingles that look unique inside any
+    * 1024-doc sample even when their corpus-wide df is in the
+    * thousands (measured: the saturated 100× corpus read 1.4 cand/doc
+    * under sample-local dfs vs the ~2 000/doc its 995 M-candidate
+    * OOM-killed join actually carries — SCALE.md round 13), so the
+    * density² extrapolation that is unbiased for the winnow/simhash
+    * probes is biased arbitrarily low here.
+    *
+    * Statistic: shingle a deterministic md5-ordered `sampleSize`-doc
+    * sample (docs carrying ≥ 1 n-shingle), rank each sampled doc's
+    * shingles rarest-first BY CORPUS df, keep the containment prefix
+    * (|A| − ⌈t·|A|⌉ + 1 rarest — exactly [[containmentPairs]]'s probe
+    * side), and average Σ over prefix rows of (df − 1) per sampled doc
+    * — the expected per-doc candidate count directly, no extrapolation.
     *
     * Engine-portable end to end — md5 sample order, plain string-ranked
     * shingle dfs (no xxhash: the probe ranks by (df, shingle), which is
@@ -2394,19 +2403,26 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.9,
       sampleSize: Int = 1024): Double = {
     import org.apache.spark.sql.expressions.Window
-    val eligible = docs
-      .filter(size(graft.ext.TextAnalysis.tokens(col("text"))) >= n)
-    val nDocs = eligible.count().toDouble
-    if (nDocs < 2) return 0.0
-    val sample = eligible
+    // deliberately NOT materialized corpus-wide: the probe re-derives
+    // shingles per pass (df, sample top-k) — two corpus scans — instead
+    // of persisting a corpus-sized shingle relation just to decide a
+    // branch; the df aggregate is partial (map-side combined) so the
+    // only shuffle is vocabulary-bounded, and the sample is a per-
+    // partition top-k. Only the ≤ sampleSize-row sample materializes.
+    val sg = shingled(docs, n)
+    val freq = sg.select(explode(col("sg")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val sample = sg
       .orderBy(md5(concat(lit("cac:"), col("doc_id").cast("string"))),
         col("doc_id"))
       .limit(sampleSize)
-    val sg = shingled(sample, n).materialized
-    val s = math.min(nDocs, sampleSize.toDouble)
-    val inv = sg.select(col("doc_id"), size(col("sg")).as("sz"),
+      .materialized
+    // the post-limit row count IS min(eligible, sampleSize) — no
+    // separate corpus-wide count pass needed
+    val s = sample.count().toDouble
+    if (s < 2) return 0.0
+    val inv = sample.select(col("doc_id"), size(col("sg")).as("sz"),
       explode(col("sg")).as("s"))
-    val freq = inv.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
     val row = inv.join(freq, "s")
       .withColumn("pos", row_number().over(w))
@@ -2414,7 +2430,7 @@ object Dedup {
       .agg(sum(col("f") - 1).as("m"))
       .collect()(0)
     val mass = if (row.isNullAt(0)) 0.0 else row.getLong(0).toDouble
-    mass * nDocs / (s * s)
+    mass / s
   }
 
   /** Scale-adaptive snippet-in-document containment — the auto story

@@ -2164,29 +2164,32 @@ object ExtQueries {
   }
 
   /** x141's oracle: the containment auto-switch replicated end to end —
-    * the 1024-doc md5-ordered sample, rarest-first containment-prefix
-    * rows, Σ(df − 1) collision mass extrapolated by mass·N/s², cutoff
-    * 32 — then BOTH chains (x123's exact inter/min join, x140's CDC
-    * chunk detector) with the decision selecting between them via the
-    * identical comparison the Spark side applies.
+    * FULL-corpus shingle dfs (the rarest-first prefix makes
+    * sample-local dfs blind to saturation — see
+    * estimateContainmentCandidatesPerDoc), the 1024-doc md5-ordered
+    * sample's rarest-first containment-prefix rows, per-sampled-doc
+    * mean Σ(df − 1) candidate mass, cutoff 32 — then BOTH chains
+    * (x123's exact inter/min join, x140's CDC chunk detector) with the
+    * decision selecting between them via the identical comparison the
+    * Spark side applies.
     */
   private def containmentAutoSql: String =
     shingleCte + """,
-       cnn AS (SELECT count(*) AS n FROM sh),
+       cdf AS (SELECT s, count(*) AS f
+               FROM (SELECT doc_id, unnest(sg) AS s FROM sh)
+               GROUP BY s),
        cs AS (SELECT doc_id, sg FROM sh
               ORDER BY md5('cac:' || CAST(doc_id AS VARCHAR)), doc_id
               LIMIT 1024),
        cinv AS (SELECT doc_id, len(sg) AS sz, unnest(sg) AS s FROM cs),
-       cdf AS (SELECT s, count(*) AS f FROM cinv GROUP BY s),
        cpre AS (SELECT cinv.doc_id, cinv.sz, cdf.f,
                        row_number() OVER (PARTITION BY cinv.doc_id
                                           ORDER BY cdf.f, cinv.s) AS pos
                 FROM cinv JOIN cdf USING (s)),
        cmass AS (SELECT coalesce(sum(f - 1), 0) AS m FROM cpre
                  WHERE pos <= sz - ceil(sz * 0.9) + 1),
-       cest AS (SELECT CAST(m AS DOUBLE) * (SELECT n FROM cnn)
-                       / (CAST((SELECT count(*) FROM cs) AS DOUBLE)
-                          * (SELECT count(*) FROM cs)) AS e
+       cest AS (SELECT CAST(m AS DOUBLE)
+                       / (SELECT count(*) FROM cs) AS e
                 FROM cmass),
        exq AS (SELECT * FROM (
                  SELECT a.doc_id AS da, b.doc_id AS db,
