@@ -671,6 +671,62 @@ class ExtSpec extends AnyFunSuite {
       "rewritten corpus files must invalidate the stamp")
   }
 
+  test("extendKnnIndex 90/10 production shape: a small batch rewrites " +
+      "ONLY its touched cell= edge partitions (untouched partitions " +
+      "keep their exact files) and edges equal the frozen-model build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-9010")
+      .toString
+    // 5 well-separated clusters; the 10% batch lands entirely in
+    // cluster 0, so the extension must touch a strict subset of cells
+    def pt(c: Int, j: Int): Seq[Float] = {
+      val a = c * 2 * math.Pi / 5
+      Seq((math.cos(a) + 0.01 * (j % 3)).toFloat,
+        (math.sin(a) + 0.01 * (j % 5)).toFloat, 0.0f)
+    }
+    val base = (0 until 90).map(i => (i.toLong, pt(i % 5, i)))
+      .toDF("vec_id", "embedding")
+    val batch = (90 until 100).map(i => (i.toLong, pt(0, i)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.ensureKnnIndex(base, dir, k = 3))
+    def edgeFiles(): Map[String, Set[(String, Long, Long)]] =
+      new java.io.File(s"$dir/edges").listFiles()
+        .filter(_.getName.startsWith("cell=")).map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length, f.lastModified)).toSet
+        }.toMap
+    val before = edgeFiles()
+    assert(before.size >= 3, s"need several cells, got ${before.size}")
+    assert(Similarity.extendKnnIndex(base, batch, dir, k = 3),
+      "matching base stamp must extend")
+    val touched = Similarity
+      .cellAssignments(batch, Similarity.readKnnCentroids(spark, dir))
+      .select($"cell").distinct().as[Long].collect()
+      .map(c => s"cell=$c").toSet
+    assert(touched.nonEmpty && touched.size < before.size,
+      s"batch must touch a strict subset of cells: $touched")
+    val after = edgeFiles()
+    // per-batch write work ∝ touched-cell mass: dynamic partition
+    // overwrite must leave every untouched cell's files byte-for-byte
+    // alone (same names, lengths, mtimes)
+    (before.keySet -- touched).foreach { c =>
+      assert(after(c) == before(c),
+        s"untouched partition $c was rewritten by the extension")
+    }
+    touched.foreach { c =>
+      assert(after.contains(c) && after(c) != before.getOrElse(c, Set()),
+        s"touched partition $c was not recomputed")
+    }
+    // and the result still equals the frozen-model from-scratch build
+    val baseCents = Similarity.trainCentroids(base,
+      Similarity.adaptiveCellCount(base))
+    val inc = Similarity.readKnnEdges(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val scratch = Similarity
+      .cachedKnnEdges(base.union(batch), baseCents, 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == scratch && scratch.nonEmpty)
+  }
+
   test("extendKnnIndex: incremental edges equal a from-scratch build " +
       "over the union with the base centroids; repeat extend no-ops; " +
       "ensure over the union re-trains (model drift)") {
