@@ -65,6 +65,46 @@ object AtRest {
     ()
   }
 
+  /** The shared INCREMENTAL-EXTENSION protocol over a stamped artifact
+    * — the one place the stamp/crash/drift discipline lives, so the
+    * four at-rest families (exact dedup pairs, LSH dedup keys, kNN
+    * edges+centroids, IVF corpus) cannot drift apart:
+    *
+    *  1. if the current stamp already `coversUnion` → no-op (false);
+    *  2. else if `extendFrom(currentStamp)` recognizes the artifact as
+    *     this extension's base, the returned in-place mutation runs —
+    *     with the stamp DELETED first (a crash mid-mutation leaves a
+    *     stampless dir that forces a clean rebuild, never a stale stamp
+    *     over half-extended files) and the returned union stamp written
+    *     only AFTER it completes;
+    *  3. else the stale stamp (if any) comes off and `rebuild` runs —
+    *     same crash argument: rebuild-over-drift overwrites artifact
+    *     dirs in place, so the window between first overwrite and
+    *     re-stamp must be stampless. `rebuild` does its own stamping
+    *     (typically via [[ensureStamped]] or a family `ensure*`).
+    *
+    * `extendFrom` is invoked at most once and ONLY when the union isn't
+    * covered, so base-side probe work (e.g. a sampled banding decision)
+    * stays off the no-op path. Returns true when any build ran.
+    */
+  def extendStamped(spark: SparkSession, path: String, metaName: String,
+      coversUnion: String => Boolean,
+      extendFrom: String => Option[(String, () => Unit)])(
+      rebuild: => Boolean): Boolean = {
+    val current = readStamp(spark, path, metaName)
+    if (current.exists(coversUnion)) false
+    else current.flatMap(extendFrom) match {
+      case Some((unionStamp, mutate)) =>
+        deleteStamp(spark, path, metaName)
+        ensureStamped(spark, path, metaName, unionStamp, force = true) {
+          mutate()
+        }
+      case None =>
+        deleteStamp(spark, path, metaName)
+        rebuild
+    }
+  }
+
   def ensureStamped(spark: SparkSession, path: String, metaName: String,
       stamp: String, force: Boolean)(build: => Unit): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(path, metaName)

@@ -1168,45 +1168,39 @@ object Dedup {
     val spark = baseDocs.sparkSession
     val union = baseDocs.union(newDocs)
     val unionStamp = dedupStamp(union, n, threshold, maxIters)
-    graft.engine.AtRest.ensureStamped(spark, path, DedupMeta,
-      unionStamp, force = false) {
-      val baseStamp = dedupStamp(baseDocs, n, threshold, maxIters)
-      if (graft.engine.AtRest.readStamp(spark, path, DedupMeta)
-          .contains(baseStamp)) {
-        // the extension MUTATES artifacts it also reads, so the base
-        // stamp comes off BEFORE the first overwrite: a crash anywhere
-        // below leaves a stampless dir and the retry full-rebuilds,
-        // instead of re-matching the base stamp against half-extended
-        // pairs and unioning the batch pairs onto themselves
-        graft.engine.AtRest.deleteStamp(spark, path, DedupMeta)
-        // materialized BEFORE the overwrite below deletes the files
-        // they were read from
-        val basePairs = readDedupPairs(spark, path).materialized
-        val sgBatch = shingled(newDocs, n).materialized
-        val batchPrefix = prefixIndexRows(sgBatch, threshold)
-        val pairs = basePairs
-          .unionByName(newDocPairs(baseDocs,
-            spark.read.parquet(s"$path/prefix"), sgBatch, batchPrefix,
-            n, threshold))
-          .materialized
-        pairs.write.mode("overwrite").parquet(s"$path/pairs")
-        // roll the at-rest prefix index forward too (append — the batch
-        // rows only), so the NEXT extension probes base∪batch without
-        // any rebuild; computed purely from sgBatch, never reading the
-        // files it appends to
-        batchPrefix.write.mode("append").parquet(s"$path/prefix")
-        val p = pairs.select(col("da"), col("db"))
-        val edges = p.toDF("src", "dst")
-          .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-          .materialized
-        ccMinLabelLoop(edges, maxIters)._1
-          .write.mode("overwrite").parquet(s"$path/clusters")
-      } else {
-        // same delete-before-first-overwrite discipline as the
-        // incremental branch: rebuild-over-drift overwrites the
-        // artifact dirs in place, so a crash mid-rebuild must leave a
-        // stampless dir, never the stale base stamp over torn files
-        graft.engine.AtRest.deleteStamp(spark, path, DedupMeta)
+    // the stamp/crash/drift protocol lives in AtRest.extendStamped;
+    // this body only states WHAT extends and WHAT rebuilds
+    graft.engine.AtRest.extendStamped(spark, path, DedupMeta,
+      coversUnion = _ == unionStamp,
+      extendFrom = s =>
+        if (s == dedupStamp(baseDocs, n, threshold, maxIters))
+          Some((unionStamp, () => {
+            // materialized BEFORE the overwrite below deletes the files
+            // they were read from
+            val basePairs = readDedupPairs(spark, path).materialized
+            val sgBatch = shingled(newDocs, n).materialized
+            val batchPrefix = prefixIndexRows(sgBatch, threshold)
+            val pairs = basePairs
+              .unionByName(newDocPairs(baseDocs,
+                spark.read.parquet(s"$path/prefix"), sgBatch, batchPrefix,
+                n, threshold))
+              .materialized
+            pairs.write.mode("overwrite").parquet(s"$path/pairs")
+            // roll the at-rest prefix index forward too (append — the
+            // batch rows only), so the NEXT extension probes base∪batch
+            // without any rebuild; computed purely from sgBatch, never
+            // reading the files it appends to
+            batchPrefix.write.mode("append").parquet(s"$path/prefix")
+            val p = pairs.select(col("da"), col("db"))
+            val edges = p.toDF("src", "dst")
+              .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+              .materialized
+            ccMinLabelLoop(edges, maxIters)._1
+              .write.mode("overwrite").parquet(s"$path/clusters")
+          }))
+        else None) {
+      graft.engine.AtRest.ensureStamped(spark, path, DedupMeta,
+        unionStamp, force = true) {
         writeDedupIndex(union, path, n, threshold, maxIters)
       }
     }
@@ -1328,68 +1322,65 @@ object Dedup {
     val unionParams = lshIndexParams(union, n)
     val unionStamp = dedupLshStamp(union, n, threshold, maxIters,
       unionParams)
-    graft.engine.AtRest.ensureStamped(spark, path, DedupLshMeta,
-      unionStamp, force = false) {
-      val baseParams = lshIndexParams(baseDocs, n)
-      val baseStamp = dedupLshStamp(baseDocs, n, threshold, maxIters,
-        baseParams)
+    graft.engine.AtRest.extendStamped(spark, path, DedupLshMeta,
+      coversUnion = _ == unionStamp,
       // extend only when the at-rest keys were hashed under the SAME
       // banding the union build would use — a probe that flips the
       // banding between base and union (a corpus crossing saturation)
       // must rebuild, never mix key spaces
-      if (graft.engine.AtRest.readStamp(spark, path, DedupLshMeta)
-          .contains(baseStamp) && baseParams == unionParams) {
-        graft.engine.AtRest.deleteStamp(spark, path, DedupLshMeta)
-        val basePairs = readDedupPairs(spark, path).materialized
-        val sgBatch = shingled(newDocs, n).materialized
-        val batchKeys = bandedKeys(sgBatch, baseParams._1, baseParams._2)
-          .materialized
-        // batch-internal pairs: the same banded semantics over the
-        // batch alone
-        val internal = lshPairsFromBanded(sgBatch, batchKeys, threshold)
-        // batch×base: band-key equi-join against the at-rest index
-        val baseKeys = spark.read.parquet(s"$path/bands")
-        val cand = batchKeys
-          .select(col("band"), col("bkey"), col("doc_id").as("na"),
-            col("sz").as("sza"))
-          .join(baseKeys.select(col("band"), col("bkey"),
-            col("doc_id").as("nb"), col("sz").as("szb")),
-            Seq("band", "bkey"))
-          .filter(least(col("sza"), col("szb")).cast(DoubleType) /
-            greatest(col("sza"), col("szb")) >= threshold - 1e-6)
-          .select(col("na"), col("nb")).distinct()
-          .materialized
-        val sgBaseCand = shingled(
-          baseDocs.join(cand.select(col("nb").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi"), n)
-        val cross = cand
-          .join(sgBatch.select(col("doc_id").as("na"),
-            col("sg").as("sga")), "na")
-          .join(sgBaseCand.select(col("doc_id").as("nb"),
-            col("sg").as("sgb")), "nb")
-          .select(col("na"), col("nb"),
-            round(jaccard(col("sga"), col("sgb")), 6).as("j"))
-          .filter(col("j") >= threshold)
-          .select(least(col("na"), col("nb")).as("da"),
-            greatest(col("na"), col("nb")).as("db"), col("j"))
-        val pairs = basePairs.unionByName(internal.unionByName(cross))
-          .materialized
-        pairs.write.mode("overwrite").parquet(s"$path/pairs")
-        batchKeys.write.mode("append").parquet(s"$path/bands")
-        val p = pairs.select(col("da"), col("db"))
-        val edges = p.toDF("src", "dst")
-          .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-          .materialized
-        ccMinLabelLoop(edges, maxIters)._1
-          .write.mode("overwrite").parquet(s"$path/clusters")
-      } else {
-        // rebuild-over-drift mutates the artifact dirs in place, so the
-        // stale base stamp must come off BEFORE the first overwrite
-        // (AtRest.deleteStamp's contract): a crash mid-rebuild then
-        // leaves a stampless dir that forces a clean rebuild, never a
-        // stale stamp pointing at mixed-banding keys a later extend
-        // would silently probe against
-        graft.engine.AtRest.deleteStamp(spark, path, DedupLshMeta)
+      extendFrom = s => {
+        val baseParams = lshIndexParams(baseDocs, n)
+        if (s == dedupLshStamp(baseDocs, n, threshold, maxIters,
+            baseParams) && baseParams == unionParams)
+          Some((unionStamp, () => {
+            val basePairs = readDedupPairs(spark, path).materialized
+            val sgBatch = shingled(newDocs, n).materialized
+            val batchKeys = bandedKeys(sgBatch, baseParams._1,
+              baseParams._2).materialized
+            // batch-internal pairs: the same banded semantics over the
+            // batch alone
+            val internal = lshPairsFromBanded(sgBatch, batchKeys,
+              threshold)
+            // batch×base: band-key equi-join against the at-rest index
+            val baseKeys = spark.read.parquet(s"$path/bands")
+            val cand = batchKeys
+              .select(col("band"), col("bkey"), col("doc_id").as("na"),
+                col("sz").as("sza"))
+              .join(baseKeys.select(col("band"), col("bkey"),
+                col("doc_id").as("nb"), col("sz").as("szb")),
+                Seq("band", "bkey"))
+              .filter(least(col("sza"), col("szb")).cast(DoubleType) /
+                greatest(col("sza"), col("szb")) >= threshold - 1e-6)
+              .select(col("na"), col("nb")).distinct()
+              .materialized
+            val sgBaseCand = shingled(
+              baseDocs.join(cand.select(col("nb").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi"), n)
+            val cross = cand
+              .join(sgBatch.select(col("doc_id").as("na"),
+                col("sg").as("sga")), "na")
+              .join(sgBaseCand.select(col("doc_id").as("nb"),
+                col("sg").as("sgb")), "nb")
+              .select(col("na"), col("nb"),
+                round(jaccard(col("sga"), col("sgb")), 6).as("j"))
+              .filter(col("j") >= threshold)
+              .select(least(col("na"), col("nb")).as("da"),
+                greatest(col("na"), col("nb")).as("db"), col("j"))
+            val pairs = basePairs.unionByName(internal.unionByName(cross))
+              .materialized
+            pairs.write.mode("overwrite").parquet(s"$path/pairs")
+            batchKeys.write.mode("append").parquet(s"$path/bands")
+            val p = pairs.select(col("da"), col("db"))
+            val edges = p.toDF("src", "dst")
+              .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+              .materialized
+            ccMinLabelLoop(edges, maxIters)._1
+              .write.mode("overwrite").parquet(s"$path/clusters")
+          }))
+        else None
+      }) {
+      graft.engine.AtRest.ensureStamped(spark, path, DedupLshMeta,
+        unionStamp, force = true) {
         writeDedupIndexLsh(union, path, n, threshold, maxIters,
           Some(unionParams))
       }

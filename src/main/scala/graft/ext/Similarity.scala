@@ -639,30 +639,25 @@ object Similarity {
     val spark = baseCorpus.sparkSession
     val union = baseCorpus.union(newCorpus)
     val unionCorpus = ivfCorpusPart(union, nCentroids, iters)
-    val current = graft.engine.AtRest.readStamp(spark, path, IvfMeta)
     val basePrefix = ivfCorpusPart(baseCorpus, nCentroids, iters) +
       "|model="
-    if (current.exists(_.startsWith(unionCorpus + "|model="))) false
-    else current match {
-      case Some(stamp) if stamp.startsWith(basePrefix) =>
-        val model = stamp.substring(basePrefix.length)
-        graft.engine.AtRest.deleteStamp(spark, path, IvfMeta)
-        graft.engine.AtRest.ensureStamped(spark, path, IvfMeta,
-          unionCorpus + "|model=" + model, force = true) {
-          val cents = spark.read.parquet(s"$path/_centroids")
-          // the exact row shape writeIvfIndex persists: (cid, ce, cn)
-          // under the cell= partition column
-          assignCells(newCorpus, centroidRelation(cents))
-            .write.mode("append").partitionBy("cell").parquet(path)
-        }
-      case _ =>
-        // drift rebuild overwrites the artifact in place: drop the
-        // stale stamp BEFORE ensure's build starts (AtRest.deleteStamp
-        // contract), so a crash mid-rebuild leaves a stampless dir —
-        // never a stale stamp a later extend would trust over torn
-        // partitions
-        graft.engine.AtRest.deleteStamp(spark, path, IvfMeta)
-        ensureIvfIndex(union, path, nCentroids, iters)
+    // AtRest.extendStamped owns the stamp/crash/drift protocol; the
+    // model term rides from the base stamp into the union stamp — an
+    // extension NEVER re-trains (the standard IVF maintenance trade)
+    graft.engine.AtRest.extendStamped(spark, path, IvfMeta,
+      coversUnion = _.startsWith(unionCorpus + "|model="),
+      extendFrom = stamp =>
+        if (stamp.startsWith(basePrefix))
+          Some((unionCorpus + "|model=" + stamp.substring(basePrefix.length),
+            () => {
+              val cents = spark.read.parquet(s"$path/_centroids")
+              // the exact row shape writeIvfIndex persists: (cid, ce,
+              // cn) under the cell= partition column
+              assignCells(newCorpus, centroidRelation(cents))
+                .write.mode("append").partitionBy("cell").parquet(path)
+            }))
+        else None) {
+      ensureIvfIndex(union, path, nCentroids, iters)
     }
   }
 
@@ -777,15 +772,17 @@ object Similarity {
     // constant-depth instead of one union deeper per micro-batch
     val union = unionView.getOrElse(baseEmb.union(newEmb))
     val unionCorpus = knnCorpusPart(union, k, perCell)
-    val current = graft.engine.AtRest.readStamp(spark, path, KnnMeta)
     val basePrefix = knnCorpusPart(baseEmb, k, perCell) + "|model="
-    if (current.exists(_.startsWith(unionCorpus + "|model="))) false
-    else current match {
-      case Some(stamp) if stamp.startsWith(basePrefix) =>
-        val model = stamp.substring(basePrefix.length)
-        graft.engine.AtRest.deleteStamp(spark, path, KnnMeta)
-        graft.engine.AtRest.ensureStamped(spark, path, KnnMeta,
-          unionCorpus + "|model=" + model, force = true) {
+    // AtRest.extendStamped owns the stamp/crash/drift protocol; the
+    // model term rides from the base stamp into the union stamp —
+    // extensions keep the frozen model, only an ensure-over-union
+    // re-trains
+    graft.engine.AtRest.extendStamped(spark, path, KnnMeta,
+      coversUnion = _.startsWith(unionCorpus + "|model="),
+      extendFrom = stamp =>
+        if (stamp.startsWith(basePrefix))
+          Some((unionCorpus + "|model=" + stamp.substring(basePrefix.length),
+            () => {
           val cents = readKnnCentroids(spark, path)
           val assignedBatch = assignCells(newEmb, centroidRelation(cents))
             .materialized
@@ -818,14 +815,9 @@ object Similarity {
             .select(col("cid"), col("ce").as("embedding"), col("cell"))
             .write.mode("append").partitionBy("cell")
             .parquet(s"$path/cells")
-        }
-      case _ =>
-        // same delete-before-rebuild discipline as extendIvfIndex's
-        // drift arm: the ensure fallback overwrites edges/cells in
-        // place while the old stamp still names the base build — a
-        // crash window a later extend would otherwise trust
-        graft.engine.AtRest.deleteStamp(spark, path, KnnMeta)
-        ensureKnnIndex(union, path, k, perCell)
+            }))
+        else None) {
+      ensureKnnIndex(union, path, k, perCell)
     }
   }
 
