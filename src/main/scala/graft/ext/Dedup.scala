@@ -1244,6 +1244,21 @@ object Dedup {
       docs.queryExecution.analyzed.semanticHash(), n, threshold, maxIters,
       params._1, params._2, 1).mkString(":")
 
+  /** The (numHashes, bands) a [[dedupLshStamp]] was written under —
+    * the at-rest keys' actual banding, read back from the sidecar so an
+    * extension never has to RE-PROBE the base corpus to reconstruct it
+    * (a redundant corpus scan per batch, and stricter than the
+    * soundness invariant: what extension needs is at-rest banding ==
+    * the banding the union build would use, not that a fresh base
+    * probe would still pick the stamped value).
+    */
+  private def lshStampParams(stamp: String): Option[(Int, Int)] = {
+    val f = stamp.split(":")
+    if (f.length == 8)
+      scala.util.Try((f(5).toInt, f(6).toInt)).toOption
+    else None
+  }
+
   /** The LSH-keyed at-rest near-dup index — [[writeDedupIndex]] with
     * banded minhash keys (`path/bands`) in place of the exact prefix
     * index (`path/prefix`) as the persisted probe structure. Pairs are
@@ -1327,16 +1342,20 @@ object Dedup {
       // extend only when the at-rest keys were hashed under the SAME
       // banding the union build would use — a probe that flips the
       // banding between base and union (a corpus crossing saturation)
-      // must rebuild, never mix key spaces
+      // must rebuild, never mix key spaces. The base's banding is
+      // PARSED FROM THE STAMP (it is the at-rest keys' ground truth),
+      // not re-probed: a streaming caller extends per micro-batch, and
+      // the old fresh-probe-of-base cost one corpus scan per batch
       extendFrom = s => {
-        val baseParams = lshIndexParams(baseDocs, n)
-        if (s == dedupLshStamp(baseDocs, n, threshold, maxIters,
-            baseParams) && baseParams == unionParams)
+        val baseParams = lshStampParams(s)
+        if (baseParams.contains(unionParams) &&
+            s == dedupLshStamp(baseDocs, n, threshold, maxIters,
+              unionParams))
           Some((unionStamp, () => {
             val basePairs = readDedupPairs(spark, path).materialized
             val sgBatch = shingled(newDocs, n).materialized
-            val batchKeys = bandedKeys(sgBatch, baseParams._1,
-              baseParams._2).materialized
+            val batchKeys = bandedKeys(sgBatch, unionParams._1,
+              unionParams._2).materialized
             // batch-internal pairs: the same banded semantics over the
             // batch alone
             val internal = lshPairsFromBanded(sgBatch, batchKeys,

@@ -635,9 +635,13 @@ object Similarity {
     * any build ran.
     */
   def extendIvfIndex(baseCorpus: DataFrame, newCorpus: DataFrame,
-      path: String, nCentroids: Int = 8, iters: Int = 3): Boolean = {
+      path: String, nCentroids: Int = 8, iters: Int = 3,
+      unionView: Option[DataFrame] = None): Boolean = {
     val spark = baseCorpus.sparkSession
-    val union = baseCorpus.union(newCorpus)
+    // canonical base ∪ batch plan for the stamp when the caller has one
+    // (a flat multi-dir read) — same contract as extendKnnIndex's
+    // unionView: rows must equal baseCorpus ∪ newCorpus
+    val union = unionView.getOrElse(baseCorpus.union(newCorpus))
     val unionCorpus = ivfCorpusPart(union, nCentroids, iters)
     val basePrefix = ivfCorpusPart(baseCorpus, nCentroids, iters) +
       "|model="

@@ -455,6 +455,46 @@ object Streams {
       .start()
   }
 
+  /** The third at-rest artifact kind's streaming face — the IVF corpus
+    * (x44/x139): each embedding micro-batch lands under
+    * `corpusDir/b<id>`, the first batch of a (re)started query seeds
+    * [[graft.ext.Similarity.ensureIvfIndex]] over every landed dir, and
+    * later batches run [[graft.ext.Similarity.extendIvfIndex]] — the
+    * batch assigned against the FROZEN centroids and APPENDED into its
+    * `cell=` partitions; old rows never move, so this is the lightest
+    * of the three maintenance loops (no derived edges to recompute).
+    * Same flat landed-dir lineage as [[dedupIndexStream]].
+    */
+  def ivfIndexStream(emb: DataFrame, corpusDir: String,
+      indexPath: String, checkpoint: String, nCentroids: Int = 8,
+      iters: Int = 3): StreamingQuery = {
+    var dirs: Option[Vector[String]] = None
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val newDir = s"$corpusDir/b$id"
+        batch.write.mode("overwrite").parquet(newDir)
+        dirs match {
+          case None =>
+            val landed = landedBatchDirs(spark, corpusDir)
+            graft.ext.Similarity.ensureIvfIndex(
+              spark.read.parquet(landed: _*), indexPath, nCentroids,
+              iters)
+            dirs = Some(landed)
+          case Some(prev) =>
+            val all = prev :+ newDir
+            graft.ext.Similarity.extendIvfIndex(
+              spark.read.parquet(prev: _*),
+              spark.read.parquet(newDir), indexPath, nCentroids, iters,
+              unionView = Some(spark.read.parquet(all: _*)))
+            dirs = Some(all)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The `b<id>` batch directories already landed under `corpusDir`,
     * sorted numerically by batch id — the recovery listing
     * [[dedupIndexStream]] seeds from after a restart. Hadoop FS API so

@@ -189,6 +189,45 @@ class StreamingSpec extends AnyFunSuite {
       "ensure over the streamed union must re-train the model")
   }
 
+  test("ivfIndexStream seeds on batch 0 and appends per batch under " +
+      "the frozen model: at-rest rows equal the batch-0-trained " +
+      "assignment of the union; an ensure over the union re-trains") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Similarity
+    val corpusDir = Files.createTempDirectory("graft-stream-ivc").toString
+    val indexPath = Files.createTempDirectory("graft-stream-ivi").toString
+    val all = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfIndexStream(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir, indexPath,
+      Files.createTempDirectory("graft-stream-ivk").toString,
+      nCentroids = 4)
+    src.addData(all.filter(_._1 < 30): _*)
+    q.processAllAvailable()
+    src.addData(all.filter(t => t._1 >= 30 && t._1 < 45): _*)
+    q.processAllAvailable()
+    src.addData(all.filter(_._1 >= 45): _*)
+    q.processAllAvailable()
+    q.stop()
+    val dirs = Streams.landedBatchDirs(spark, corpusDir)
+    assert(dirs.size == 3)
+    val union = spark.read.parquet(dirs: _*)
+    val base = spark.read.parquet(dirs.head)
+    val baseCents = Similarity.trainCentroids(base, 4)
+    val expected = Similarity.cellAssignments(union, baseCents)
+      .as[(Long, Long)].collect().toSet
+    val atRest = spark.read.parquet(indexPath)
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(atRest == expected && expected.nonEmpty)
+    // model refresh stays an OFFLINE decision: the ensure sees the
+    // model term drift and re-trains
+    assert(Similarity.ensureIvfIndex(union, indexPath, nCentroids = 4),
+      "ensure over the streamed union must re-train the model")
+  }
+
   test("windowed event counts aggregate per window and type") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
