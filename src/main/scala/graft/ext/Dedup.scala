@@ -2355,10 +2355,23 @@ object Dedup {
     */
   def cdcContainmentPairs(docs: DataFrame, p: Int = 8,
       threshold: Double = 0.5,
-      maxDf: Option[Long] = Some(100L)): DataFrame = {
-    val all = cdcChunks(docs, p)
+      maxDf: Option[Long] = Some(100L)): DataFrame =
+    cdcPairsFromChunks(cdcChunks(docs, p)
       .select(col("doc_id"), col("fp")).distinct()
-      .materialized
+      .materialized, threshold, maxDf)
+
+  /** The pair stage of [[cdcContainmentPairs]] over an ALREADY-CHUNKED
+    * distinct (doc_id, fp) relation — factored out so the at-rest CDC
+    * index ([[extendCdcIndex]]) can re-run it over persisted chunks
+    * without re-tokenizing the corpus (chunking is per-document, so
+    * chunks(base) ∪ chunks(batch) == chunks(base ∪ batch) exactly,
+    * and the hot-chunk cap + per-doc denominators recompute over the
+    * union — a chunk a new batch pushes past `maxDf` correctly LEAVES
+    * every pair, old and new; incremental == from-scratch by
+    * construction).
+    */
+  private[graft] def cdcPairsFromChunks(all: DataFrame,
+      threshold: Double, maxDf: Option[Long]): DataFrame = {
     val fps = maxDf match {
       case Some(cap) =>
         val df = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
@@ -2379,6 +2392,93 @@ object Dedup {
           least(col("na"), col("nb")), 6).as("cont"))
       .filter(col("cont") >= threshold)
   }
+
+  private val CdcMeta = "_graft_cdc_meta"
+
+  private def cdcStamp(docs: DataFrame, p: Int, threshold: Double,
+      maxDf: Option[Long]): String =
+    Seq(Similarity.corpusFingerprint(docs),
+      docs.queryExecution.analyzed.semanticHash(), p, threshold,
+      maxDf.getOrElse(0L), 1).mkString(":")
+
+  /** The CDC containment artifacts AT REST — the containment family's
+    * x116/x131 discipline: `path/chunks` persists the corpus's distinct
+    * (doc_id, fp) chunk fingerprints (the expensive linear pass —
+    * tokenize + per-doc anchor windows + one md5 per chunk) and
+    * `path/pairs` the [[cdcContainmentPairs]] relation at the stamped
+    * parameters, so downstream consumers and later extensions read
+    * parquet instead of re-chunking the corpus.
+    */
+  def writeCdcIndex(docs: DataFrame, path: String, p: Int = 8,
+      threshold: Double = 0.5, maxDf: Option[Long] = Some(100L)): Unit = {
+    val chunks = cdcChunks(docs, p)
+      .select(col("doc_id"), col("fp")).distinct().materialized
+    chunks.write.mode("overwrite").parquet(s"$path/chunks")
+    cdcPairsFromChunks(chunks, threshold, maxDf)
+      .write.mode("overwrite").parquet(s"$path/pairs")
+  }
+
+  /** [[writeCdcIndex]] behind the stamped build-or-reuse seam. */
+  def ensureCdcIndex(docs: DataFrame, path: String, p: Int = 8,
+      threshold: Double = 0.5, maxDf: Option[Long] = Some(100L),
+      force: Boolean = false): Boolean =
+    graft.engine.AtRest.ensureStamped(docs.sparkSession, path, CdcMeta,
+      cdcStamp(docs, p, threshold, maxDf), force) {
+      writeCdcIndex(docs, path, p, threshold, maxDf)
+    }
+
+  /** Incremental extension of an at-rest CDC containment index — the
+    * batch is CHUNKED ALONE (chunking is per-document, so
+    * chunks(base) ∪ chunks(batch) == chunks(base ∪ batch) exactly —
+    * content-defined boundaries never straddle documents), appended to
+    * the at-rest chunk relation, and the pair stage re-runs over the
+    * skinny persisted chunks. The corpus is never re-tokenized: per
+    * batch, the heavy linear pass is ∝ the batch, and the recomputed
+    * pair join's mass is bounded by TRUE duplication (the capped-df
+    * property that makes x140 near-linear at saturation). Recomputing
+    * the cap + denominators over the union is SEMANTICS, not waste: a
+    * chunk the new batch pushes past `maxDf` is corpus boilerplate as
+    * of now, and must leave every pair — old and new — exactly as a
+    * from-scratch build would drop it (incremental == from-scratch is
+    * spec-asserted, and x142's oracle is the full-corpus chain).
+    * Protocol (no-op / extend / drift-rebuild, crash ⇒ stampless dir ⇒
+    * clean rebuild) is [[graft.engine.AtRest.extendStamped]]'s.
+    */
+  def extendCdcIndex(baseDocs: DataFrame, newDocs: DataFrame,
+      path: String, p: Int = 8, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(100L),
+      unionView: Option[DataFrame] = None): Boolean = {
+    val spark = baseDocs.sparkSession
+    val union = unionView.getOrElse(baseDocs.union(newDocs))
+    val unionStamp = cdcStamp(union, p, threshold, maxDf)
+    graft.engine.AtRest.extendStamped(spark, path, CdcMeta,
+      coversUnion = _ == unionStamp,
+      extendFrom = s =>
+        if (s == cdcStamp(baseDocs, p, threshold, maxDf))
+          Some((unionStamp, () => {
+            val batchChunks = cdcChunks(newDocs, p)
+              .select(col("doc_id"), col("fp")).distinct().materialized
+            val all = spark.read.parquet(s"$path/chunks")
+              .unionByName(batchChunks)
+            // pairs overwrite first (it only READS chunks — untouched
+            // at this point), then the batch rows append to the chunk
+            // relation; a crash between the two leaves a stampless dir
+            // and the retry rebuilds cleanly
+            cdcPairsFromChunks(all, threshold, maxDf)
+              .write.mode("overwrite").parquet(s"$path/pairs")
+            batchChunks.write.mode("append").parquet(s"$path/chunks")
+          }))
+        else None) {
+      graft.engine.AtRest.ensureStamped(spark, path, CdcMeta,
+        unionStamp, force = true) {
+        writeCdcIndex(union, path, p, threshold, maxDf)
+      }
+    }
+  }
+
+  /** The at-rest containment pair relation of a [[writeCdcIndex]] dir. */
+  def readCdcPairs(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/pairs")
 
   /** Measured expected containment-candidate mass PER DOCUMENT — the
     * sampled-probe discipline ([[estimateSimhashCollisionsPerDoc]],

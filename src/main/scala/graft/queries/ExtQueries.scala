@@ -1442,6 +1442,25 @@ object ExtQueries {
       Dedup.cdcContainmentPairs(docs(s, dir), p = 8, threshold = 0.5)
         .orderBy(col("da"), col("db"))),
 
+    // the CDC containment artifacts at rest, extended incrementally —
+    // x137's cycle for the containment family: ensure chunks+pairs on
+    // the first half, extendCdcIndex with the second (the batch is
+    // chunked ALONE — per-doc boundaries make chunks(base)∪chunks(batch)
+    // == chunks(union) exactly — and the pair stage re-runs over the
+    // skinny at-rest chunk relation, never re-tokenizing the corpus;
+    // the hot-chunk cap + denominators recompute over the union, so a
+    // chunk the batch pushes past df=100 correctly leaves every pair),
+    // then read the pair relation. Oracle = the full-corpus x140 chain
+    "x142_cdc_index_extend" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+      val path = dedupIndexPath(s, dir, "cdc")
+      Dedup.ensureCdcIndex(base, path)
+      Dedup.extendCdcIndex(base, batch, path)
+      Dedup.readCdcPairs(s, path).orderBy(col("da"), col("db"))
+    }),
+
     // the containment family's auto-switch — x133's sampled-probe
     // discipline applied to x123: a 1024-doc md5-ordered sample's
     // ACTUAL prefix-candidate mass (Σ over containment-prefix rows of
@@ -2162,6 +2181,46 @@ object ExtQueries {
          SELECT * FROM pc WHERE (SELECT e FROM est) > 32) u
        ORDER BY da, db"""
   }
+
+  /** x140's (and x142's) oracle: the CDC containment chain — the same
+    * 60-bit md5 token hash decides the mod-8 anchor boundaries, per-doc
+    * running-sum segment ids, md5 chunk fingerprints, hot-chunk cap,
+    * shared/min score — all engine-portable arithmetic. x142 shares it
+    * verbatim because the incremental at-rest cycle equals the
+    * from-scratch full-corpus chain exactly.
+    */
+  private val cdcContainmentSql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM documents WHERE regexp_matches(text, '\S')),
+       pos AS (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws))) AS pos
+               FROM t),
+       tok AS (SELECT doc_id, pos, ws[pos] AS w,
+                      CASE WHEN CAST('0x' || substr(md5(ws[pos]), 1, 15)
+                                AS BIGINT) % 8 = 0
+                           THEN 1 ELSE 0 END AS b
+               FROM pos),
+       seg AS (SELECT doc_id, pos, w,
+                      sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+               FROM tok),
+       ch AS (SELECT doc_id, seg,
+                     md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+              FROM seg GROUP BY doc_id, seg),
+       allf AS (SELECT DISTINCT doc_id, fp FROM ch),
+       hot AS (SELECT fp FROM allf GROUP BY fp HAVING count(*) > 100),
+       fps AS (SELECT doc_id, fp FROM allf
+               WHERE fp NOT IN (SELECT fp FROM hot)),
+       cnt AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+       pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                     ca.n AS na, cb.n AS nb, count(*) AS shared
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              JOIN cnt ca ON ca.doc_id = a.doc_id
+              JOIN cnt cb ON cb.doc_id = b.doc_id
+              GROUP BY 1, 2, 3, 4)
+       SELECT da, db,
+              round(shared::DOUBLE / least(na, nb), 6) AS cont
+       FROM pr WHERE round(shared::DOUBLE / least(na, nb), 6) >= 0.5
+       ORDER BY da, db"""
 
   /** x141's oracle: the containment auto-switch replicated end to end —
     * FULL-corpus shingle dfs (the rarest-first prefix makes
@@ -3842,38 +3901,13 @@ object ExtQueries {
     // mirrors x140: the same 60-bit md5 token hash decides the mod-8
     // anchor boundaries, per-doc running-sum segment ids, md5 chunk
     // fingerprints, shared/min score — all engine-portable arithmetic
-    "x140_cdc_containment" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
-                    FROM documents WHERE regexp_matches(text, '\S')),
-         pos AS (SELECT doc_id, ws,
-                        unnest(generate_series(1, len(ws))) AS pos
-                 FROM t),
-         tok AS (SELECT doc_id, pos, ws[pos] AS w,
-                        CASE WHEN CAST('0x' || substr(md5(ws[pos]), 1, 15)
-                                  AS BIGINT) % 8 = 0
-                             THEN 1 ELSE 0 END AS b
-                 FROM pos),
-         seg AS (SELECT doc_id, pos, w,
-                        sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
-                 FROM tok),
-         ch AS (SELECT doc_id, seg,
-                       md5(string_agg(w, ' ' ORDER BY pos)) AS fp
-                FROM seg GROUP BY doc_id, seg),
-         allf AS (SELECT DISTINCT doc_id, fp FROM ch),
-         hot AS (SELECT fp FROM allf GROUP BY fp HAVING count(*) > 100),
-         fps AS (SELECT doc_id, fp FROM allf
-                 WHERE fp NOT IN (SELECT fp FROM hot)),
-         cnt AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
-         pr AS (SELECT a.doc_id AS da, b.doc_id AS db,
-                       ca.n AS na, cb.n AS nb, count(*) AS shared
-                FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-                JOIN cnt ca ON ca.doc_id = a.doc_id
-                JOIN cnt cb ON cb.doc_id = b.doc_id
-                GROUP BY 1, 2, 3, 4)
-         SELECT da, db,
-                round(shared::DOUBLE / least(na, nb), 6) AS cont
-         FROM pr WHERE round(shared::DOUBLE / least(na, nb), 6) >= 0.5
-         ORDER BY da, db""",
+    "x140_cdc_containment" -> cdcContainmentSql,
+
+    // mirrors x142: the incremental at-rest cycle equals the
+    // from-scratch full-corpus chain (per-doc chunking makes
+    // chunks(base) ∪ chunks(batch) == chunks(union) exactly, and the
+    // cap + denominators recompute over the union)
+    "x142_cdc_index_extend" -> cdcContainmentSql,
 
     // mirrors x141: probe + decision + both containment chains,
     // selected with the identical est <= 32 comparison

@@ -141,8 +141,26 @@ object ExtendProbe {
           f"tBaseBuild=$tBase%.2fs tDelta=$tDelta%.2fs " +
           f"tFullRebuild=$tFull%.2fs touchedCells=$touched/$total " +
           f"edges=$nEdges")
+      case "cdc" =>
+        // the CDC containment index extension at the fixed-batch /
+        // growing-base shape: the base chunk relation is at rest (built
+        // once — timed separately), the extension chunks ONLY the batch
+        // and re-runs the dup-bounded pair stage over the skinny
+        // persisted chunks. If tDelta stays near-flat as the base grows
+        // 10×, the "never re-tokenize the corpus" contract is measured
+        val batchSize = args(2).toLong
+        val cut = n - batchSize
+        val base = docs.filter(col("doc_id") < cut)
+        val batch = docs.filter(col("doc_id") >= cut)
+        val extDir = java.nio.file.Files
+          .createTempDirectory("graft-extend-cdc").toString
+        val tBase = time(Dedup.ensureCdcIndex(base, extDir))
+        val tDelta = time(Dedup.extendCdcIndex(base, batch, extDir))
+        val nPairs = Dedup.readCdcPairs(spark, extDir).count()
+        println(f"EXTEND cdc dir=$dir base=$cut batch=$batchSize " +
+          f"tBaseBuild=$tBase%.2fs tDelta=$tDelta%.2fs pairs=$nPairs")
       case other =>
-        sys.error(s"unknown mode $other (full | probe | lsh | knn)")
+        sys.error(s"unknown mode $other (full | probe | lsh | knn | cdc)")
     }
     spark.stop()
   }

@@ -1106,6 +1106,77 @@ class ExtSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.winnow.maxdf")
   }
 
+  test("extendCdcIndex: incremental pairs equal the from-scratch CDC " +
+      "chain over the union — including a chunk the batch pushes past " +
+      "the hot cap dropping every pair it carried; repeat no-ops; " +
+      "drift rebuilds") {
+    import graft.ext.Dedup
+    def cycle(base: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame,
+        maxDf: Option[Long]): (Set[(Long, Long, Double)], String) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdc-ext")
+        .toString
+      assert(Dedup.ensureCdcIndex(base, dir, maxDf = maxDf))
+      assert(Dedup.extendCdcIndex(base, batch, dir, maxDf = maxDf),
+        "matching base stamp must extend")
+      (Dedup.readCdcPairs(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet, dir)
+    }
+    // cross-boundary snippet: doc 10 (batch) embeds doc 0's (base)
+    // 64-token stream verbatim at offset 30 (x140's proven fixture
+    // shape — long enough that interior CDC chunks survive clipping)
+    val seed = (0 until 64).map(i => s"tok$i").mkString(" ")
+    val base = Seq(
+      (0L, "s", seed),
+      (1L, "s", (0 until 64).map(i => s"one$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (10L, "s", ((0 until 30).map(i => s"pre$i") ++ Seq(seed) ++
+        (0 until 30).map(i => s"post$i")).mkString(" ")),
+      (11L, "s", (0 until 64).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val (inc, dir) = cycle(base, batch, Some(100L))
+    val scratch = Dedup
+      .cdcContainmentPairs(base.union(batch), p = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == scratch && inc.exists { case (a, b, _) =>
+      a == 0L && b == 10L }, s"cross-boundary snippet pair: $inc")
+    // a repeat extend over the same (base, batch) is an idempotent no-op
+    assert(!Dedup.extendCdcIndex(base, batch, dir, maxDf = Some(100L)))
+    // a foreign base (stamp mismatch) falls back to a full rebuild
+    val (rebuilt, _) = {
+      val d2 = java.nio.file.Files.createTempDirectory("graft-cdc-ext2")
+        .toString
+      assert(Dedup.ensureCdcIndex(base, d2))
+      val otherBase = base.union(batch).filter($"doc_id" <= 1)
+      assert(Dedup.extendCdcIndex(batch, otherBase, d2),
+        "stamp mismatch must rebuild over the new union")
+      (Dedup.readCdcPairs(spark, d2)
+        .as[(Long, Long, Double)].collect().toSet, d2)
+    }
+    assert(rebuilt == scratch)
+    // CAP-CROSSING: three identical one-chunk docs at maxDf = 2 — the
+    // base pair (20, 21) rides the only chunk; the batch's copy pushes
+    // its df to 3 > 2, so the chunk becomes boilerplate and the pair
+    // must DROP from the extended index, exactly as from-scratch drops
+    // it (the recompute-over-union semantics, not append-only)
+    val same = "zed yed xed wed ved ued"
+    val b2 = Seq((20L, "s", same), (21L, "s", same))
+      .toDF("doc_id", "source", "text")
+    val n2 = Seq((22L, "s", same)).toDF("doc_id", "source", "text")
+    val d3 = java.nio.file.Files.createTempDirectory("graft-cdc-ext3")
+      .toString
+    assert(Dedup.ensureCdcIndex(b2, d3, maxDf = Some(2L)))
+    assert(Dedup.readCdcPairs(spark, d3).count() == 1,
+      "base pair must exist while the chunk is under the cap")
+    assert(Dedup.extendCdcIndex(b2, n2, d3, maxDf = Some(2L)))
+    assert(Dedup.readCdcPairs(spark, d3).count() == 0,
+      "the batch pushed the only chunk past the cap — every pair " +
+        "riding it must drop, as a from-scratch build would")
+    assert(Dedup.cdcContainmentPairs(b2.union(n2), p = 8,
+      threshold = 0.5, maxDf = Some(2L)).count() == 0)
+  }
+
   test("x141 containment auto picks the exact join on a dispersed " +
       "corpus, the CDC detector on a duplicate-saturated one, and the " +
       "conf hatch pins either") {
