@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.AtRest
+
+/** Unit coverage for the shared at-rest protocol seam — the invariants
+  * every index family inherits (the family specs assert end-to-end
+  * equality; this spec pins the PROTOCOL itself, including the crash
+  * windows that only show under injected failures).
+  */
+class AtRestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val Meta = "_test_meta"
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-atrest").toString
+
+  test("ensureStamped builds once per stamp, rebuilds on drift and on " +
+      "force, and a build that throws leaves no stamp") {
+    val dir = tmp()
+    var builds = 0
+    def ensure(stamp: String, force: Boolean = false): Boolean =
+      AtRest.ensureStamped(spark, dir, Meta, stamp, force) { builds += 1 }
+    assert(ensure("s1") && builds == 1)
+    assert(!ensure("s1") && builds == 1)
+    assert(ensure("s2") && builds == 2)
+    assert(ensure("s2", force = true) && builds == 3)
+    intercept[RuntimeException] {
+      AtRest.ensureStamped(spark, dir, Meta, "s3", force = false) {
+        sys.error("boom")
+      }
+    }
+    // stamp-after-build: the failed s3 build must leave the PRIOR
+    // stamp... no — ensureStamped never deletes on its own, so the s2
+    // stamp survives and a retry of s3 rebuilds
+    assert(AtRest.readStamp(spark, dir, Meta).contains("s2"))
+    assert(ensure("s3") && builds == 4)
+  }
+
+  test("extendStamped: covered union no-ops; base match runs the " +
+      "mutation with the stamp OFF during it and the union stamp on " +
+      "after; anything else rebuilds") {
+    val dir = tmp()
+    AtRest.ensureStamped(spark, dir, Meta, "base", force = false) {}
+    var mutations, rebuilds = 0
+    def extend(cover: String, from: String): Boolean =
+      AtRest.extendStamped(spark, dir, Meta,
+        coversUnion = _ == cover,
+        extendFrom = s =>
+          if (s == from) Some((cover, () => {
+            mutations += 1
+            // THE crash-window invariant: while the in-place mutation
+            // runs, the sidecar must be stampless — a crash here must
+            // force a clean rebuild, never re-extend half-mutated files
+            assert(AtRest.readStamp(spark, dir, Meta).isEmpty,
+              "stamp must be deleted before the mutation runs")
+          })) else None) {
+        rebuilds += 1
+        AtRest.ensureStamped(spark, dir, Meta, cover, force = true) {}
+      }
+    // base match → mutation, then the union stamp lands
+    assert(extend("union1", "base") && mutations == 1 && rebuilds == 0)
+    assert(AtRest.readStamp(spark, dir, Meta).contains("union1"))
+    // covered → no-op, nothing runs
+    assert(!extend("union1", "whatever") && mutations == 1 && rebuilds == 0)
+    // neither covered nor base → rebuild (which stamps for itself)
+    assert(extend("union2", "not-union1") && rebuilds == 1)
+    assert(AtRest.readStamp(spark, dir, Meta).contains("union2"))
+  }
+
+  test("extendStamped crash windows: a throwing mutation OR a throwing " +
+      "drift-rebuild leaves a stampless dir (retry = clean rebuild), " +
+      "and the stale stamp is gone BEFORE the rebuild block starts") {
+    val dir = tmp()
+    AtRest.ensureStamped(spark, dir, Meta, "base", force = false) {}
+    // mutation throws mid-extension → no stamp survives
+    intercept[RuntimeException] {
+      AtRest.extendStamped(spark, dir, Meta,
+        coversUnion = _ => false,
+        extendFrom = s =>
+          if (s == "base") Some(("union", () => sys.error("mid-mutation")))
+          else None) { sys.error("unreachable") }
+    }
+    assert(AtRest.readStamp(spark, dir, Meta).isEmpty,
+      "a crashed mutation must leave a stampless dir")
+    // re-seed, then drive the drift-rebuild arm with a throwing rebuild:
+    // the stale stamp must already be GONE when the rebuild block runs
+    // (the round-12 ADVICE window: writeDedupIndexLsh overwrote
+    // path/bands with the old stamp still present)
+    AtRest.ensureStamped(spark, dir, Meta, "stale", force = false) {}
+    intercept[RuntimeException] {
+      AtRest.extendStamped(spark, dir, Meta,
+        coversUnion = _ => false,
+        extendFrom = _ => None) {
+        assert(AtRest.readStamp(spark, dir, Meta).isEmpty,
+          "stale stamp must be deleted before the rebuild block starts")
+        sys.error("mid-rebuild")
+      }
+    }
+    assert(AtRest.readStamp(spark, dir, Meta).isEmpty,
+      "a crashed drift-rebuild must leave a stampless dir")
+  }
+}
