@@ -52,7 +52,7 @@ class BenchIdSpec extends AnyFunSuite {
     // CAP's entries at the WIDEST ids, not the whole surface — the line
     // is bounded at any query count. Model at least 200 queries so the
     // gate stays pessimistic as the surface grows past today's size.
-    val stdoutTopK = 120 // keep in sync with Bench.stdoutTopK
+    val stdoutTopK = Bench.StdoutTopK
     val modeled = math.max(200, ids.size)
     val widest = ids.sortBy(id => (-id.length, id)).take(stdoutTopK)
     val entries = widest.map(id => "\"" + id + "\":999").mkString(",")
