@@ -1254,8 +1254,11 @@ object Dedup {
     */
   private def lshStampParams(stamp: String): Option[(Int, Int)] = {
     val f = stamp.split(":")
+    // the Seq behind dedupLshStamp numerically widens its Int members
+    // to Double (mixed Int/Double literals), so the stamped fields read
+    // "128.0"/"64.0" — parse accordingly
     if (f.length == 8)
-      scala.util.Try((f(5).toInt, f(6).toInt)).toOption
+      scala.util.Try((f(5).toDouble.toInt, f(6).toDouble.toInt)).toOption
     else None
   }
 

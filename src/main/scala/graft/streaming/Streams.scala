@@ -372,13 +372,15 @@ object Streams {
     * constructs — so stamps keep matching and the run never re-probes
     * base×base.
     *
-    * Restart semantics: the first batch of a (re)started query LISTS
-    * the existing `corpusDir/b*` directories and seeds over the WHOLE
-    * landed corpus plus the new batch — ensure either reuses a matching
-    * at-rest stamp (clean shutdown ⇒ incremental resume for free) or
-    * pays one full rebuild COVERING every landed batch; previously the
-    * post-restart rebuild covered only the replayed micro-batch, and
-    * every earlier landed batch silently dropped out of the index.
+    * Restart semantics ([[dedupIndexBatch]]): the first batch of a
+    * (re)started query LISTS the existing `corpusDir/b*` directories
+    * and EXTENDS from them — after a clean shutdown the at-rest stamp
+    * still matches the flat read over the landed prefix, so recovery
+    * is one ordinary incremental step, never a rebuild of a corpus
+    * 1000× the batch. A drifted or torn prefix falls through to a
+    * full rebuild COVERING every landed batch (the crash-safe floor;
+    * previously a post-restart rebuild covered only the replayed
+    * micro-batch and every earlier landed batch silently dropped out).
     */
   def dedupIndexStream(docs: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String): StreamingQuery = {
@@ -389,26 +391,40 @@ object Streams {
         val spark = batch.sparkSession
         val newDir = s"$corpusDir/b$id"
         batch.write.mode("overwrite").parquet(newDir)
-        dirs match {
-          case None =>
-            // (re)start: recover every batch already landed (sorted by
-            // batch id so the seed plan is deterministic); a replayed
-            // batch id is covered by the overwrite above
-            val landed = landedBatchDirs(spark, corpusDir)
-            graft.ext.Dedup.ensureDedupIndexLsh(
-              spark.read.parquet(landed: _*), indexPath)
-            dirs = Some(landed)
-          case Some(prev) =>
-            val all = prev :+ newDir
-            graft.ext.Dedup.extendDedupIndexLsh(
-              spark.read.parquet(prev: _*),
-              spark.read.parquet(newDir), indexPath,
-              unionView = Some(spark.read.parquet(all: _*)))
-            dirs = Some(all)
-        }
+        dirs = Some(dedupIndexBatch(spark, corpusDir, newDir, dirs,
+          indexPath))
         ()
       }
       .start()
+  }
+
+  /** One [[dedupIndexStream]] maintenance step, factored out of the
+    * foreachBatch closure so recovery is directly testable. With no
+    * in-memory dir list (the first batch of a (re)started query), the
+    * landed `b*` dirs are LISTED and — when any predate this batch —
+    * the step EXTENDS from them: a cleanly-shut-down stream resumes
+    * incrementally (the at-rest stamp still matches the flat read over
+    * the landed prefix), never re-paying a full rebuild of a corpus
+    * that may be 1000× the batch. A drifted or torn prefix falls
+    * through extendStamped's rebuild arm to an ensure over the WHOLE
+    * landed corpus — the crash-safe floor. Returns the updated list.
+    */
+  private[graft] def dedupIndexBatch(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      newDir: String, prev: Option[Vector[String]],
+      indexPath: String): Vector[String] = {
+    val newQ = qualifiedDir(spark, newDir)
+    val landed = prev.map(_ :+ newQ)
+      .getOrElse(landedBatchDirs(spark, corpusDir))
+    val base = landed.filterNot(_ == newQ)
+    if (base.isEmpty)
+      graft.ext.Dedup.ensureDedupIndexLsh(
+        spark.read.parquet(landed: _*), indexPath)
+    else
+      graft.ext.Dedup.extendDedupIndexLsh(
+        spark.read.parquet(base: _*), spark.read.parquet(newQ),
+        indexPath, unionView = Some(spark.read.parquet(landed: _*)))
+    landed
   }
 
   /** [[dedupIndexStream]]'s discipline applied to the at-rest kNN
@@ -436,23 +452,37 @@ object Streams {
         val spark = batch.sparkSession
         val newDir = s"$corpusDir/b$id"
         batch.write.mode("overwrite").parquet(newDir)
-        dirs match {
-          case None =>
-            val landed = landedBatchDirs(spark, corpusDir)
-            graft.ext.Similarity.ensureKnnIndex(
-              spark.read.parquet(landed: _*), indexPath, k, perCell)
-            dirs = Some(landed)
-          case Some(prev) =>
-            val all = prev :+ newDir
-            graft.ext.Similarity.extendKnnIndex(
-              spark.read.parquet(prev: _*),
-              spark.read.parquet(newDir), indexPath, k, perCell,
-              unionView = Some(spark.read.parquet(all: _*)))
-            dirs = Some(all)
-        }
+        dirs = Some(knnIndexBatch(spark, corpusDir, newDir, dirs,
+          indexPath, k, perCell))
         ()
       }
       .start()
+  }
+
+  /** [[dedupIndexBatch]]'s recovery discipline for the kNN family —
+    * the incremental-resume property matters MOST here: a restarted
+    * stream that re-ensured over the landed corpus would re-train the
+    * whole model (the training elephant), where extending from the
+    * landed prefix keeps the frozen at-rest centroids and pays only
+    * the batch's touched-cell recompute.
+    */
+  private[graft] def knnIndexBatch(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      newDir: String, prev: Option[Vector[String]], indexPath: String,
+      k: Int, perCell: Int = 250): Vector[String] = {
+    val newQ = qualifiedDir(spark, newDir)
+    val landed = prev.map(_ :+ newQ)
+      .getOrElse(landedBatchDirs(spark, corpusDir))
+    val base = landed.filterNot(_ == newQ)
+    if (base.isEmpty)
+      graft.ext.Similarity.ensureKnnIndex(
+        spark.read.parquet(landed: _*), indexPath, k, perCell)
+    else
+      graft.ext.Similarity.extendKnnIndex(
+        spark.read.parquet(base: _*), spark.read.parquet(newQ),
+        indexPath, k, perCell,
+        unionView = Some(spark.read.parquet(landed: _*)))
+    landed
   }
 
   /** The third at-rest artifact kind's streaming face — the IVF corpus
@@ -475,30 +505,39 @@ object Streams {
         val spark = batch.sparkSession
         val newDir = s"$corpusDir/b$id"
         batch.write.mode("overwrite").parquet(newDir)
-        dirs match {
-          case None =>
-            val landed = landedBatchDirs(spark, corpusDir)
-            graft.ext.Similarity.ensureIvfIndex(
-              spark.read.parquet(landed: _*), indexPath, nCentroids,
-              iters)
-            dirs = Some(landed)
-          case Some(prev) =>
-            val all = prev :+ newDir
-            graft.ext.Similarity.extendIvfIndex(
-              spark.read.parquet(prev: _*),
-              spark.read.parquet(newDir), indexPath, nCentroids, iters,
-              unionView = Some(spark.read.parquet(all: _*)))
-            dirs = Some(all)
-        }
+        dirs = Some(ivfIndexBatch(spark, corpusDir, newDir, dirs,
+          indexPath, nCentroids, iters))
         ()
       }
       .start()
   }
 
+  /** [[dedupIndexBatch]]'s recovery discipline for the IVF family. */
+  private[graft] def ivfIndexBatch(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      newDir: String, prev: Option[Vector[String]], indexPath: String,
+      nCentroids: Int, iters: Int = 3): Vector[String] = {
+    val newQ = qualifiedDir(spark, newDir)
+    val landed = prev.map(_ :+ newQ)
+      .getOrElse(landedBatchDirs(spark, corpusDir))
+    val base = landed.filterNot(_ == newQ)
+    if (base.isEmpty)
+      graft.ext.Similarity.ensureIvfIndex(
+        spark.read.parquet(landed: _*), indexPath, nCentroids, iters)
+    else
+      graft.ext.Similarity.extendIvfIndex(
+        spark.read.parquet(base: _*), spark.read.parquet(newQ),
+        indexPath, nCentroids, iters,
+        unionView = Some(spark.read.parquet(landed: _*)))
+    landed
+  }
+
   /** The `b<id>` batch directories already landed under `corpusDir`,
     * sorted numerically by batch id — the recovery listing
     * [[dedupIndexStream]] seeds from after a restart. Hadoop FS API so
-    * the corpus dir can live on any cluster filesystem.
+    * the corpus dir can live on any cluster filesystem. Paths come
+    * back FULLY QUALIFIED (scheme-ful) — callers must qualify their
+    * own paths the same way before comparing ([[qualifiedDir]]).
     */
   private[graft] def landedBatchDirs(
       spark: org.apache.spark.sql.SparkSession,
@@ -509,5 +548,20 @@ object Streams {
       .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
       .sortBy(_.getPath.getName.drop(1).toLong)
       .map(_.getPath.toString)
+  }
+
+  /** `dir` as the fully-qualified path its filesystem reports — the
+    * form [[landedBatchDirs]] returns. The recovery step REMOVES the
+    * just-written batch dir from the listed base by string equality; a
+    * raw caller path ("/tmp/x/b2") silently failing to match its
+    * listed form ("file:/tmp/x/b2") would leave the new batch inside
+    * the base, mismatch every stamp, and turn each recovery into a
+    * full rebuild.
+    */
+  private def qualifiedDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
   }
 }

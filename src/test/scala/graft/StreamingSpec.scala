@@ -144,6 +144,83 @@ class StreamingSpec extends AnyFunSuite {
       s"restart seed must cover pre-restart batches: $pairs")
   }
 
+  test("clean restart resumes INCREMENTALLY: the first post-restart " +
+      "batch extends from the landed prefix — dedup keeps its at-rest " +
+      "band files (append, not rewrite), kNN keeps its frozen " +
+      "centroids (no re-train) — and labels still equal full-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, Similarity}
+    // --- dedup family ---
+    val cDir = Files.createTempDirectory("graft-rec-c").toString
+    val iDir = Files.createTempDirectory("graft-rec-i").toString
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.dedupIndexStream(
+      src.toDF().toDF("doc_id", "source", "text"), cDir, iDir,
+      Files.createTempDirectory("graft-rec-k").toString)
+    src.addData((1L, "s", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s", "alpha beta gamma delta epsilon eta"))
+    q.processAllAvailable()
+    src.addData((3L, "s", "totally different text entirely other words"))
+    q.processAllAvailable()
+    q.stop() // clean shutdown: stamp matches the flat read over b0,b1
+    def bandFiles() = new java.io.File(s"$iDir/bands").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val bandsBefore = bandFiles()
+    // the restarted query's first batch: land b2 by hand and drive the
+    // recovery step directly (a MemoryStream restart would reuse batch
+    // id 0 and clobber b0 — real checkpoint recovery continues ids)
+    val b2 = s"$cDir/b2"
+    Seq((10L, "s", "totally different text entirely other words too"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(b2)
+    val landed = Streams.dedupIndexBatch(spark, cDir, b2, None, iDir)
+    assert(landed.size == 3)
+    // incremental resume: every pre-restart band file survives
+    // untouched (extension APPENDS batch keys; a rebuild would have
+    // rewritten the dir)
+    assert(bandFiles().intersect(bandsBefore) == bandsBefore,
+      "clean recovery must extend (append to bands), not rebuild")
+    val all = spark.read.parquet(landed: _*)
+    val streamed = Dedup.readDedupClusters(all, iDir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Dedup
+      .dedupClusters(all, Dedup.jaccardPairsIndexHashed(all, 3, 0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // --- kNN family: recovery must NOT re-train ---
+    val kc = Files.createTempDirectory("graft-rec-kc").toString
+    val ki = Files.createTempDirectory("graft-rec-ki").toString
+    val emb = (0 until 40).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    val esrc = MemoryStream[(Long, Seq[Float])]
+    val eq = Streams.knnIndexStream(
+      esrc.toDF().toDF("vec_id", "embedding"), kc, ki,
+      Files.createTempDirectory("graft-rec-kk").toString, k = 3)
+    esrc.addData(emb.filter(_._1 < 30): _*)
+    eq.processAllAvailable()
+    eq.stop()
+    val centsBefore = Similarity.readKnnCentroids(spark, ki)
+      .collect().map(_.toString).sorted.toSeq
+    val kb1 = s"$kc/b1"
+    emb.filter(_._1 >= 30).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(kb1)
+    Streams.knnIndexBatch(spark, kc, kb1, None, ki, k = 3)
+    assert(Similarity.readKnnCentroids(spark, ki)
+      .collect().map(_.toString).sorted.toSeq == centsBefore,
+      "clean recovery must keep the frozen model — no re-train")
+    val inc = Similarity.readKnnEdges(spark, ki)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base0 = spark.read.parquet(s"$kc/b0")
+    val baseCents = Similarity.trainCentroids(base0,
+      Similarity.adaptiveCellCount(base0))
+    val scratch = Similarity
+      .cachedKnnEdges(spark.read.parquet(s"$kc/b0", kb1), baseCents, 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == scratch && scratch.nonEmpty)
+  }
+
   test("knnIndexStream seeds on batch 0 and extends with the frozen " +
       "base model: 3-batch stream edges equal a from-scratch cell-local " +
       "build over the union with the batch-0-trained centroids; an " +
