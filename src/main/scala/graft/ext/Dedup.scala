@@ -2396,6 +2396,35 @@ object Dedup {
       .filter(col("cont") >= threshold)
   }
 
+  /** Containment RECALL AUDIT — x136's discipline (the LSH recall
+    * audit's shape) for the containment family: one plan
+    * reporting how many exact shingle-containment pairs
+    * ([[containmentPairs]] at `exactThreshold`) the production CDC
+    * detector ([[cdcContainmentPairs]] at `cdcThreshold`) also
+    * surfaces, as (n_exact, n_hit, recall). The two detectors answer
+    * the same question at different grains (3-token shingles vs
+    * ~p-token discriminative chunks), so recall here is a MEASURED
+    * corpus property, not a tunable guarantee — pinning it in the
+    * declared, oracle-backed surface makes a chunking or cap change
+    * that silently drops snippet coverage hash-mismatch every round,
+    * and gives the x141 auto-switch's CDC branch a standing,
+    * continuously-benched quality number.
+    */
+  def containmentAudit(docs: DataFrame, n: Int = 3,
+      exactThreshold: Double = 0.9, p: Int = 8,
+      cdcThreshold: Double = 0.5): DataFrame = {
+    val exact = containmentPairs(docs, n, exactThreshold)
+      .select(col("da"), col("db"))
+    val cdc = cdcContainmentPairs(docs, p, cdcThreshold)
+      .select(col("da"), col("db")).withColumn("hit", lit(1L))
+    exact.join(cdc, Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   private val CdcMeta = "_graft_cdc_meta"
 
   private def cdcStamp(docs: DataFrame, p: Int, threshold: Double,

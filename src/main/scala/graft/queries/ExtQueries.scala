@@ -1461,6 +1461,15 @@ object ExtQueries {
       Dedup.readCdcPairs(s, path).orderBy(col("da"), col("db"))
     }),
 
+    // the containment family's recall audit — x136's discipline: one
+    // plan pinning how many exact shingle-containment pairs (x123's
+    // chain at 0.9) the production CDC detector (x140's at 0.5) also
+    // surfaces; a chunking or cap change that silently drops snippet
+    // coverage hash-mismatches here every round
+    "x143_containment_audit" -> ((s, dir) =>
+      Dedup.containmentAudit(docs(s, dir), n = 3, exactThreshold = 0.9,
+        p = 8, cdcThreshold = 0.5)),
+
     // the containment family's auto-switch — x133's sampled-probe
     // discipline applied to x123: a 1024-doc md5-ordered sample's
     // ACTUAL prefix-candidate mass (Σ over containment-prefix rows of
@@ -3912,6 +3921,53 @@ object ExtQueries {
     // mirrors x141: probe + decision + both containment chains,
     // selected with the identical est <= 32 comparison
     "x141_containment_auto" -> containmentAutoSql,
+
+    // mirrors x143: the exact inter/min chain (x123's, da/db) LEFT
+    // JOINed against the CDC chain (x140's, da/db) — same
+    // n_exact/n_hit/recall shape as x136
+    "x143_containment_audit" -> (shingleCte + """,
+       exq AS (SELECT * FROM (
+                 SELECT a.doc_id AS da, b.doc_id AS db,
+                        round(len(list_intersect(a.sg, b.sg))::DOUBLE /
+                              least(len(a.sg), len(b.sg)), 6) AS cont
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t0
+               WHERE cont >= 0.9),
+       dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+              FROM documents WHERE regexp_matches(text, '\S')),
+       dpos AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws))) AS pos
+                FROM dt),
+       dtok AS (SELECT doc_id, pos, ws[pos] AS w,
+                       CASE WHEN CAST('0x' || substr(md5(ws[pos]), 1, 15)
+                                 AS BIGINT) % 8 = 0
+                            THEN 1 ELSE 0 END AS b
+                FROM dpos),
+       dseg AS (SELECT doc_id, pos, w,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+                FROM dtok),
+       dch AS (SELECT doc_id, seg,
+                      md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+               FROM dseg GROUP BY doc_id, seg),
+       dallf AS (SELECT DISTINCT doc_id, fp FROM dch),
+       dhot AS (SELECT fp FROM dallf GROUP BY fp HAVING count(*) > 100),
+       dfps AS (SELECT doc_id, fp FROM dallf
+                WHERE fp NOT IN (SELECT fp FROM dhot)),
+       dcnt AS (SELECT doc_id, count(*) AS n FROM dfps GROUP BY doc_id),
+       dpr AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                      ca.n AS na, cb.n AS nb, count(*) AS shared
+               FROM dfps a JOIN dfps b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               JOIN dcnt ca ON ca.doc_id = a.doc_id
+               JOIN dcnt cb ON cb.doc_id = b.doc_id
+               GROUP BY 1, 2, 3, 4),
+       cdq AS (SELECT da, db FROM dpr
+               WHERE round(shared::DOUBLE / least(na, nb), 6) >= 0.5)
+       SELECT count(*) AS n_exact,
+              CAST(coalesce(sum(CASE WHEN c.da IS NOT NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+              round(sum(CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END)
+                      ::DOUBLE / count(*), 6) AS recall
+       FROM exq e LEFT JOIN cdq c ON e.da = c.da AND e.db = c.db"""),
 
     // asymmetric containment: inter/min instead of inter/union over
     // the same distinct-shingle sets as x06

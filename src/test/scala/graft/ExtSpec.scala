@@ -1177,6 +1177,36 @@ class ExtSpec extends AnyFunSuite {
       threshold = 0.5, maxDf = Some(2L)).count() == 0)
   }
 
+  test("x143 containment audit: exact dups read recall 1.0; a " +
+      "shingle-visible pair with no shared discriminative chunk is " +
+      "counted in n_exact but not n_hit") {
+    import graft.ext.Dedup
+    // two exact duplicates: both detectors see them -> recall 1.0
+    val seed = (0 until 64).map(i => s"tok$i").mkString(" ")
+    val dups = Seq((0L, "s", seed), (1L, "s", seed),
+      (2L, "s", (0 until 64).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.containmentAudit(dups)
+      .as[(Long, Long, Double)].collect().toSeq == Seq((1L, 1L, 1.0)))
+    // a SHORT doc fully contained in a long one: exact 3-shingle
+    // containment reads 1.0, but at 6 tokens the doc carries ~1 CDC
+    // chunk whose fp differs from the container's clipped chunks, so
+    // the CDC side misses it — exactly the grain gap the audit exists
+    // to measure (n_exact counts it, n_hit may not)
+    val shortDoc = "alpha beta gamma delta epsilon zeta"
+    val mixed = Seq(
+      (0L, "s", shortDoc),
+      (1L, "s", ((0 until 30).map(i => s"pre$i") :+ shortDoc)
+        .mkString(" ") + " " + (0 until 30).map(i => s"post$i")
+        .mkString(" ")),
+      (2L, "s", (0 until 64).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val Seq((nExact, nHit, recall)) = Dedup.containmentAudit(mixed)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(nExact >= 1 && nHit <= nExact &&
+      recall == (nHit.toDouble / nExact * 1e6).round / 1e6)
+  }
+
   test("x141 containment auto picks the exact join on a dispersed " +
       "corpus, the CDC detector on a duplicate-saturated one, and the " +
       "conf hatch pins either") {
