@@ -2512,6 +2512,82 @@ object Dedup {
   def readCdcPairs(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = spark.read.parquet(s"$path/pairs")
 
+  private val DfMeta = "_graft_df_meta"
+
+  private def dfStamp(docs: DataFrame, n: Int): String =
+    Seq(Similarity.corpusFingerprint(docs),
+      docs.queryExecution.analyzed.semanticHash(), n, 1).mkString(":")
+
+  /** One corpus pass of PARTIAL shingle document frequencies — the
+    * map-side-combined (shingle, count) aggregate both
+    * [[graft.ext.TextAnalysis.boilerplateStats]] and the x141
+    * containment probe pay per invocation. Persisting it is what the
+    * at-rest form amortizes.
+    */
+  private def shingleDfPartial(docs: DataFrame, n: Int): DataFrame =
+    shingled(docs, n).select(explode(col("sg")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+
+  /** The corpus shingle document-frequency relation AT REST — the
+    * x141/x135 shared input behind the stamp seam, so repeated
+    * [[containmentAuto]] probes over a static corpus pay a
+    * vocabulary-bounded parquet scan instead of re-shingling the
+    * corpus (~20 s of the 27.7 s 100× auto point was this one
+    * re-derived relation, SCALE.md round 13). Stored under `path/df`
+    * as MERGEABLE partial counts: an extension appends ONLY the
+    * batch's own (s, f) rows — per-doc shingling makes
+    * df(base ∪ batch) = df(base) + df(batch) exactly, so the base is
+    * never re-scanned or rewritten — and [[readShingleDf]] sums the
+    * shards (vocabulary-bounded, the relation's own cost class).
+    */
+  def writeShingleDfIndex(docs: DataFrame, path: String,
+      n: Int = 3): Unit =
+    shingleDfPartial(docs, n).write.mode("overwrite")
+      .parquet(s"$path/df")
+
+  /** [[writeShingleDfIndex]] behind the stamped build-or-reuse seam. */
+  def ensureShingleDfIndex(docs: DataFrame, path: String, n: Int = 3,
+      force: Boolean = false): Boolean =
+    graft.engine.AtRest.ensureStamped(docs.sparkSession, path, DfMeta,
+      dfStamp(docs, n), force) {
+      writeShingleDfIndex(docs, path, n)
+    }
+
+  /** Incremental extension of an at-rest [[writeShingleDfIndex]]: the
+    * batch is shingled ALONE and its partial counts appended as a new
+    * shard — work ∝ the batch, the base untouched on disk (spec
+    * asserts file-grain invariance). Protocol (no-op / extend /
+    * drift-rebuild, crash ⇒ stampless dir ⇒ clean rebuild) is
+    * [[graft.engine.AtRest.extendStamped]]'s. Returns true when any
+    * build ran.
+    */
+  def extendShingleDfIndex(baseDocs: DataFrame, newDocs: DataFrame,
+      path: String, n: Int = 3,
+      unionView: Option[DataFrame] = None): Boolean = {
+    val spark = baseDocs.sparkSession
+    val union = unionView.getOrElse(baseDocs.union(newDocs))
+    val unionStamp = dfStamp(union, n)
+    graft.engine.AtRest.extendStamped(spark, path, DfMeta,
+      coversUnion = _ == unionStamp,
+      extendFrom = s =>
+        if (s == dfStamp(baseDocs, n))
+          Some((unionStamp, () =>
+            shingleDfPartial(newDocs, n).write.mode("append")
+              .parquet(s"$path/df")))
+        else None) {
+      ensureShingleDfIndex(union, path, n)
+    }
+  }
+
+  /** The merged (s, f) document-frequency relation of a
+    * [[writeShingleDfIndex]] dir — shards summed per shingle, exactly
+    * the live [[shingleDfPartial]] values over the stamped corpus.
+    */
+  def readShingleDf(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/df")
+      .groupBy(col("s")).agg(sum(col("f")).as("f"))
+
   /** Measured expected containment-candidate mass PER DOCUMENT — the
     * sampled-probe discipline ([[estimateSimhashCollisionsPerDoc]],
     * [[estimateWinnowCollisionsPerDoc]]) applied to the x123 family,
@@ -2543,7 +2619,7 @@ object Dedup {
     */
   private[graft] def estimateContainmentCandidatesPerDoc(docs: DataFrame,
       n: Int = 3, threshold: Double = 0.9,
-      sampleSize: Int = 1024): Double = {
+      sampleSize: Int = 1024, df: Option[DataFrame] = None): Double = {
     import org.apache.spark.sql.expressions.Window
     // deliberately NOT materialized corpus-wide: the probe re-derives
     // shingles per pass (df, sample top-k) — two corpus scans — instead
@@ -2551,9 +2627,14 @@ object Dedup {
     // branch; the df aggregate is partial (map-side combined) so the
     // only shuffle is vocabulary-bounded, and the sample is a per-
     // partition top-k. Only the ≤ sampleSize-row sample materializes.
+    // A caller holding the corpus's AT-REST df relation
+    // ([[readShingleDf]] — value-identical by construction) passes it
+    // as `df` and the probe's dominant cost drops to a
+    // vocabulary-bounded parquet scan.
     val sg = shingled(docs, n)
-    val freq = sg.select(explode(col("sg")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val freq = df.getOrElse(
+      sg.select(explode(col("sg")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("f")))
     val sample = sg
       .orderBy(md5(concat(lit("cac:"), col("doc_id").cast("string"))),
         col("doc_id"))
@@ -2598,11 +2679,21 @@ object Dedup {
     */
   def containmentAuto(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.9, p: Int = 8,
-      cdcThreshold: Double = 0.5): DataFrame = {
+      cdcThreshold: Double = 0.5,
+      dfIndexPath: Option[String] = None): DataFrame = {
     val conf = docs.sparkSession.conf
     val mode = conf.get("spark.graft.containment.mode", "") match {
       case "" =>
-        if (estimateContainmentCandidatesPerDoc(docs, n, threshold) > 32)
+        // with a dfIndexPath the corpus-static df relation lives at
+        // rest (ensure = one build per corpus, every later probe a
+        // vocabulary-bounded scan); values are identical either way,
+        // so the decision — and x141's hash — cannot move
+        val dfRel = dfIndexPath.map { ip =>
+          ensureShingleDfIndex(docs, ip, n)
+          readShingleDf(docs.sparkSession, ip)
+        }
+        if (estimateContainmentCandidatesPerDoc(docs, n, threshold,
+            df = dfRel) > 32)
           "cdc"
         else "exact"
       case m => m

@@ -7,6 +7,37 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Checkpoints.MaterializeOps
 
+/** Training + assignment profile for the at-rest index builders
+  * ([[Similarity.writeKnnIndex]] / [[Similarity.writeIvfIndex]] and their
+  * ensure/extend/streaming faces).
+  *
+  *  - [[IndexProfile.Exact]]: full-corpus Lloyd + flat argmax — the
+  *    validation-scale path whose DuckDB oracles (x131/x138/x139)
+  *    replicate it bit for bit. With the adaptive cell count (k ∝ n)
+  *    each Lloyd pass is n·k = O(n²/perCell) cosine evaluations —
+  *    measured 354 s at just 180 k vectors — so this profile must never
+  *    be the seed/rebuild arm of a production-scale index.
+  *  - [[IndexProfile.Production]]: [[Similarity.trainCentroidsSampled]]
+  *    (Lloyd over a hash-ordered `rowsPerCentroid`·k sample — every pass
+  *    sample·k, not n·k) + [[Similarity.assignCellsCoarse]] (two-level
+  *    coarse-then-fine argmax, ~2·n·√k) — exactly the x128/x130
+  *    composition KnnProductionProbe measured at 31.2 s where the exact
+  *    path read 96.2 s at 100×/k=800. Approximate by construction (the
+  *    standard IVF probe trade); x144 pins its semantics end to end.
+  *
+  * The profile is part of the index stamp, so switching profiles over
+  * the same corpus rebuilds instead of silently mixing assignment
+  * routes; extensions assign their batch through the SAME per-vector
+  * function as the seed (pure in (vector, centroid set)), which is what
+  * keeps extended == from-scratch-with-same-model true per profile.
+  */
+sealed trait IndexProfile
+object IndexProfile {
+  case object Exact extends IndexProfile
+  final case class Production(rowsPerCentroid: Int = 50,
+      coarseK: Int = 0, nprobeGroups: Int = 1) extends IndexProfile
+}
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Brute-force cosine top-k is the correctness baseline; the scale path is
@@ -576,11 +607,52 @@ object Similarity {
     * rebuild, the standard IVF maintenance trade.
     */
   def writeIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
-      iters: Int = 3): Unit = {
-    val trained = trainCentroids(corpus, nCentroids, iters)
-    assignCells(corpus, centroidRelation(trained))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      iters: Int = 3,
+      profile: IndexProfile = IndexProfile.Exact): Unit = {
+    val (trained, assigned) = trainAndAssign(corpus, nCentroids, iters,
+      profile)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     trained.write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** The profile seam shared by both at-rest builders: train the model
+    * and assign the corpus by [[IndexProfile]] — exact Lloyd + flat
+    * argmax, or sampled Lloyd + two-level coarse assignment (x128's
+    * measured production composition). Output shape is [[assignCells]]'
+    * (cid, ce, cn, cell) either way.
+    */
+  private def trainAndAssign(corpus: DataFrame, nCentroids: Int,
+      iters: Int, profile: IndexProfile): (DataFrame, DataFrame) =
+    profile match {
+      case IndexProfile.Exact =>
+        val c = trainCentroids(corpus, nCentroids, iters)
+        (c, assignCells(corpus, centroidRelation(c)))
+      case IndexProfile.Production(rpc, ck, np) =>
+        val c = trainCentroidsSampled(corpus, nCentroids,
+          maxTrainRows = rpc * nCentroids, iters = iters)
+        (c, assignCellsCoarse(corpus, c, ck, np))
+    }
+
+  /** The batch-assignment half of the profile seam: assign new vectors
+    * against FROZEN at-rest centroids through the same per-vector
+    * function the seed used — pure in (vector, centroid set), which is
+    * the invariant that makes an extension provably equal to a
+    * from-scratch build with the same model under either profile.
+    */
+  private def assignWithProfile(vecs: DataFrame, cents: DataFrame,
+      profile: IndexProfile): DataFrame = profile match {
+    case IndexProfile.Exact => assignCells(vecs, centroidRelation(cents))
+    case IndexProfile.Production(_, ck, np) =>
+      assignCellsCoarse(vecs, cents, ck, np)
+  }
+
+  /** The profile's stamp token — dash-separated inside so it stays ONE
+    * colon-field of the corpus part (the stamp format the extenders
+    * parse by prefix; see lshStampParams' lesson on field coupling).
+    */
+  private def profileToken(p: IndexProfile): String = p match {
+    case IndexProfile.Exact => "exact"
+    case IndexProfile.Production(r, c, n) => s"sampled-$r-$c-$n"
   }
 
   /** [[writeIvfIndex]] only when needed: the corpus data fingerprint +
@@ -599,14 +671,16 @@ object Similarity {
     * rationale) so [[extendIvfIndex]] can roll the corpus forward under
     * a frozen trained model. */
   private def ivfCorpusPart(corpus: DataFrame, nCentroids: Int,
-      iters: Int): String =
+      iters: Int, profile: IndexProfile): String =
     Seq(corpusFingerprint(corpus),
-      corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 2)
+      corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 2,
+      profileToken(profile))
       .mkString(":")
 
   def ensureIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
-      iters: Int = 3, force: Boolean = false): Boolean = {
-    val stamp = ivfCorpusPart(corpus, nCentroids, iters) +
+      iters: Int = 3, force: Boolean = false,
+      profile: IndexProfile = IndexProfile.Exact): Boolean = {
+    val stamp = ivfCorpusPart(corpus, nCentroids, iters, profile) +
       "|model=" + knnModelPart(corpus)
     // `force` is the out-of-band-mutation hatch (the at-rest analogue of
     // [[invalidateTrainedCentroids]]); stamp/crash semantics live in
@@ -614,7 +688,7 @@ object Similarity {
     // [[graft.ext.Dedup.ensureDedupIndex]].
     graft.engine.AtRest.ensureStamped(corpus.sparkSession, path,
       IvfMeta, stamp, force) {
-      writeIvfIndex(corpus, path, nCentroids, iters)
+      writeIvfIndex(corpus, path, nCentroids, iters, profile)
     }
   }
 
@@ -636,15 +710,16 @@ object Similarity {
     */
   def extendIvfIndex(baseCorpus: DataFrame, newCorpus: DataFrame,
       path: String, nCentroids: Int = 8, iters: Int = 3,
-      unionView: Option[DataFrame] = None): Boolean = {
+      unionView: Option[DataFrame] = None,
+      profile: IndexProfile = IndexProfile.Exact): Boolean = {
     val spark = baseCorpus.sparkSession
     // canonical base ∪ batch plan for the stamp when the caller has one
     // (a flat multi-dir read) — same contract as extendKnnIndex's
     // unionView: rows must equal baseCorpus ∪ newCorpus
     val union = unionView.getOrElse(baseCorpus.union(newCorpus))
-    val unionCorpus = ivfCorpusPart(union, nCentroids, iters)
-    val basePrefix = ivfCorpusPart(baseCorpus, nCentroids, iters) +
-      "|model="
+    val unionCorpus = ivfCorpusPart(union, nCentroids, iters, profile)
+    val basePrefix = ivfCorpusPart(baseCorpus, nCentroids, iters,
+      profile) + "|model="
     // AtRest.extendStamped owns the stamp/crash/drift protocol; the
     // model term rides from the base stamp into the union stamp — an
     // extension NEVER re-trains (the standard IVF maintenance trade)
@@ -656,12 +731,13 @@ object Similarity {
             () => {
               val cents = spark.read.parquet(s"$path/_centroids")
               // the exact row shape writeIvfIndex persists: (cid, ce,
-              // cn) under the cell= partition column
-              assignCells(newCorpus, centroidRelation(cents))
+              // cn) under the cell= partition column, assigned through
+              // the SAME per-vector route as the seed (profile seam)
+              assignWithProfile(newCorpus, cents, profile)
                 .write.mode("append").partitionBy("cell").parquet(path)
             }))
         else None) {
-      ensureIvfIndex(union, path, nCentroids, iters)
+      ensureIvfIndex(union, path, nCentroids, iters, profile = profile)
     }
   }
 
@@ -683,10 +759,11 @@ object Similarity {
     * corpus part match but its `model=` term differ, and correctly
     * RE-TRAINS rather than silently adopting the stale cell structure.
     */
-  private def knnCorpusPart(emb: DataFrame, k: Int, perCell: Int): String =
+  private def knnCorpusPart(emb: DataFrame, k: Int, perCell: Int,
+      profile: IndexProfile): String =
     Seq(corpusFingerprint(emb),
       emb.queryExecution.analyzed.semanticHash(), k, perCell,
-      KnnIndexLayoutVersion).mkString(":")
+      KnnIndexLayoutVersion, profileToken(profile)).mkString(":")
 
   /** The x94 kNN EDGE relation at rest: cell-local top-`k` edges (cid,
     * cell, nid, cos) under `path/edges` with the trained centroids as a
@@ -701,9 +778,11 @@ object Similarity {
     * one process.
     */
   def writeKnnIndex(emb: DataFrame, path: String, k: Int,
-      perCell: Int = 250): Unit = {
-    val cents = trainCentroids(emb, adaptiveCellCount(emb, perCell = perCell))
-    val assigned = assignCells(emb, centroidRelation(cents)).materialized
+      perCell: Int = 250,
+      profile: IndexProfile = IndexProfile.Exact): Unit = {
+    val (cents, assignedPlan) = trainAndAssign(emb,
+      adaptiveCellCount(emb, perCell = perCell), iters = 3, profile)
+    val assigned = assignedPlan.materialized
     // v2 layout: edges AND assignments live partitioned by cell, which
     // is what makes the incremental extension surgical — an extension
     // reads only the touched `cell=` directories (partition pruning)
@@ -731,12 +810,13 @@ object Similarity {
       trainedOn.queryExecution.analyzed.semanticHash()
 
   def ensureKnnIndex(emb: DataFrame, path: String, k: Int,
-      perCell: Int = 250, force: Boolean = false): Boolean = {
-    val stamp = knnCorpusPart(emb, k, perCell) +
+      perCell: Int = 250, force: Boolean = false,
+      profile: IndexProfile = IndexProfile.Exact): Boolean = {
+    val stamp = knnCorpusPart(emb, k, perCell, profile) +
       "|model=" + knnModelPart(emb)
     graft.engine.AtRest.ensureStamped(emb.sparkSession, path,
       KnnMeta, stamp, force) {
-      writeKnnIndex(emb, path, k, perCell)
+      writeKnnIndex(emb, path, k, perCell, profile)
     }
   }
 
@@ -766,7 +846,8 @@ object Similarity {
     */
   def extendKnnIndex(baseEmb: DataFrame, newEmb: DataFrame, path: String,
       k: Int, perCell: Int = 250,
-      unionView: Option[DataFrame] = None): Boolean = {
+      unionView: Option[DataFrame] = None,
+      profile: IndexProfile = IndexProfile.Exact): Boolean = {
     val spark = baseEmb.sparkSession
     import spark.implicits._
     // canonical base ∪ batch plan for the stamp, when the caller has
@@ -775,8 +856,9 @@ object Similarity {
     // baseEmb ∪ newEmb; keeps a streaming caller's stamped plan
     // constant-depth instead of one union deeper per micro-batch
     val union = unionView.getOrElse(baseEmb.union(newEmb))
-    val unionCorpus = knnCorpusPart(union, k, perCell)
-    val basePrefix = knnCorpusPart(baseEmb, k, perCell) + "|model="
+    val unionCorpus = knnCorpusPart(union, k, perCell, profile)
+    val basePrefix = knnCorpusPart(baseEmb, k, perCell, profile) +
+      "|model="
     // AtRest.extendStamped owns the stamp/crash/drift protocol; the
     // model term rides from the base stamp into the union stamp —
     // extensions keep the frozen model, only an ensure-over-union
@@ -788,7 +870,10 @@ object Similarity {
           Some((unionCorpus + "|model=" + stamp.substring(basePrefix.length),
             () => {
           val cents = readKnnCentroids(spark, path)
-          val assignedBatch = assignCells(newEmb, centroidRelation(cents))
+          // same per-vector assignment function as the seed (profile
+          // seam) — the extended-equals-from-scratch invariant per
+          // profile
+          val assignedBatch = assignWithProfile(newEmb, cents, profile)
             .materialized
           // bounded driver state: ≤ min(|batch|, cell count) longs —
           // the probed-cell collect class (dim-table scale)
@@ -821,7 +906,7 @@ object Similarity {
             .parquet(s"$path/cells")
             }))
         else None) {
-      ensureKnnIndex(union, path, k, perCell)
+      ensureKnnIndex(union, path, k, perCell, profile = profile)
     }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.engine.Tables
 import graft.engine.Checkpoints.MaterializeOps
-import graft.ext.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, IndexProfile, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ext.TextAnalysis._
 
 /** Extension queries: the LLM-data-pipeline operators (north star,
@@ -1480,9 +1480,15 @@ object ExtQueries {
     // decision changes declared semantics, so the oracle replicates
     // probe + decision + both chains and selects with the identical
     // comparison.
+    // the probe's corpus-static shingle-df relation rides at rest
+    // (value-identical, so the decision and this hash cannot move):
+    // the first pass per corpus builds it, every later pass — bench
+    // passes, repeated pipeline entries — pays a vocabulary-bounded
+    // scan instead of re-shingling the corpus
     "x141_containment_auto" -> ((s, dir) =>
       Dedup.containmentAuto(docs(s, dir), n = 3, threshold = 0.9,
-        p = 8, cdcThreshold = 0.5)
+        p = 8, cdcThreshold = 0.5,
+        dfIndexPath = Some(dedupIndexPath(s, dir, "cdf")))
         .orderBy(col("da"), col("db"))),
 
     // the dedup-cutoff price sheet: verified pairs + touched docs at
@@ -1669,6 +1675,26 @@ object ExtQueries {
       Similarity.extendIvfIndex(base, batch, path, nCentroids = 8)
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // the at-rest kNN index built by the PRODUCTION profile — x128's
+    // sampled-training ∘ two-level-assignment composition wired into
+    // the writeKnnIndex/ensureKnnIndex seed itself (the arm x131's
+    // resident lifecycle, x138's rebuild leg, and the streaming face's
+    // seed/torn-prefix recovery all route through). The exact
+    // profile's adaptive-k Lloyd is n·k = O(n²/250) cosines per pass —
+    // 354 s at just 180 k vectors (SCALE.md) — where this composition
+    // measured 63.9 s at 500 k; declaring the SEED under the oracle
+    // (sampled Lloyd + coarse argmax + the same cell-local edge build)
+    // makes the production index lifecycle hash-checked end to end, so
+    // a builder refactor can't silently fall back to the quadratic
+    // path.
+    "x144_knn_index_production" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = knnIndexPath(s, dir, "prod")
+      Similarity.ensureKnnIndex(e, path, k = 5,
+        profile = IndexProfile.Production())
+      Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
     })
   )
 
@@ -5364,6 +5390,28 @@ object ExtQueries {
                FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid != b.vid
                JOIN e x ON x.vec_id = a.vid
                JOIN e y ON y.vec_id = b.vid)
+         SELECT cid, cell, nid, cos FROM (
+           SELECT cid, cell, nid, cos,
+                  row_number() OVER (PARTITION BY cid
+                                     ORDER BY cos DESC, nid) AS rn
+           FROM p) t WHERE rn <= 5
+         ORDER BY cid, nid"""),
+
+    // mirrors x144: the production front end (sampled training +
+    // two-level assignment, productionAssignCtes — x128's CTEs
+    // verbatim) feeding x131's cell-local edge tail — the at-rest
+    // production SEED replicated from scratch
+    "x144_knn_index_production" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         $productionAssignCtes,
+         p AS (SELECT a.vec_id AS cid, a.cell, b.vec_id AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM s2 a JOIN s2 b ON a.cell = b.cell
+                                  AND a.vec_id != b.vec_id
+               JOIN e x ON x.vec_id = a.vec_id
+               JOIN e y ON y.vec_id = b.vec_id)
          SELECT cid, cell, nid, cos FROM (
            SELECT cid, cell, nid, cos,
                   row_number() OVER (PARTITION BY cid

@@ -383,20 +383,37 @@ object Streams {
     * micro-batch and every earlier landed batch silently dropped out).
     */
   def dedupIndexStream(docs: DataFrame, corpusDir: String,
-      indexPath: String, checkpoint: String): StreamingQuery = {
-    var dirs: Option[Vector[String]] = None
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val newDir = s"$corpusDir/b$id"
-        batch.write.mode("overwrite").parquet(newDir)
-        dirs = Some(dedupIndexBatch(spark, corpusDir, newDir, dirs,
-          indexPath))
-        ()
-      }
-      .start()
-  }
+      indexPath: String, checkpoint: String): StreamingQuery =
+    indexMaintenanceStream(docs, corpusDir, checkpoint,
+      ensure = dedupEnsure(indexPath),
+      extend = dedupExtend(indexPath))
+
+  /** The dedup face's (ensure, extend): the LSH key index plus the
+    * corpus shingle-df sidecar (`_dfindex` — underscore-named, so
+    * parquet directory reads of the index skip it) maintained in the
+    * same step. The sidecar is the x141 containment probe's relation
+    * ([[graft.ext.Dedup.readShingleDf]]); keeping it extended per
+    * micro-batch (an append of the batch's own partial counts — never
+    * a base re-scan) means an auto-switch probe over the streamed
+    * corpus reads it at rest instead of re-shingling everything
+    * landed.
+    */
+  private def dedupEnsure(indexPath: String): DataFrame => Boolean =
+    docs => {
+      val built = graft.ext.Dedup.ensureDedupIndexLsh(docs, indexPath)
+      graft.ext.Dedup.ensureShingleDfIndex(docs, s"$indexPath/_dfindex")
+      built
+    }
+
+  private def dedupExtend(indexPath: String)
+      : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
+    (base, batch, union) => {
+      val built = graft.ext.Dedup.extendDedupIndexLsh(base, batch,
+        indexPath, unionView = union)
+      graft.ext.Dedup.extendShingleDfIndex(base, batch,
+        s"$indexPath/_dfindex", unionView = union)
+      built
+    }
 
   /** One [[dedupIndexStream]] maintenance step, factored out of the
     * foreachBatch closure so recovery is directly testable. With no
@@ -412,20 +429,10 @@ object Streams {
   private[graft] def dedupIndexBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]],
-      indexPath: String): Vector[String] = {
-    val newQ = qualifiedDir(spark, newDir)
-    val landed = prev.map(_ :+ newQ)
-      .getOrElse(landedBatchDirs(spark, corpusDir))
-    val base = landed.filterNot(_ == newQ)
-    if (base.isEmpty)
-      graft.ext.Dedup.ensureDedupIndexLsh(
-        spark.read.parquet(landed: _*), indexPath)
-    else
-      graft.ext.Dedup.extendDedupIndexLsh(
-        spark.read.parquet(base: _*), spark.read.parquet(newQ),
-        indexPath, unionView = Some(spark.read.parquet(landed: _*)))
-    landed
-  }
+      indexPath: String): Vector[String] =
+    indexMaintenanceBatch(spark, corpusDir, newDir, prev,
+      ensure = dedupEnsure(indexPath),
+      extend = dedupExtend(indexPath))
 
   /** [[dedupIndexStream]]'s discipline applied to the at-rest kNN
     * index (x131/x138's artifact): each embedding micro-batch lands
@@ -444,20 +451,15 @@ object Streams {
     */
   def knnIndexStream(emb: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String, k: Int = 5,
-      perCell: Int = 250): StreamingQuery = {
-    var dirs: Option[Vector[String]] = None
-    emb.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val newDir = s"$corpusDir/b$id"
-        batch.write.mode("overwrite").parquet(newDir)
-        dirs = Some(knnIndexBatch(spark, corpusDir, newDir, dirs,
-          indexPath, k, perCell))
-        ()
-      }
-      .start()
-  }
+      perCell: Int = 250,
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      : StreamingQuery =
+    indexMaintenanceStream(emb, corpusDir, checkpoint,
+      ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
+        perCell, profile = profile),
+      extend = (base, batch, union) => graft.ext.Similarity
+        .extendKnnIndex(base, batch, indexPath, k, perCell,
+          unionView = union, profile = profile))
 
   /** [[dedupIndexBatch]]'s recovery discipline for the kNN family —
     * the incremental-resume property matters MOST here: a restarted
@@ -469,21 +471,15 @@ object Streams {
   private[graft] def knnIndexBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
-      k: Int, perCell: Int = 250): Vector[String] = {
-    val newQ = qualifiedDir(spark, newDir)
-    val landed = prev.map(_ :+ newQ)
-      .getOrElse(landedBatchDirs(spark, corpusDir))
-    val base = landed.filterNot(_ == newQ)
-    if (base.isEmpty)
-      graft.ext.Similarity.ensureKnnIndex(
-        spark.read.parquet(landed: _*), indexPath, k, perCell)
-    else
-      graft.ext.Similarity.extendKnnIndex(
-        spark.read.parquet(base: _*), spark.read.parquet(newQ),
-        indexPath, k, perCell,
-        unionView = Some(spark.read.parquet(landed: _*)))
-    landed
-  }
+      k: Int, perCell: Int = 250,
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      : Vector[String] =
+    indexMaintenanceBatch(spark, corpusDir, newDir, prev,
+      ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
+        perCell, profile = profile),
+      extend = (base, batch, union) => graft.ext.Similarity
+        .extendKnnIndex(base, batch, indexPath, k, perCell,
+          unionView = union, profile = profile))
 
   /** The third at-rest artifact kind's streaming face — the IVF corpus
     * (x44/x139): each embedding micro-batch lands under
@@ -497,39 +493,86 @@ object Streams {
     */
   def ivfIndexStream(emb: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String, nCentroids: Int = 8,
-      iters: Int = 3): StreamingQuery = {
-    var dirs: Option[Vector[String]] = None
-    emb.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val newDir = s"$corpusDir/b$id"
-        batch.write.mode("overwrite").parquet(newDir)
-        dirs = Some(ivfIndexBatch(spark, corpusDir, newDir, dirs,
-          indexPath, nCentroids, iters))
-        ()
-      }
-      .start()
-  }
+      iters: Int = 3,
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      : StreamingQuery =
+    indexMaintenanceStream(emb, corpusDir, checkpoint,
+      ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
+        nCentroids, iters, profile = profile),
+      extend = (base, batch, union) => graft.ext.Similarity
+        .extendIvfIndex(base, batch, indexPath, nCentroids, iters,
+          unionView = union, profile = profile))
 
   /** [[dedupIndexBatch]]'s recovery discipline for the IVF family. */
   private[graft] def ivfIndexBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
-      nCentroids: Int, iters: Int = 3): Vector[String] = {
+      nCentroids: Int, iters: Int = 3,
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      : Vector[String] =
+    indexMaintenanceBatch(spark, corpusDir, newDir, prev,
+      ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
+        nCentroids, iters, profile = profile),
+      extend = (base, batch, union) => graft.ext.Similarity
+        .extendIvfIndex(base, batch, indexPath, nCentroids, iters,
+          unionView = union, profile = profile))
+
+  /** THE at-rest index maintenance step, shared by all three artifact
+    * kinds (dedup LSH keys / kNN edges / IVF corpus) — one place for
+    * the land→flat-read→seed-or-extend shape, parameterized by the
+    * family's (ensure, extend) the way
+    * [[graft.engine.AtRest.extendStamped]] unified the extenders.
+    * With no in-memory dir list (the first batch of a (re)started
+    * query) the landed `b*` dirs are LISTED and — when any predate
+    * this batch — the step EXTENDS from them: a cleanly-shut-down
+    * stream resumes incrementally (the at-rest stamp still matches the
+    * flat read over the landed prefix), never re-paying a full rebuild
+    * (for the kNN family, a re-TRAIN) of a corpus that may be 1000×
+    * the batch. A drifted or torn prefix falls through extendStamped's
+    * rebuild arm to an ensure over the WHOLE landed corpus — the
+    * crash-safe floor. Returns the updated landed list.
+    */
+  private[graft] def indexMaintenanceBatch(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      newDir: String, prev: Option[Vector[String]],
+      ensure: DataFrame => Boolean,
+      extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean)
+      : Vector[String] = {
     val newQ = qualifiedDir(spark, newDir)
     val landed = prev.map(_ :+ newQ)
       .getOrElse(landedBatchDirs(spark, corpusDir))
     val base = landed.filterNot(_ == newQ)
     if (base.isEmpty)
-      graft.ext.Similarity.ensureIvfIndex(
-        spark.read.parquet(landed: _*), indexPath, nCentroids, iters)
+      ensure(spark.read.parquet(landed: _*))
     else
-      graft.ext.Similarity.extendIvfIndex(
-        spark.read.parquet(base: _*), spark.read.parquet(newQ),
-        indexPath, nCentroids, iters,
-        unionView = Some(spark.read.parquet(landed: _*)))
+      extend(spark.read.parquet(base: _*), spark.read.parquet(newQ),
+        Some(spark.read.parquet(landed: _*)))
     landed
+  }
+
+  /** The foreachBatch driver shared by the three `*IndexStream` faces:
+    * land the micro-batch under `corpusDir/b<id>` (stable files, so
+    * the index stamps can fingerprint them), then run one
+    * [[indexMaintenanceBatch]] step, threading the landed-dir list
+    * through the closure so every batch's base is one flat
+    * constant-depth `read.parquet(dirs: _*)` plan.
+    */
+  private def indexMaintenanceStream(src: DataFrame, corpusDir: String,
+      checkpoint: String, ensure: DataFrame => Boolean,
+      extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean)
+      : StreamingQuery = {
+    var dirs: Option[Vector[String]] = None
+    src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val newDir = s"$corpusDir/b$id"
+        batch.write.mode("overwrite").parquet(newDir)
+        dirs = Some(indexMaintenanceBatch(spark, corpusDir, newDir,
+          dirs, ensure, extend))
+        ()
+      }
+      .start()
   }
 
   /** The `b<id>` batch directories already landed under `corpusDir`,

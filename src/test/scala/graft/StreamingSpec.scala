@@ -56,6 +56,24 @@ class StreamingSpec extends AnyFunSuite {
     val pairs = Dedup.readDedupPairs(spark, indexPath)
       .as[(Long, Long, Double)].collect().toSet
     assert(pairs.exists { case (a, b, _) => a < 10 && b >= 10 })
+    // the shingle-df sidecar rode along: one shard per batch (seed +
+    // 2 extensions — extended, never rebuilt), stamped to cover the
+    // flat landed union (a fresh extend over the same union no-ops),
+    // and its merged dfs equal the from-scratch corpus relation
+    val dfDir = new java.io.File(s"$indexPath/_dfindex/df")
+    assert(dfDir.isDirectory)
+    val sidecar = Dedup.readShingleDf(spark, s"$indexPath/_dfindex")
+      .as[(String, Long)].collect().toMap
+    val scratch = Dedup.shingled(all, 3)
+      .select(explode(col("sg")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toMap
+    assert(sidecar == scratch && scratch.nonEmpty)
+    assert(!Dedup.extendShingleDfIndex(
+      spark.read.parquet(s"$corpusDir/b0", s"$corpusDir/b1"),
+      spark.read.parquet(s"$corpusDir/b2"), s"$indexPath/_dfindex",
+      unionView = Some(all)),
+      "sidecar stamp must already cover the landed union")
   }
 
   test("dedupIndexStream over 20 micro-batches keeps the stamped base " +
@@ -264,6 +282,52 @@ class StreamingSpec extends AnyFunSuite {
     // term and re-trains
     assert(Similarity.ensureKnnIndex(union, indexPath, k = 3),
       "ensure over the streamed union must re-train the model")
+  }
+
+  test("knnIndexStream with the Production profile seeds sampled+coarse " +
+      "and extends through the same assignment function: 3-batch stream " +
+      "edges equal a from-scratch production build over the union with " +
+      "the batch-0-sampled centroids") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{IndexProfile, Similarity}
+    val corpusDir = Files.createTempDirectory("graft-stream-pkc").toString
+    val indexPath = Files.createTempDirectory("graft-stream-pki").toString
+    val all = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.knnIndexStream(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir, indexPath,
+      Files.createTempDirectory("graft-stream-pkk").toString, k = 3,
+      profile = IndexProfile.Production())
+    src.addData(all.filter(_._1 < 30): _*)
+    q.processAllAvailable()
+    src.addData(all.filter(t => t._1 >= 30 && t._1 < 45): _*)
+    q.processAllAvailable()
+    src.addData(all.filter(_._1 >= 45): _*)
+    q.processAllAvailable()
+    q.stop()
+    val dirs = Streams.landedBatchDirs(spark, corpusDir)
+    assert(dirs.size == 3)
+    // frozen-model semantics under the PRODUCTION profile: the seed
+    // trains SAMPLED Lloyd over batch 0 and every vector — base at
+    // seed time, batches at extension time — is assigned through the
+    // same two-level coarse argmax, a pure function of (vector,
+    // centroid set); so the streamed edges equal a from-scratch
+    // production build over the union with the batch-0 model
+    val base = spark.read.parquet(dirs.head)
+    val kCells = Similarity.adaptiveCellCount(base)
+    val cents = Similarity.trainCentroidsSampled(base, kCells,
+      maxTrainRows = 50 * kCells)
+    val union = spark.read.parquet(dirs: _*)
+    val inc = Similarity.readKnnEdges(spark, indexPath)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val scratch = Similarity
+      .knnEdges(Similarity.assignCellsCoarse(union, cents), 3)
+      .select(col("cid"), col("cell"), col("nid"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(inc == scratch && scratch.nonEmpty)
+    assert(spark.read.parquet(s"$indexPath/cells").count() == 60)
   }
 
   test("ivfIndexStream seeds on batch 0 and appends per batch under " +
