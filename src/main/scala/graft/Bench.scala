@@ -155,9 +155,18 @@ object Bench {
     def toJson(f: String => String): String = shown
       .map { r => "\"" + f(r.name) + "\":" + r.min.map(rq).getOrElse("-1") }
       .mkString("{", ",", "}")
+    // errored queries rank FIRST, so errors overflow into this bucket
+    // only when more than StdoutTopK queries broke; their -1 markers
+    // can't print from here, so an explicit "rqe" count keeps rq from
+    // reading as "rq timed queries summing to rsum" on such a run
+    // ("ne" still carries the exact total either way)
     val restField =
       if (restR.isEmpty) ""
-      else s""","rq":${restR.size},"rsum":${r1(restR.flatMap(_.min).sum)}"""
+      else {
+        val restErrs = restR.count(_.err.isDefined)
+        s""","rq":${restR.size},"rsum":${r1(restR.flatMap(_.min).sum)}""" +
+          (if (restErrs == 0) "" else s""","rqe":$restErrs""")
+      }
     val errNames = results.filter(_.err.isDefined).map(_.name)
     val total = results.flatMap(_.min).sum
     // a filtered run is flagged so its total can't be ingested as a

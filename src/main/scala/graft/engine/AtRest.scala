@@ -91,17 +91,28 @@ object AtRest {
       coversUnion: String => Boolean,
       extendFrom: String => Option[(String, () => Unit)])(
       rebuild: => Boolean): Boolean = {
+    // lock-free no-op fast path: readers of a covered artifact never
+    // contend on — or get refused by — the mutation lease
     val current = readStamp(spark, path, metaName)
     if (current.exists(coversUnion)) false
-    else current.flatMap(extendFrom) match {
-      case Some((unionStamp, mutate)) =>
-        deleteStamp(spark, path, metaName)
-        ensureStamped(spark, path, metaName, unionStamp, force = true) {
-          mutate()
-        }
-      case None =>
-        deleteStamp(spark, path, metaName)
-        rebuild
+    else withMutationLease(spark, path, metaName) {
+      // double-checked under the lease: the decision read above raced
+      // any concurrent writer, so re-read and re-decide — a writer
+      // that finished this exact union while we waited turns this call
+      // into a no-op instead of a double-extension
+      val held = readStamp(spark, path, metaName)
+      if (held.exists(coversUnion)) false
+      else held.flatMap(extendFrom) match {
+        case Some((unionStamp, mutate)) =>
+          deleteStamp(spark, path, metaName)
+          ensureStamped(spark, path, metaName, unionStamp,
+            force = true) {
+            mutate()
+          }
+        case None =>
+          deleteStamp(spark, path, metaName)
+          rebuild
+      }
     }
   }
 
@@ -111,12 +122,87 @@ object AtRest {
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val current = readStamp(spark, path, metaName)
     if (!force && current.contains(stamp)) false
+    else withMutationLease(spark, path, metaName) {
+      // double-checked under the lease (see extendStamped)
+      if (!force && readStamp(spark, path, metaName).contains(stamp))
+        false
+      else {
+        build
+        val out = fs.create(metaPath, true)
+        try out.write(
+          stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      }
+    }
+  }
+
+  /** How long a mutation lease may sit before another writer treats its
+    * holder as crashed and breaks it. Mutations longer than this are
+    * legal — the holder keeps working — but lose their exclusivity
+    * guarantee, so size it above the longest expected index build.
+    */
+  private[graft] val LeaseTtlMs: Long = 30L * 60 * 1000
+
+  /** Per-JVM registry of held leases (qualified lease path → holder
+    * thread) — what makes the lease RE-ENTRANT for the protocol's own
+    * nesting (extendStamped's arms run ensureStamped / family ensure*
+    * on the same path) without a second acquisition.
+    */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Exclusive WRITER lease over one artifact's mutation window — the
+    * concurrent-writer guard the stamp protocol alone cannot give:
+    * deleteStamp→mutate→restamp is crash-safe, but a second extender
+    * interleaving between the delete and the restamp could extend the
+    * same base twice. The lease is a create-exclusive sidecar file
+    * (`<metaName>.lease`, Hadoop FS API — atomic on HDFS-like stores;
+    * best-effort existence-checked elsewhere) holding host:pid:epoch.
+    * A writer finding a FRESH lease is REFUSED (IllegalStateException
+    * — fail fast, never queue behind an unbounded build); a lease
+    * older than [[LeaseTtlMs]] is a crashed holder's and is broken
+    * once. Readers never touch the lease: the callers' no-op fast
+    * paths stay lock-free, and the post-acquisition double-check turns
+    * a lost race into a no-op instead of a conflict.
+    */
+  private def withMutationLease[T](spark: SparkSession, path: String,
+      metaName: String)(body: => T): T = {
+    val leasePath = new org.apache.hadoop.fs.Path(path,
+      metaName + ".lease")
+    val fs = leasePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val key = fs.makeQualified(leasePath).toString
+    if (heldLeases.get(key) eq Thread.currentThread()) body
     else {
-      build
-      val out = fs.create(metaPath, true)
-      try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
+      def tryAcquire(): Boolean =
+        try {
+          val out = fs.create(leasePath, false)
+          try out.write(
+            (java.net.InetAddress.getLocalHost.getHostName + ":" +
+              ProcessHandle.current().pid() + ":" +
+              System.currentTimeMillis())
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!tryAcquire()) {
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(leasePath).getModificationTime > LeaseTtlMs
+          catch { case _: java.io.FileNotFoundException => true }
+        if (!stale || { fs.delete(leasePath, false); !tryAcquire() })
+          throw new IllegalStateException(
+            s"concurrent at-rest writer holds $key — the artifact is " +
+              "being mutated by another job; retry after it finishes " +
+              s"(stale leases break after ${LeaseTtlMs / 60000} min)")
+      }
+      heldLeases.put(key, Thread.currentThread())
+      try body
+      finally {
+        heldLeases.remove(key)
+        try fs.delete(leasePath, false)
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 }

@@ -1240,9 +1240,16 @@ object Dedup {
 
   private def dedupLshStamp(docs: DataFrame, n: Int, threshold: Double,
       maxIters: Int, params: (Int, Int)): String =
+    // banding params as EXPLICIT h=/b= fields (v2): v1 stamped them
+    // positionally through Seq.mkString, which numerically widened the
+    // Ints to "128.0" and coupled the parse to the stamp's exact field
+    // count — a composition change silently broke lshStampParams. A
+    // v1 stamp no longer parses, which is the safe arm: full
+    // string-equality gating means an unparsed stamp rebuilds, never
+    // mixes key spaces.
     Seq(Similarity.corpusFingerprint(docs),
       docs.queryExecution.analyzed.semanticHash(), n, threshold, maxIters,
-      params._1, params._2, 1).mkString(":")
+      s"h=${params._1}", s"b=${params._2}", 2).mkString(":")
 
   /** The (numHashes, bands) a [[dedupLshStamp]] was written under —
     * the at-rest keys' actual banding, read back from the sidecar so an
@@ -1253,13 +1260,16 @@ object Dedup {
     * probe would still pick the stamped value).
     */
   private def lshStampParams(stamp: String): Option[(Int, Int)] = {
+    // keyed fields, not positions: immune to composition drift, and an
+    // unrecognized (e.g. v1) stamp simply fails the subsequent
+    // full-equality gate into a rebuild
     val f = stamp.split(":")
-    // the Seq behind dedupLshStamp numerically widens its Int members
-    // to Double (mixed Int/Double literals), so the stamped fields read
-    // "128.0"/"64.0" — parse accordingly
-    if (f.length == 8)
-      scala.util.Try((f(5).toDouble.toInt, f(6).toDouble.toInt)).toOption
-    else None
+    val h = f.collectFirst { case s if s.startsWith("h=") => s.drop(2) }
+    val b = f.collectFirst { case s if s.startsWith("b=") => s.drop(2) }
+    for {
+      hv <- h.flatMap(s => scala.util.Try(s.toInt).toOption)
+      bv <- b.flatMap(s => scala.util.Try(s.toInt).toOption)
+    } yield (hv, bv)
   }
 
   /** The LSH-keyed at-rest near-dup index — [[writeDedupIndex]] with

@@ -32,6 +32,11 @@ object IndexStreamProbe {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
+    // the probe's whole point is steady-state (post-seed) cost, so a
+    // 1-batch run has nothing to report — fail fast instead of
+    // printing NaN steady fields over an empty drop(1)
+    require(nBatches >= 2,
+      s"nBatches must be >= 2 (seed + at least one extension): $nBatches")
     val rows = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text")
       .limit(nBatches * batchSize)

@@ -101,4 +101,65 @@ class AtRestSpec extends AnyFunSuite {
     assert(AtRest.readStamp(spark, dir, Meta).isEmpty,
       "a crashed drift-rebuild must leave a stampless dir")
   }
+
+  test("concurrent writers: a second writer inside the mutation window " +
+      "is refused (never double-extends), a lost race turns into a " +
+      "no-op, readers of a covered artifact never touch the lease, and " +
+      "a stale lease is broken") {
+    val dir = tmp()
+    AtRest.ensureStamped(spark, dir, Meta, "base", force = false) {}
+    // writer B (another thread) fires while A's mutation is mid-flight:
+    // the lease must refuse it — B must neither mutate nor rebuild
+    @volatile var bOutcome: Option[Throwable] = None
+    @volatile var bMutated = false
+    assert(AtRest.extendStamped(spark, dir, Meta,
+      coversUnion = _ == "union",
+      extendFrom = s =>
+        if (s == "base") Some(("union", () => {
+          val b = new Thread(() => {
+            try AtRest.extendStamped(spark, dir, Meta,
+              coversUnion = _ == "union",
+              extendFrom = _ => Some(("union", () => bMutated = true))) {
+              bMutated = true; true
+            }
+            catch { case e: Throwable => bOutcome = Some(e) }
+          })
+          b.start(); b.join()
+        })) else None) { fail("A must extend, not rebuild") })
+    assert(!bMutated, "second writer must never reach a mutation")
+    assert(bOutcome.exists(_.isInstanceOf[IllegalStateException]),
+      s"second writer must be refused, got $bOutcome")
+    assert(AtRest.readStamp(spark, dir, Meta).contains("union"),
+      "A's extension must complete exactly once")
+    // the lease is gone after A finishes — released in all paths
+    assert(!new java.io.File(dir, Meta + ".lease").exists())
+    // lost race → no-op: a writer whose target stamp landed while it
+    // waited must re-read under the lease and do nothing
+    var rebuilt = false
+    assert(!AtRest.extendStamped(spark, dir, Meta,
+      coversUnion = _ == "union",
+      extendFrom = _ => Some(("union", () =>
+        fail("covered union must no-op under the lease")))) {
+      rebuilt = true; true
+    } && !rebuilt)
+    // reader fast path: a covered ensure no-ops with a FRESH foreign
+    // lease present (readers are lock-free and never refused)
+    val lease = new java.io.File(dir, Meta + ".lease")
+    assert(lease.createNewFile())
+    assert(!AtRest.ensureStamped(spark, dir, Meta, "union",
+      force = false) { fail("covered ensure must not build") })
+    // but a WRITER hitting that fresh foreign lease is refused...
+    intercept[IllegalStateException] {
+      AtRest.ensureStamped(spark, dir, Meta, "v2", force = false) {}
+    }
+    assert(AtRest.readStamp(spark, dir, Meta).contains("union"))
+    // ...until the lease goes stale (crashed holder): then it breaks
+    // and the build proceeds
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - AtRest.LeaseTtlMs - 60000))
+    assert(AtRest.ensureStamped(spark, dir, Meta, "v2",
+      force = false) {})
+    assert(AtRest.readStamp(spark, dir, Meta).contains("v2"))
+    assert(!lease.exists(), "broken+released lease must be gone")
+  }
 }

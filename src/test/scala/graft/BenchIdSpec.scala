@@ -56,20 +56,22 @@ class BenchIdSpec extends AnyFunSuite {
     val modeled = math.max(200, ids.size)
     val widest = ids.sortBy(id => (-id.length, id)).take(stdoutTopK)
     val entries = widest.map(id => "\"" + id + "\":999").mkString(",")
-    // pessimistic optional fields: the rest-bucket at its widest
-    // plausible print (999 cut queries, 4-digit rsum) plus the errs
-    // field, which Bench bounds to the 2 WIDEST short ids and an "ne"
-    // count (a run with errors is exactly when the parsed stdout
-    // matters most). ","partial":true" is NOT modeled: it appears only
-    // under SPARK_GRAFT_ONLY — targeted local re-measures whose record
-    // of truth is the bench_runs artifact — while the driver always
-    // runs the full surface
-    val worstRest = s""","rq":${modeled - stdoutTopK},"rsum":9999.9"""
+    // pessimistic optional fields, ALL of them at once: the
+    // rest-bucket at its widest plausible print (999 cut queries,
+    // 4-digit rsum, a 3-digit "rqe" errored-overflow count — the
+    // >StdoutTopK-errors case), the errs field (Bench bounds it to
+    // the 2 WIDEST short ids and an "ne" count), AND ","partial":true
+    // — it appears only under SPARK_GRAFT_ONLY, but a future surface
+    // must not be able to overflow the window through ANY reachable
+    // field combination (round-13 verdict stretch)
+    val worstRest =
+      s""","rq":${modeled - stdoutTopK},"rsum":9999.9,"rqe":999"""
     val worstErrs = ""","ne":999""" +
       ids.sortBy(-_.length).take(2).map("\"" + _ + "\"")
         .mkString(""","errs":[""", ",", "]")
+    val worstPartial = ""","partial":true"""
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstPartial}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
     val headroom = 400 // round-12 verdict ask: ≥400 chars spare at the cap
     assert(line.length <= budget - headroom,
