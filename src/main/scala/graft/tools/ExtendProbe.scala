@@ -160,7 +160,7 @@ object ExtendProbe {
         val batchSize = args(2).toLong
         val cellFrac = if (args.length > 3) args(3).toDouble else 0.05
         val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
-          .materialized
+          .select(col("vec_id"), col("embedding")).materialized
         val nv = embAll.select(max(col("vec_id"))).collect()(0)
           .getLong(0) + 1
         val prod = graft.ext.IndexProfile.Production()
