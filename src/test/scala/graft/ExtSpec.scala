@@ -632,6 +632,57 @@ class ExtSpec extends AnyFunSuite {
     assert(firstProbe.nonEmpty)
   }
 
+  test("IVF production profile: at-rest rows equal the sampled+coarse " +
+      "assignment of the corpus, the profile is stamped (switch " +
+      "rebuilds), and a production extension assigns the batch through " +
+      "the same route") {
+    import graft.ext.IndexProfile
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prod")
+      .toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-prod-corpus").toString
+    (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val v1 = spark.read.parquet(corpusDir)
+    val prod = IndexProfile.Production()
+    assert(Similarity.ensureIvfIndex(v1, dir, nCentroids = 4,
+      profile = prod), "first ensure must build")
+    assert(!Similarity.ensureIvfIndex(v1, dir, nCentroids = 4,
+      profile = prod), "unchanged (data, params, profile) must reuse")
+    // at-rest (vec_id, cell) rows == live sampled+coarse composition
+    val cents = Similarity.trainCentroidsSampled(v1, 4, 50 * 4)
+    val atRest = spark.read.parquet(dir)
+      .select(col("cid"), col("cell").cast("long").as("cell"))
+      .as[(Long, Long)].collect().toSet
+    val live = Similarity.assignCellsCoarse(v1, cents)
+      .select(col("cid"), col("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(atRest == live && live.nonEmpty)
+    // profile is stamped: same (data, params) under Exact rebuilds
+    assert(Similarity.ensureIvfIndex(v1, dir, nCentroids = 4),
+      "profile switch must invalidate the stamp")
+    // production extension appends through the same coarse route
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ivf-prod2")
+      .toString
+    val base = v1.filter(col("vec_id") < 40)
+    val batch = v1.filter(col("vec_id") >= 40)
+    assert(Similarity.ensureIvfIndex(base, d2, nCentroids = 4,
+      profile = prod))
+    assert(Similarity.extendIvfIndex(base, batch, d2, nCentroids = 4,
+      profile = prod), "matching base stamp must extend")
+    val baseCents = Similarity.trainCentroidsSampled(base, 4, 50 * 4)
+    val ext = spark.read.parquet(d2)
+      .select(col("cid"), col("cell").cast("long").as("cell"))
+      .as[(Long, Long)].collect().toSet
+    val scratch = Similarity.assignCellsCoarse(v1, baseCents)
+      .select(col("cid"), col("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(ext == scratch && scratch.nonEmpty)
+  }
+
   test("ensureKnnIndex builds once, reuses on unchanged data, rebuilds " +
       "when the corpus or params change; at-rest edges equal the live " +
       "session-cached build") {
@@ -1301,6 +1352,20 @@ class ExtSpec extends AnyFunSuite {
     val atRest = Dedup.estimateContainmentCandidatesPerDoc(docs,
       df = Some(Dedup.readShingleDf(spark, dir)))
     assert(atRest == live)
+    // the decision STATISTIC at rest: value-identical to the
+    // self-derived probe, computed once (second call reads the stamped
+    // sidecar), and a corpus change re-probes rather than serving the
+    // stale decision
+    val pDir = java.nio.file.Files.createTempDirectory("graft-cont-stat")
+      .toString
+    assert(Dedup.containmentCandStatAtRest(docs, pDir) == live)
+    val t0 = System.nanoTime()
+    assert(Dedup.containmentCandStatAtRest(docs, pDir) == live)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "second call must read the stamped statistic, not re-probe")
+    val baseStat = Dedup.containmentCandStatAtRest(base, pDir)
+    assert(baseStat == Dedup.estimateContainmentCandidatesPerDoc(base),
+      "corpus change must re-probe (stamp mismatch), value-identical")
   }
 
   test("recall floors: the x136 LSH audit reads 1.0 and the x143 " +
