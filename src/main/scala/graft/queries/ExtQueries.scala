@@ -1695,6 +1695,24 @@ object ExtQueries {
       Similarity.ensureKnnIndex(e, path, k = 5,
         profile = IndexProfile.Production())
       Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    }),
+
+    // the IVF corpus index under the same production seed — x144's
+    // discipline for the OTHER at-rest vector artifact (x44/x139's):
+    // sampled Lloyd + two-level assignment build the partitioned
+    // corpus, then the standard nprobe=2 partition-pruned probe runs
+    // against the sampled centroids. Oracle replicates the whole
+    // lifecycle (production front end + probe + scoring) from scratch,
+    // so neither the builder nor the probe can silently drop to the
+    // quadratic seed or a different assignment route.
+    "x145_ivf_index_production" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "prod")
+      Similarity.ensureIvfIndex(e, path,
+        nCentroids = Similarity.adaptiveCellCount(e),
+        profile = IndexProfile.Production())
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10).orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -5417,7 +5435,41 @@ object ExtQueries {
                   row_number() OVER (PARTITION BY cid
                                      ORDER BY cos DESC, nid) AS rn
            FROM p) t WHERE rn <= 5
-         ORDER BY cid, nid""")
+         ORDER BY cid, nid"""),
+
+    // mirrors x145: the production front end (sampled training +
+    // two-level assignment) builds the cell membership; the probe side
+    // is the standard flat nprobe=2 over the SAMPLED centroids (scent)
+    // — exactly topKIvfIndexed against a Production-profile index
+    "x145_ivf_index_production" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         $productionAssignCtes,
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM (
+             SELECT x.vec_id AS vid, c.cent_id,
+                    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                      round(list_dot_product(x.e, c.ce) /
+                            (sqrt(list_dot_product(x.e, x.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                      c.cent_id) AS rn
+             FROM e x CROSS JOIN scent c
+             WHERE x.vec_id < 10) t WHERE rn <= 2),
+         scored AS (SELECT DISTINCT p.qid, ca.vec_id AS cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6)
+                             AS cos
+                    FROM probes p
+                    JOIN s2 ca ON p.cell = ca.cell
+                              AND ca.vec_id != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.vec_id)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid)
+                       AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank""")
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
