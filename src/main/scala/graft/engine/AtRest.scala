@@ -137,6 +137,27 @@ object AtRest {
     }
   }
 
+  /** A memoized SCALAR decision statistic at rest — the
+    * [[ensureStamped]] discipline for the auto-switch families' probe
+    * values (a probe statistic is a pure function of corpus + params,
+    * so over a static corpus it is computed once and every later call
+    * reads one tiny stamped parquet; a corpus change mismatches the
+    * stamp and re-probes, so a decision can never go stale). The value
+    * lands as a 1-row relation under `path/<relName>` with the stamp
+    * in `path/<metaName>`.
+    */
+  def statStamped(spark: SparkSession, path: String, metaName: String,
+      stamp: String, relName: String)(compute: => Double): Double = {
+    ensureStamped(spark, path, metaName, stamp, force = false) {
+      val v = compute
+      val s = spark
+      import s.implicits._
+      Seq(v).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/$relName")
+    }
+    spark.read.parquet(s"$path/$relName").head().getDouble(0)
+  }
+
   /** How long a mutation lease may sit before another writer treats its
     * holder as crashed and breaks it. Mutations longer than this are
     * legal — the holder keeps working — but lose their exclusivity

@@ -1987,11 +1987,31 @@ object Dedup {
     * unlike x07 the oracle replicates the probe + decision itself —
     * which is why every probe ingredient is engine-portable.
     */
-  def simhashNearDupAuto(docs: DataFrame, radius: Int = 3): DataFrame = {
+  private val SimhashProbeMeta = "_graft_shprobe_meta"
+
+  /** `probeIndexPath` puts the width-decision statistic at rest
+    * ([[containmentCandStatAtRest]]'s discipline — value-identical, so
+    * the decision and x132's hash cannot move; a corpus change
+    * re-probes): repeated auto calls over a static corpus skip the
+    * 1024-doc sample fingerprint pass entirely.
+    */
+  def simhashNearDupAuto(docs: DataFrame, radius: Int = 3,
+      probeIndexPath: Option[String] = None): DataFrame = {
     val conf = docs.sparkSession.conf
     val width = conf.get("spark.graft.simhash.width", "") match {
       case "" =>
-        if (estimateSimhashCollisionsPerDoc(docs, radius) > 32) 120 else 60
+        val est = probeIndexPath match {
+          case Some(ip) =>
+            graft.engine.AtRest.statStamped(docs.sparkSession, ip,
+              SimhashProbeMeta,
+              Seq(Similarity.corpusFingerprint(docs),
+                docs.queryExecution.analyzed.semanticHash(), radius, 1)
+                .mkString(":"), "shprobe") {
+              estimateSimhashCollisionsPerDoc(docs, radius)
+            }
+          case None => estimateSimhashCollisionsPerDoc(docs, radius)
+        }
+        if (est > 32) 120 else 60
       case w => w.toInt
     }
     require(width == 60 || width == 120,
@@ -2049,13 +2069,28 @@ object Dedup {
     * fingerprints), so the oracle replicates the probe + decision
     * themselves — every ingredient is engine-portable.
     */
+  private val WinnowProbeMeta = "_graft_wnprobe_meta"
+
+  /** `probeIndexPath`: the cap-decision statistic at rest — see
+    * [[simhashNearDupAuto]]'s parameter of the same name. */
   def substringOverlapAuto(docs: DataFrame, k: Int = 16, w: Int = 8,
-      minShared: Long = 10): DataFrame = {
+      minShared: Long = 10,
+      probeIndexPath: Option[String] = None): DataFrame = {
     val conf = docs.sparkSession.conf
     val cap: Option[Long] = conf.get("spark.graft.winnow.maxdf", "") match {
       case "" =>
-        if (estimateWinnowCollisionsPerDoc(docs, k, w) > 32) Some(100L)
-        else None
+        val est = probeIndexPath match {
+          case Some(ip) =>
+            graft.engine.AtRest.statStamped(docs.sparkSession, ip,
+              WinnowProbeMeta,
+              Seq(Similarity.corpusFingerprint(docs),
+                docs.queryExecution.analyzed.semanticHash(), k, w, 1)
+                .mkString(":"), "wnprobe") {
+              estimateWinnowCollisionsPerDoc(docs, k, w)
+            }
+          case None => estimateWinnowCollisionsPerDoc(docs, k, w)
+        }
+        if (est > 32) Some(100L) else None
       case "0" => None
       case c => Some(c.toLong)
     }
@@ -2620,16 +2655,12 @@ object Dedup {
     val stamp = Seq(Similarity.corpusFingerprint(docs),
       docs.queryExecution.analyzed.semanticHash(), n, threshold,
       sampleSize, 1).mkString(":")
-    graft.engine.AtRest.ensureStamped(spark, path, ContProbeMeta,
-      stamp, force = false) {
+    graft.engine.AtRest.statStamped(spark, path, ContProbeMeta, stamp,
+      "probe") {
       ensureShingleDfIndex(docs, path, n)
-      val est = estimateContainmentCandidatesPerDoc(docs, n, threshold,
+      estimateContainmentCandidatesPerDoc(docs, n, threshold,
         sampleSize, df = Some(readShingleDf(spark, path)))
-      import spark.implicits._
-      Seq(est).toDF("est").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/probe")
     }
-    spark.read.parquet(s"$path/probe").head().getDouble(0)
   }
 
   /** Measured expected containment-candidate mass PER DOCUMENT — the

@@ -1573,7 +1573,8 @@ object ExtQueries {
     // the oracle replicates the probe + decision themselves (every
     // ingredient is engine-portable), then runs the chosen chain.
     "x132_simhash_auto_neardup" -> ((s, dir) =>
-      Dedup.simhashNearDupAuto(docs(s, dir), radius = 3)
+      Dedup.simhashNearDupAuto(docs(s, dir), radius = 3,
+        probeIndexPath = Some(dedupIndexPath(s, dir, "shp")))
         .orderBy(col("da"), col("db"))),
 
     // recall AUDIT of the declared auto-LSH near-dup path against the
@@ -1622,7 +1623,8 @@ object ExtQueries {
     // chains and selects with the identical comparison.
     "x133_substring_overlap_auto" -> ((s, dir) =>
       Dedup.substringOverlapAuto(docs(s, dir), k = 16, w = 8,
-        minShared = 10)
+        minShared = 10,
+        probeIndexPath = Some(dedupIndexPath(s, dir, "wnp")))
         .orderBy(col("da"), col("db"))),
 
     // the kNN edge relation AT REST (x116's resident discipline applied

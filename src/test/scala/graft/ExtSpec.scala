@@ -1366,6 +1366,24 @@ class ExtSpec extends AnyFunSuite {
     val baseStat = Dedup.containmentCandStatAtRest(base, pDir)
     assert(baseStat == Dedup.estimateContainmentCandidatesPerDoc(base),
       "corpus change must re-probe (stamp mismatch), value-identical")
+    // the same discipline for the other two auto families: at-rest
+    // probe paths serve value-identical decisions (pair sets equal the
+    // self-probed autos bit for bit)
+    val shp = java.nio.file.Files.createTempDirectory("graft-shp")
+      .toString
+    val wnp = java.nio.file.Files.createTempDirectory("graft-wnp")
+      .toString
+    assert(Dedup.simhashNearDupAuto(docs, 3, Some(shp))
+      .collect().map(_.toString).sorted.toSeq ==
+      Dedup.simhashNearDupAuto(docs, 3)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(Dedup.substringOverlapAuto(docs, 16, 8, 10, Some(wnp))
+      .collect().map(_.toString).sorted.toSeq ==
+      Dedup.substringOverlapAuto(docs, 16, 8, 10)
+        .collect().map(_.toString).sorted.toSeq)
+    // stamped: the stat sidecars exist and a second pathed call reuses
+    assert(new java.io.File(shp, "shprobe").isDirectory)
+    assert(new java.io.File(wnp, "wnprobe").isDirectory)
   }
 
   test("recall floors: the x136 LSH audit reads 1.0 and the x143 " +
