@@ -517,8 +517,44 @@ object Streams {
         .extendIvfIndex(base, batch, indexPath, nCentroids, iters,
           unionView = union, profile = profile))
 
-  /** THE at-rest index maintenance step, shared by all three artifact
-    * kinds (dedup LSH keys / kNN edges / IVF corpus) — one place for
+  /** The FOURTH artifact kind's streaming face — the CDC containment
+    * index (x140/x142): each document micro-batch lands under
+    * `corpusDir/b<id>`, the first batch of a (re)started query seeds
+    * [[graft.ext.Dedup.ensureCdcIndex]] over every landed dir, and
+    * later batches run [[graft.ext.Dedup.extendCdcIndex]] — the batch
+    * chunked ALONE (per-document boundaries make the chunk relation
+    * exactly mergeable) and the dup-bounded pair stage re-run over the
+    * skinny persisted chunks, with the cap + denominators recomputed
+    * over the union exactly as from-scratch. Same flat landed-dir
+    * lineage and restart-resume semantics as the other three faces.
+    */
+  def cdcIndexStream(docs: DataFrame, corpusDir: String,
+      indexPath: String, checkpoint: String, p: Int = 8,
+      threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(100L)): StreamingQuery =
+    indexMaintenanceStream(docs, corpusDir, checkpoint,
+      ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
+        threshold, maxDf),
+      extend = (base, batch, union) => graft.ext.Dedup
+        .extendCdcIndex(base, batch, indexPath, p, threshold, maxDf,
+          unionView = union))
+
+  /** [[cdcIndexStream]]'s recovery step, testable like the others. */
+  private[graft] def cdcIndexBatch(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      newDir: String, prev: Option[Vector[String]], indexPath: String,
+      p: Int = 8, threshold: Double = 0.5,
+      maxDf: Option[Long] = Some(100L)): Vector[String] =
+    indexMaintenanceBatch(spark, corpusDir, newDir, prev,
+      ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
+        threshold, maxDf),
+      extend = (base, batch, union) => graft.ext.Dedup
+        .extendCdcIndex(base, batch, indexPath, p, threshold, maxDf,
+          unionView = union))
+
+  /** THE at-rest index maintenance step, shared by all four artifact
+    * kinds (dedup LSH keys / kNN edges / IVF corpus / CDC containment
+    * chunks) — one place for
     * the land→flat-read→seed-or-extend shape, parameterized by the
     * family's (ensure, extend) the way
     * [[graft.engine.AtRest.extendStamped]] unified the extenders.

@@ -369,6 +369,56 @@ class StreamingSpec extends AnyFunSuite {
       "ensure over the streamed union must re-train the model")
   }
 
+  test("cdcIndexStream seeds on batch 0 and extends per batch by " +
+      "chunking ONLY the batch: at-rest pairs equal the from-scratch " +
+      "CDC detector over the landed union, chunk shards append-only") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val corpusDir = Files.createTempDirectory("graft-stream-cdc").toString
+    val indexPath = Files.createTempDirectory("graft-stream-cdi").toString
+    val snippet = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val src = MemoryStream[(Long, String, String)]
+    val q = Streams.cdcIndexStream(
+      src.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
+      Files.createTempDirectory("graft-stream-cdk").toString)
+    // batch 0: the snippet doc + an unrelated doc
+    src.addData((0L, "s", snippet),
+      (1L, "s", (0 until 40).map(i => s"other$i").mkString(" ")))
+    q.processAllAvailable()
+    val chunkFiles0 = new java.io.File(s"$indexPath/chunks").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    // batch 1: a CONTAINER of the batch-0 snippet — the pair straddles
+    // the batch boundary, so it only exists if extension probes the
+    // at-rest base chunks
+    src.addData((2L, "s", (0 until 20).map(i => s"pre$i").mkString(" ")
+      + " " + snippet + " " + (0 until 20).map(i => s"post$i")
+      .mkString(" ")))
+    q.processAllAvailable()
+    // batch 2: another unrelated doc
+    src.addData((3L, "s", (0 until 40).map(i => s"extra$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    val dirs = Streams.landedBatchDirs(spark, corpusDir)
+    assert(dirs.size == 3)
+    // base chunk shards survive byte-identical (extension appended)
+    val chunkFilesNow = new java.io.File(s"$indexPath/chunks")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    assert(chunkFilesNow.intersect(chunkFiles0) == chunkFiles0,
+      "extension must append batch chunk shards, never rewrite base")
+    val union = spark.read.parquet(dirs: _*)
+    val streamed = Dedup.readCdcPairs(spark, indexPath)
+      .as[(Long, Long, Double)].collect().toSet
+    val scratch = Dedup.cdcContainmentPairs(union, p = 8,
+      threshold = 0.5, maxDf = Some(100L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == scratch && scratch.nonEmpty)
+    assert(streamed.exists { case (a, b, _) =>
+      math.min(a, b) == 0L && math.max(a, b) == 2L },
+      "the cross-batch snippet/container pair must be found")
+  }
+
   test("windowed event counts aggregate per window and type") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
