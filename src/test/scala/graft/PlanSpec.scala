@@ -73,6 +73,32 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected BroadcastNestedLoopJoin in: ${offenders.mkString(", ")}")
   }
 
+  test("the at-rest IVF probe scan is partition-pruned to the probed " +
+      "cells (x44/x139/x145's contract: nprobe directories read, " +
+      "never the corpus)") {
+    import graft.ext.{IndexProfile, Similarity}
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-ivf").toString
+    Similarity.ensureIvfIndex(e, path,
+      nCentroids = Similarity.adaptiveCellCount(e),
+      profile = IndexProfile.Production())
+    val plan = Similarity
+      .topKIvfIndexed(path, e.filter(col("vec_id") < 5), k = 5)
+      .queryExecution.executedPlan.toString
+    // the corpus-side FileSourceScan must carry a PartitionFilters
+    // entry on the cell partition column (the probed-cell IN-list is
+    // collected to literals, so pruning is static at planning time)
+    val scan = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scan.isDefined,
+      "expected a cell-partition-pruned scan:\n" + plan.take(3000))
+    assert(scan.get.contains("IN") || scan.get.contains("isin")
+      || scan.get.contains("in("),
+      "PartitionFilters must pin the probed cell set: " + scan.get)
+  }
+
   test("dim joins broadcast the dim side (q02)") {
     val plan = SparkEntry.queries("q02_dim_join_default")(spark, sf)
       .queryExecution.executedPlan.toString
