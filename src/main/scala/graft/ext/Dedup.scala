@@ -1712,14 +1712,35 @@ object Dedup {
     * remedy class that flattened the 100× probe from 449 s at r=2 to
     * 16.4 s at 128/32 — 256/64 re-measured in SCALE.md's round-12 row.
     */
+  private val LshProbeMeta = "_graft_lshprobe_meta"
+
+  /** `probeIndexPath`: the banding decision at rest — the fourth auto
+    * family under [[graft.engine.AtRest.statStamped]]'s discipline
+    * (see [[simhashNearDupAuto]]). The memoized scalar is the chosen
+    * HASH BUDGET: [[chooseLshBands]]' two layouts are (h, h/2) and
+    * (2h, h/2) — the band count is h/2 either way, so the budget alone
+    * reconstructs the full decision. */
   def jaccardPairsLshAuto(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      probeIndexPath: Option[String] = None): DataFrame = {
     val conf = docs.sparkSession.conf
     val numHashes = conf.get("spark.graft.lsh.numHashes", "128").toInt
     val (nh, bands) = conf.get("spark.graft.lsh.bands", "") match {
       case "" =>
-        val (h, b, _) = chooseLshBands(docs, n, numHashes)
-        (h, b)
+        probeIndexPath match {
+          case Some(ip) =>
+            val h = graft.engine.AtRest.statStamped(docs.sparkSession,
+              ip, LshProbeMeta,
+              Seq(Similarity.corpusFingerprint(docs),
+                docs.queryExecution.analyzed.semanticHash(), n,
+                numHashes, 1).mkString(":"), "lshprobe") {
+              chooseLshBands(docs, n, numHashes)._1.toDouble
+            }.toInt
+            (h, numHashes / 2)
+          case None =>
+            val (h, b, _) = chooseLshBands(docs, n, numHashes)
+            (h, b)
+        }
       case b => (numHashes, b.toInt)
     }
     jaccardPairsLsh(docs, n, threshold, nh, bands)

@@ -68,7 +68,8 @@ object ExtQueries {
     // (the measured 100x remedy, SCALE.md). x118 benches the r=4
     // production shape continuously.
     "x07_minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsLshAuto(docs(s, dir), n = 3, threshold = 0.5)
+      Dedup.jaccardPairsLshAuto(docs(s, dir), n = 3, threshold = 0.5,
+        probeIndexPath = Some(dedupIndexPath(s, dir, "lbp")))
         .orderBy(col("da"), col("db"))),
 
     "x08_simhash" -> ((s, dir) =>
@@ -1587,7 +1588,8 @@ object ExtQueries {
       val d = docs(s, dir)
       val exact = Dedup.jaccardPairsIndexHashed(d, 3, 0.5)
         .select(col("da"), col("db"))
-      val lsh = Dedup.jaccardPairsLshAuto(d, 3, 0.5)
+      val lsh = Dedup.jaccardPairsLshAuto(d, 3, 0.5,
+        probeIndexPath = Some(dedupIndexPath(s, dir, "lbp")))
         .select(col("da"), col("db"), lit(1L).as("hit"))
       exact.join(lsh, Seq("da", "db"), "left")
         .agg(count(lit(1)).as("n_exact"),

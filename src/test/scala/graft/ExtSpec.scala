@@ -1384,6 +1384,14 @@ class ExtSpec extends AnyFunSuite {
     // stamped: the stat sidecars exist and a second pathed call reuses
     assert(new java.io.File(shp, "shprobe").isDirectory)
     assert(new java.io.File(wnp, "wnprobe").isDirectory)
+    // ...and the fourth family, x07's banding decision
+    val lbp = java.nio.file.Files.createTempDirectory("graft-lbp")
+      .toString
+    assert(Dedup.jaccardPairsLshAuto(docs, 3, 0.5, Some(lbp))
+      .collect().map(_.toString).sorted.toSeq ==
+      Dedup.jaccardPairsLshAuto(docs, 3, 0.5)
+        .collect().map(_.toString).sorted.toSeq)
+    assert(new java.io.File(lbp, "lshprobe").isDirectory)
   }
 
   test("recall floors: the x136 LSH audit reads 1.0 and the x143 " +
