@@ -14,13 +14,21 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * grows — the same contract ExtendProbe measures one level down, here
   * through the streaming face itself.
   *
-  * Usage: runMain graft.tools.IndexStreamProbe <dir> <nBatches> <batchSize>
+  * `kind` selects the doc-driven face: `dedup` (default — the LSH key
+  * index + its df sidecar) or `cdc` (the containment chunk index,
+  * round-14's fourth face).
+  *
+  * Usage: runMain graft.tools.IndexStreamProbe <dir> <nBatches>
+  * <batchSize> [dedup|cdc]
   */
 object IndexStreamProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val nBatches = args(1).toInt
     val batchSize = args(2).toInt
+    val kind = if (args.length > 3) args(3) else "dedup"
+    require(kind == "dedup" || kind == "cdc",
+      s"kind must be dedup or cdc: $kind")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,9 +56,16 @@ object IndexStreamProbe {
     val indexPath = java.nio.file.Files
       .createTempDirectory("graft-isp-index").toString
     val src = MemoryStream[(Long, String, String)]
-    val q = graft.streaming.Streams.dedupIndexStream(
-      src.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
-      java.nio.file.Files.createTempDirectory("graft-isp-ckpt").toString)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-isp-ckpt").toString
+    val streamDf = src.toDF().toDF("doc_id", "source", "text")
+    val q =
+      if (kind == "cdc")
+        graft.streaming.Streams.cdcIndexStream(streamDf, corpusDir,
+          indexPath, ckpt)
+      else
+        graft.streaming.Streams.dedupIndexStream(streamDf, corpusDir,
+          indexPath, ckpt)
     val times = (0 until nBatches).map { i =>
       src.addData(rows.slice(i * batchSize, (i + 1) * batchSize): _*)
       val t0 = System.nanoTime()
@@ -60,7 +75,7 @@ object IndexStreamProbe {
     q.stop()
     val steady = times.drop(1)
     val perBatch = times.map(t => f"$t%.2f").mkString(",")
-    println(f"INDEXSTREAM dir=$dir batches=$nBatches batch=$batchSize " +
+    println(f"INDEXSTREAM kind=$kind dir=$dir batches=$nBatches batch=$batchSize " +
       f"perBatchSec=[$perBatch] seed=${times.head}%.2fs " +
       f"steadyMean=${steady.sum / steady.size}%.2fs " +
       f"steadyDocsPerSec=${batchSize * steady.size / steady.sum}%.0f")
