@@ -383,35 +383,46 @@ object Streams {
     * micro-batch and every earlier landed batch silently dropped out).
     */
   def dedupIndexStream(docs: DataFrame, corpusDir: String,
-      indexPath: String, checkpoint: String): StreamingQuery =
+      indexPath: String, checkpoint: String,
+      dfSidecar: Boolean = true): StreamingQuery =
     indexMaintenanceStream(docs, corpusDir, checkpoint,
-      ensure = dedupEnsure(indexPath),
-      extend = dedupExtend(indexPath))
+      ensure = dedupEnsure(indexPath, dfSidecar),
+      extend = dedupExtend(indexPath, dfSidecar))
 
-  /** The dedup face's (ensure, extend): the LSH key index plus the
-    * corpus shingle-df sidecar (`_dfindex` — underscore-named, so
-    * parquet directory reads of the index skip it) maintained in the
-    * same step. The sidecar is the x141 containment probe's relation
+  /** The dedup face's (ensure, extend): the LSH key index plus — when
+    * `dfSidecar` (the default) — the corpus shingle-df sidecar
+    * (`_dfindex`, underscore-named so parquet directory reads of the
+    * index skip it) maintained in the same step. The sidecar is the
+    * x141 containment probe's relation
     * ([[graft.ext.Dedup.readShingleDf]]); keeping it extended per
     * micro-batch (an append of the batch's own partial counts — never
     * a base re-scan) means an auto-switch probe over the streamed
     * corpus reads it at rest instead of re-shingling everything
-    * landed.
+    * landed. MEASURED PRICE (IndexStreamProbe, SCALE.md round 14):
+    * ~0.5–1.2 s per micro-batch — the batch's own df aggregate plus
+    * stamp bookkeeping, flat in landed-corpus size; one containment
+    * probe over a 500 k-doc landed corpus repays ~10 such batches, so
+    * keep it on when auto probes run against the stream's corpus and
+    * switch it off for pure dedup pipelines.
     */
-  private def dedupEnsure(indexPath: String): DataFrame => Boolean =
+  private def dedupEnsure(indexPath: String,
+      dfSidecar: Boolean): DataFrame => Boolean =
     docs => {
       val built = graft.ext.Dedup.ensureDedupIndexLsh(docs, indexPath)
-      graft.ext.Dedup.ensureShingleDfIndex(docs, s"$indexPath/_dfindex")
+      if (dfSidecar)
+        graft.ext.Dedup.ensureShingleDfIndex(docs,
+          s"$indexPath/_dfindex")
       built
     }
 
-  private def dedupExtend(indexPath: String)
+  private def dedupExtend(indexPath: String, dfSidecar: Boolean)
       : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
     (base, batch, union) => {
       val built = graft.ext.Dedup.extendDedupIndexLsh(base, batch,
         indexPath, unionView = union)
-      graft.ext.Dedup.extendShingleDfIndex(base, batch,
-        s"$indexPath/_dfindex", unionView = union)
+      if (dfSidecar)
+        graft.ext.Dedup.extendShingleDfIndex(base, batch,
+          s"$indexPath/_dfindex", unionView = union)
       built
     }
 
@@ -429,10 +440,11 @@ object Streams {
   private[graft] def dedupIndexBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]],
-      indexPath: String): Vector[String] =
+      indexPath: String,
+      dfSidecar: Boolean = true): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
-      ensure = dedupEnsure(indexPath),
-      extend = dedupExtend(indexPath))
+      ensure = dedupEnsure(indexPath, dfSidecar),
+      extend = dedupExtend(indexPath, dfSidecar))
 
   /** [[dedupIndexStream]]'s discipline applied to the at-rest kNN
     * index (x131/x138's artifact): each embedding micro-batch lands
