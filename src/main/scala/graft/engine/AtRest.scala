@@ -14,6 +14,16 @@ import org.apache.spark.sql.SparkSession
   * the next ensure rebuilds instead of trusting a torn artifact. All IO
   * goes through the Hadoop FS API so `path` can live on any cluster
   * filesystem, not just local disk.
+  *
+  * Isolation contract: WRITERS are mutually excluded (the mutation
+  * lease below); READERS are lock-free and may therefore race a
+  * rebuild — a read that overlaps an in-place overwrite can observe
+  * missing files and fail (it can never observe a half-written
+  * artifact AS current, because the stamp lands last). Retry-on-read
+  * is the cheap answer; deployments needing strict reader isolation
+  * should publish artifacts through versioned paths (write to
+  * `path/v<k>`, flip a pointer) — out of scope here, where one
+  * pipeline owns each artifact.
   */
 object AtRest {
 

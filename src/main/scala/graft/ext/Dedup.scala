@@ -2654,6 +2654,40 @@ object Dedup {
     spark.read.parquet(s"$path/df")
       .groupBy(col("s")).agg(sum(col("f")).as("f"))
 
+  /** Compact an at-rest [[writeShingleDfIndex]]: a long-lived streaming
+    * sidecar accretes one partial-count shard per micro-batch, so after
+    * thousands of batches readers sum thousands × vocabulary rows. The
+    * merged relation is CONTENT-EQUIVALENT to the shards (df is a sum),
+    * so compaction rewrites `path/df` as the single pre-merged relation
+    * under the SAME stamp — the usual mutation discipline (stamp off
+    * during the rewrite; a crash leaves a stampless dir and the next
+    * ensure rebuilds). No-op when the stamp is absent. Returns true
+    * when a compaction ran.
+    */
+  def compactShingleDfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    graft.engine.AtRest.readStamp(spark, path, DfMeta) match {
+      case None => false
+      case Some(stamp) =>
+        // staged through a sibling dir + rename (parquet cannot
+        // overwrite a directory it is reading, and the relation is
+        // corpus-vocabulary-sized — never driver-collected); the whole
+        // window is stampless, so a crash at any point leaves a dir
+        // the next ensure rebuilds cleanly
+        val dfp = new org.apache.hadoop.fs.Path(path, "df")
+        val tmp = new org.apache.hadoop.fs.Path(path, "df_compact_tmp")
+        val fs = dfp.getFileSystem(spark.sessionState.newHadoopConf())
+        graft.engine.AtRest.deleteStamp(spark, path, DfMeta)
+        graft.engine.AtRest.ensureStamped(spark, path, DfMeta, stamp,
+          force = true) {
+          readShingleDf(spark, path)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(dfp, true)
+          if (!fs.rename(tmp, dfp))
+            sys.error(s"compaction rename failed: $tmp -> $dfp")
+        }
+    }
+
   private val ContProbeMeta = "_graft_contprobe_meta"
 
   /** The containment decision STATISTIC at rest — the full

@@ -1352,6 +1352,22 @@ class ExtSpec extends AnyFunSuite {
     val atRest = Dedup.estimateContainmentCandidatesPerDoc(docs,
       df = Some(Dedup.readShingleDf(spark, dir)))
     assert(atRest == live)
+    // compaction: after the extension the dir holds base+batch shards
+    // (raw rows > vocabulary); compacting pre-merges them under the
+    // SAME stamp — values identical, one row per shingle, and the
+    // stamp still covers the union (no rebuild on the next ensure)
+    val rawBefore = spark.read.parquet(s"$dir/df").count()
+    assert(rawBefore > merged.size,
+      "extension shards must hold duplicate shingle rows pre-compaction")
+    assert(Dedup.compactShingleDfIndex(spark, dir))
+    assert(spark.read.parquet(s"$dir/df").count() == merged.size)
+    assert(Dedup.readShingleDf(spark, dir)
+      .as[(String, Long)].collect().toMap == merged)
+    assert(!Dedup.extendShingleDfIndex(base, batch, dir),
+      "compaction must preserve the union stamp")
+    assert(!Dedup.compactShingleDfIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft-df-none").toString),
+      "compacting an unstamped dir must no-op")
     // the decision STATISTIC at rest: value-identical to the
     // self-derived probe, computed once (second call reads the stamped
     // sidecar), and a corpus change re-probes rather than serving the
