@@ -415,16 +415,43 @@ object Streams {
       built
     }
 
-  private def dedupExtend(indexPath: String, dfSidecar: Boolean)
+  private def dedupExtend(indexPath: String, dfSidecar: Boolean,
+      dfMaxShards: Int = DfSidecarMaxShards)
       : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
     (base, batch, union) => {
       val built = graft.ext.Dedup.extendDedupIndexLsh(base, batch,
         indexPath, unionView = union)
-      if (dfSidecar)
-        graft.ext.Dedup.extendShingleDfIndex(base, batch,
-          s"$indexPath/_dfindex", unionView = union)
+      if (dfSidecar) {
+        val sidecar = s"$indexPath/_dfindex"
+        graft.ext.Dedup.extendShingleDfIndex(base, batch, sidecar,
+          unionView = union)
+        // self-maintenance: a stream accretes shard files per batch;
+        // past the budget, compact to the pre-merged relation under
+        // the same stamp so reader cost stays bounded at any stream
+        // lifetime (one cheap listStatus per batch buys it)
+        if (dfShardCount(base.sparkSession, sidecar) > dfMaxShards)
+          graft.ext.Dedup.compactShingleDfIndex(base.sparkSession,
+            sidecar)
+      }
       built
     }
+
+  /** Shard-file budget before the streaming df sidecar self-compacts:
+    * each micro-batch appends up to `shuffle.partitions` part files,
+    * so 256 ≈ a compaction every ~10–30 batches locally — rare enough
+    * to amortize, frequent enough that readers never aggregate
+    * thousands of shards.
+    */
+  private[graft] val DfSidecarMaxShards = 256
+
+  private def dfShardCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, "df")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.listStatus(p)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    catch { case _: java.io.FileNotFoundException => 0 }
+  }
 
   /** One [[dedupIndexStream]] maintenance step, factored out of the
     * foreachBatch closure so recovery is directly testable. With no
@@ -441,10 +468,11 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]],
       indexPath: String,
-      dfSidecar: Boolean = true): Vector[String] =
+      dfSidecar: Boolean = true,
+      dfMaxShards: Int = DfSidecarMaxShards): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = dedupEnsure(indexPath, dfSidecar),
-      extend = dedupExtend(indexPath, dfSidecar))
+      extend = dedupExtend(indexPath, dfSidecar, dfMaxShards))
 
   /** [[dedupIndexStream]]'s discipline applied to the at-rest kNN
     * index (x131/x138's artifact): each embedding micro-batch lands

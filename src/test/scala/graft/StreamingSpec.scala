@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(s"$corpusDir/b2"), s"$indexPath/_dfindex",
       unionView = Some(all)),
       "sidecar stamp must already cover the landed union")
+    // self-compaction: drive one more landed batch through the
+    // recovery step with a 1-shard budget — the sidecar compacts to
+    // the pre-merged relation, values unchanged, stamp still covering
+    val b3 = s"$corpusDir/b3"
+    Seq((13L, "s2", "yet another fresh singleton document body"))
+      .toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(b3)
+    Streams.dedupIndexBatch(spark, corpusDir, b3, None, indexPath,
+      dfMaxShards = 1)
+    val all4 = spark.read.parquet(s"$corpusDir/b0", s"$corpusDir/b1",
+      s"$corpusDir/b2", b3)
+    val merged4 = Dedup.readShingleDf(spark, s"$indexPath/_dfindex")
+      .as[(String, Long)].collect().toMap
+    val scratch4 = Dedup.shingled(all4, 3)
+      .select(explode(col("sg")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toMap
+    assert(merged4 == scratch4)
+    // post-compaction the raw relation is pre-merged: 1 row/shingle
+    assert(spark.read.parquet(s"$indexPath/_dfindex/df").count()
+      == merged4.size)
+    assert(!Dedup.extendShingleDfIndex(
+      spark.read.parquet(s"$corpusDir/b0", s"$corpusDir/b1",
+        s"$corpusDir/b2"),
+      spark.read.parquet(b3), s"$indexPath/_dfindex",
+      unionView = Some(all4)),
+      "compaction must preserve the union stamp")
   }
 
   test("dedupIndexStream over 20 micro-batches keeps the stamped base " +
