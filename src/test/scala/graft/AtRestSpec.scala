@@ -102,6 +102,23 @@ class AtRestSpec extends AnyFunSuite {
       "a crashed drift-rebuild must leave a stampless dir")
   }
 
+  test("statStamped computes once per stamp, serves the stored value, " +
+      "and re-computes on stamp drift") {
+    val dir = tmp()
+    var computes = 0
+    def stat(stamp: String, v: Double): Double =
+      AtRest.statStamped(spark, dir, Meta, stamp, "v") {
+        computes += 1; v
+      }
+    assert(stat("a", 42.5) == 42.5 && computes == 1)
+    // covered stamp: the compute block must not run; the STORED value
+    // is served even if the caller's closure would now produce another
+    assert(stat("a", -1.0) == 42.5 && computes == 1)
+    assert(stat("b", 7.25) == 7.25 && computes == 2)
+    assert(stat("a", 3.5) == 3.5 && computes == 3,
+      "returning to a prior stamp is still drift — recompute")
+  }
+
   test("concurrent writers: a second writer inside the mutation window " +
       "is refused (never double-extends), a lost race turns into a " +
       "no-op, readers of a covered artifact never touch the lease, and " +
