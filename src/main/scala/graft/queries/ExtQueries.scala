@@ -1717,6 +1717,26 @@ object ExtQueries {
         profile = IndexProfile.Production())
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
         k = 10).orderBy(col("qid"), col("rank"))
+    }),
+
+    // the production index EXTENDED incrementally — x138's lifecycle
+    // under the Production profile: seed sampled+coarse on the base
+    // half, extend with the batch assigned through the SAME two-level
+    // route against the frozen base model (a pure function of (vector,
+    // centroid set), which is what makes extended == from-scratch hold
+    // per profile; ExtSpec asserts it, this declares it). The oracle
+    // trains the production front end on the BASE half and assigns the
+    // union — exactly what the incremental result must equal.
+    "x146_knn_index_production_extend" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val path = knnIndexPath(s, dir, "prodext")
+      Similarity.ensureKnnIndex(base, path, k = 5,
+        profile = IndexProfile.Production())
+      Similarity.extendKnnIndex(base, batch, path, k = 5,
+        profile = IndexProfile.Production())
+      Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
     })
   )
 
@@ -1996,19 +2016,28 @@ object ExtQueries {
     * `assignCellsCoarse(e, trainCentroidsSampled(e, k, 50·k))` returns.
     */
   private def productionAssignCtes: String =
+    productionAssignCtesFrom("e")
+
+  /** [[productionAssignCtes]] with the TRAINING source parametrized —
+    * the extension-lifecycle oracles (x146) train on the base half
+    * while every vector (base ∪ batch) is assigned; `train` must be a
+    * CTE with (vec_id, e). Assignment always runs over `e`.
+    */
+  private def productionAssignCtesFrom(train: String): String =
     s"""ranked AS (SELECT vec_id, e,
                 row_number() OVER (ORDER BY
                   md5('ktrain:' || CAST(vec_id AS VARCHAR)),
                   vec_id) AS rn
-              FROM e),
+              FROM $train),
        samp0 AS (SELECT vec_id, e FROM ranked
                  WHERE rn <= (SELECT 50 * greatest(8, count(*) // 250)
-                              FROM e)),
+                              FROM $train)),
        samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                   AS BIGINT) AS vec_id, e
                 FROM samp0),
-       ${kmeansCtePrefixed(adaptiveCellsSql, iters = 3, dim = 64,
-        src = "samp", p = "s")},
+       ${kmeansCtePrefixed(
+        s"(SELECT greatest(8, count(*) // 250) FROM $train)",
+        iters = 3, dim = 64, src = "samp", p = "s")},
        centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM scent),
        ${kmeansCtePrefixed(
         "(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM centsrc)",
@@ -5473,7 +5502,29 @@ object ExtQueries {
                                           ORDER BY cos DESC, cid)
                        AS INTEGER) AS rank
            FROM scored) t
-         WHERE rank <= 10 ORDER BY qid, rank""")
+         WHERE rank <= 10 ORDER BY qid, rank"""),
+
+    // mirrors x146: the production front end trained on the BASE half
+    // (eb), every vector assigned through the two-level route, cell
+    // edges — what the incremental production extension must equal
+    "x146_knn_index_production_extend" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         eb AS (SELECT * FROM e WHERE vec_id < 250),
+         ${productionAssignCtesFrom("eb")},
+         p AS (SELECT a.vec_id AS cid, a.cell, b.vec_id AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM s2 a JOIN s2 b ON a.cell = b.cell
+                                  AND a.vec_id != b.vec_id
+               JOIN e x ON x.vec_id = a.vec_id
+               JOIN e y ON y.vec_id = b.vec_id)
+         SELECT cid, cell, nid, cos FROM (
+           SELECT cid, cell, nid, cos,
+                  row_number() OVER (PARTITION BY cid
+                                     ORDER BY cos DESC, nid) AS rn
+           FROM p) t WHERE rn <= 5
+         ORDER BY cid, nid""")
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
