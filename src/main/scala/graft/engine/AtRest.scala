@@ -147,6 +147,33 @@ object AtRest {
     }
   }
 
+  /** Run a CONTENT-PRESERVING in-place mutation (shard compaction,
+    * file re-layout) over a stamped artifact, under the writer lease:
+    * stamp off, mutate, the SAME stamp back — so concurrent writers
+    * are excluded for the whole window and a crash mid-mutation leaves
+    * a stampless dir (clean rebuild), never a stamp over torn files.
+    * Lock-free no-op (false) when the artifact is unstamped; the
+    * caller's mutation must leave the logical content unchanged (the
+    * stamp is the same corpus's). Returns true when the mutation ran.
+    */
+  def compactStamped(spark: SparkSession, path: String,
+      metaName: String)(mutate: => Unit): Boolean =
+    readStamp(spark, path, metaName) match {
+      case None => false
+      case Some(_) => withMutationLease(spark, path, metaName) {
+        // re-read under the lease: a writer that replaced the artifact
+        // while we waited still gets its own stamp preserved
+        readStamp(spark, path, metaName) match {
+          case None => false
+          case Some(stamp) =>
+            deleteStamp(spark, path, metaName)
+            ensureStamped(spark, path, metaName, stamp, force = true) {
+              mutate
+            }
+        }
+      }
+    }
+
   /** A memoized SCALAR decision statistic at rest — the
     * [[ensureStamped]] discipline for the auto-switch families' probe
     * values (a probe statistic is a pure function of corpus + params,

@@ -2666,26 +2666,21 @@ object Dedup {
     */
   def compactShingleDfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean =
-    graft.engine.AtRest.readStamp(spark, path, DfMeta) match {
-      case None => false
-      case Some(stamp) =>
-        // staged through a sibling dir + rename (parquet cannot
-        // overwrite a directory it is reading, and the relation is
-        // corpus-vocabulary-sized — never driver-collected); the whole
-        // window is stampless, so a crash at any point leaves a dir
-        // the next ensure rebuilds cleanly
-        val dfp = new org.apache.hadoop.fs.Path(path, "df")
-        val tmp = new org.apache.hadoop.fs.Path(path, "df_compact_tmp")
-        val fs = dfp.getFileSystem(spark.sessionState.newHadoopConf())
-        graft.engine.AtRest.deleteStamp(spark, path, DfMeta)
-        graft.engine.AtRest.ensureStamped(spark, path, DfMeta, stamp,
-          force = true) {
-          readShingleDf(spark, path)
-            .write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(dfp, true)
-          if (!fs.rename(tmp, dfp))
-            sys.error(s"compaction rename failed: $tmp -> $dfp")
-        }
+    // AtRest.compactStamped owns the lease/stamp window (stamp off,
+    // mutate, same stamp back — writers excluded throughout; a crash
+    // leaves a stampless dir the next ensure rebuilds cleanly)
+    graft.engine.AtRest.compactStamped(spark, path, DfMeta) {
+      // staged through a sibling dir + rename: parquet cannot
+      // overwrite a directory it is reading, and the relation is
+      // corpus-vocabulary-sized — never driver-collected
+      val dfp = new org.apache.hadoop.fs.Path(path, "df")
+      val tmp = new org.apache.hadoop.fs.Path(path, "df_compact_tmp")
+      val fs = dfp.getFileSystem(spark.sessionState.newHadoopConf())
+      readShingleDf(spark, path)
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dfp, true)
+      if (!fs.rename(tmp, dfp))
+        sys.error(s"compaction rename failed: $tmp -> $dfp")
     }
 
   private val ContProbeMeta = "_graft_contprobe_meta"

@@ -119,6 +119,34 @@ class AtRestSpec extends AnyFunSuite {
       "returning to a prior stamp is still drift — recompute")
   }
 
+  test("compactStamped: preserves the stamp across the mutation, " +
+      "runs stampless (crash = clean rebuild), no-ops unstamped, and " +
+      "holds the writer lease for the whole window") {
+    val dir = tmp()
+    assert(!AtRest.compactStamped(spark, dir, Meta) {
+      fail("unstamped dir must no-op")
+    })
+    AtRest.ensureStamped(spark, dir, Meta, "v1", force = false) {}
+    var ran = 0
+    assert(AtRest.compactStamped(spark, dir, Meta) {
+      ran += 1
+      assert(AtRest.readStamp(spark, dir, Meta).isEmpty,
+        "the mutation window must be stampless")
+      assert(new java.io.File(dir, Meta + ".lease").exists(),
+        "the writer lease must be held across the mutation")
+    })
+    assert(ran == 1)
+    assert(AtRest.readStamp(spark, dir, Meta).contains("v1"),
+      "the SAME stamp must come back after the mutation")
+    assert(!new java.io.File(dir, Meta + ".lease").exists())
+    // crash mid-mutation → stampless dir, lease released
+    intercept[RuntimeException] {
+      AtRest.compactStamped(spark, dir, Meta) { sys.error("boom") }
+    }
+    assert(AtRest.readStamp(spark, dir, Meta).isEmpty)
+    assert(!new java.io.File(dir, Meta + ".lease").exists())
+  }
+
   test("concurrent writers: a second writer inside the mutation window " +
       "is refused (never double-extends), a lost race turns into a " +
       "no-op, readers of a covered artifact never touch the lease, and " +
