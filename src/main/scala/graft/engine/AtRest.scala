@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   */
 object AtRest {
 
+  /** Thrown when a writer is REFUSED because another job holds the
+    * mutation lease — a subclass of IllegalStateException so existing
+    * fail-fast callers are unchanged, but typed so retry-capable
+    * callers (the streaming maintenance faces, which must outlive a
+    * transient offline-writer collision) can catch exactly this
+    * condition and nothing else.
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Run `build` only when the sidecar `path/metaName` is absent or its
     * content differs from `stamp` (or `force`). `force` is the
     * out-of-band-mutation hatch: data fingerprints typically see only
@@ -137,6 +147,12 @@ object AtRest {
       if (!force && readStamp(spark, path, metaName).contains(stamp))
         false
       else {
+        // Drift/force arm overwrites the relation IN PLACE, so any
+        // existing stamp must come off before the first write — a crash
+        // mid-build then leaves a stampless dir (clean rebuild on
+        // retry), never the OLD stamp over a torn artifact. Same
+        // invariant extendStamped/compactStamped already keep.
+        deleteStamp(spark, path, metaName)
         build
         val out = fs.create(metaPath, true)
         try out.write(
@@ -185,14 +201,32 @@ object AtRest {
     */
   def statStamped(spark: SparkSession, path: String, metaName: String,
       stamp: String, relName: String)(compute: => Double): Double = {
+    // When the build runs, hand the freshly computed value straight
+    // back — never re-read the relation after the lease is released,
+    // where a concurrent re-probe for a DIFFERENT corpus could have
+    // overwritten it (a silently wrong auto-switch decision).
+    var builtValue: Option[Double] = None
     ensureStamped(spark, path, metaName, stamp, force = false) {
       val v = compute
       val s = spark
       import s.implicits._
       Seq(v).toDF("v").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/$relName")
+      builtValue = Some(v)
     }
-    spark.read.parquet(s"$path/$relName").head().getDouble(0)
+    builtValue.getOrElse {
+      // Covered path (stamp matched, no build): read the relation, then
+      // re-check the stamp — if a concurrent writer swapped the corpus
+      // between the check and the read, the value on disk is the OTHER
+      // corpus's. Fall back to computing inline (correct by definition,
+      // touches no artifact) rather than retrying into a live writer.
+      val onDisk =
+        try Some(spark.read.parquet(s"$path/$relName").head().getDouble(0))
+        catch { case _: Exception => None }
+      onDisk
+        .filter(_ => readStamp(spark, path, metaName).contains(stamp))
+        .getOrElse(compute)
+    }
   }
 
   /** How long a mutation lease may sit before another writer treats its
@@ -232,24 +266,55 @@ object AtRest {
     val key = fs.makeQualified(leasePath).toString
     if (heldLeases.get(key) eq Thread.currentThread()) body
     else {
+      // Every acquisition writes a UNIQUE token, and both the stale
+      // break and the release re-read the file and delete ONLY when the
+      // token matches what they observed/wrote. Without the token check,
+      // two writers that both judged a crashed holder's lease stale
+      // could both delete-then-create (the second delete removing the
+      // first's FRESH lease), and a holder that outlived LeaseTtlMs
+      // would delete the new holder's lease on exit — cascading the
+      // breach to a third writer. Token equality pins every delete to
+      // the exact lease incarnation it was decided against.
+      val myToken =
+        java.net.InetAddress.getLocalHost.getHostName + ":" +
+          ProcessHandle.current().pid() + ":" +
+          System.currentTimeMillis() + ":" +
+          java.util.UUID.randomUUID().toString
+      def readToken(): Option[String] =
+        try {
+          val in = fs.open(leasePath)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
       def tryAcquire(): Boolean =
         try {
           val out = fs.create(leasePath, false)
           try out.write(
-            (java.net.InetAddress.getLocalHost.getHostName + ":" +
-              ProcessHandle.current().pid() + ":" +
-              System.currentTimeMillis())
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            myToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           true
         } catch { case _: java.io.IOException => false }
+      // Delete the lease only if it still carries `expected` — a token
+      // change between observation and delete means a FRESH holder took
+      // over, so refuse rather than remove its lease.
+      def deleteIfToken(expected: String): Boolean =
+        readToken().contains(expected) && {
+          try { fs.delete(leasePath, false); true }
+          catch { case _: java.io.IOException => false }
+        }
       if (!tryAcquire()) {
+        val observed = readToken()
         val stale =
           try System.currentTimeMillis() -
             fs.getFileStatus(leasePath).getModificationTime > LeaseTtlMs
           catch { case _: java.io.FileNotFoundException => true }
-        if (!stale || { fs.delete(leasePath, false); !tryAcquire() })
-          throw new IllegalStateException(
+        val broke = stale && (observed match {
+          case Some(tok) => deleteIfToken(tok)
+          case None => true // vanished between create-fail and read
+        })
+        if (!broke || !tryAcquire())
+          throw new ConcurrentWriterException(
             s"concurrent at-rest writer holds $key — the artifact is " +
               "being mutated by another job; retry after it finishes " +
               s"(stale leases break after ${LeaseTtlMs / 60000} min)")
@@ -258,8 +323,11 @@ object AtRest {
       try body
       finally {
         heldLeases.remove(key)
-        try fs.delete(leasePath, false)
-        catch { case _: java.io.IOException => () }
+        // Release ONLY our own incarnation: if we outlived LeaseTtlMs
+        // and another writer legitimately broke our lease, the file now
+        // carries THEIR token — deleting it would let in a third writer.
+        deleteIfToken(myToken)
+        ()
       }
     }
   }

@@ -2676,11 +2676,16 @@ object Dedup {
       val dfp = new org.apache.hadoop.fs.Path(path, "df")
       val tmp = new org.apache.hadoop.fs.Path(path, "df_compact_tmp")
       val fs = dfp.getFileSystem(spark.sessionState.newHadoopConf())
-      readShingleDf(spark, path)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(dfp, true)
-      if (!fs.rename(tmp, dfp))
-        sys.error(s"compaction rename failed: $tmp -> $dfp")
+      // reclaim any orphan left by an earlier crashed compaction —
+      // nothing else ever removes the staging dir
+      fs.delete(tmp, true)
+      try {
+        readShingleDf(spark, path)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(dfp, true)
+        if (!fs.rename(tmp, dfp))
+          sys.error(s"compaction rename failed: $tmp -> $dfp")
+      } finally fs.delete(tmp, true) // no-op when the rename landed
     }
 
   private val ContProbeMeta = "_graft_contprobe_meta"

@@ -31,11 +31,15 @@ class AtRestSpec extends AnyFunSuite {
         sys.error("boom")
       }
     }
-    // stamp-after-build: the failed s3 build must leave the PRIOR
-    // stamp... no — ensureStamped never deletes on its own, so the s2
-    // stamp survives and a retry of s3 rebuilds
-    assert(AtRest.readStamp(spark, dir, Meta).contains("s2"))
+    // drift builds overwrite the relation IN PLACE, so the old stamp
+    // comes off BEFORE the build — a crash mid-build leaves a
+    // STAMPLESS dir (any later ensure rebuilds cleanly), never the s2
+    // stamp over an s3-torn artifact
+    assert(AtRest.readStamp(spark, dir, Meta).isEmpty)
     assert(ensure("s3") && builds == 4)
+    // ...including a later ensure with the OLD stamp: it must rebuild
+    // (the artifact on disk is s3's), not trust the match-by-absence
+    assert(ensure("s2") && builds == 5)
   }
 
   test("extendStamped: covered union no-ops; base match runs the " +
@@ -206,5 +210,43 @@ class AtRestSpec extends AnyFunSuite {
       force = false) {})
     assert(AtRest.readStamp(spark, dir, Meta).contains("v2"))
     assert(!lease.exists(), "broken+released lease must be gone")
+  }
+
+  test("lease tokens pin every delete to its incarnation: a holder " +
+      "that outlived the TTL and was legitimately broken must NOT " +
+      "delete the new holder's lease on exit") {
+    val dir = tmp()
+    val lease = new java.io.File(dir, Meta + ".lease")
+    val bInside = new java.util.concurrent.CountDownLatch(1)
+    val releaseB = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bErr: Option[Throwable] = None
+    val b = new Thread(() => {
+      try AtRest.ensureStamped(spark, dir, Meta, "w2", force = false) {
+        bInside.countDown()
+        releaseB.await()
+      }
+      catch { case e: Throwable => bErr = Some(e); bInside.countDown() }
+    })
+    // A acquires, then (simulated) outlives the TTL mid-build; B breaks
+    // the stale lease and holds its OWN incarnation while A exits
+    AtRest.ensureStamped(spark, dir, Meta, "w1", force = false) {
+      assert(lease.setLastModified(
+        System.currentTimeMillis() - AtRest.LeaseTtlMs - 60000))
+      b.start()
+      bInside.await()
+      assert(bErr.isEmpty, s"B must break the stale lease, got $bErr")
+    }
+    // A has released: the lease on disk is B's incarnation, and A's
+    // token-checked release must have left it alone — the old
+    // unconditional delete here would cascade the breach to a third
+    // writer
+    assert(lease.exists(),
+      "outlived holder deleted the new holder's lease on exit")
+    releaseB.countDown()
+    b.join()
+    assert(bErr.isEmpty)
+    assert(AtRest.readStamp(spark, dir, Meta).contains("w2"),
+      "B's build completes and stamps after A exits")
+    assert(!lease.exists(), "B's own release removes B's lease")
   }
 }
