@@ -763,6 +763,11 @@ object Similarity {
       profile: IndexProfile): String =
     Seq(corpusFingerprint(emb),
       emb.queryExecution.analyzed.semanticHash(), k, perCell,
+      // the derived cell count is a function of (corpus, perCell, kMax),
+      // so the ceiling rides the stamp: an operator raising/lowering
+      // spark.graft.ivf.kMax over an existing artifact gets a rebuild,
+      // never a silently mis-sized cell structure
+      emb.sparkSession.conf.get(KMaxKey, kMaxDefault.toString).toInt,
       KnnIndexLayoutVersion, profileToken(profile)).mkString(":")
 
   /** The x94 kNN EDGE relation at rest: cell-local top-`k` edges (cid,
@@ -1064,24 +1069,47 @@ object Similarity {
   val LiteralKMaxKey = "spark.graft.ivf.literalKMax"
   private val literalKMaxDefault = 64
 
+  /** Ceiling on the adaptive cell count. k ∝ n removes the n²/k edge
+    * quadratic, but an UNBOUNDED k re-creates walls on the model side:
+    * the sampled-training sample is 50·k rows through one single-
+    * partition row_number window, each Lloyd pass costs sample·k =
+    * 50·k², and the trained model is a k-row driver-collected literal/
+    * broadcast relation — all fine at k ≤ ~10³–10⁴ and binding past it
+    * (TrainSampleProbe, SCALE.md round 15 measured the terms at
+    * k = 5 000). The cap trades bounded model cost for expected cell
+    * size growing as n/kMax past n = kMax·perCell (≈1 M vectors at the
+    * defaults): within-cell edge mass becomes n²/kMax — the honest IVF
+    * deployment trade, where corpora beyond ~kMax·perCell re-shard by a
+    * coarser outer key (source, date) before indexing. Conf-tunable for
+    * probes/clusters via `spark.graft.ivf.kMax`; the declared oracles
+    * mirror the DEFAULT (`least(4096, …)`), so overriding it under a
+    * declared query is the caller's oracle drift.
+    */
+  val KMaxKey = "spark.graft.ivf.kMax"
+  private[graft] val kMaxDefault = 4096
+
   /** The kNN-family cell-count CONTRACT made executable: centroids
-    * scale with the corpus, k = max(floor, n / perCell), so expected
-    * cell size stays ~perCell and the cell-local pair mass Σ|cell|² ≈
-    * n·perCell is LINEAR in n (perCell = 250 matches the measured
+    * scale with the corpus, k = min(kMax, max(floor, n / perCell)), so
+    * expected cell size stays ~perCell and the cell-local pair mass
+    * Σ|cell|² ≈ n·perCell is LINEAR in n until the model-cost ceiling
+    * [[KMaxKey]] binds (perCell = 250 matches the measured
     * KnnCellProbe remedy row: k = 80 at the 10× corpus). At a fixed k that mass is n²/k — the
     * self-inflicted quadratic the x94-family 10× probes measured at
     * exp ≈ 1.0, with the k ∝ n remedy measured at exp 0.05
     * (KnnCellProbe, SCALE.md). One count() action — bounded driver
     * state, trivially cheaper than the training it sizes. The declared
     * x94/x104/x105/x111 queries derive k through this, and their
-    * DuckDB oracles compute the identical `greatest(floor, n//perCell)`
-    * from the same relation.
+    * DuckDB oracles compute the identical
+    * `least(4096, greatest(floor, n//perCell))` from the same relation.
     */
   def adaptiveCellCount(corpus: DataFrame, floor: Int = 8,
       perCell: Int = 250): Int = {
     require(floor >= 1 && perCell >= 1,
       s"floor/perCell must be >= 1: $floor, $perCell")
-    math.max(floor, (corpus.count() / perCell).toInt)
+    val kMax = corpus.sparkSession.conf
+      .get(KMaxKey, kMaxDefault.toString).toInt
+    require(kMax >= floor, s"kMax $kMax must be >= floor $floor")
+    math.min(kMax, math.max(floor, (corpus.count() / perCell).toInt))
   }
 
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,

@@ -1737,6 +1737,54 @@ object ExtQueries {
       Similarity.extendKnnIndex(base, batch, path, k = 5,
         profile = IndexProfile.Production())
       Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    }),
+
+    // recall@10 vs exact brute-force ground truth of BOTH index
+    // profiles probed identically (same adaptive k, same nprobe=2) —
+    // completing the audit family (x35 audits exact-IVF vs brute,
+    // x136 LSH, x143 containment): x144–x146 pin the production PATH
+    // by oracle equality, this declares what the sampled-training +
+    // two-level-assignment approximation COSTS in retrieval next to
+    // the exact model it replaces. Both recalls share one ground
+    // truth rather than comparing probe lists directly: two
+    // legitimately different local Lloyd optima can rank different
+    // (equally good) neighbors, so list overlap under-reads quality —
+    // recall-vs-brute is the statistic that actually moves when the
+    // sampling degrades. The ExtSpec floor (mean prod recall ≥ mean
+    // exact recall − 0.05) fails any sampling/coarse-assignment
+    // change that quietly degrades retrieval even when the oracles
+    // move with the code.
+    "x147_production_recall_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // queries DISJOINT from the exact profile's first-k Lloyd seeds
+      // (vec_id < k are its initial centroids, and querying a seed
+      // flatters the exact index — measured 0.85 vs 0.42 on unbiased
+      // queries, ProductionRecallProbe): 50 queries from vec_id 100
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      val k = Similarity.adaptiveCellCount(e)
+      val pPath = ivfIndexPath(s, dir, "prod")
+      val ePath = ivfIndexPath(s, dir, "exactadaptive")
+      Similarity.ensureIvfIndex(e, pPath, nCentroids = k,
+        profile = IndexProfile.Production())
+      Similarity.ensureIvfIndex(e, ePath, nCentroids = k,
+        profile = IndexProfile.Exact)
+      val brute = Similarity.topKBrute(e, q, k = 10)
+        .select(col("qid"), col("cid"))
+      val exact = Similarity.topKIvfIndexed(ePath, q, k = 10)
+        .select(col("qid"), col("cid"), lit(1).as("hx"))
+      val prod = Similarity.topKIvfIndexed(pPath, q, k = 10)
+        .select(col("qid"), col("cid"), lit(1).as("hp"))
+      brute.join(exact, Seq("qid", "cid"), "left")
+        .join(prod, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("hx")).as("n_hit_exact"),
+          count(col("hp")).as("n_hit_prod"))
+        .select(col("qid"), col("n_hit_exact"), col("n_hit_prod"),
+          round(col("n_hit_exact").cast("double") / 10, 6)
+            .as("recall_exact"),
+          round(col("n_hit_prod").cast("double") / 10, 6)
+            .as("recall_prod"))
+        .orderBy(col("qid"))
     })
   )
 
@@ -1962,10 +2010,11 @@ object ExtQueries {
 
   /** The x94-family adaptive cell count as SQL — identical arithmetic
     * to [[graft.ext.Similarity.adaptiveCellCount]] over the same `e`
-    * CTE, so the oracle derives k from the corpus exactly like the
-    * declared query does.
+    * CTE (including the default `kMax = 4096` model-cost ceiling), so
+    * the oracle derives k from the corpus exactly like the declared
+    * query does.
     */
-  private val adaptiveCellsSql = "(SELECT greatest(8, count(*) // 250) FROM e)"
+  private val adaptiveCellsSql = "(SELECT least(4096, greatest(8, count(*) // 250)) FROM e)"
 
   private def kmeansCteSeed(nCentSql: String, iters: Int,
       dim: Int): String = kmeansCtePrefixed(nCentSql, iters, dim)
@@ -2030,13 +2079,13 @@ object ExtQueries {
                   vec_id) AS rn
               FROM $train),
        samp0 AS (SELECT vec_id, e FROM ranked
-                 WHERE rn <= (SELECT 50 * greatest(8, count(*) // 250)
+                 WHERE rn <= (SELECT 50 * least(4096, greatest(8, count(*) // 250))
                               FROM $train)),
        samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                   AS BIGINT) AS vec_id, e
                 FROM samp0),
        ${kmeansCtePrefixed(
-        s"(SELECT greatest(8, count(*) // 250) FROM $train)",
+        s"(SELECT least(4096, greatest(8, count(*) // 250)) FROM $train)",
         iters = 3, dim = 64, src = "samp", p = "s")},
        centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM scent),
        ${kmeansCtePrefixed(
@@ -5422,7 +5471,7 @@ object ExtQueries {
       (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          eb AS (SELECT * FROM e WHERE vec_id < 250),
          ${kmeansCtePrefixed(
-        "(SELECT greatest(8, count(*) // 250) FROM eb)",
+        "(SELECT least(4096, greatest(8, count(*) // 250)) FROM eb)",
         iters = 3, dim = 64, src = "eb")},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
                   round(list_dot_product(x.e, c.ce) /
@@ -5524,7 +5573,90 @@ object ExtQueries {
                   row_number() OVER (PARTITION BY cid
                                      ORDER BY cos DESC, nid) AS rn
            FROM p) t WHERE rn <= 5
-         ORDER BY cid, nid""")
+         ORDER BY cid, nid"""),
+
+    // mirrors x147: BOTH index lifecycles replicated — the exact
+    // chain (adaptive-k Lloyd over the corpus, x35's indexed-probe
+    // shape) and the production chain (sampled front end, x145's
+    // probe shape) — then the per-query overlap@10 join. CTE names
+    // are disjoint by prefix: productionAssignCtes owns ranked/samp/
+    // s*/g*/s2, the exact chain is unprefixed `cent` + e*-named
+    // probe CTEs.
+    "x147_production_recall_audit" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         $productionAssignCtes,
+         ${kmeansCteSeed(adaptiveCellsSql, iters = 3, dim = 64)},
+         ecc AS (SELECT x.vec_id AS vid, c.cent_id,
+                   round(list_dot_product(x.e, c.ce) /
+                         (sqrt(list_dot_product(x.e, x.e)) *
+                          sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                 FROM e x CROSS JOIN cent c),
+         eranked AS (SELECT vid, cent_id,
+                            row_number() OVER (PARTITION BY vid
+                                               ORDER BY ccos DESC,
+                                                        cent_id) AS rn
+                     FROM ecc),
+         ecells AS (SELECT vid AS cid, cent_id AS cell FROM eranked
+                    WHERE rn = 1),
+         eprobes AS (SELECT vid AS qid, cent_id AS cell FROM eranked
+                     WHERE rn <= 2 AND vid >= 100 AND vid < 150),
+         escored AS (SELECT DISTINCT p.qid, ca.cid,
+                            round(list_dot_product(eq.e, ec.e) /
+                                  (sqrt(list_dot_product(eq.e, eq.e)) *
+                                   sqrt(list_dot_product(ec.e, ec.e))), 6)
+                              AS cos
+                     FROM eprobes p
+                     JOIN ecells ca ON p.cell = ca.cell
+                                   AND ca.cid != p.qid
+                     JOIN e eq ON eq.vec_id = p.qid
+                     JOIN e ec ON ec.vec_id = ca.cid),
+         etop AS (SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                                 ORDER BY cos DESC, cid) AS rank
+             FROM escored) t WHERE rank <= 10),
+         pprobes AS (SELECT vid AS qid, cent_id AS cell FROM (
+             SELECT x.vec_id AS vid, c.cent_id,
+                    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                      round(list_dot_product(x.e, c.ce) /
+                            (sqrt(list_dot_product(x.e, x.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                      c.cent_id) AS rn
+             FROM e x CROSS JOIN scent c
+             WHERE x.vec_id >= 100 AND x.vec_id < 150) t WHERE rn <= 2),
+         pscored AS (SELECT DISTINCT p.qid, ca.vec_id AS cid,
+                            round(list_dot_product(eq.e, ec.e) /
+                                  (sqrt(list_dot_product(eq.e, eq.e)) *
+                                   sqrt(list_dot_product(ec.e, ec.e))), 6)
+                              AS cos
+                     FROM pprobes p
+                     JOIN s2 ca ON p.cell = ca.cell
+                               AND ca.vec_id != p.qid
+                     JOIN e eq ON eq.vec_id = p.qid
+                     JOIN e ec ON ec.vec_id = ca.vec_id),
+         ptop AS (SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                                 ORDER BY cos DESC, cid) AS rank
+             FROM pscored) t WHERE rank <= 10),
+         bscored AS (
+           SELECT a.vec_id AS qid, b.vec_id AS cid,
+                  round(list_dot_product(a.e, b.e) /
+                        (sqrt(list_dot_product(a.e, a.e)) *
+                         sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+           FROM e a JOIN e b ON a.vec_id >= 100 AND a.vec_id < 150
+                            AND a.vec_id != b.vec_id),
+         brute AS (SELECT qid, cid FROM (
+             SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                                 ORDER BY cos DESC, cid) AS rank
+             FROM bscored) t WHERE rank <= 10)
+         SELECT b.qid AS qid,
+                count(ex.cid) AS n_hit_exact,
+                count(pr.cid) AS n_hit_prod,
+                round(count(ex.cid) / 10.0, 6) AS recall_exact,
+                round(count(pr.cid) / 10.0, 6) AS recall_prod
+         FROM brute b
+         LEFT JOIN etop ex ON b.qid = ex.qid AND b.cid = ex.cid
+         LEFT JOIN ptop pr ON b.qid = pr.qid AND b.cid = pr.cid
+         GROUP BY b.qid ORDER BY b.qid""")
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

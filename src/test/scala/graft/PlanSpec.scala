@@ -59,7 +59,8 @@ class PlanSpec extends AnyFunSuite {
     "x124_threshold_sweep", // 10-row grid onto the edge-bounded pairs
     "x128_knn_production", // x120's √k/k-row centroid sides, composed
     "x130_semantic_dedup_production", // same composed centroid sides
-    "x134_source_minhash_matrix") // |sources|²-bounded sketch pair matrix
+    "x134_source_minhash_matrix", // |sources|²-bounded sketch pair matrix
+    "x147_production_recall_audit") // composes topKBrute: bounded k-row query side
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
