@@ -492,7 +492,7 @@ object Streams {
   def knnIndexStream(emb: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String, k: Int = 5,
       perCell: Int = 250,
-      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production())
       : StreamingQuery =
     indexMaintenanceStream(emb, corpusDir, checkpoint,
       ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
@@ -512,7 +512,7 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       k: Int, perCell: Int = 250,
-      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production())
       : Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
@@ -534,7 +534,7 @@ object Streams {
   def ivfIndexStream(emb: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String, nCentroids: Int = 8,
       iters: Int = 3,
-      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production())
       : StreamingQuery =
     indexMaintenanceStream(emb, corpusDir, checkpoint,
       ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
@@ -548,7 +548,7 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       nCentroids: Int, iters: Int = 3,
-      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Exact)
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production())
       : Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
@@ -608,21 +608,58 @@ object Streams {
     * rebuild arm to an ensure over the WHOLE landed corpus — the
     * crash-safe floor. Returns the updated landed list.
     */
+  /** Bounded retry for a lease REFUSAL inside one maintenance step —
+    * fail-fast is right for a batch job, but a streaming micro-batch
+    * that collides with an offline `ensure` over the same index must
+    * not die with the query. Retries (default 3 × 2 s) cover the short
+    * collisions; a still-held lease SKIPS the step: the batch is
+    * already landed, so the next trigger's extend sees a stamp that
+    * covers neither its base nor the union and falls through to the
+    * rebuild-over-landed-corpus arm — coverage is repaired, never
+    * double-extended (the refused step mutated nothing).
+    */
+  private[graft] val LeaseRetryDefault = 3
+  private[graft] val LeaseBackoffMsDefault = 2000L
+
   private[graft] def indexMaintenanceBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]],
       ensure: DataFrame => Boolean,
-      extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean)
-      : Vector[String] = {
+      extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean,
+      leaseRetries: Int = LeaseRetryDefault,
+      leaseBackoffMs: Long = LeaseBackoffMsDefault): Vector[String] = {
     val newQ = qualifiedDir(spark, newDir)
     val landed = prev.map(_ :+ newQ)
       .getOrElse(landedBatchDirs(spark, corpusDir))
     val base = landed.filterNot(_ == newQ)
-    if (base.isEmpty)
-      ensure(spark.read.parquet(landed: _*))
-    else
-      extend(spark.read.parquet(base: _*), spark.read.parquet(newQ),
-        Some(spark.read.parquet(landed: _*)))
+    def step(): Unit = {
+      if (base.isEmpty)
+        ensure(spark.read.parquet(landed: _*))
+      else
+        extend(spark.read.parquet(base: _*), spark.read.parquet(newQ),
+          Some(spark.read.parquet(landed: _*)))
+      ()
+    }
+    @annotation.tailrec
+    def attempt(left: Int): Unit = {
+      val refused =
+        try { step(); None }
+        catch {
+          case e: graft.engine.AtRest.ConcurrentWriterException => Some(e)
+        }
+      refused match {
+        case None => ()
+        case Some(_) if left > 0 =>
+          Thread.sleep(leaseBackoffMs)
+          attempt(left - 1)
+        case Some(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "index maintenance step skipped — writer lease still held " +
+              "after retries; next trigger repairs coverage: " +
+              e.getMessage)
+      }
+    }
+    attempt(leaseRetries)
     landed
   }
 

@@ -242,7 +242,8 @@ class StreamingSpec extends AnyFunSuite {
     val esrc = MemoryStream[(Long, Seq[Float])]
     val eq = Streams.knnIndexStream(
       esrc.toDF().toDF("vec_id", "embedding"), kc, ki,
-      Files.createTempDirectory("graft-rec-kk").toString, k = 3)
+      Files.createTempDirectory("graft-rec-kk").toString, k = 3,
+      profile = graft.ext.IndexProfile.Exact)
     esrc.addData(emb.filter(_._1 < 30): _*)
     eq.processAllAvailable()
     eq.stop()
@@ -251,7 +252,8 @@ class StreamingSpec extends AnyFunSuite {
     val kb1 = s"$kc/b1"
     emb.filter(_._1 >= 30).toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(kb1)
-    Streams.knnIndexBatch(spark, kc, kb1, None, ki, k = 3)
+    Streams.knnIndexBatch(spark, kc, kb1, None, ki, k = 3,
+      profile = graft.ext.IndexProfile.Exact)
     assert(Similarity.readKnnCentroids(spark, ki)
       .collect().map(_.toString).sorted.toSeq == centsBefore,
       "clean recovery must keep the frozen model — no re-train")
@@ -280,7 +282,8 @@ class StreamingSpec extends AnyFunSuite {
     val src = MemoryStream[(Long, Seq[Float])]
     val q = Streams.knnIndexStream(
       src.toDF().toDF("vec_id", "embedding"), corpusDir, indexPath,
-      Files.createTempDirectory("graft-stream-knk").toString, k = 3)
+      Files.createTempDirectory("graft-stream-knk").toString, k = 3,
+      profile = graft.ext.IndexProfile.Exact)
     src.addData(all.filter(_._1 < 30): _*)
     q.processAllAvailable()
     src.addData(all.filter(t => t._1 >= 30 && t._1 < 45): _*)
@@ -357,6 +360,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$indexPath/cells").count() == 60)
   }
 
+  test("the streaming faces DEFAULT to the Production profile: a seed " +
+      "with no profile argument stamps the sampled route (a caller who " +
+      "forgets `profile =` can no longer seed the quadratic exact path " +
+      "at stream start or on a torn-prefix rebuild)") {
+    import graft.engine.AtRest
+    val kc = Files.createTempDirectory("graft-dflt-kc").toString
+    val ki = Files.createTempDirectory("graft-dflt-ki").toString
+    val ii = Files.createTempDirectory("graft-dflt-ii").toString
+    (0 until 30).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$kc/b0")
+    Streams.knnIndexBatch(spark, kc, s"$kc/b0", None, ki, k = 3)
+    assert(AtRest.readStamp(spark, ki, "_graft_knn_meta")
+      .exists(_.contains(":sampled-50-0-1")),
+      "default kNN seed must take the sampled production route")
+    Streams.ivfIndexBatch(spark, kc, s"$kc/b0", None, ii, nCentroids = 4)
+    assert(AtRest.readStamp(spark, ii, "_graft_ivf_meta")
+      .exists(_.contains(":sampled-50-0-1")),
+      "default IVF seed must take the sampled production route")
+  }
+
+  test("a micro-batch colliding with an offline writer's lease " +
+      "SURVIVES: bounded retry then skip (the refused step mutates " +
+      "nothing), and the next trigger repairs coverage without ever " +
+      "double-extending") {
+    import graft.ext.{IndexProfile, Similarity}
+    val kc = Files.createTempDirectory("graft-lease-kc").toString
+    val ki = Files.createTempDirectory("graft-lease-ki").toString
+    val all = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    def land(dir: String, lo: Int, hi: Int): Unit =
+      all.filter(t => t._1 >= lo && t._1 < hi)
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir)
+    def step(newDir: String, prev: Option[Vector[String]],
+        retries: Int): Vector[String] =
+      Streams.indexMaintenanceBatch(spark, kc, newDir, prev,
+        ensure = Similarity.ensureKnnIndex(_, ki, 3,
+          profile = IndexProfile.Production()),
+        extend = (b, n, u) => Similarity.extendKnnIndex(b, n, ki, 3,
+          unionView = u, profile = IndexProfile.Production()),
+        leaseRetries = retries, leaseBackoffMs = 50)
+    land(s"$kc/b0", 0, 30)
+    val l0 = step(s"$kc/b0", None, 0)
+    val edges0 = Similarity.readKnnEdges(spark, ki)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(edges0.nonEmpty)
+    // an offline writer holds a FRESH lease while batch 1's step runs:
+    // the step must retry, then SKIP — never throw, never mutate
+    land(s"$kc/b1", 30, 45)
+    val lease = new java.io.File(ki, "_graft_knn_meta.lease")
+    assert(lease.createNewFile())
+    val l1 = step(s"$kc/b1", Some(l0), 1)
+    assert(l1.size == 2, "the landed list still advances")
+    assert(Similarity.readKnnEdges(spark, ki)
+      .as[(Long, Long, Long, Double)].collect().toSet == edges0,
+      "a refused step must leave the index byte-identical")
+    // the offline writer finishes; the NEXT trigger's extend sees a
+    // stamp covering neither its base (b0∪b1) nor the union and falls
+    // through to the rebuild-over-landed-corpus arm — coverage
+    // repaired, never double-extended
+    assert(lease.delete())
+    land(s"$kc/b2", 45, 60)
+    val l2 = step(s"$kc/b2", Some(l1), 3)
+    assert(l2.size == 3)
+    assert(spark.read.parquet(s"$ki/cells").count() == 60,
+      "exactly one cell row per vector — no double extension")
+    val union = spark.read.parquet(l2: _*)
+    val kCells = Similarity.adaptiveCellCount(union)
+    val cents = Similarity.trainCentroidsSampled(union, kCells,
+      maxTrainRows = 50 * kCells)
+    val scratch = Similarity
+      .knnEdges(Similarity.assignCellsCoarse(union, cents), 3)
+      .select($"cid", $"cell", $"nid", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(Similarity.readKnnEdges(spark, ki)
+      .as[(Long, Long, Long, Double)].collect().toSet == scratch &&
+      scratch.nonEmpty,
+      "the repair rebuild equals a from-scratch production build")
+  }
+
   test("ivfIndexStream seeds on batch 0 and appends per batch under " +
       "the frozen model: at-rest rows equal the batch-0-trained " +
       "assignment of the union; an ensure over the union re-trains") {
@@ -371,7 +458,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streams.ivfIndexStream(
       src.toDF().toDF("vec_id", "embedding"), corpusDir, indexPath,
       Files.createTempDirectory("graft-stream-ivk").toString,
-      nCentroids = 4)
+      nCentroids = 4, profile = graft.ext.IndexProfile.Exact)
     src.addData(all.filter(_._1 < 30): _*)
     q.processAllAvailable()
     src.addData(all.filter(t => t._1 >= 30 && t._1 < 45): _*)
