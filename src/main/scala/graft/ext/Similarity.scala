@@ -774,7 +774,7 @@ object Similarity {
     * cell, nid, cos) under `path/edges` with the trained centroids as a
     * sidecar table under `path/_centroids` — [[writeIvfIndex]]'s
     * discipline applied to the graph family's shared artifact. Cell
-    * count is the adaptive contract (k = max(8, n/`perCell`)), i.e. the
+    * count is the adaptive contract (k = min(kMax, max(8, n/`perCell`))), i.e. the
     * exact flat-argmax path the declared x94/x104/x105/x111 queries
     * run, so the at-rest edges equal [[cachedKnnEdges]]' output row for
     * row and x131's DuckDB oracle replicates them from scratch. A cold

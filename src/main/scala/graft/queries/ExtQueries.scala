@@ -500,7 +500,7 @@ object ExtQueries {
 
     // SemDeDup: near-dup representatives WITHIN k-means cells — the
     // embedding-dedup scale path (Σ|cell|² verify instead of n²). Cell
-    // count is ADAPTIVE (max(8, n/250), the x94-family contract — the
+    // count is ADAPTIVE (min(4096, max(8, n/250)), the x94-family contract — the
     // oracle derives the same) so the within-cell pair mass stays
     // ~n·250: at a fixed k it is n²/k, the exact quadratic the 100×
     // probe measured on the x43 composite that embeds this stage
@@ -1107,7 +1107,7 @@ object ExtQueries {
     // cell-local approximate kNN graph with mutual-degree stats: the
     // input ledger for graph-based corpus work; edges only within
     // trained k-means cells (the SemDeDup locality shape). Cell count
-    // is ADAPTIVE (max(8, n/250), oracle computes the same) so
+    // is ADAPTIVE (min(4096, max(8, n/250)), oracle computes the same) so
     // Σ|cell|² stays ~n·250 instead of the fixed-k n²/8 the scale
     // probes measured at exp ≈ 1.0
     "x94_knn_graph" -> ((s, dir) => {

@@ -114,6 +114,13 @@ object ExtendProbe {
         // corpus's — plus the frozen model skips the full-Lloyd
         // training term entirely.
         val batchSize = args(2).toLong
+        // optional 4th arg 'prod' runs all three legs under the
+        // Production profile — the comparable row for `knnlocal`
+        // (same profile, i.i.d. vs localized batch)
+        val prof: graft.ext.IndexProfile =
+          if (args.length > 3 && args(3) == "prod")
+            graft.ext.IndexProfile.Production()
+          else graft.ext.IndexProfile.Exact
         val embAll = spark.read.parquet(s"$dir/embeddings.parquet")
         val nv = embAll.select(max(col("vec_id"))).collect()(0).getLong(0) + 1
         val cut = nv - batchSize
@@ -122,9 +129,9 @@ object ExtendProbe {
         val knnDir = java.nio.file.Files
           .createTempDirectory("graft-extend-knn").toString
         val tBase = time(graft.ext.Similarity
-          .ensureKnnIndex(base, knnDir, k = 5))
+          .ensureKnnIndex(base, knnDir, k = 5, profile = prof))
         val tDelta = time(graft.ext.Similarity
-          .extendKnnIndex(base, batch, knnDir, k = 5))
+          .extendKnnIndex(base, batch, knnDir, k = 5, profile = prof))
         val edges = graft.ext.Similarity.readKnnEdges(spark, knnDir)
         val nEdges = edges.count()
         val touched = graft.ext.Similarity
@@ -136,8 +143,9 @@ object ExtendProbe {
         val fullDir = java.nio.file.Files
           .createTempDirectory("graft-extend-knn-full").toString
         val tFull = time(graft.ext.Similarity
-          .ensureKnnIndex(base.union(batch), fullDir, k = 5))
-        println(f"EXTEND knn dir=$dir base=$cut batch=$batchSize " +
+          .ensureKnnIndex(base.union(batch), fullDir, k = 5,
+            profile = prof))
+        println(f"EXTEND knn dir=$dir prof=$prof base=$cut batch=$batchSize " +
           f"tBaseBuild=$tBase%.2fs tDelta=$tDelta%.2fs " +
           f"tFullRebuild=$tFull%.2fs touchedCells=$touched/$total " +
           f"edges=$nEdges")

@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   * corpus) of both centroid sets — so SCALE.md's "training is the
   * elephant" row carries its measured remedy.
   *
-  * Usage: runMain graft.tools.TrainSampleProbe <dir> <k> <sampleRows>
+  * Usage: runMain graft.tools.TrainSampleProbe <dir> <k> <sampleRows> [nofull]
+  * (`nofull` skips the full-corpus Lloyd leg — at k past ~10^3 that leg
+  * is the measured wall itself, and the k-ceiling curve only needs the
+  * sampled term.)
   */
 object TrainSampleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val k = args(1).toInt
     val sampleRows = args(2).toInt
+    val noFull = args.length > 3 && args(3) == "nofull"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,16 +37,18 @@ object TrainSampleProbe {
       val r = body
       (r, (System.nanoTime() - s) / 1e9)
     }
-    Similarity.invalidateTrainedCentroids()
-    val (full, tFull) = time {
-      val c = Similarity.trainCentroids(emb, k); c.count(); c
-    }
+    val (full, tFull) =
+      if (noFull) (null, -1.0)
+      else {
+        Similarity.invalidateTrainedCentroids()
+        time { val c = Similarity.trainCentroids(emb, k); c.count(); c }
+      }
     Similarity.invalidateTrainedCentroids()
     val (sampled, tSampled) = time {
       val c = Similarity.trainCentroidsSampled(emb, k, sampleRows)
       c.count(); c
     }
-    val qFull = Similarity.meanAssignedCosine(emb, full)
+    val qFull = if (noFull) -1.0 else Similarity.meanAssignedCosine(emb, full)
     val qSampled = Similarity.meanAssignedCosine(emb, sampled)
     println(f"TRAINSAMPLE dir=$dir n=$n k=$k sample=$sampleRows " +
       f"full=${tFull}%.1fs sampled=${tSampled}%.1fs " +

@@ -1363,7 +1363,24 @@ class ExtSpec extends AnyFunSuite {
     val rawBefore = spark.read.parquet(s"$dir/df").count()
     assert(rawBefore > merged.size,
       "extension shards must hold duplicate shingle rows pre-compaction")
+    def dfFileNames(): Set[String] = {
+      val d = new java.io.File(dir, "df")
+      Option(d.list()).fold(Set.empty[String])(
+        _.filter(_.endsWith(".parquet")).toSet)
+    }
+    val filesBefore = dfFileNames()
     assert(Dedup.compactShingleDfIndex(spark, dir))
+    // concurrent-reader safety is STRUCTURAL, not timing-dependent:
+    // compaction replaces the ENTIRE old file set (no old shard file
+    // survives and no staging dir remains), so a reader that listed
+    // shards before the rename either read the old complete set or
+    // fails on the vanished paths and retries — it can never assemble
+    // a MIX of old and new shards (which is the one outcome that would
+    // return silently wrong sums under the same stamp)
+    assert(dfFileNames().intersect(filesBefore).isEmpty,
+      "no pre-compaction shard file may survive the rewrite")
+    assert(!new java.io.File(dir, "df_compact_tmp").exists(),
+      "the staging dir must not outlive the compaction")
     assert(spark.read.parquet(s"$dir/df").count() == merged.size)
     assert(Dedup.readShingleDf(spark, dir)
       .as[(String, Long)].collect().toMap == merged)
