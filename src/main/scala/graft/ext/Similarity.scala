@@ -34,8 +34,17 @@ import graft.engine.Checkpoints.MaterializeOps
 sealed trait IndexProfile
 object IndexProfile {
   case object Exact extends IndexProfile
+  /** `hierTrain = true` swaps the sampled trainer for
+    * [[Similarity.trainCentroidsHier]] (coarse-restricted Lloyd,
+    * ~2·sample·√k per pass — measured 36.9 s vs 626.4 s at k = 4096,
+    * quality −0.0011): the O(k^1.5) training that keeps the model side
+    * sub-dominant another ~decade past the kMax cap. Assignment is the
+    * same two-level route either way, so extensions stay
+    * frozen-model-equal; the stamp token differs (hier- vs sampled-),
+    * so switching trainers rebuilds. */
   final case class Production(rowsPerCentroid: Int = 50,
-      coarseK: Int = 0, nprobeGroups: Int = 1) extends IndexProfile
+      coarseK: Int = 0, nprobeGroups: Int = 1,
+      hierTrain: Boolean = false) extends IndexProfile
 }
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -627,9 +636,13 @@ object Similarity {
       case IndexProfile.Exact =>
         val c = trainCentroids(corpus, nCentroids, iters)
         (c, assignCells(corpus, centroidRelation(c)))
-      case IndexProfile.Production(rpc, ck, np) =>
-        val c = trainCentroidsSampled(corpus, nCentroids,
-          maxTrainRows = rpc * nCentroids, iters = iters)
+      case IndexProfile.Production(rpc, ck, np, hier) =>
+        val c =
+          if (hier) trainCentroidsHier(corpus, nCentroids,
+            maxTrainRows = rpc * nCentroids, iters = iters,
+            coarseK = ck, nprobeGroups = np)
+          else trainCentroidsSampled(corpus, nCentroids,
+            maxTrainRows = rpc * nCentroids, iters = iters)
         (c, assignCellsCoarse(corpus, c, ck, np))
     }
 
@@ -642,7 +655,7 @@ object Similarity {
   private def assignWithProfile(vecs: DataFrame, cents: DataFrame,
       profile: IndexProfile): DataFrame = profile match {
     case IndexProfile.Exact => assignCells(vecs, centroidRelation(cents))
-    case IndexProfile.Production(_, ck, np) =>
+    case IndexProfile.Production(_, ck, np, _) =>
       assignCellsCoarse(vecs, cents, ck, np)
   }
 
@@ -652,7 +665,8 @@ object Similarity {
     */
   private def profileToken(p: IndexProfile): String = p match {
     case IndexProfile.Exact => "exact"
-    case IndexProfile.Production(r, c, n) => s"sampled-$r-$c-$n"
+    case IndexProfile.Production(r, c, n, hier) =>
+      (if (hier) "hier" else "sampled") + s"-$r-$c-$n"
   }
 
   /** [[writeIvfIndex]] only when needed: the corpus data fingerprint +
@@ -1175,6 +1189,67 @@ object Similarity {
     trainCentroidsKeyed(reid,
       s"sampled:$nCentroids:$maxTrainRows:$iters", Seq(corpus),
       nCentroids, iters)
+  }
+
+  /** [[trainCentroidsSampled]] with the per-pass assignment made
+    * TWO-LEVEL — the model-side twin of [[assignCellsCoarse]], and the
+    * lever that removes the training ceiling the kMax cap trades
+    * around: plain sampled Lloyd costs sample·k per pass (50·k² at the
+    * 50-rows-per-centroid sample — 448.8 s at k = 4 096, 723.1 s at
+    * k = 5 000, SCALE.md round 15), while restricting each sample
+    * row's argmax to its best coarse group's member centroids costs
+    * ~2·sample·√k per pass — the whole training is then
+    * O(k^1.5) instead of O(k²), so k can scale another ~decade past
+    * the cap before the model side binds again.
+    *
+    * Approximate the same way [[assignCellsCoarse]] is: a sample row
+    * whose true best centroid sits outside its best coarse group
+    * updates that group's best instead — hierarchical k-means, the
+    * standard web-scale IVF training shape. The coarse model is
+    * re-derived from the CURRENT centroids each pass (k-row Lloyd —
+    * trivial), so group structure tracks centroid drift; init is the
+    * same first-k rule over the same hash-ordered re-identified
+    * sample, and the per-pass mean update is the identical
+    * 1e-6-quantized engine-portable arithmetic ([[lloydUpdate]]).
+    * Session-memoized like the other trainers.
+    */
+  def trainCentroidsHier(corpus: DataFrame, nCentroids: Int,
+      maxTrainRows: Int, iters: Int = 3, coarseK: Int = 0,
+      nprobeGroups: Int = 1): DataFrame = {
+    require(maxTrainRows >= nCentroids,
+      s"maxTrainRows $maxTrainRows must be >= nCentroids $nCentroids")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val inputsHash = scala.util.hashing.MurmurHash3.seqHash(
+      Seq((corpus.queryExecution.analyzed.semanticHash(),
+        corpusFingerprint(corpus))))
+    val key = (s"hier:$maxTrainRows:$coarseK:$nprobeGroups".hashCode,
+      inputsHash, nCentroids, iters, "first")
+    val cached = centroidCache.get(key)
+    if (cached != null) return cached.toDF("vec_id", "embedding")
+    val sample = corpus
+      .orderBy(md5(concat(lit("ktrain:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(maxTrainRows)
+    val reid = sample.select(col("vec_id"), col("embedding"))
+      .withColumn("rid",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("rid").cast("long").as("vec_id"), col("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .materialized
+    var cent: Seq[(Long, Seq[Float])] = reid
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    for (_ <- 0 until iters if cent.nonEmpty) {
+      val assigned = assignCellsCoarse(reid,
+        cent.toDF("vec_id", "embedding"), coarseK, nprobeGroups)
+        .select(col("ce").as("embedding"), col("cell"))
+      cent = lloydUpdate(assigned)
+    }
+    val prior = centroidCache.putIfAbsent(key, cent)
+    (if (prior != null) prior else cent).toDF("vec_id", "embedding")
   }
 
   /** Mean per-vector best assigned cosine — the quantization-quality

@@ -1785,6 +1785,24 @@ object ExtQueries {
           round(col("n_hit_prod").cast("double") / 10, 6)
             .as("recall_prod"))
         .orderBy(col("qid"))
+    }),
+
+    // the HIER-trained production index — the O(k^1.5) trainer that
+    // removes the training ceiling the kMax cap trades around
+    // (coarse-restricted Lloyd: each sample row argmaxes only its best
+    // coarse group's member centroids, ~2·s·√k per pass vs s·k —
+    // measured 36.9 s vs 626.4 s at k=4096, quality −0.0011,
+    // SCALE.md round 15). Declared like x144 so the builders' THIRD
+    // training route is oracle-pinned end to end: sampling, first-k
+    // init, three coarse-restricted passes (coarse model re-derived
+    // from the CURRENT centroids each pass), two-level corpus
+    // assignment, cell-local edges.
+    "x148_knn_index_hier" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = knnIndexPath(s, dir, "hier")
+      Similarity.ensureKnnIndex(e, path, k = 5,
+        profile = IndexProfile.Production(hierTrain = true))
+      Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
     })
   )
 
@@ -2073,21 +2091,40 @@ object ExtQueries {
     * CTE with (vec_id, e). Assignment always runs over `e`.
     */
   private def productionAssignCtesFrom(train: String): String =
-    s"""ranked AS (SELECT vec_id, e,
+    s"""${sampledTrainCtes(train)},
+       ${kmeansCtePrefixed(
+        s"(SELECT least(4096, greatest(8, count(*) // 250)) FROM $train)",
+        iters = 3, dim = 64, src = "samp", p = "s")},
+       $twoLevelAssignTail"""
+
+  /** The shared hash-ordered 50·k sampling front (ranked/samp0/samp)
+    * of both production trainers' oracles. */
+  private def sampledTrainCtes(train: String,
+      materialized: Boolean = false): String = {
+    // DuckDB inlines CTEs by default; the hier chain references `samp`
+    // in every training pass, so without materialization the inlined
+    // scan tree re-opens the parquet per reference and can exhaust the
+    // process fd limit. AS MATERIALIZED pins the sample to one scan.
+    val m = if (materialized) "MATERIALIZED " else ""
+    s"""ranked AS $m(SELECT vec_id, e,
                 row_number() OVER (ORDER BY
                   md5('ktrain:' || CAST(vec_id AS VARCHAR)),
                   vec_id) AS rn
               FROM $train),
-       samp0 AS (SELECT vec_id, e FROM ranked
+       samp0 AS $m(SELECT vec_id, e FROM ranked
                  WHERE rn <= (SELECT 50 * least(4096, greatest(8, count(*) // 250))
                               FROM $train)),
-       samp AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+       samp AS $m(SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
                   AS BIGINT) AS vec_id, e
-                FROM samp0),
-       ${kmeansCtePrefixed(
-        s"(SELECT least(4096, greatest(8, count(*) // 250)) FROM $train)",
-        iters = 3, dim = 64, src = "samp", p = "s")},
-       centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM scent),
+                FROM samp0)"""
+  }
+
+  /** The two-level CORPUS-assignment tail shared by the production and
+    * hier front ends: coarse-quantize `scent` (whatever trainer
+    * produced it), then assign every row of `e` coarse-then-fine —
+    * emits s2(vec_id, cell). Verbatim the round-14 text, factored. */
+  private def twoLevelAssignTail: String =
+    s"""centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM scent),
        ${kmeansCtePrefixed(
         "(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM centsrc)",
         iters = 3, dim = 64, src = "centsrc", p = "g")},
@@ -2117,6 +2154,74 @@ object ExtQueries {
                           6) DESC, ga.cent_id) AS rn
            FROM e x JOIN s1 ON s1.vec_id = x.vec_id
                 JOIN grpassign ga ON ga.grp = s1.grp) t WHERE rn = 1)"""
+
+  /** One hier-training iteration in SQL — exactly
+    * [[graft.ext.Similarity.trainCentroidsHier]]'s pass i: re-derive
+    * the coarse model from the CURRENT centroids (3-iter Lloyd over
+    * the k-row relation), group the centroids, assign every sample row
+    * coarse-then-fine, and take the 1e-6-quantized per-dimension mean
+    * — emits hcent${i+1} from hcent$i over `samp`.
+    */
+  private def hierTrainIterCtes(i: Int, dim: Int): String = {
+    val p = s"h$i"
+    val pg = s"h${i}g"
+    s"""${p}centsrc AS (SELECT cent_id AS vec_id, ce AS e FROM hcent$i),
+       ${kmeansCtePrefixed(
+        s"(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM ${p}centsrc)",
+        iters = 3, dim = dim, src = s"${p}centsrc", p = pg)},
+       ${p}grpassign AS (SELECT cent_id, cent_e, cent_n, grp FROM (
+           SELECT c.cent_id, c.ce AS cent_e,
+                  sqrt(list_dot_product(c.ce, c.ce)) AS cent_n,
+                  g.cent_id AS grp,
+                  row_number() OVER (PARTITION BY c.cent_id ORDER BY
+                    round(list_dot_product(c.ce, g.ce) /
+                          (sqrt(list_dot_product(c.ce, c.ce)) *
+                           sqrt(list_dot_product(g.ce, g.ce))), 6) DESC,
+                    g.cent_id) AS rn
+           FROM hcent$i c CROSS JOIN ${pg}cent g) t WHERE rn = 1),
+       ${p}s1 AS (SELECT vec_id, grp FROM (
+           SELECT x.vec_id, g.cent_id AS grp,
+                  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                    round(list_dot_product(x.e, g.ce) /
+                          (sqrt(list_dot_product(x.e, x.e)) *
+                           sqrt(list_dot_product(g.ce, g.ce))), 6) DESC,
+                    g.cent_id) AS rn
+           FROM samp x CROSS JOIN ${pg}cent g) t WHERE rn = 1),
+       ${p}s2 AS (SELECT vec_id, cell FROM (
+           SELECT x.vec_id, ga.cent_id AS cell,
+                  row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                    round(list_dot_product(x.e, ga.cent_e) /
+                          (sqrt(list_dot_product(x.e, x.e)) * ga.cent_n),
+                          6) DESC, ga.cent_id) AS rn
+           FROM samp x JOIN ${p}s1 s1 ON s1.vec_id = x.vec_id
+                JOIN ${p}grpassign ga ON ga.grp = s1.grp) t WHERE rn = 1),
+       ${p}m AS (SELECT a.cell, g.d AS d,
+                 sum(CAST(round(x.e[g.d] * 1000000.0) AS BIGINT)) AS s,
+                 count(*) AS n
+               FROM ${p}s2 a JOIN samp x ON x.vec_id = a.vec_id,
+                    generate_series(1, $dim) AS g(d)
+               GROUP BY 1, 2),
+       hcent${i + 1} AS MATERIALIZED (SELECT cell AS cent_id,
+                 list(CAST(CAST(CAST(s AS DOUBLE) / n / 1000000.0 AS REAL)
+                           AS DOUBLE) ORDER BY d) AS ce
+               FROM ${p}m GROUP BY cell)"""
+  }
+
+  /** The HIER production front end in SQL
+    * ([[graft.ext.Similarity.trainCentroidsHier]] ∘
+    * [[graft.ext.Similarity.assignCellsCoarse]]): the shared sampling,
+    * first-k init, three coarse-restricted Lloyd passes, then the
+    * standard two-level corpus assignment against the trained
+    * centroids. Emits s2(vec_id, cell) like [[productionAssignCtes]].
+    */
+  private def hierAssignCtesFrom(train: String): String =
+    s"""${sampledTrainCtes(train, materialized = true)},
+       hcent0 AS MATERIALIZED (SELECT vec_id AS cent_id, e AS ce FROM samp
+                  WHERE vec_id < (SELECT least(4096, greatest(8, count(*) // 250))
+                                  FROM $train)),
+       ${(0 until 3).map(i => hierTrainIterCtes(i, 64)).mkString(",\n       ")},
+       scent AS MATERIALIZED (SELECT cent_id, ce FROM hcent3),
+       $twoLevelAssignTail"""
 
   /** DuckDB replication of [[graft.ext.Dedup.simhashNearDupAuto]] —
     * the probe + width decision + the chosen pair chain. The combo
@@ -5656,7 +5761,28 @@ object ExtQueries {
          FROM brute b
          LEFT JOIN etop ex ON b.qid = ex.qid AND b.cid = ex.cid
          LEFT JOIN ptop pr ON b.qid = pr.qid AND b.cid = pr.cid
-         GROUP BY b.qid ORDER BY b.qid""")
+         GROUP BY b.qid ORDER BY b.qid"""),
+
+    // mirrors x148: the hier front end (sampling, first-k init, three
+    // coarse-restricted Lloyd passes, two-level corpus assignment)
+    // + x144's cell-local top-5 edge tail
+    "x148_knn_index_hier" ->
+      (s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${hierAssignCtesFrom("e")},
+         p AS (SELECT a.vec_id AS cid, a.cell, b.vec_id AS nid,
+                 round(list_dot_product(x.e, y.e) /
+                       (sqrt(list_dot_product(x.e, x.e)) *
+                        sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+               FROM s2 a JOIN s2 b ON a.cell = b.cell
+                                  AND a.vec_id != b.vec_id
+               JOIN e x ON x.vec_id = a.vec_id
+               JOIN e y ON y.vec_id = b.vec_id)
+         SELECT cid, cell, nid, cos FROM (
+           SELECT cid, cell, nid, cos,
+                  row_number() OVER (PARTITION BY cid
+                                     ORDER BY cos DESC, nid) AS rn
+           FROM p) t WHERE rn <= 5
+         ORDER BY cid, nid""")
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

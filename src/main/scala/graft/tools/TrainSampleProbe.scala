@@ -19,7 +19,9 @@ object TrainSampleProbe {
     val dir = args(0)
     val k = args(1).toInt
     val sampleRows = args(2).toInt
-    val noFull = args.length > 3 && args(3) == "nofull"
+    val noFull = args.length > 3 &&
+      (args(3) == "nofull" || args(3) == "hieronly")
+    val hierOnly = args.length > 3 && args(3) == "hieronly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,16 +45,27 @@ object TrainSampleProbe {
         Similarity.invalidateTrainedCentroids()
         time { val c = Similarity.trainCentroids(emb, k); c.count(); c }
       }
+    val (sampled, tSampled) =
+      if (hierOnly) (null, -1.0)
+      else {
+        Similarity.invalidateTrainedCentroids()
+        time {
+          val c = Similarity.trainCentroidsSampled(emb, k, sampleRows)
+          c.count(); c
+        }
+      }
     Similarity.invalidateTrainedCentroids()
-    val (sampled, tSampled) = time {
-      val c = Similarity.trainCentroidsSampled(emb, k, sampleRows)
+    val (hier, tHier) = time {
+      val c = Similarity.trainCentroidsHier(emb, k, sampleRows)
       c.count(); c
     }
     val qFull = if (noFull) -1.0 else Similarity.meanAssignedCosine(emb, full)
-    val qSampled = Similarity.meanAssignedCosine(emb, sampled)
+    val qSampled =
+      if (hierOnly) -1.0 else Similarity.meanAssignedCosine(emb, sampled)
+    val qHier = Similarity.meanAssignedCosine(emb, hier)
     println(f"TRAINSAMPLE dir=$dir n=$n k=$k sample=$sampleRows " +
-      f"full=${tFull}%.1fs sampled=${tSampled}%.1fs " +
-      f"qFull=$qFull%.4f qSampled=$qSampled%.4f")
+      f"full=${tFull}%.1fs sampled=${tSampled}%.1fs hier=${tHier}%.1fs " +
+      f"qFull=$qFull%.4f qSampled=$qSampled%.4f qHier=$qHier%.4f")
     spark.stop()
   }
 }

@@ -778,6 +778,72 @@ class ExtSpec extends AnyFunSuite {
     assert(ext == scratch && scratch.nonEmpty)
   }
 
+  test("x148 hier-trained production index: edges equal the " +
+      "coarse-restricted-Lloyd + coarse-assignment composition from " +
+      "scratch; the hier token is stamped (switching trainers " +
+      "rebuilds); a hier extension assigns through the same frozen-" +
+      "model route; and the trained model stays retrieval-comparable") {
+    import graft.ext.IndexProfile
+    val dir = java.nio.file.Files.createTempDirectory("graft-knn-hier")
+      .toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-knn-hier-corpus").toString
+    (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val v1 = spark.read.parquet(corpusDir)
+    val hier = IndexProfile.Production(hierTrain = true)
+    assert(Similarity.ensureKnnIndex(v1, dir, k = 3, profile = hier),
+      "first ensure must build")
+    assert(!Similarity.ensureKnnIndex(v1, dir, k = 3, profile = hier),
+      "unchanged (data, params, profile) must reuse the index at rest")
+    // at-rest hier edges == hier training + coarse assignment +
+    // cell-local edges, composed live — the x148 oracle's relation
+    val kc = Similarity.adaptiveCellCount(v1)
+    val cents = Similarity.trainCentroidsHier(v1, kc, 50 * kc)
+    val atRest = Similarity.readKnnEdges(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val live = Similarity
+      .knnEdges(Similarity.assignCellsCoarse(v1, cents), 3)
+      .select(col("cid"), col("cell"), col("nid"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(atRest == live && live.nonEmpty)
+    // hier vs sampled are DISTINCT stamped trainers: the same (data,
+    // k) under the sampled profile must rebuild, not adopt hier cells
+    assert(Similarity.ensureKnnIndex(v1, dir, k = 3,
+      profile = IndexProfile.Production()),
+      "trainer switch must invalidate the stamp")
+    // hier extension: frozen-model equality through the same route
+    val d2 = java.nio.file.Files.createTempDirectory("graft-knn-hier2")
+      .toString
+    val base = v1.filter(col("vec_id") < 40)
+    val batch = v1.filter(col("vec_id") >= 40)
+    assert(Similarity.ensureKnnIndex(base, d2, k = 3, profile = hier))
+    assert(Similarity.extendKnnIndex(base, batch, d2, k = 3,
+      profile = hier), "matching base stamp must extend")
+    val kb = Similarity.adaptiveCellCount(base)
+    val baseCents = Similarity.trainCentroidsHier(base, kb, 50 * kb)
+    val ext = Similarity.readKnnEdges(spark, d2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val scratch = Similarity
+      .knnEdges(Similarity.assignCellsCoarse(v1, baseCents), 3)
+      .select(col("cid"), col("cell"), col("nid"), col("cos"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(ext == scratch && scratch.nonEmpty)
+    // quality parity on the real embeddings corpus: the coarse-
+    // restricted trainer may not silently degrade the model it speeds
+    // up (the k=4096 measurement read -0.0011; floor it loosely)
+    val k = Similarity.adaptiveCellCount(emb)
+    val qS = Similarity.meanAssignedCosine(emb,
+      Similarity.trainCentroidsSampled(emb, k, 50 * k))
+    val qH = Similarity.meanAssignedCosine(emb,
+      Similarity.trainCentroidsHier(emb, k, 50 * k))
+    assert(qH >= qS - 0.02,
+      s"hier training quality floor breached: $qH vs sampled $qS")
+  }
+
   test("extendKnnIndex 90/10 production shape: a small batch rewrites " +
       "ONLY its touched cell= edge partitions (untouched partitions " +
       "keep their exact files) and edges equal the frozen-model build") {

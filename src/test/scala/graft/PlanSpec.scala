@@ -60,7 +60,8 @@ class PlanSpec extends AnyFunSuite {
     "x128_knn_production", // x120's √k/k-row centroid sides, composed
     "x130_semantic_dedup_production", // same composed centroid sides
     "x134_source_minhash_matrix", // |sources|²-bounded sketch pair matrix
-    "x147_production_recall_audit") // composes topKBrute: bounded k-row query side
+    "x147_production_recall_audit", // composes topKBrute: bounded k-row query side
+    "x148_knn_index_hier") // x144's composed centroid sides, hier-trained
 
   test("no declared query plans a data×data nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
