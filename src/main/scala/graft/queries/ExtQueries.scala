@@ -1803,6 +1803,23 @@ object ExtQueries {
       Similarity.ensureKnnIndex(e, path, k = 5,
         profile = IndexProfile.Production(hierTrain = true))
       Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    }),
+
+    // the IVF corpus artifact under the hier trainer — x148's
+    // discipline for the other at-rest vector artifact (x145's twin):
+    // coarse-restricted training seeds the partitioned corpus, the
+    // standard nprobe=2 partition-pruned probe runs against the
+    // hier-trained centroids. Oracle replicates the whole lifecycle
+    // from scratch, so neither builder face can silently drop to a
+    // different trainer or assignment route.
+    "x149_ivf_index_hier" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "hier")
+      Similarity.ensureIvfIndex(e, path,
+        nCentroids = Similarity.adaptiveCellCount(e),
+        profile = IndexProfile.Production(hierTrain = true))
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10).orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -5782,7 +5799,39 @@ object ExtQueries {
                   row_number() OVER (PARTITION BY cid
                                      ORDER BY cos DESC, nid) AS rn
            FROM p) t WHERE rn <= 5
-         ORDER BY cid, nid""")
+         ORDER BY cid, nid"""),
+
+    // mirrors x149: the hier front end + x145's flat nprobe=2 probe
+    // over the trained centroids (scent) and top-10 scoring
+    "x149_ivf_index_hier" ->
+      (s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${hierAssignCtesFrom("e")},
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM (
+             SELECT x.vec_id AS vid, c.cent_id,
+                    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                      round(list_dot_product(x.e, c.ce) /
+                            (sqrt(list_dot_product(x.e, x.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                      c.cent_id) AS rn
+             FROM e x CROSS JOIN scent c
+             WHERE x.vec_id < 10) t WHERE rn <= 2),
+         scored AS (SELECT DISTINCT p.qid, ca.vec_id AS cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6)
+                             AS cos
+                    FROM probes p
+                    JOIN s2 ca ON p.cell = ca.cell
+                              AND ca.vec_id != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.vec_id)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid)
+                       AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank""")
   )
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES

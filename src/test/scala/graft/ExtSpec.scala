@@ -632,6 +632,28 @@ class ExtSpec extends AnyFunSuite {
     assert(firstProbe.nonEmpty)
   }
 
+  test("x149 IVF hier profile: at-rest rows equal the hier-trained " +
+      "coarse assignment of the corpus") {
+    import graft.ext.IndexProfile
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-hier")
+      .toString
+    val k = Similarity.adaptiveCellCount(emb)
+    assert(Similarity.ensureIvfIndex(emb, dir, nCentroids = k,
+      profile = IndexProfile.Production(hierTrain = true)))
+    val cents = Similarity.trainCentroidsHier(emb, k, 50 * k)
+    val atRest = spark.read.parquet(dir)
+      .select(col("cid"), col("cell").cast("long").as("cell"))
+      .as[(Long, Long)].collect().toSet
+    val live = Similarity.assignCellsCoarse(emb, cents)
+      .select(col("cid"), col("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(atRest == live && live.nonEmpty)
+    // hier vs sampled IVF stamps are distinct trainers too
+    assert(Similarity.ensureIvfIndex(emb, dir, nCentroids = k,
+      profile = IndexProfile.Production()),
+      "trainer switch must invalidate the IVF stamp")
+  }
+
   test("IVF production profile: at-rest rows equal the sampled+coarse " +
       "assignment of the corpus, the profile is stamped (switch " +
       "rebuilds), and a production extension assigns the batch through " +
