@@ -1126,6 +1126,26 @@ object Similarity {
     math.min(kMax, math.max(floor, (corpus.count() / perCell).toInt))
   }
 
+  /** The probe-side complement of [[adaptiveCellCount]]: nprobe sized
+    * so the probed corpus FRACTION holds as k scales. A fixed nprobe
+    * makes recall fall with corpus growth (probed fraction = nprobe/k:
+    * measured recall@10 vs brute 0.57 at k = 80, 0.16 at k = 800, 0.12
+    * at k = 4 096 under nprobe = 2 — ProductionRecallProbe /
+    * HierSeedProbe, SCALE.md round 15), which is the same
+    * self-inflicted scaling bug on the READ side that a fixed k was on
+    * the write side. nprobe = max(floor, ⌈k·frac⌉) keeps the probe's
+    * scanned mass ≈ frac·n rows at any k — cost linear in the target
+    * recall band, not in the corpus. The DECLARED queries keep their
+    * literal nprobe = 2 (oracle-pinned probes at validation k ≤ 8);
+    * this is the documented production dial.
+    */
+  def adaptiveNprobe(nCells: Int, frac: Double = 0.01,
+      floor: Int = 2): Int = {
+    require(nCells >= 1 && frac > 0 && frac <= 1 && floor >= 1,
+      s"bad adaptiveNprobe args: $nCells, $frac, $floor")
+    math.min(nCells, math.max(floor, math.ceil(nCells * frac).toInt))
+  }
+
   def trainCentroids(corpus: DataFrame, nCentroids: Int = 8,
       iters: Int = 3, init: String = "first"): DataFrame = {
     val spark = corpus.sparkSession

@@ -38,7 +38,7 @@ object HierSeedProbe {
     val brute = Similarity.topKBrute(emb, q, k = 10)
       .select(col("qid"), col("cid")).materialized
     val nb = brute.count().toDouble
-    def seed(tag: String, profile: IndexProfile): Unit = {
+    def seed(tag: String, profile: IndexProfile): String = {
       val path = java.nio.file.Files
         .createTempDirectory(s"graft-hseed-$tag").toString
       Similarity.invalidateTrainedCentroids()
@@ -53,8 +53,23 @@ object HierSeedProbe {
         .agg(count(col("h"))).head().getLong(0)
       println(f"HIERSEED dir=$dir n=$n k=$k perCell=$perCell " +
         f"trainer=$tag seed=${tSeed}%.1fs recall=${hit / nb}%.4f")
+      path
     }
-    seed("hier", IndexProfile.Production(hierTrain = true))
+    val hierPath = seed("hier", IndexProfile.Production(hierTrain = true))
+    // the nprobe dial on the hier index: recall and probe wall time per
+    // probed fraction (adaptiveNprobe's justification row)
+    for (frac <- Seq(0.001, 0.01, 0.05)) {
+      val np = Similarity.adaptiveNprobe(k, frac)
+      val t0 = System.nanoTime()
+      val hit = brute.join(
+        Similarity.topKIvfIndexed(hierPath, q, k = 10, nprobe = np)
+          .select(col("qid"), col("cid"), lit(1).as("h")),
+        Seq("qid", "cid"), "left")
+        .agg(count(col("h"))).head().getLong(0)
+      val tP = (System.nanoTime() - t0) / 1e9
+      println(f"HIERSEED nprobe=$np frac=$frac " +
+        f"probeSec=${tP}%.1f recall=${hit / nb}%.4f")
+    }
     seed("sampled", IndexProfile.Production())
     spark.stop()
   }

@@ -632,6 +632,21 @@ class ExtSpec extends AnyFunSuite {
     assert(firstProbe.nonEmpty)
   }
 
+  test("adaptiveNprobe holds the probed corpus fraction as k scales " +
+      "(the read-side complement of the adaptive cell count)") {
+    // fixed nprobe = probed fraction shrinking as 2/k; the adaptive
+    // dial keeps ~frac of cells probed at any k, floored and capped
+    assert(Similarity.adaptiveNprobe(8) == 2) // floor binds at tiny k
+    assert(Similarity.adaptiveNprobe(800) == 8) // 1% of 800
+    assert(Similarity.adaptiveNprobe(4096) == 41) // 1% of 4096
+    assert(Similarity.adaptiveNprobe(4096, frac = 0.05) == 205)
+    assert(Similarity.adaptiveNprobe(4, frac = 0.9) == 4,
+      "never more probes than cells")
+    intercept[IllegalArgumentException] {
+      Similarity.adaptiveNprobe(0)
+    }
+  }
+
   test("x149 IVF hier profile: at-rest rows equal the hier-trained " +
       "coarse assignment of the corpus") {
     import graft.ext.IndexProfile
