@@ -2675,17 +2675,37 @@ object Dedup {
       // corpus-vocabulary-sized — never driver-collected
       val dfp = new org.apache.hadoop.fs.Path(path, "df")
       val tmp = new org.apache.hadoop.fs.Path(path, "df_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(path, "df_compact_old")
       val fs = dfp.getFileSystem(spark.sessionState.newHadoopConf())
       // reclaim any orphan left by an earlier crashed compaction —
-      // nothing else ever removes the staging dir
+      // nothing else ever removes the staging dirs
       fs.delete(tmp, true)
+      fs.delete(old, true)
       try {
         readShingleDf(spark, path)
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dfp, true)
+        // swap via two renames, not delete-then-rename: the window in
+        // which `df` is absent is one metadata op wide instead of an
+        // O(shards) recursive delete (seconds at 4096 streaming shards
+        // on an object store), and the old file set is removed only
+        // AFTER the merged one is serving. A reader that planned its
+        // scan against the old set either completes on it or fails on
+        // the vanished paths — the old and new sets never coexist
+        // under `df`, so a mixed (silently double-counted) read is
+        // structurally impossible (spec-pinned, interleaved reader).
+        if (!fs.rename(dfp, old))
+          sys.error(s"compaction rename failed: $dfp -> $old")
         if (!fs.rename(tmp, dfp))
           sys.error(s"compaction rename failed: $tmp -> $dfp")
-      } finally fs.delete(tmp, true) // no-op when the rename landed
+        fs.delete(old, true)
+      } finally {
+        // crash between the renames: restore the old set rather than
+        // leaving the dir df-less (the stamp is off, so even an
+        // unrestorable crash only costs the next ensure a rebuild)
+        if (!fs.exists(dfp) && fs.exists(old)) fs.rename(old, dfp)
+        fs.delete(tmp, true) // no-op when the rename landed
+        if (fs.exists(dfp)) fs.delete(old, true)
+      }
     }
 
   private val ContProbeMeta = "_graft_contprobe_meta"

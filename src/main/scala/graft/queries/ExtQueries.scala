@@ -1820,6 +1820,23 @@ object ExtQueries {
         profile = IndexProfile.Production(hierTrain = true))
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
         k = 10).orderBy(col("qid"), col("rank"))
+    }),
+
+    // x150: the production READ dial declared end to end — nprobe sized
+    // by adaptiveNprobe (probed corpus FRACTION held as the cell count
+    // scales; frac = 0.5 so the validation-scale k = 8 probes 4 cells,
+    // distinct from x44/x145/x149's literal nprobe = 2). Reuses x149's
+    // at-rest hier index (same stamp ⇒ ensure no-ops), so the query
+    // measures the probe route itself.
+    "x150_ivf_adaptive_nprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "hier")
+      val kc = Similarity.adaptiveCellCount(e)
+      Similarity.ensureIvfIndex(e, path, nCentroids = kc,
+        profile = IndexProfile.Production(hierTrain = true))
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10, nprobe = Similarity.adaptiveNprobe(kc, frac = 0.5))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -5815,6 +5832,46 @@ object ExtQueries {
                       c.cent_id) AS rn
              FROM e x CROSS JOIN scent c
              WHERE x.vec_id < 10) t WHERE rn <= 2),
+         scored AS (SELECT DISTINCT p.qid, ca.vec_id AS cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6)
+                             AS cos
+                    FROM probes p
+                    JOIN s2 ca ON p.cell = ca.cell
+                              AND ca.vec_id != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.vec_id)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid)
+                       AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank"""),
+
+    // x150: x149's hier chain with nprobe = adaptiveNprobe(kc, 0.5)
+    // instead of the literal 2 — the oracle derives BOTH the cell count
+    // and the probe width from the corpus size, mirroring
+    // least(kc, greatest(2, ceil(kc * 0.5))) over
+    // kc = least(4096, greatest(8, n // 250)).
+    "x150_ivf_adaptive_nprobe" ->
+      (s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${hierAssignCtesFrom("e")},
+         npc AS (SELECT least(kc, greatest(2,
+                   CAST(ceil(kc * 0.5) AS INTEGER))) AS np
+                 FROM (SELECT least(4096, greatest(8, count(*) // 250))
+                         AS kc FROM e)),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM (
+             SELECT x.vec_id AS vid, c.cent_id,
+                    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                      round(list_dot_product(x.e, c.ce) /
+                            (sqrt(list_dot_product(x.e, x.e)) *
+                             sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                      c.cent_id) AS rn
+             FROM e x CROSS JOIN scent c
+             WHERE x.vec_id < 10) t
+           WHERE rn <= (SELECT np FROM npc)),
          scored AS (SELECT DISTINCT p.qid, ca.vec_id AS cid,
                            round(list_dot_product(eq.e, ec.e) /
                                  (sqrt(list_dot_product(eq.e, eq.e)) *

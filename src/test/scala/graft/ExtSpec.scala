@@ -1484,6 +1484,8 @@ class ExtSpec extends AnyFunSuite {
       "no pre-compaction shard file may survive the rewrite")
     assert(!new java.io.File(dir, "df_compact_tmp").exists(),
       "the staging dir must not outlive the compaction")
+    assert(!new java.io.File(dir, "df_compact_old").exists(),
+      "the swapped-out old set must not outlive the compaction")
     assert(spark.read.parquet(s"$dir/df").count() == merged.size)
     assert(Dedup.readShingleDf(spark, dir)
       .as[(String, Long)].collect().toMap == merged)
@@ -1532,6 +1534,39 @@ class ExtSpec extends AnyFunSuite {
       Dedup.jaccardPairsLshAuto(docs, 3, 0.5)
         .collect().map(_.toString).sorted.toSeq)
     assert(new java.io.File(lbp, "lshprobe").isDirectory)
+  }
+
+  test("df compaction vs an interleaved reader: a scan planned against " +
+      "the pre-compaction shards either completes on exactly the old " +
+      "values or fails fast on the vanished paths — never a mixed " +
+      "(double-counted) read — and a fresh reader sees identical values") {
+    import graft.ext.Dedup
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-df-interleave").toString
+    val base = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") >= 100)
+    assert(Dedup.ensureShingleDfIndex(base, dir))
+    assert(Dedup.extendShingleDfIndex(base, batch, dir),
+      "the dir must hold multiple shards so a mix is even possible")
+    val before = Dedup.readShingleDf(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // the interleaved reader: its parquet file list is resolved NOW,
+    // against the pre-compaction shard set
+    val stale = Dedup.readShingleDf(spark, dir)
+    assert(Dedup.compactShingleDfIndex(spark, dir))
+    scala.util.Try(stale.as[(String, Long)].collect().toMap) match {
+      case scala.util.Success(m) =>
+        assert(m == before,
+          "a stale-planned reader may only return the complete old values")
+      case scala.util.Failure(_) => () // fail-fast on vanished paths:
+      // the caller retries and replans against the compacted set —
+      // the one forbidden outcome is a silently wrong sum
+    }
+    assert(Dedup.readShingleDf(spark, dir)
+      .as[(String, Long)].collect().toMap == before,
+      "compaction must be value-invisible to fresh readers")
+    assert(!new java.io.File(dir, "df_compact_old").exists() &&
+      !new java.io.File(dir, "df_compact_tmp").exists())
   }
 
   test("recall floors: the x136 LSH audit reads 1.0 and the x143 " +
