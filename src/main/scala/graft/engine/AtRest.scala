@@ -229,12 +229,39 @@ object AtRest {
     }
   }
 
-  /** How long a mutation lease may sit before another writer treats its
-    * holder as crashed and breaks it. Mutations longer than this are
-    * legal — the holder keeps working — but lose their exclusivity
-    * guarantee, so size it above the longest expected index build.
+  /** How long a mutation lease may sit WITHOUT A HEARTBEAT before
+    * another writer treats its holder as crashed and breaks it. Live
+    * holders renew the lease mtime every [[renewIntervalMs]] from a
+    * daemon thread, so a build of ANY length keeps its exclusivity —
+    * at production corpus sizes an index seed legitimately runs for
+    * hours (the measured 200 k-vector seed is already ~11 min,
+    * SCALE.md round 15), which would otherwise sail past any fixed
+    * TTL — while a genuinely crashed holder's lease still breaks
+    * after 30 min instead of the hours a build-length-sized TTL
+    * would cost crash recovery.
     */
   private[graft] val LeaseTtlMs: Long = 30L * 60 * 1000
+
+  /** Heartbeat cadence — TTL/3 by default so two missed beats still
+    * leave headroom before the break threshold. Overridable via
+    * `spark.graft.lease.renewMs` (tests shrink it to drive the
+    * renew-vs-break race in milliseconds).
+    */
+  private def renewIntervalMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lease.renewMs")
+      .map(_.toLong).getOrElse(LeaseTtlMs / 3)
+
+  /** One shared daemon scheduler for all lease heartbeats in the JVM —
+    * a renewal is one cheap FileSystem.setTimes metadata call, so a
+    * single thread serves every concurrently held lease.
+    */
+  private lazy val leaseRenewer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => {
+        val t = new Thread(r, "graft-lease-renewer")
+        t.setDaemon(true)
+        t
+      })
 
   /** Per-JVM registry of held leases (qualified lease path → holder
     * thread) — what makes the lease RE-ENTRANT for the protocol's own
@@ -320,8 +347,25 @@ object AtRest {
               s"(stale leases break after ${LeaseTtlMs / 60000} min)")
       }
       heldLeases.put(key, Thread.currentThread())
+      // Heartbeat: while the body runs, refresh the lease mtime so the
+      // staleness clock measures time-since-last-beat, not build
+      // length — a live holder of any duration is never broken, a
+      // crashed one stops beating and breaks after LeaseTtlMs. Renewal
+      // touches ONLY the timestamp (setTimes — atomic metadata op, the
+      // token bytes are never rewritten, so a concurrent reader can't
+      // observe a torn token), and only while the file still carries
+      // OUR token: once a breaker has replaced the lease, freshening
+      // the new holder's mtime would be harmless but pointless.
+      val beat = leaseRenewer.scheduleWithFixedDelay(
+        () => try {
+          if (readToken().contains(myToken))
+            fs.setTimes(leasePath, System.currentTimeMillis(), -1)
+        } catch { case _: Exception => () },
+        renewIntervalMs(spark), renewIntervalMs(spark),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
       try body
       finally {
+        beat.cancel(false)
         heldLeases.remove(key)
         // Release ONLY our own incarnation: if we outlived LeaseTtlMs
         // and another writer legitimately broke our lease, the file now

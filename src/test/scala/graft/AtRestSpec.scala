@@ -212,6 +212,48 @@ class AtRestSpec extends AnyFunSuite {
     assert(!lease.exists(), "broken+released lease must be gone")
   }
 
+  test("lease heartbeat: a LIVE holder whose build outlives the TTL " +
+      "keeps exclusivity — the renewer refreshes the mtime so a second " +
+      "writer still sees a fresh lease and is refused; a crashed " +
+      "holder stops beating and remains breakable") {
+    val dir = tmp()
+    val lease = new java.io.File(dir, Meta + ".lease")
+    spark.conf.set("spark.graft.lease.renewMs", "100")
+    try {
+      @volatile var bErr: Option[Throwable] = None
+      @volatile var bMutated = false
+      AtRest.ensureStamped(spark, dir, Meta, "w1", force = false) {
+        // simulate a build that has already outlived the TTL: age the
+        // lease past the break threshold, then give the heartbeat a
+        // few cycles to refresh it
+        val aged = System.currentTimeMillis() - AtRest.LeaseTtlMs - 60000
+        assert(lease.setLastModified(aged))
+        val deadline = System.currentTimeMillis() + 5000
+        while (lease.lastModified() <= aged &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(lease.lastModified() > aged,
+          "heartbeat must refresh the live holder's lease mtime")
+        // a second writer now observes a FRESH lease mid-build and must
+        // be refused — the slow-but-alive holder is never broken
+        val b = new Thread(() =>
+          try AtRest.ensureStamped(spark, dir, Meta, "w2",
+            force = false) { bMutated = true }
+          catch { case e: Throwable => bErr = Some(e) })
+        b.start(); b.join()
+      }
+      assert(!bMutated, "second writer must not mutate under a live lease")
+      assert(bErr.exists(_.isInstanceOf[IllegalStateException]),
+        s"second writer must be refused, got $bErr")
+      assert(AtRest.readStamp(spark, dir, Meta).contains("w1"))
+      assert(!lease.exists(), "release removes the holder's own lease")
+      // after release the heartbeat is cancelled: nothing recreates or
+      // refreshes the lease file
+      Thread.sleep(400)
+      assert(!lease.exists(), "a cancelled heartbeat must not resurrect")
+    } finally spark.conf.unset("spark.graft.lease.renewMs")
+  }
+
   test("lease tokens pin every delete to its incarnation: a holder " +
       "that outlived the TTL and was legitimately broken must NOT " +
       "delete the new holder's lease on exit") {
