@@ -755,6 +755,116 @@ object Similarity {
     }
   }
 
+  /** Cell directories of `root` holding more than `budget` parquet
+    * files — the accretion the extend faces' append-per-batch writes
+    * build up in a long-lived index (each micro-batch lands one file
+    * set per touched cell; after thousands of batches a hot cell holds
+    * thousands of tiny files and every probe pays open + footer
+    * overhead per file).
+    */
+  private def overBudgetCellDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      budget: Int): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath)
+      .filter(d => fs.listStatus(d)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > budget)
+
+  /** Rewrite ONLY the over-budget `cell=` dirs of an index relation to
+    * one file per cell — work ∝ the over-budget cell MASS (the
+    * localized-extension discipline applied to maintenance: untouched
+    * cells are never read, their files stay byte-identical), one
+    * repartition-by-cell job for all touched cells, then a per-cell
+    * two-atomic-renames swap (the [[graft.ext.Dedup.compactShingleDfIndex]]
+    * discipline: old and new file sets never coexist under a live cell
+    * dir, so a reader planned against the old set completes on it or
+    * fails fast and retries — never a mixed view; staging lives in a
+    * SIBLING of the root so partition discovery never sees it). Values
+    * identical by construction: same rows, same partition dirs. MUST
+    * run inside the artifact's mutation window — the public faces wrap
+    * it in [[graft.engine.AtRest.compactStamped]] (stamp off during the
+    * rewrite; a crash leaves a stampless dir the next ensure rebuilds,
+    * and the finally arm restores any cell caught between its two
+    * renames). Returns the number of compacted cells.
+    */
+  private def compactCellDirs(spark: org.apache.spark.sql.SparkSession,
+      rootDir: String, budget: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val over = overBudgetCellDirs(fs, root, budget)
+    if (over.isEmpty) 0
+    else {
+      val staged = new org.apache.hadoop.fs.Path(rootDir + "__compact_tmp")
+      fs.delete(staged, true)
+      val cells = over.map(_.getName.stripPrefix("cell=").toLong)
+      val df = spark.read.parquet(rootDir)
+        .filter(col("cell").isin(cells: _*))
+      // repartition by cell ⇒ one task per cell ⇒ exactly one file per
+      // compacted cell dir; partition pruning keeps the read to the
+      // over-budget dirs
+      df.select(df.columns.filterNot(_ == "cell").map(col) :+
+          col("cell"): _*)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(staged.toString)
+      try {
+        over.foreach { live =>
+          val neu = new org.apache.hadoop.fs.Path(staged, live.getName)
+          val old = new org.apache.hadoop.fs.Path(staged,
+            live.getName + ".old")
+          if (!fs.rename(live, old))
+            sys.error(s"compaction rename failed: $live -> $old")
+          if (!fs.rename(neu, live))
+            sys.error(s"compaction rename failed: $neu -> $live")
+        }
+      } finally {
+        // a cell caught between its two renames: restore the old set
+        over.foreach { live =>
+          val old = new org.apache.hadoop.fs.Path(staged,
+            live.getName + ".old")
+          if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+        }
+        fs.delete(staged, true)
+      }
+      over.size
+    }
+  }
+
+  /** Compact an at-rest [[writeIvfIndex]] dir's accreted cell
+    * partitions (see [[compactCellDirs]]). No-op — lock-free, stamp
+    * untouched — when no cell exceeds `maxFilesPerCell`; otherwise the
+    * usual mutation discipline under the writer lease. Returns true
+    * when a compaction ran.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int = 32): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) &&
+      overBudgetCellDirs(fs, root, maxFilesPerCell).nonEmpty &&
+      graft.engine.AtRest.compactStamped(spark, path, IvfMeta) {
+        compactCellDirs(spark, path, maxFilesPerCell); ()
+      }
+  }
+
+  /** Compact an at-rest [[writeKnnIndex]] dir's accreted `cells`
+    * partitions. The edge relation never accretes — extensions
+    * dynamic-partition-OVERWRITE touched edge cells whole — so only
+    * the member relation needs the sweep. Same no-op / lease / stamp
+    * discipline as [[compactIvfIndex]].
+    */
+  def compactKnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int = 32): Boolean = {
+    val cellsRoot = new org.apache.hadoop.fs.Path(path, "cells")
+    val fs = cellsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(cellsRoot) &&
+      overBudgetCellDirs(fs, cellsRoot, maxFilesPerCell).nonEmpty &&
+      graft.engine.AtRest.compactStamped(spark, path, KnnMeta) {
+        compactCellDirs(spark, s"$path/cells", maxFilesPerCell); ()
+      }
+  }
+
   /** Layout version folded into the kNN-index stamp so a format change
     * invalidates v-old artifact dirs instead of misreading them.
     * v2: edges and cell assignments are partitioned by `cell` (the

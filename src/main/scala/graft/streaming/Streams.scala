@@ -444,6 +444,15 @@ object Streams {
     */
   private[graft] val DfSidecarMaxShards = 256
 
+  /** Per-cell parquet-file budget before the streaming kNN/IVF faces
+    * self-compact their accreting member relations: each micro-batch
+    * appends ~one file set per TOUCHED cell, so 32 ≈ a hot cell
+    * compacts every ~32 batches it appears in — and only over-budget
+    * cells are ever rewritten, so the sweep's work tracks the hot-cell
+    * mass, not the index size.
+    */
+  private[graft] val CellFileBudget = 32
+
   private def dfShardCount(
       spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val p = new org.apache.hadoop.fs.Path(path, "df")
@@ -497,9 +506,27 @@ object Streams {
     indexMaintenanceStream(emb, corpusDir, checkpoint,
       ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
         perCell, profile = profile),
-      extend = (base, batch, union) => graft.ext.Similarity
-        .extendKnnIndex(base, batch, indexPath, k, perCell,
-          unionView = union, profile = profile))
+      extend = knnExtendAndCompact(indexPath, k, perCell, profile))
+
+  /** The kNN face's extend step plus self-maintenance: every extension
+    * appends one file set into its touched `cells/cell=` partitions,
+    * so a long-lived stream accretes tiny files without bound; past
+    * [[CellFileBudget]] files in any cell the member relation
+    * self-compacts (over-budget cells only — work ∝ their mass, the
+    * same localized discipline as the extension itself; the no-op
+    * pre-check is one listStatus per batch, the df sidecar's price).
+    */
+  private def knnExtendAndCompact(indexPath: String, k: Int,
+      perCell: Int, profile: graft.ext.IndexProfile,
+      cellFileBudget: Int = CellFileBudget)
+      : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
+    (base, batch, union) => {
+      val built = graft.ext.Similarity.extendKnnIndex(base, batch,
+        indexPath, k, perCell, unionView = union, profile = profile)
+      graft.ext.Similarity.compactKnnIndex(base.sparkSession,
+        indexPath, cellFileBudget)
+      built
+    }
 
   /** [[dedupIndexBatch]]'s recovery discipline for the kNN family —
     * the incremental-resume property matters MOST here: a restarted
@@ -512,14 +539,14 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       k: Int, perCell: Int = 250,
-      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production())
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production(),
+      cellFileBudget: Int = CellFileBudget)
       : Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
         perCell, profile = profile),
-      extend = (base, batch, union) => graft.ext.Similarity
-        .extendKnnIndex(base, batch, indexPath, k, perCell,
-          unionView = union, profile = profile))
+      extend = knnExtendAndCompact(indexPath, k, perCell, profile,
+        cellFileBudget))
 
   /** The third at-rest artifact kind's streaming face — the IVF corpus
     * (x44/x139): each embedding micro-batch lands under
@@ -539,23 +566,38 @@ object Streams {
     indexMaintenanceStream(emb, corpusDir, checkpoint,
       ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
         nCentroids, iters, profile = profile),
-      extend = (base, batch, union) => graft.ext.Similarity
-        .extendIvfIndex(base, batch, indexPath, nCentroids, iters,
-          unionView = union, profile = profile))
+      extend = ivfExtendAndCompact(indexPath, nCentroids, iters,
+        profile))
+
+  /** [[knnExtendAndCompact]] for the IVF corpus artifact (its root
+    * `cell=` partitions are the accreting relation).
+    */
+  private def ivfExtendAndCompact(indexPath: String, nCentroids: Int,
+      iters: Int, profile: graft.ext.IndexProfile,
+      cellFileBudget: Int = CellFileBudget)
+      : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
+    (base, batch, union) => {
+      val built = graft.ext.Similarity.extendIvfIndex(base, batch,
+        indexPath, nCentroids, iters, unionView = union,
+        profile = profile)
+      graft.ext.Similarity.compactIvfIndex(base.sparkSession,
+        indexPath, cellFileBudget)
+      built
+    }
 
   /** [[dedupIndexBatch]]'s recovery discipline for the IVF family. */
   private[graft] def ivfIndexBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       nCentroids: Int, iters: Int = 3,
-      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production())
+      profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production(),
+      cellFileBudget: Int = CellFileBudget)
       : Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
         nCentroids, iters, profile = profile),
-      extend = (base, batch, union) => graft.ext.Similarity
-        .extendIvfIndex(base, batch, indexPath, nCentroids, iters,
-          unionView = union, profile = profile))
+      extend = ivfExtendAndCompact(indexPath, nCentroids, iters,
+        profile, cellFileBudget))
 
   /** The FOURTH artifact kind's streaming face — the CDC containment
     * index (x140/x142): each document micro-batch lands under

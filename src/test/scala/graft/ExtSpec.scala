@@ -1050,6 +1050,110 @@ class ExtSpec extends AnyFunSuite {
       nCentroids = 4))
   }
 
+  test("index compaction: over-budget cell partitions rewrite to one " +
+      "file with identical values, under-budget cells stay " +
+      "byte-identical, the stamp survives (repeat extend no-ops), and " +
+      "a within-budget call is a lock-free no-op — IVF and kNN faces") {
+    import graft.ext.{IndexProfile, Similarity}
+    val all = (0 until 80).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 40)
+    val b1 = all.filter($"vec_id" >= 40 && $"vec_id" < 60)
+    val b2 = all.filter($"vec_id" >= 60)
+    val prod = IndexProfile.Production()
+    def fileMap(root: java.io.File): Map[String, Set[(String, Long, Long)]] =
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).toSet)
+        .toMap
+
+    // ---- IVF face ----
+    val ivf = java.nio.file.Files
+      .createTempDirectory("graft-ivf-compact").toString
+    assert(Similarity.ensureIvfIndex(base, ivf, nCentroids = 4,
+      profile = prod))
+    assert(Similarity.extendIvfIndex(base, b1, ivf, nCentroids = 4,
+      profile = prod))
+    assert(Similarity.extendIvfIndex(base.union(b1), b2, ivf,
+      nCentroids = 4, profile = prod),
+      "chained extension over the stamped union plan must extend")
+    val ivfRoot = new java.io.File(ivf)
+    val before = fileMap(ivfRoot)
+    assert(before.values.exists(_.size > 1),
+      "fixture must accrete >1 file in some cell before compaction")
+    val q = all.filter($"vec_id" < 5)
+    val probeBefore = Similarity.topKIvfIndexed(ivf, q, 5)
+      .collect().map(_.toString).sorted.toSeq
+    val rows = spark.read.parquet(ivf)
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(Similarity.compactIvfIndex(spark, ivf, maxFilesPerCell = 1),
+      "over-budget index must compact")
+    val after = fileMap(ivfRoot)
+    assert(after.keySet == before.keySet,
+      "compaction must not add or drop cell partitions")
+    before.foreach { case (cell, files) =>
+      if (files.size <= 1)
+        assert(after(cell) == files,
+          s"under-budget $cell must stay byte-identical")
+      else assert(after(cell).size == 1,
+        s"over-budget $cell must compact to one file")
+    }
+    assert(spark.read.parquet(ivf)
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet == rows,
+      "compaction must be value-invisible")
+    assert(Similarity.topKIvfIndexed(ivf, q, 5)
+      .collect().map(_.toString).sorted.toSeq == probeBefore)
+    assert(!Similarity.extendIvfIndex(base.union(b1), b2, ivf,
+      nCentroids = 4, profile = prod),
+      "compaction must preserve the union stamp (repeat extend no-ops)")
+    assert(!Similarity.compactIvfIndex(spark, ivf, maxFilesPerCell = 1),
+      "a within-budget index must no-op")
+    assert(!new java.io.File(ivf + "__compact_tmp").exists(),
+      "staging must not outlive the compaction")
+
+    // ---- kNN face: only cells/ accretes; edges are untouched ----
+    val knn = java.nio.file.Files
+      .createTempDirectory("graft-knn-compact").toString
+    assert(Similarity.ensureKnnIndex(base, knn, k = 3, profile = prod))
+    assert(Similarity.extendKnnIndex(base, b1, knn, k = 3,
+      profile = prod))
+    assert(Similarity.extendKnnIndex(base.union(b1), b2, knn, k = 3,
+      profile = prod))
+    val cellsRoot = new java.io.File(knn, "cells")
+    val cellsBefore = fileMap(cellsRoot)
+    assert(cellsBefore.values.exists(_.size > 1))
+    val edgesBefore = fileMap(new java.io.File(knn, "edges"))
+    val edgeRows = Similarity.readKnnEdges(spark, knn)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val memberRows = spark.read.parquet(s"$knn/cells")
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(Similarity.compactKnnIndex(spark, knn, maxFilesPerCell = 1))
+    val cellsAfter = fileMap(cellsRoot)
+    assert(cellsAfter.keySet == cellsBefore.keySet)
+    cellsBefore.foreach { case (cell, files) =>
+      if (files.size <= 1) assert(cellsAfter(cell) == files)
+      else assert(cellsAfter(cell).size == 1)
+    }
+    assert(fileMap(new java.io.File(knn, "edges")) == edgesBefore,
+      "the edge relation must not be touched by a cells compaction")
+    assert(Similarity.readKnnEdges(spark, knn)
+      .as[(Long, Long, Long, Double)].collect().toSet == edgeRows)
+    assert(spark.read.parquet(s"$knn/cells")
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet == memberRows)
+    assert(!Similarity.extendKnnIndex(base.union(b1), b2, knn, k = 3,
+      profile = prod),
+      "compaction must preserve the kNN union stamp")
+    assert(!Similarity.compactKnnIndex(spark, knn, maxFilesPerCell = 1))
+  }
+
   test("x128 production composition with all coarse groups probed " +
       "equals the exact knnGraph over the same sampled centroids") {
     // with nprobeGroups = #groups the two-level route IS the flat

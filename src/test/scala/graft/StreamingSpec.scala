@@ -268,6 +268,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(inc == scratch && scratch.nonEmpty)
   }
 
+  test("streaming index self-compaction: past the per-cell file budget " +
+      "the maintenance step compacts over-budget cells in place — " +
+      "values equal the frozen-model from-scratch build and later " +
+      "batches keep extending under the preserved stamp") {
+    import graft.ext.{IndexProfile, Similarity}
+    def cellFiles(root: java.io.File): Map[String, Int] =
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val emb = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    def land(dir: String, lo: Int, hi: Int): String = {
+      emb.filter(t => t._1 >= lo && t._1 < hi)
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    // --- IVF face (root cell= partitions accrete) ---
+    val ic = Files.createTempDirectory("graft-sc-ic").toString
+    val ii = Files.createTempDirectory("graft-sc-ii").toString
+    var prev = Streams.ivfIndexBatch(spark, ic,
+      land(s"$ic/b0", 0, 30), None, ii, nCentroids = 4,
+      profile = IndexProfile.Exact, cellFileBudget = 1)
+    prev = Streams.ivfIndexBatch(spark, ic,
+      land(s"$ic/b1", 30, 45), Some(prev), ii, nCentroids = 4,
+      profile = IndexProfile.Exact, cellFileBudget = 1)
+    prev = Streams.ivfIndexBatch(spark, ic,
+      land(s"$ic/b2", 45, 60), Some(prev), ii, nCentroids = 4,
+      profile = IndexProfile.Exact, cellFileBudget = 1)
+    val ivfCells = cellFiles(new java.io.File(ii))
+    assert(ivfCells.nonEmpty && ivfCells.values.forall(_ == 1),
+      s"every cell must sit at one file after the budgeted sweep: $ivfCells")
+    // frozen-model semantics survive the sweeps: rows == batch-0-trained
+    // assignment of the whole landed union
+    val base0 = spark.read.parquet(s"$ic/b0")
+    val union = spark.read.parquet(s"$ic/b0", s"$ic/b1", s"$ic/b2")
+    val expected = Similarity
+      .cellAssignments(union, Similarity.trainCentroids(base0, 4))
+      .as[(Long, Long)].collect().toSet
+    assert(spark.read.parquet(ii)
+      .select($"cid", $"cell".cast("long"))
+      .as[(Long, Long)].collect().toSet == expected && expected.nonEmpty)
+    // --- kNN face (cells/ accretes; edges dynamic-overwritten) ---
+    val nc = Files.createTempDirectory("graft-sc-nc").toString
+    val ni = Files.createTempDirectory("graft-sc-ni").toString
+    var kprev = Streams.knnIndexBatch(spark, nc,
+      land(s"$nc/b0", 0, 30), None, ni, k = 3,
+      profile = IndexProfile.Exact, cellFileBudget = 1)
+    kprev = Streams.knnIndexBatch(spark, nc,
+      land(s"$nc/b1", 30, 60), Some(kprev), ni, k = 3,
+      profile = IndexProfile.Exact, cellFileBudget = 1)
+    val knnCells = cellFiles(new java.io.File(ni, "cells"))
+    assert(knnCells.nonEmpty && knnCells.values.forall(_ == 1),
+      s"kNN member cells must compact to one file: $knnCells")
+    val kbase = spark.read.parquet(s"$nc/b0")
+    val kunion = spark.read.parquet(s"$nc/b0", s"$nc/b1")
+    val kcents = Similarity.trainCentroids(kbase,
+      Similarity.adaptiveCellCount(kbase))
+    assert(Similarity.readKnnEdges(spark, ni)
+      .as[(Long, Long, Long, Double)].collect().toSet ==
+      Similarity.cachedKnnEdges(kunion, kcents, 3)
+        .as[(Long, Long, Long, Double)].collect().toSet,
+      "edges must equal the frozen-model from-scratch build after sweeps")
+    assert(spark.read.parquet(s"$ni/cells").count() == kunion.count())
+  }
+
   test("knnIndexStream seeds on batch 0 and extends with the frozen " +
       "base model: 3-batch stream edges equal a from-scratch cell-local " +
       "build over the union with the batch-0-trained centroids; an " +
