@@ -2708,6 +2708,89 @@ object Dedup {
       }
     }
 
+  /** Parquet-file count of one flat relation dir — the lock-free
+    * pre-check the compaction faces use to no-op without touching the
+    * stamp (0 when the dir is absent).
+    */
+  private def flatFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    catch { case _: java.io.FileNotFoundException => 0 }
+  }
+
+  /** Rewrite one accreted FLAT relation dir (the extend faces'
+    * `append` targets: the exact index's `prefix`, the LSH index's
+    * `bands`, the CDC index's `chunks` — one file set lands per
+    * micro-batch, so a long-lived stream accretes thousands of tiny
+    * files and every read pays open + footer overhead per file) to a
+    * byte-size-bounded file count: rows unchanged — these relations
+    * are bags of exact rows, unlike the df relation there is nothing
+    * to merge — just re-bucketed to ⌈bytes / 128 MB⌉ files. Same
+    * two-atomic-renames swap as [[compactShingleDfIndex]] (old and new
+    * sets never coexist under the live dir; crash between the renames
+    * restored in the finally arm). MUST run inside the owning
+    * artifact's mutation window — the public faces wrap it in
+    * [[graft.engine.AtRest.compactStamped]].
+    */
+  private def compactFlatParquetDir(
+      spark: org.apache.spark.sql.SparkSession, dirStr: String): Unit = {
+    val dirp = new org.apache.hadoop.fs.Path(dirStr)
+    val tmp = new org.apache.hadoop.fs.Path(dirStr + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(dirStr + "_compact_old")
+    val fs = dirp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    try {
+      val bytes = fs.listStatus(dirp)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      val nOut = math.max(1,
+        math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      spark.read.parquet(dirStr).repartition(nOut)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(dirp, old))
+        sys.error(s"compaction rename failed: $dirp -> $old")
+      if (!fs.rename(tmp, dirp))
+        sys.error(s"compaction rename failed: $tmp -> $dirp")
+      fs.delete(old, true)
+    } finally {
+      if (!fs.exists(dirp) && fs.exists(old)) fs.rename(old, dirp)
+      fs.delete(tmp, true)
+      if (fs.exists(dirp)) fs.delete(old, true)
+    }
+  }
+
+  /** Compact the exact dedup index's accreted `prefix` relation (its
+    * `pairs`/`clusters` are OVERWRITTEN whole per extension and never
+    * accrete). No-op — lock-free, stamp untouched — at or under
+    * `maxShards` files; otherwise the usual lease/stamp mutation
+    * window. Returns true when a compaction ran.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxShards: Int = 256): Boolean =
+    flatFileCount(spark, s"$path/prefix") > maxShards &&
+      graft.engine.AtRest.compactStamped(spark, path, DedupMeta) {
+        compactFlatParquetDir(spark, s"$path/prefix")
+      }
+
+  /** [[compactDedupIndex]] for the LSH index's accreted `bands`. */
+  def compactDedupIndexLsh(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxShards: Int = 256): Boolean =
+    flatFileCount(spark, s"$path/bands") > maxShards &&
+      graft.engine.AtRest.compactStamped(spark, path, DedupLshMeta) {
+        compactFlatParquetDir(spark, s"$path/bands")
+      }
+
+  /** [[compactDedupIndex]] for the CDC index's accreted `chunks`. */
+  def compactCdcIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxShards: Int = 256): Boolean =
+    flatFileCount(spark, s"$path/chunks") > maxShards &&
+      graft.engine.AtRest.compactStamped(spark, path, CdcMeta) {
+        compactFlatParquetDir(spark, s"$path/chunks")
+      }
+
   private val ContProbeMeta = "_graft_contprobe_meta"
 
   /** The containment decision STATISTIC at rest — the full

@@ -421,6 +421,11 @@ object Streams {
     (base, batch, union) => {
       val built = graft.ext.Dedup.extendDedupIndexLsh(base, batch,
         indexPath, unionView = union)
+      // the LSH key relation accretes one file set per batch; past the
+      // shard budget, re-bucket it under the same stamp (rows
+      // unchanged) so reader cost stays bounded at any stream lifetime
+      graft.ext.Dedup.compactDedupIndexLsh(base.sparkSession,
+        indexPath, dfMaxShards)
       if (dfSidecar) {
         val sidecar = s"$indexPath/_dfindex"
         graft.ext.Dedup.extendShingleDfIndex(base, batch, sidecar,
@@ -617,22 +622,36 @@ object Streams {
     indexMaintenanceStream(docs, corpusDir, checkpoint,
       ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
         threshold, maxDf),
-      extend = (base, batch, union) => graft.ext.Dedup
-        .extendCdcIndex(base, batch, indexPath, p, threshold, maxDf,
-          unionView = union))
+      extend = cdcExtendAndCompact(indexPath, p, threshold, maxDf,
+        DfSidecarMaxShards))
 
   /** [[cdcIndexStream]]'s recovery step, testable like the others. */
   private[graft] def cdcIndexBatch(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       p: Int = 8, threshold: Double = 0.5,
-      maxDf: Option[Long] = Some(100L)): Vector[String] =
+      maxDf: Option[Long] = Some(100L),
+      chunkMaxShards: Int = DfSidecarMaxShards): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
         threshold, maxDf),
-      extend = (base, batch, union) => graft.ext.Dedup
-        .extendCdcIndex(base, batch, indexPath, p, threshold, maxDf,
-          unionView = union))
+      extend = cdcExtendAndCompact(indexPath, p, threshold, maxDf,
+        chunkMaxShards))
+
+  /** The CDC face's extend plus self-maintenance: the persisted chunk
+    * relation accretes one file set per batch; past the shard budget
+    * it is re-bucketed under the same stamp (rows unchanged).
+    */
+  private def cdcExtendAndCompact(indexPath: String, p: Int,
+      threshold: Double, maxDf: Option[Long], chunkMaxShards: Int)
+      : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
+    (base, batch, union) => {
+      val built = graft.ext.Dedup.extendCdcIndex(base, batch,
+        indexPath, p, threshold, maxDf, unionView = union)
+      graft.ext.Dedup.compactCdcIndex(base.sparkSession, indexPath,
+        chunkMaxShards)
+      built
+    }
 
   /** THE at-rest index maintenance step, shared by all four artifact
     * kinds (dedup LSH keys / kNN edges / IVF corpus / CDC containment

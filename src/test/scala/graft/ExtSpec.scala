@@ -1154,6 +1154,81 @@ class ExtSpec extends AnyFunSuite {
     assert(!Similarity.compactKnnIndex(spark, knn, maxFilesPerCell = 1))
   }
 
+  test("flat-relation compaction (prefix/bands/chunks): over-budget " +
+      "accreted relations re-bucket to a bounded file count with rows " +
+      "unchanged, the non-accreting relations stay byte-identical, the " +
+      "stamp survives (repeat extend no-ops), and within-budget calls " +
+      "are lock-free no-ops") {
+    import graft.ext.Dedup
+    val all = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s2", "totally different text entirely other words here"),
+      (10L, "s1", "alpha beta gamma delta epsilon theta"),
+      (11L, "s2", "totally different text entirely other words also"),
+      (12L, "s2", "an unrelated singleton document body of words"))
+      .toDF("doc_id", "source", "text")
+    val base = all.filter($"doc_id" < 10)
+    val batch = all.filter($"doc_id" >= 10)
+    def files(dir: java.io.File): Set[(String, Long, Long)] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    def rows(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+
+    // exact index: prefix accretes, pairs/clusters are overwritten
+    val d1 = java.nio.file.Files
+      .createTempDirectory("graft-flat-exact").toString
+    assert(Dedup.ensureDedupIndex(base, d1))
+    assert(Dedup.extendDedupIndex(base, batch, d1))
+    assert(files(new java.io.File(d1, "prefix")).size > 1,
+      "extension must accrete prefix shards")
+    val prefixRows = rows(s"$d1/prefix")
+    val pairsFiles = files(new java.io.File(d1, "pairs"))
+    assert(Dedup.compactDedupIndex(spark, d1, maxShards = 1))
+    assert(files(new java.io.File(d1, "prefix")).size == 1)
+    assert(rows(s"$d1/prefix") == prefixRows,
+      "compaction must be row-invisible")
+    assert(files(new java.io.File(d1, "pairs")) == pairsFiles,
+      "non-accreting relations must not be touched")
+    assert(!Dedup.extendDedupIndex(base, batch, d1),
+      "compaction must preserve the union stamp")
+    assert(!Dedup.compactDedupIndex(spark, d1, maxShards = 1))
+    assert(!new java.io.File(d1, "prefix_compact_tmp").exists() &&
+      !new java.io.File(d1, "prefix_compact_old").exists())
+
+    // LSH index: bands accretes
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft-flat-lsh").toString
+    assert(Dedup.ensureDedupIndexLsh(base, d2))
+    assert(Dedup.extendDedupIndexLsh(base, batch, d2))
+    assert(files(new java.io.File(d2, "bands")).size > 1)
+    val bandRows = rows(s"$d2/bands")
+    assert(Dedup.compactDedupIndexLsh(spark, d2, maxShards = 1))
+    assert(files(new java.io.File(d2, "bands")).size == 1)
+    assert(rows(s"$d2/bands") == bandRows)
+    assert(!Dedup.extendDedupIndexLsh(base, batch, d2))
+    assert(!Dedup.compactDedupIndexLsh(spark, d2, maxShards = 1))
+
+    // CDC index: chunks accretes
+    val d3 = java.nio.file.Files
+      .createTempDirectory("graft-flat-cdc").toString
+    assert(Dedup.ensureCdcIndex(base, d3))
+    assert(Dedup.extendCdcIndex(base, batch, d3))
+    assert(files(new java.io.File(d3, "chunks")).size > 1)
+    val chunkRows = rows(s"$d3/chunks")
+    val cdcPairs = Dedup.readCdcPairs(spark, d3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(Dedup.compactCdcIndex(spark, d3, maxShards = 1))
+    assert(files(new java.io.File(d3, "chunks")).size == 1)
+    assert(rows(s"$d3/chunks") == chunkRows)
+    assert(Dedup.readCdcPairs(spark, d3)
+      .collect().map(_.toString).sorted.toSeq == cdcPairs)
+    assert(!Dedup.extendCdcIndex(base, batch, d3))
+    assert(!Dedup.compactCdcIndex(spark, d3, maxShards = 1))
+  }
+
   test("x128 production composition with all coarse groups probed " +
       "equals the exact knnGraph over the same sampled centroids") {
     // with nprobeGroups = #groups the two-level route IS the flat
