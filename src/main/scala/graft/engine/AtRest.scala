@@ -163,6 +163,28 @@ object AtRest {
     }
   }
 
+  /** Swap a matching stamp for a rewritten one WITHOUT touching the
+    * artifact — landed-corpus consolidation's hook: after a stream's
+    * landed batch dirs are re-bucketed into a consolidated dir the
+    * corpus ROWS are identical, so the artifact stays exactly right
+    * while the (file-fingerprint, plan-hash) prefix of its stamp must
+    * move to the new read plan. Runs under the writer lease (the
+    * stamp is re-read and re-offered to `rewrite` there); `rewrite`
+    * returning None — the stamp is absent, foreign, or already moved —
+    * leaves everything untouched. Returns true only when a new stamp
+    * was written.
+    */
+  def restampIf(spark: SparkSession, path: String, metaName: String)(
+      rewrite: String => Option[String]): Boolean =
+    readStamp(spark, path, metaName).nonEmpty &&
+      withMutationLease(spark, path, metaName) {
+        readStamp(spark, path, metaName).flatMap(rewrite) match {
+          case Some(next) =>
+            ensureStamped(spark, path, metaName, next, force = true) {}
+          case None => false
+        }
+      }
+
   /** Run a CONTENT-PRESERVING in-place mutation (shard compaction,
     * file re-layout) over a stamped artifact, under the writer lease:
     * stamp off, mutate, the SAME stamp back — so concurrent writers

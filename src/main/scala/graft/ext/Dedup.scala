@@ -2791,6 +2791,32 @@ object Dedup {
         compactFlatParquetDir(spark, s"$path/chunks")
       }
 
+  /** Move the at-rest LSH dedup index's stamp (and its `_dfindex`
+    * sidecar's, when present) from `oldCorpus`'s read plan to
+    * `newCorpus`'s — rows must be identical (a landed-corpus
+    * consolidation; see [[graft.ext.Similarity.corpusPrefixRewrite]]).
+    * Returns the MAIN index's outcome; a foreign sidecar stamp just
+    * means the sidecar rebuilds on its next extension (its drift arm),
+    * never a wrong value.
+    */
+  def restampDedupIndexLsh(spark: org.apache.spark.sql.SparkSession,
+      path: String, oldCorpus: DataFrame,
+      newCorpus: DataFrame): Boolean = {
+    val rewrite = Similarity.corpusPrefixRewrite(oldCorpus, newCorpus)
+    val main = graft.engine.AtRest.restampIf(spark, path,
+      DedupLshMeta)(rewrite)
+    graft.engine.AtRest.restampIf(spark, s"$path/_dfindex",
+      DfMeta)(rewrite)
+    main
+  }
+
+  /** [[restampDedupIndexLsh]] for the CDC containment index. */
+  def restampCdcIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, oldCorpus: DataFrame,
+      newCorpus: DataFrame): Boolean =
+    graft.engine.AtRest.restampIf(spark, path, CdcMeta)(
+      Similarity.corpusPrefixRewrite(oldCorpus, newCorpus))
+
   private val ContProbeMeta = "_graft_contprobe_meta"
 
   /** The containment decision STATISTIC at rest — the full

@@ -1152,6 +1152,42 @@ object Similarity {
     scala.util.hashing.MurmurHash3.seqHash(entries)
   }
 
+  /** Stamp-prefix rewrite for a consolidated corpus: every at-rest
+    * family's stamp leads with `corpusFingerprint:semanticHash:` of its
+    * corpus read plan, so re-bucketing identical rows into consolidated
+    * dirs is a pure prefix swap — every trailing field (params, layout
+    * version, the frozen `|model=` term) carries over verbatim, which
+    * is exactly what keeps the trained model FROZEN through a
+    * consolidation (a fresh ensure over the new plan would re-train;
+    * the restamp says "same rows, same artifact, new plan").
+    */
+  private[graft] def corpusPrefixRewrite(oldCorpus: DataFrame,
+      newCorpus: DataFrame): String => Option[String] = {
+    val o = corpusFingerprint(oldCorpus) + ":" +
+      oldCorpus.queryExecution.analyzed.semanticHash() + ":"
+    val n = corpusFingerprint(newCorpus) + ":" +
+      newCorpus.queryExecution.analyzed.semanticHash() + ":"
+    s => if (s.startsWith(o)) Some(n + s.substring(o.length)) else None
+  }
+
+  /** Move an at-rest kNN index's stamp from `oldCorpus`'s read plan to
+    * `newCorpus`'s — rows must be identical (a landed-corpus
+    * consolidation). The artifact and its frozen model are untouched;
+    * returns false when the stamp is absent or foreign.
+    */
+  def restampKnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, oldCorpus: DataFrame,
+      newCorpus: DataFrame): Boolean =
+    graft.engine.AtRest.restampIf(spark, path, KnnMeta)(
+      corpusPrefixRewrite(oldCorpus, newCorpus))
+
+  /** [[restampKnnIndex]] for the IVF corpus artifact. */
+  def restampIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, oldCorpus: DataFrame,
+      newCorpus: DataFrame): Boolean =
+    graft.engine.AtRest.restampIf(spark, path, IvfMeta)(
+      corpusPrefixRewrite(oldCorpus, newCorpus))
+
   /** Invalidation hook for callers that mutate inputs out-of-band in ways
     * the (plan, file-metadata) key cannot see — e.g. an object store that
     * preserves mtimes on restore.

@@ -387,7 +387,9 @@ object Streams {
       dfSidecar: Boolean = true): StreamingQuery =
     indexMaintenanceStream(docs, corpusDir, checkpoint,
       ensure = dedupEnsure(indexPath, dfSidecar),
-      extend = dedupExtend(indexPath, dfSidecar))
+      extend = dedupExtend(indexPath, dfSidecar),
+      restamp = Some((o, n) => graft.ext.Dedup
+        .restampDedupIndexLsh(o.sparkSession, indexPath, o, n)))
 
   /** The dedup face's (ensure, extend): the LSH key index plus — when
     * `dfSidecar` (the default) — the corpus shingle-df sidecar
@@ -483,10 +485,14 @@ object Streams {
       newDir: String, prev: Option[Vector[String]],
       indexPath: String,
       dfSidecar: Boolean = true,
-      dfMaxShards: Int = DfSidecarMaxShards): Vector[String] =
+      dfMaxShards: Int = DfSidecarMaxShards,
+      maxLandedDirs: Int = LandedDirBudget): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = dedupEnsure(indexPath, dfSidecar),
-      extend = dedupExtend(indexPath, dfSidecar, dfMaxShards))
+      extend = dedupExtend(indexPath, dfSidecar, dfMaxShards),
+      restamp = Some((o, n) => graft.ext.Dedup
+        .restampDedupIndexLsh(spark, indexPath, o, n)),
+      maxLandedDirs = maxLandedDirs)
 
   /** [[dedupIndexStream]]'s discipline applied to the at-rest kNN
     * index (x131/x138's artifact): each embedding micro-batch lands
@@ -511,7 +517,9 @@ object Streams {
     indexMaintenanceStream(emb, corpusDir, checkpoint,
       ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
         perCell, profile = profile),
-      extend = knnExtendAndCompact(indexPath, k, perCell, profile))
+      extend = knnExtendAndCompact(indexPath, k, perCell, profile),
+      restamp = Some((o, n) => graft.ext.Similarity
+        .restampKnnIndex(o.sparkSession, indexPath, o, n)))
 
   /** The kNN face's extend step plus self-maintenance: every extension
     * appends one file set into its touched `cells/cell=` partitions,
@@ -545,13 +553,17 @@ object Streams {
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       k: Int, perCell: Int = 250,
       profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production(),
-      cellFileBudget: Int = CellFileBudget)
+      cellFileBudget: Int = CellFileBudget,
+      maxLandedDirs: Int = LandedDirBudget)
       : Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Similarity.ensureKnnIndex(_, indexPath, k,
         perCell, profile = profile),
       extend = knnExtendAndCompact(indexPath, k, perCell, profile,
-        cellFileBudget))
+        cellFileBudget),
+      restamp = Some((o, n) => graft.ext.Similarity
+        .restampKnnIndex(spark, indexPath, o, n)),
+      maxLandedDirs = maxLandedDirs)
 
   /** The third at-rest artifact kind's streaming face — the IVF corpus
     * (x44/x139): each embedding micro-batch lands under
@@ -572,7 +584,9 @@ object Streams {
       ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
         nCentroids, iters, profile = profile),
       extend = ivfExtendAndCompact(indexPath, nCentroids, iters,
-        profile))
+        profile),
+      restamp = Some((o, n) => graft.ext.Similarity
+        .restampIvfIndex(o.sparkSession, indexPath, o, n)))
 
   /** [[knnExtendAndCompact]] for the IVF corpus artifact (its root
     * `cell=` partitions are the accreting relation).
@@ -596,13 +610,17 @@ object Streams {
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       nCentroids: Int, iters: Int = 3,
       profile: graft.ext.IndexProfile = graft.ext.IndexProfile.Production(),
-      cellFileBudget: Int = CellFileBudget)
+      cellFileBudget: Int = CellFileBudget,
+      maxLandedDirs: Int = LandedDirBudget)
       : Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Similarity.ensureIvfIndex(_, indexPath,
         nCentroids, iters, profile = profile),
       extend = ivfExtendAndCompact(indexPath, nCentroids, iters,
-        profile, cellFileBudget))
+        profile, cellFileBudget),
+      restamp = Some((o, n) => graft.ext.Similarity
+        .restampIvfIndex(spark, indexPath, o, n)),
+      maxLandedDirs = maxLandedDirs)
 
   /** The FOURTH artifact kind's streaming face — the CDC containment
     * index (x140/x142): each document micro-batch lands under
@@ -623,7 +641,9 @@ object Streams {
       ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
         threshold, maxDf),
       extend = cdcExtendAndCompact(indexPath, p, threshold, maxDf,
-        DfSidecarMaxShards))
+        DfSidecarMaxShards),
+      restamp = Some((o, n) => graft.ext.Dedup
+        .restampCdcIndex(o.sparkSession, indexPath, o, n)))
 
   /** [[cdcIndexStream]]'s recovery step, testable like the others. */
   private[graft] def cdcIndexBatch(
@@ -631,12 +651,16 @@ object Streams {
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       p: Int = 8, threshold: Double = 0.5,
       maxDf: Option[Long] = Some(100L),
-      chunkMaxShards: Int = DfSidecarMaxShards): Vector[String] =
+      chunkMaxShards: Int = DfSidecarMaxShards,
+      maxLandedDirs: Int = LandedDirBudget): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
         threshold, maxDf),
       extend = cdcExtendAndCompact(indexPath, p, threshold, maxDf,
-        chunkMaxShards))
+        chunkMaxShards),
+      restamp = Some((o, n) => graft.ext.Dedup
+        .restampCdcIndex(spark, indexPath, o, n)),
+      maxLandedDirs = maxLandedDirs)
 
   /** The CDC face's extend plus self-maintenance: the persisted chunk
     * relation accretes one file set per batch; past the shard budget
@@ -688,7 +712,9 @@ object Streams {
       ensure: DataFrame => Boolean,
       extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean,
       leaseRetries: Int = LeaseRetryDefault,
-      leaseBackoffMs: Long = LeaseBackoffMsDefault): Vector[String] = {
+      leaseBackoffMs: Long = LeaseBackoffMsDefault,
+      restamp: Option[(DataFrame, DataFrame) => Boolean] = None,
+      maxLandedDirs: Int = LandedDirBudget): Vector[String] = {
     val newQ = qualifiedDir(spark, newDir)
     val landed = prev.map(_ :+ newQ)
       .getOrElse(landedBatchDirs(spark, corpusDir))
@@ -721,7 +747,15 @@ object Streams {
       }
     }
     attempt(leaseRetries)
-    landed
+    // corpus-side self-maintenance: past the dir budget, fold the b
+    // tail into one consolidated dir and move the stamps to the new
+    // plan ([[consolidateLanded]]) — keeps the per-batch
+    // listing/fingerprint metadata cost bounded at any stream lifetime
+    restamp match {
+      case Some(r) if landed.size > maxLandedDirs =>
+        consolidateLanded(spark, corpusDir, landed, r)
+      case _ => landed
+    }
   }
 
   /** The foreachBatch driver shared by the three `*IndexStream` faces:
@@ -733,7 +767,8 @@ object Streams {
     */
   private def indexMaintenanceStream(src: DataFrame, corpusDir: String,
       checkpoint: String, ensure: DataFrame => Boolean,
-      extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean)
+      extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean,
+      restamp: Option[(DataFrame, DataFrame) => Boolean] = None)
       : StreamingQuery = {
     var dirs: Option[Vector[String]] = None
     src.writeStream
@@ -743,7 +778,7 @@ object Streams {
         val newDir = s"$corpusDir/b$id"
         batch.write.mode("overwrite").parquet(newDir)
         dirs = Some(indexMaintenanceBatch(spark, corpusDir, newDir,
-          dirs, ensure, extend))
+          dirs, ensure, extend, restamp = restamp))
         ()
       }
       .start()
@@ -761,11 +796,148 @@ object Streams {
       corpusDir: String): Vector[String] = {
     val p = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).toVector
-      .filter(s => s.isDirectory && s.getPath.getName.matches("b\\d+"))
-      .sortBy(_.getPath.getName.drop(1).toLong)
-      .map(_.getPath.toString)
+    val listed = fs.listStatus(p).toVector.filter(_.isDirectory)
+    readLandedManifest(spark, corpusDir) match {
+      case Some((upTo, cdirs)) =>
+        // consolidated layout: the manifest's c<id> dirs carry every
+        // batch ≤ upTo; live b<id> dirs past the watermark follow.
+        // b dirs ≤ upTo (folded, pending delete) and c dirs not in the
+        // manifest (crashed consolidations) are INVISIBLE — the
+        // atomic manifest rename is the one commit point, so a crash
+        // anywhere in a consolidation can only orphan files, never
+        // double- or under-count the corpus.
+        val live = listed
+          .filter(s => s.getPath.getName.matches("b\\d+") &&
+            s.getPath.getName.drop(1).toLong > upTo)
+          .sortBy(_.getPath.getName.drop(1).toLong)
+          .map(_.getPath.toString)
+        cdirs.map(n => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(p, n)).toString) ++ live
+      case None =>
+        listed
+          .filter(_.getPath.getName.matches("b\\d+"))
+          .sortBy(_.getPath.getName.drop(1).toLong)
+          .map(_.getPath.toString)
+    }
   }
+
+  /** The landed-corpus manifest: `corpusDir/_graft_landed`, first line
+    * the consolidation watermark (`upTo=<id>` — every b dir with id ≤
+    * it has been folded), following lines the consolidated dir NAMES
+    * in read order. Written atomically (tmp + rename) by
+    * [[consolidateLanded]]; absent ⇒ the plain b-listing layout.
+    */
+  private[graft] val LandedManifest = "_graft_landed"
+
+  private[graft] def readLandedManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): Option[(Long, Vector[String])] = {
+    val mp = new org.apache.hadoop.fs.Path(corpusDir, LandedManifest)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = try fs.getFileStatus(mp).isFile
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!exists) None
+    else {
+      val in = fs.open(mp)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      val lines = text.split("\n").toVector.filter(_.nonEmpty)
+      Some((lines.head.stripPrefix("upTo=").toLong, lines.tail))
+    }
+  }
+
+  private def writeLandedManifest(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      upTo: Long, consolidated: Seq[String]): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(corpusDir, LandedManifest)
+    val tmp = new org.apache.hadoop.fs.Path(corpusDir,
+      LandedManifest + ".tmp")
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(tmp, true)
+    try out.write((s"upTo=$upTo\n" + consolidated.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(mp, false)
+    if (!fs.rename(tmp, mp))
+      sys.error(s"manifest rename failed: $tmp -> $mp")
+  }
+
+  /** Fold the landed `b<id>` tail into ONE new consolidated `c<id>`
+    * dir and move the index stamps to the new read plan — the
+    * corpus-side twin of the index compactions: without it, every
+    * maintenance step's stamp fingerprint LISTS every landed file
+    * (O(batches) driver metadata per batch, O(batches²) cumulative
+    * over a stream's lifetime) and the dir count grows without bound.
+    * Each row is consolidated exactly ONCE (previous c dirs are left
+    * alone — the one-level LSM shape), so the steady-state listing is
+    * ~(batches/budget) c dirs + ≤budget live b dirs, and the write
+    * amplification is a single extra copy per row per lifetime.
+    *
+    * Commit protocol — the atomic manifest rename is the ONE commit
+    * point: (1) the folded rows are written to the (not yet visible)
+    * c dir; (2) the family's `restamp` moves the artifact stamps from
+    * the old flat plan to the new one (rows identical, artifact
+    * untouched — [[graft.engine.AtRest.restampIf]] under the writer
+    * lease; a foreign stamp aborts the consolidation with the c dir
+    * deleted); (3) the manifest rename makes the new layout visible;
+    * (4) folded b dirs and orphaned c dirs are reclaimed best-effort.
+    * A crash between (2) and (3) — or (1) and (2) — costs at most one
+    * rebuild/orphan, never a double- or under-counted corpus.
+    */
+  private[graft] def consolidateLanded(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      landed: Vector[String],
+      restamp: (DataFrame, DataFrame) => Boolean,
+      targetBytes: Long = 128L * 1024 * 1024): Vector[String] = {
+    val (cdirs, bdirs) = landed.partition(
+      _.split('/').last.startsWith("c"))
+    if (bdirs.size < 2) landed
+    else {
+      val root = new org.apache.hadoop.fs.Path(corpusDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val lastBid = bdirs.map(_.split('/').last.drop(1).toLong).max
+      val newName = s"c$lastBid"
+      val newPath = new org.apache.hadoop.fs.Path(root, newName)
+      val bytes = bdirs.map { d =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(d))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      }.sum
+      spark.read.parquet(bdirs: _*)
+        .repartition(math.max(1,
+          math.ceil(bytes.toDouble / targetBytes).toInt))
+        .write.mode("overwrite").parquet(newPath.toString)
+      val newLanded = cdirs :+ fs.makeQualified(newPath).toString
+      val moved = restamp(spark.read.parquet(landed: _*),
+        spark.read.parquet(newLanded: _*))
+      if (!moved) {
+        // foreign/absent stamp (an offline writer intervened): abort —
+        // the invisible c dir goes away and the layout stays as-is
+        fs.delete(newPath, true)
+        landed
+      } else {
+        writeLandedManifest(spark, corpusDir, lastBid,
+          newLanded.map(_.split('/').last))
+        // reclaim folded b dirs and any crash-orphaned c dirs
+        bdirs.foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+        val keep = newLanded.map(_.split('/').last).toSet
+        fs.listStatus(root)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.matches("c\\d+") &&
+            !keep.contains(s.getPath.getName))
+          .foreach(s => fs.delete(s.getPath, true))
+        newLanded
+      }
+    }
+  }
+
+  /** Landed-dir budget before a face consolidates: 64 keeps the
+    * per-batch listing/stamping metadata cost bounded (~#c + 64 dirs)
+    * while amortizing each consolidation over 64 batches.
+    */
+  private[graft] val LandedDirBudget = 64
 
   /** `dir` as the fully-qualified path its filesystem reports — the
     * form [[landedBatchDirs]] returns. The recovery step REMOVES the

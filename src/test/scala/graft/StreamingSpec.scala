@@ -336,6 +336,119 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$ni/cells").count() == kunion.count())
   }
 
+  test("landed-corpus consolidation: past the dir budget the " +
+      "maintenance step folds the b tail into one c dir and moves the " +
+      "stamps — no re-train, no rebuild — the manifest commit hides " +
+      "folded and orphaned dirs, and later batches keep extending over " +
+      "the consolidated layout") {
+    import graft.ext.{IndexProfile, Similarity}
+    val kc = Files.createTempDirectory("graft-cons-kc").toString
+    val ki = Files.createTempDirectory("graft-cons-ki").toString
+    val emb = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    def land(i: Int): String = {
+      val d = s"$kc/b$i"
+      emb.filter(t => t._1 >= i * 10 && t._1 < (i + 1) * 10)
+        .toDF("vec_id", "embedding").write.mode("overwrite").parquet(d)
+      d
+    }
+    var prev: Option[Vector[String]] = None
+    var centsAfterSeed: Seq[String] = Nil
+    for (i <- 0 until 6) {
+      prev = Some(Streams.knnIndexBatch(spark, kc, land(i), prev, ki,
+        k = 3, profile = IndexProfile.Exact, maxLandedDirs = 3))
+      if (i == 0)
+        centsAfterSeed = Similarity.readKnnCentroids(spark, ki)
+          .collect().map(_.toString).sorted.toSeq
+    }
+    // batch 3 tips the budget (4 dirs > 3): b0..b3 fold into c3; b4/b5
+    // land afterwards — exactly one consolidation
+    val manifest = Streams.readLandedManifest(spark, kc)
+    assert(manifest.contains((3L, Vector("c3"))),
+      s"manifest must commit the c3 fold: $manifest")
+    val names = new java.io.File(kc).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(names.contains("c3") && names.contains("b4") &&
+      names.contains("b5"))
+    assert(!names.exists(_.matches("b[0-3]")),
+      s"folded b dirs must be reclaimed: $names")
+    // the threaded dir list equals a fresh listing — a restarted query
+    // resumes over the identical consolidated layout
+    assert(prev.contains(Streams.landedBatchDirs(spark, kc)))
+    // every row survived the fold exactly once
+    assert(spark.read.parquet(prev.get: _*).count() == 60)
+    // the model is FROZEN through the consolidation: centroids are the
+    // batch-0 seed's, bit-identical — a restamp, never a re-train
+    assert(Similarity.readKnnCentroids(spark, ki)
+      .collect().map(_.toString).sorted.toSeq == centsAfterSeed)
+    // and the index kept EXTENDING after the fold: edges equal a
+    // from-scratch frozen-model build over all 60 rows
+    val all = emb.toDF("vec_id", "embedding")
+    val b0 = all.filter($"vec_id" < 10)
+    val baseCents = Similarity.trainCentroids(b0,
+      Similarity.adaptiveCellCount(b0))
+    assert(Similarity.readKnnEdges(spark, ki)
+      .as[(Long, Long, Long, Double)].collect().toSet ==
+      Similarity.cachedKnnEdges(all, baseCents, 3)
+        .as[(Long, Long, Long, Double)].collect().toSet)
+    // the manifest is the one commit point: a crash-orphaned c dir and
+    // a stale folded b dir are INVISIBLE to the listing
+    assert(new java.io.File(kc, "c2").mkdir())
+    assert(new java.io.File(kc, "b2").mkdir())
+    assert(Streams.landedBatchDirs(spark, kc) == prev.get,
+      "orphans outside the manifest must not enter the corpus")
+  }
+
+  test("landed-corpus consolidation, dedup face: the LSH index AND its " +
+      "df sidecar restamp through the fold — the next batch EXTENDS " +
+      "(pre-fold band shards survive byte-identical, never a rebuild) " +
+      "and labels still equal full-batch clustering") {
+    import graft.ext.Dedup
+    val dc = Files.createTempDirectory("graft-cons-dc").toString
+    val di = Files.createTempDirectory("graft-cons-di").toString
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "alpha beta gamma delta epsilon eta"),
+      (3L, "s2", "totally different text entirely other words here"),
+      (4L, "s1", "alpha beta gamma delta epsilon theta"),
+      (5L, "s2", "totally different text entirely other words also"),
+      (6L, "s2", "an unrelated singleton document body of words"),
+      (7L, "s1", "alpha beta gamma delta epsilon iota"),
+      (8L, "s2", "one more unrelated body of words to land late"))
+    def land(i: Int): String = {
+      val d = s"$dc/b$i"
+      docs.filter(t => t._1 > i * 2 && t._1 <= (i + 1) * 2)
+        .toDF("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    var prev: Option[Vector[String]] = None
+    for (i <- 0 until 3) // 3 dirs > budget 2 at batch 2 → fold to c2
+      prev = Some(Streams.dedupIndexBatch(spark, dc, land(i), prev, di,
+        maxLandedDirs = 2))
+    assert(Streams.readLandedManifest(spark, dc)
+      .contains((2L, Vector("c2"))))
+    def bandFiles(): Set[(String, Long, Long)] =
+      new java.io.File(di, "bands").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val bandsAfterFold = bandFiles()
+    // one more batch over the consolidated layout: must EXTEND —
+    // every pre-fold band shard survives byte-identical (a rebuild,
+    // the restamp-failure fallback, would rewrite them all)
+    prev = Some(Streams.dedupIndexBatch(spark, dc, land(3), prev, di,
+      maxLandedDirs = 2))
+    assert(bandFiles().intersect(bandsAfterFold) == bandsAfterFold,
+      "post-fold batch must extend the restamped index, not rebuild it")
+    val all = docs.toDF("doc_id", "source", "text")
+    assert(Dedup.readDedupClusters(all, di)
+      .collect().map(_.toString).sorted.toSeq ==
+      Dedup.dedupClusters(all,
+        Dedup.jaccardPairsLshAuto(all, 3, 0.5))
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("knnIndexStream seeds on batch 0 and extends with the frozen " +
       "base model: 3-batch stream edges equal a from-scratch cell-local " +
       "build over the union with the batch-0-trained centroids; an " +
