@@ -344,7 +344,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ext.{IndexProfile, Similarity}
     val kc = Files.createTempDirectory("graft-cons-kc").toString
     val ki = Files.createTempDirectory("graft-cons-ki").toString
-    val emb = (0 until 60).map(i => (i.toLong,
+    val emb = (0 until 70).map(i => (i.toLong,
       Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
         .map(_.toFloat)))
     def land(i: Int): String = {
@@ -383,8 +383,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(Similarity.readKnnCentroids(spark, ki)
       .collect().map(_.toString).sorted.toSeq == centsAfterSeed)
     // and the index kept EXTENDING after the fold: edges equal a
-    // from-scratch frozen-model build over all 60 rows
-    val all = emb.toDF("vec_id", "embedding")
+    // from-scratch frozen-model build over all 60 landed rows
+    val all = emb.filter(_._1 < 60).toDF("vec_id", "embedding")
     val b0 = all.filter($"vec_id" < 10)
     val baseCents = Similarity.trainCentroids(b0,
       Similarity.adaptiveCellCount(b0))
@@ -398,6 +398,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(kc, "b2").mkdir())
     assert(Streams.landedBatchDirs(spark, kc) == prev.get,
       "orphans outside the manifest must not enter the corpus")
+    // RESTART over the consolidated layout: a fresh query (prev = None)
+    // lists the manifest view and RESUMES incrementally — the next
+    // batch extends under the restamped plan, the model stays frozen
+    val d6 = land(6)
+    Streams.knnIndexBatch(spark, kc, d6, None, ki, k = 3,
+      profile = IndexProfile.Exact, maxLandedDirs = 10)
+    assert(Similarity.readKnnCentroids(spark, ki)
+      .collect().map(_.toString).sorted.toSeq == centsAfterSeed,
+      "post-restart batch over the folded layout must extend, not re-train")
+    assert(spark.read.parquet(
+      Streams.landedBatchDirs(spark, kc): _*).count() == 70)
   }
 
   test("landed-corpus consolidation, dedup face: the LSH index AND its " +
