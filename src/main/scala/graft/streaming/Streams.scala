@@ -889,26 +889,38 @@ object Streams {
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       landed: Vector[String],
       restamp: (DataFrame, DataFrame) => Boolean,
-      targetBytes: Long = 128L * 1024 * 1024): Vector[String] = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxConsolidated: Int = MaxConsolidatedDirs): Vector[String] = {
     val (cdirs, bdirs) = landed.partition(
       _.split('/').last.startsWith("c"))
-    if (bdirs.size < 2) landed
+    // two-level fold: normally only the b tail folds (each row
+    // consolidated once), but once the c list itself reaches its
+    // budget EVERYTHING folds into one dir — c dirs then never exceed
+    // maxConsolidated, and a full fold recurs only every
+    // (maxLandedDirs · maxConsolidated) batches, so amortized write
+    // amplification stays ~2 copies per row per lifetime
+    val foldAll = cdirs.size >= maxConsolidated
+    val src = if (foldAll) landed else bdirs
+    if (src.size < 2 || bdirs.isEmpty) landed
     else {
       val root = new org.apache.hadoop.fs.Path(corpusDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      // b ids always exceed every folded c id, so the new c<id> name
+      // can never collide with a surviving dir
       val lastBid = bdirs.map(_.split('/').last.drop(1).toLong).max
       val newName = s"c$lastBid"
       val newPath = new org.apache.hadoop.fs.Path(root, newName)
-      val bytes = bdirs.map { d =>
+      val bytes = src.map { d =>
         fs.listStatus(new org.apache.hadoop.fs.Path(d))
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getLen).sum
       }.sum
-      spark.read.parquet(bdirs: _*)
+      spark.read.parquet(src: _*)
         .repartition(math.max(1,
           math.ceil(bytes.toDouble / targetBytes).toInt))
         .write.mode("overwrite").parquet(newPath.toString)
-      val newLanded = cdirs :+ fs.makeQualified(newPath).toString
+      val newLanded = (if (foldAll) Vector.empty[String] else cdirs) :+
+        fs.makeQualified(newPath).toString
       val moved = restamp(spark.read.parquet(landed: _*),
         spark.read.parquet(newLanded: _*))
       if (!moved) {
@@ -938,6 +950,14 @@ object Streams {
     * while amortizing each consolidation over 64 batches.
     */
   private[graft] val LandedDirBudget = 64
+
+  /** Consolidated-dir budget before [[consolidateLanded]] performs a
+    * FULL fold (everything into one dir) instead of the usual b-tail
+    * fold: bounds the manifest's c list at any stream lifetime while
+    * keeping full folds rare enough (every maxLandedDirs·this batches)
+    * that write amplification stays ~2 copies per row.
+    */
+  private[graft] val MaxConsolidatedDirs = 16
 
   /** `dir` as the fully-qualified path its filesystem reports — the
     * form [[landedBatchDirs]] returns. The recovery step REMOVES the

@@ -344,7 +344,7 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ext.{IndexProfile, Similarity}
     val kc = Files.createTempDirectory("graft-cons-kc").toString
     val ki = Files.createTempDirectory("graft-cons-ki").toString
-    val emb = (0 until 70).map(i => (i.toLong,
+    val emb = (0 until 80).map(i => (i.toLong,
       Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
         .map(_.toFloat)))
     def land(i: Int): String = {
@@ -409,6 +409,26 @@ class StreamingSpec extends AnyFunSuite {
       "post-restart batch over the folded layout must extend, not re-train")
     assert(spark.read.parquet(
       Streams.landedBatchDirs(spark, kc): _*).count() == 70)
+    // two-level fold: once the c list reaches its budget, EVERYTHING
+    // folds into one dir — the manifest's c list is bounded at any
+    // stream lifetime, and the model still survives (restamp chain)
+    val folded = Streams.consolidateLanded(spark, kc,
+      Streams.landedBatchDirs(spark, kc),
+      (o, n) => Similarity.restampKnnIndex(spark, ki, o, n),
+      maxConsolidated = 1)
+    assert(folded.size == 1 && folded.head.split('/').last == "c6",
+      s"full fold must leave one c dir: $folded")
+    assert(Streams.readLandedManifest(spark, kc)
+      .contains((6L, Vector("c6"))))
+    assert(spark.read.parquet(folded: _*).count() == 70)
+    // the index keeps extending over the fully-folded layout
+    Streams.knnIndexBatch(spark, kc, land(7), None, ki, k = 3,
+      profile = IndexProfile.Exact)
+    assert(Similarity.readKnnCentroids(spark, ki)
+      .collect().map(_.toString).sorted.toSeq == centsAfterSeed,
+      "extension after a full fold must keep the frozen model")
+    assert(spark.read.parquet(
+      Streams.landedBatchDirs(spark, kc): _*).count() == 80)
   }
 
   test("landed-corpus consolidation, dedup face: the LSH index AND its " +
