@@ -273,17 +273,27 @@ object AtRest {
     spark.conf.getOption("spark.graft.lease.renewMs")
       .map(_.toLong).getOrElse(LeaseTtlMs / 3)
 
-  /** One shared daemon scheduler for all lease heartbeats in the JVM —
-    * a renewal is one cheap FileSystem.setTimes metadata call, so a
-    * single thread serves every concurrently held lease.
+  /** Shared daemon scheduler pool for all lease heartbeats in the JVM —
+    * a renewal is one cheap metadata call, but it IS blocking FS I/O,
+    * so a single thread would let one hung filesystem call starve every
+    * other held lease's beats past the TTL (and hand a competing writer
+    * a live holder's lease). A small pool bounds that blast radius: a
+    * hung store stalls its own lease's beats (fixed-delay tasks never
+    * overlap themselves) and at worst poolSize−1 neighbours.
     */
-  private lazy val leaseRenewer =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-      r => {
-        val t = new Thread(r, "graft-lease-renewer")
-        t.setDaemon(true)
-        t
+  private lazy val leaseRenewer = {
+    val pool = new java.util.concurrent.ScheduledThreadPoolExecutor(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-lease-renewer-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
       })
+    pool.setRemoveOnCancelPolicy(true)
+    pool
+  }
 
   /** Per-JVM registry of held leases (qualified lease path → holder
     * thread) — what makes the lease RE-ENTRANT for the protocol's own
@@ -329,13 +339,22 @@ object AtRest {
           ProcessHandle.current().pid() + ":" +
           System.currentTimeMillis() + ":" +
           java.util.UUID.randomUUID().toString
-      def readToken(): Option[String] =
+      // Sidecar the heartbeat can fall back to on stores where
+      // setTimes is a silent no-op (several object-store filesystems):
+      // the holder overwrites it with its own token each beat, and the
+      // staleness clock below credits its mtime ONLY when its token
+      // matches the lease's — a torn or stale beat read just fails the
+      // match and the lease looks older, never fresher, than it is.
+      val beatFile = new org.apache.hadoop.fs.Path(path,
+        metaName + ".lease.beat")
+      def readFileToken(p: org.apache.hadoop.fs.Path): Option[String] =
         try {
-          val in = fs.open(leasePath)
+          val in = fs.open(p)
           try Some(new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8))
           finally in.close()
         } catch { case _: java.io.IOException => None }
+      def readToken(): Option[String] = readFileToken(leasePath)
       def tryAcquire(): Boolean =
         try {
           val out = fs.create(leasePath, false)
@@ -355,9 +374,19 @@ object AtRest {
       if (!tryAcquire()) {
         val observed = readToken()
         val stale =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(leasePath).getModificationTime > LeaseTtlMs
-          catch { case _: java.io.FileNotFoundException => true }
+          try {
+            val leaseM = fs.getFileStatus(leasePath).getModificationTime
+            // credit the beat sidecar only when it carries the CURRENT
+            // lease incarnation's token (a previous holder's beat must
+            // not freshen a crashed successor's lease)
+            val beatM =
+              if (observed.nonEmpty && readFileToken(beatFile) == observed)
+                try fs.getFileStatus(beatFile).getModificationTime
+                catch { case _: java.io.FileNotFoundException => 0L }
+              else 0L
+            System.currentTimeMillis() -
+              math.max(leaseM, beatM) > LeaseTtlMs
+          } catch { case _: java.io.FileNotFoundException => true }
         val broke = stale && (observed match {
           case Some(tok) => deleteIfToken(tok)
           case None => true // vanished between create-fail and read
@@ -378,10 +407,39 @@ object AtRest {
       // observe a torn token), and only while the file still carries
       // OUR token: once a breaker has replaced the lease, freshening
       // the new holder's mtime would be harmless but pointless.
+      // Some stores no-op setTimes (and the blanket catch would hide
+      // it) — so each beat VERIFIES the mtime actually advanced and
+      // otherwise renews via the beat sidecar (overwrite with our
+      // token; the staleness clock reads max(lease, matching beat)
+      // mtime), logging the degradation once instead of silently
+      // letting a live multi-hour build's lease break at the TTL.
+      val beatFallback = new java.util.concurrent.atomic.AtomicBoolean()
+      def writeBeat(): Unit = {
+        val out = fs.create(beatFile, true)
+        try out.write(
+          myToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       val beat = leaseRenewer.scheduleWithFixedDelay(
         () => try {
-          if (readToken().contains(myToken))
-            fs.setTimes(leasePath, System.currentTimeMillis(), -1)
+          if (readToken().contains(myToken)) {
+            var renewed = false
+            if (!beatFallback.get()) {
+              val stampMs = System.currentTimeMillis()
+              try {
+                fs.setTimes(leasePath, stampMs, -1)
+                // granularity headroom: only distrust setTimes when the
+                // observed mtime lags the stamp by over a second
+                renewed = fs.getFileStatus(leasePath)
+                  .getModificationTime + 1000L >= stampMs
+              } catch { case _: Exception => () }
+              if (!renewed && beatFallback.compareAndSet(false, true))
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"lease mtime renewal is a no-op on $key's filesystem" +
+                    " — falling back to the .beat sidecar for heartbeats")
+            }
+            if (!renewed) writeBeat()
+          }
         } catch { case _: Exception => () },
         renewIntervalMs(spark), renewIntervalMs(spark),
         java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -393,6 +451,12 @@ object AtRest {
         // and another writer legitimately broke our lease, the file now
         // carries THEIR token — deleting it would let in a third writer.
         deleteIfToken(myToken)
+        // reclaim our beat sidecar (token-checked for the same reason;
+        // best-effort — a stale leftover never freshens a different
+        // incarnation's lease, the staleness clock compares tokens)
+        if (readFileToken(beatFile).contains(myToken))
+          try fs.delete(beatFile, false)
+          catch { case _: java.io.IOException => () }
         ()
       }
     }

@@ -418,7 +418,8 @@ object Streams {
     }
 
   private def dedupExtend(indexPath: String, dfSidecar: Boolean,
-      dfMaxShards: Int = DfSidecarMaxShards)
+      dfMaxShards: Int = DfSidecarMaxShards,
+      bandMaxShards: Int = BandMaxShards)
       : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
     (base, batch, union) => {
       val built = graft.ext.Dedup.extendDedupIndexLsh(base, batch,
@@ -427,7 +428,7 @@ object Streams {
       // shard budget, re-bucket it under the same stamp (rows
       // unchanged) so reader cost stays bounded at any stream lifetime
       graft.ext.Dedup.compactDedupIndexLsh(base.sparkSession,
-        indexPath, dfMaxShards)
+        indexPath, bandMaxShards)
       if (dfSidecar) {
         val sidecar = s"$indexPath/_dfindex"
         graft.ext.Dedup.extendShingleDfIndex(base, batch, sidecar,
@@ -450,6 +451,15 @@ object Streams {
     * thousands of shards.
     */
   private[graft] val DfSidecarMaxShards = 256
+
+  /** Separate knobs for the OTHER accreting flat relations (the LSH
+    * bands index and the CDC chunk relation): they share the df
+    * sidecar's default cadence, but each is semantically its own
+    * budget — overloading `dfMaxShards` for all three meant tuning the
+    * sidecar silently changed LSH/CDC compaction cadence too.
+    */
+  private[graft] val BandMaxShards = DfSidecarMaxShards
+  private[graft] val ChunkMaxShards = DfSidecarMaxShards
 
   /** Per-cell parquet-file budget before the streaming kNN/IVF faces
     * self-compact their accreting member relations: each micro-batch
@@ -486,10 +496,12 @@ object Streams {
       indexPath: String,
       dfSidecar: Boolean = true,
       dfMaxShards: Int = DfSidecarMaxShards,
+      bandMaxShards: Int = BandMaxShards,
       maxLandedDirs: Int = LandedDirBudget): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = dedupEnsure(indexPath, dfSidecar),
-      extend = dedupExtend(indexPath, dfSidecar, dfMaxShards),
+      extend = dedupExtend(indexPath, dfSidecar, dfMaxShards,
+        bandMaxShards),
       restamp = Some((o, n) => graft.ext.Dedup
         .restampDedupIndexLsh(spark, indexPath, o, n)),
       maxLandedDirs = maxLandedDirs)
@@ -636,12 +648,13 @@ object Streams {
   def cdcIndexStream(docs: DataFrame, corpusDir: String,
       indexPath: String, checkpoint: String, p: Int = 8,
       threshold: Double = 0.5,
-      maxDf: Option[Long] = Some(100L)): StreamingQuery =
+      maxDf: Option[Long] = Some(100L),
+      chunkMaxShards: Int = ChunkMaxShards): StreamingQuery =
     indexMaintenanceStream(docs, corpusDir, checkpoint,
       ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
         threshold, maxDf),
       extend = cdcExtendAndCompact(indexPath, p, threshold, maxDf,
-        DfSidecarMaxShards),
+        chunkMaxShards),
       restamp = Some((o, n) => graft.ext.Dedup
         .restampCdcIndex(o.sparkSession, indexPath, o, n)))
 
@@ -651,7 +664,7 @@ object Streams {
       newDir: String, prev: Option[Vector[String]], indexPath: String,
       p: Int = 8, threshold: Double = 0.5,
       maxDf: Option[Long] = Some(100L),
-      chunkMaxShards: Int = DfSidecarMaxShards,
+      chunkMaxShards: Int = ChunkMaxShards,
       maxLandedDirs: Int = LandedDirBudget): Vector[String] =
     indexMaintenanceBatch(spark, corpusDir, newDir, prev,
       ensure = graft.ext.Dedup.ensureCdcIndex(_, indexPath, p,
@@ -821,46 +834,106 @@ object Streams {
     }
   }
 
-  /** The landed-corpus manifest: `corpusDir/_graft_landed`, first line
-    * the consolidation watermark (`upTo=<id>` — every b dir with id ≤
-    * it has been folded), following lines the consolidated dir NAMES
-    * in read order. Written atomically (tmp + rename) by
-    * [[consolidateLanded]]; absent ⇒ the plain b-listing layout.
+  /** The landed-corpus manifest: `corpusDir/_graft_landed.<seq>`,
+    * first line the consolidation watermark (`upTo=<id>` — every b dir
+    * with id ≤ it has been folded), following lines the consolidated
+    * dir NAMES in read order. Manifests are VERSIONED and readers take
+    * the highest seq: a new manifest is created under a fresh name
+    * (tmp + rename — never overwriting or deleting the current one
+    * first), and superseded manifests are reclaimed only AFTER the new
+    * one is visible. That ordering is what makes the commit genuinely
+    * atomic on any Hadoop filesystem: the old delete-then-rename swap
+    * had a crash window with NO manifest at all, in which
+    * [[landedBatchDirs]] falls back to the plain b-listing and every
+    * row already folded into a c dir (whose b dirs the earlier
+    * consolidation deleted) silently vanishes from the corpus view.
+    * Legacy unsuffixed `_graft_landed` files read as seq 0. Absent ⇒
+    * the plain b-listing layout.
     */
   private[graft] val LandedManifest = "_graft_landed"
+
+  /** Committed manifest versions under `corpusDir` as (seq, path) —
+    * the bare legacy name is seq 0; `.tmp` files never match. */
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Vector[(Long, org.apache.hadoop.fs.Path)] = {
+    val listed = try fs.listStatus(root).toVector
+      catch { case _: java.io.FileNotFoundException => Vector.empty }
+    listed.filter(_.isFile).flatMap { s =>
+      val n = s.getPath.getName
+      if (n == LandedManifest) Some((0L, s.getPath))
+      else {
+        val suffix = n.stripPrefix(LandedManifest + ".")
+        if (n.startsWith(LandedManifest + ".") && suffix.nonEmpty &&
+          suffix.forall(_.isDigit)) Some((suffix.toLong, s.getPath))
+        else None
+      }
+    }
+  }
 
   private[graft] def readLandedManifest(
       spark: org.apache.spark.sql.SparkSession,
       corpusDir: String): Option[(Long, Vector[String])] = {
-    val mp = new org.apache.hadoop.fs.Path(corpusDir, LandedManifest)
-    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    val exists = try fs.getFileStatus(mp).isFile
-      catch { case _: java.io.FileNotFoundException => false }
-    if (!exists) None
-    else {
-      val in = fs.open(mp)
-      val text = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-      val lines = text.split("\n").toVector.filter(_.nonEmpty)
-      Some((lines.head.stripPrefix("upTo=").toLong, lines.tail))
-    }
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // bounded retry: a concurrent commit may reclaim the version we
+    // just listed — re-list and take the (strictly newer) highest
+    @annotation.tailrec
+    def attempt(left: Int): Option[(Long, Vector[String])] =
+      manifestVersions(fs, root).sortBy(_._1).lastOption match {
+        case None => None
+        case Some((_, mp)) =>
+          val text =
+            try {
+              val in = fs.open(mp)
+              Some(try new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close())
+            } catch {
+              case _: java.io.FileNotFoundException if left > 0 => None
+            }
+          text match {
+            case Some(t) =>
+              val lines = t.split("\n").toVector.filter(_.nonEmpty)
+              Some((lines.head.stripPrefix("upTo=").toLong, lines.tail))
+            case None => attempt(left - 1)
+          }
+      }
+    attempt(3)
   }
 
   private def writeLandedManifest(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       upTo: Long, consolidated: Seq[String]): Unit = {
-    val mp = new org.apache.hadoop.fs.Path(corpusDir, LandedManifest)
-    val tmp = new org.apache.hadoop.fs.Path(corpusDir,
-      LandedManifest + ".tmp")
-    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = manifestVersions(fs, root)
+    val seq = (0L +: prior.map(_._1)).max + 1
+    val mp = new org.apache.hadoop.fs.Path(root, s"$LandedManifest.$seq")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"$LandedManifest.$seq.tmp")
     val out = fs.create(tmp, true)
     try out.write((s"upTo=$upTo\n" + consolidated.mkString("\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(mp, false)
     if (!fs.rename(tmp, mp))
       sys.error(s"manifest rename failed: $tmp -> $mp")
+    // commit point passed — reclaim superseded manifests and any
+    // crash-orphaned tmps, best-effort (a failure here leaves extra
+    // files, never an inconsistent view: readers take the highest seq)
+    prior.foreach { case (_, p) =>
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () }
+    }
+    val staleTmp = try fs.listStatus(root).toVector.filter(s =>
+      s.isFile && s.getPath.getName.startsWith(LandedManifest + ".") &&
+        s.getPath.getName.endsWith(".tmp") && s.getPath != tmp)
+    catch { case _: java.io.IOException =>
+      Vector.empty[org.apache.hadoop.fs.FileStatus] }
+    staleTmp.foreach { s =>
+      try fs.delete(s.getPath, false)
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Fold the landed `b<id>` tail into ONE new consolidated `c<id>`

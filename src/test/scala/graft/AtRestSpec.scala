@@ -254,6 +254,42 @@ class AtRestSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.lease.renewMs")
   }
 
+  test("beat sidecar: on stores where setTimes is a no-op the holder " +
+      "renews via <meta>.lease.beat — a breaker credits the beat's " +
+      "mtime ONLY when its token matches the lease's incarnation") {
+    val dir = tmp()
+    val lease = new java.io.File(dir, Meta + ".lease")
+    val beatF = new java.io.File(dir, Meta + ".lease.beat")
+    def write(f: java.io.File, s: String): Unit = {
+      val w = new java.io.FileWriter(f); try w.write(s) finally w.close()
+    }
+    // a lease aged past the TTL whose MATCHING beat sidecar is fresh is
+    // a LIVE holder on a no-setTimes store: the writer must be refused
+    write(lease, "tokA")
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - AtRest.LeaseTtlMs - 60000))
+    write(beatF, "tokA")
+    intercept[IllegalStateException] {
+      AtRest.ensureStamped(spark, dir, Meta, "v1", force = false) {}
+    }
+    assert(lease.exists(), "live (beat-fresh) lease must not be broken")
+    // the same fresh beat under a DIFFERENT token is a previous
+    // incarnation's leftover: it must not freshen the crashed lease
+    write(beatF, "tokB")
+    assert(AtRest.ensureStamped(spark, dir, Meta, "v1", force = false) {})
+    assert(AtRest.readStamp(spark, dir, Meta).contains("v1"))
+    assert(!lease.exists(), "stale lease must break despite foreign beat")
+    // happy path on a working-setTimes store: the heartbeat renews via
+    // mtime alone and never writes the sidecar
+    beatF.delete()
+    spark.conf.set("spark.graft.lease.renewMs", "100")
+    try AtRest.ensureStamped(spark, dir, Meta, "v2", force = false) {
+      Thread.sleep(400)
+      assert(!beatF.exists(),
+        "mtime renewal works here — no beat sidecar expected")
+    } finally spark.conf.unset("spark.graft.lease.renewMs")
+  }
+
   test("lease tokens pin every delete to its incarnation: a holder " +
       "that outlived the TTL and was legitimately broken must NOT " +
       "delete the new holder's lease on exit") {

@@ -429,6 +429,38 @@ class StreamingSpec extends AnyFunSuite {
       "extension after a full fold must keep the frozen model")
     assert(spark.read.parquet(
       Streams.landedBatchDirs(spark, kc): _*).count() == 80)
+    // two consolidations ran: the manifest is VERSIONED (the second
+    // commit created a fresh `.seq` file before reclaiming the first —
+    // there is never a no-manifest window for a reader to fall back to
+    // the b-listing and lose folded rows), and exactly one committed
+    // version survives
+    val manifests = new java.io.File(kc).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("_graft_landed"))
+      .map(_.getName).toSeq
+    assert(manifests.size == 1 &&
+      manifests.head.matches("_graft_landed\\.\\d+"),
+      s"exactly one versioned manifest must survive: $manifests")
+  }
+
+  test("manifest versioning: readers take the highest committed seq, " +
+      "the legacy bare name reads as seq 0, and tmp files are ignored") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.FileWriter(new java.io.File(dir, name))
+      try w.write(body) finally w.close()
+    }
+    assert(Streams.readLandedManifest(spark, dir).isEmpty)
+    // legacy layout: the bare name still reads
+    write("_graft_landed", "upTo=3\nc3")
+    assert(Streams.readLandedManifest(spark, dir)
+      .contains((3L, Vector("c3"))))
+    // a higher committed seq supersedes it; an uncommitted tmp never
+    // reads (a crash mid-write leaves only a tmp — the prior commit
+    // stays visible)
+    write("_graft_landed.2", "upTo=5\nc3\nc5")
+    write("_graft_landed.3.tmp", "upTo=9\nc9")
+    assert(Streams.readLandedManifest(spark, dir)
+      .contains((5L, Vector("c3", "c5"))))
   }
 
   test("landed-corpus consolidation, dedup face: the LSH index AND its " +
