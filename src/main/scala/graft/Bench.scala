@@ -87,7 +87,9 @@ object Bench {
     case class QRes(name: String, times: Seq[Double], err: Option[String]) {
       def min: Option[Double] = if (times.nonEmpty) Some(times.min) else None
     }
-    val results: Seq[QRes] = selected.map { case (name, fn) =>
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : QRes = {
       var err: Option[String] = None
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var p = 0
@@ -113,6 +115,66 @@ object Bench {
       }
       QRes(name, times.toSeq, err)
     }
+    val results: Seq[QRes] = selected.map { case (name, fn) =>
+      timeQuery(name, fn)
+    }
+
+    // ---- per-query flag self-adjudication (BASELINE.md's standing
+    // ambient discipline as harness behavior, round-15 verdict #5):
+    // a query whose min breaches max(2×, +0.5 s) vs the last committed
+    // same-sf artifact is re-run SOLO in this same JVM at end of run,
+    // and both numbers land in the artifact — the manual solo-
+    // re-measure/confirm loop becomes data the next reader adjudicates
+    // directly (and the flag that post-dates a session close is never
+    // again left unadjudicated). The reference is the newest
+    // non-partial bench_runs artifact for the same sf tag (override:
+    // SPARK_GRAFT_BENCH_REF). Filtered runs skip this — they ARE the
+    // solo protocol.
+    val runsDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_DIR", "bench_runs"))
+    val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
+    def refMins(): Map[String, Double] = {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_REF")
+        .map(java.nio.file.Paths.get(_))
+      val candidates = explicit.map(Seq(_)).getOrElse {
+        if (!java.nio.file.Files.isDirectory(runsDir)) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(runsDir).iterator().asScala
+            .filter(_.getFileName.toString
+              .matches(s"bench_\\d{8}T\\d{6}_${java.util.regex.Pattern
+                .quote(sfTag)}\\.json"))
+            .toSeq.sortBy(_.getFileName.toString).reverse
+        }
+      }
+      val text = candidates.iterator.flatMap { p =>
+        try {
+          val t = java.nio.file.Files.readString(p)
+          // partial artifacts (SPARK_GRAFT_ONLY runs) are not
+          // full-surface references
+          if (t.contains("\"partial\":true")) None else Some(t)
+        } catch { case _: java.io.IOException => None }
+      }.take(1).toSeq.headOption
+      text.fold(Map.empty[String, Double]) { t =>
+        val m = java.util.regex.Pattern
+          .compile("\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+)").matcher(t)
+        val b = Map.newBuilder[String, Double]
+        while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
+        b.result()
+      }
+    }
+    val solo: Map[String, QRes] =
+      if (only.isDefined) Map.empty
+      else {
+        val ref = refMins()
+        val flagged = results.filter { r =>
+          r.min.exists(v => ref.get(r.name)
+            .exists(rm => v > math.max(2 * rm, rm + 0.5)))
+        }.map(_.name)
+        flagged.map { n =>
+          n -> timeQuery(n, SparkEntry.queries(n))
+        }.toMap
+      }
     // rounded output halves the line length (70 queries × full-precision
     // doubles overflowed the driver's capture window in round 4); explicit
     // ROOT locale so a comma-decimal host locale can't corrupt the JSON.
@@ -172,6 +234,10 @@ object Bench {
     // a filtered run is flagged so its total can't be ingested as a
     // full-bench total
     val partial = if (only.isDefined) ""","partial":true""" else ""
+    // flag count on stdout (detail in the artifact): a nonzero "adj"
+    // tells the driver's reader the run carries self-adjudicated
+    // breaches without spending window on their ids
+    val adjField = if (solo.isEmpty) "" else s""","adj":${solo.size}"""
     // the stdout errs field is BOUNDED (first 4 ids + an "ne" total):
     // an unbounded list on a badly broken run — exactly when the parsed
     // stdout matters most — could push the line past the driver's
@@ -191,7 +257,7 @@ object Bench {
     // capture window buy ~3 more queries of headroom at 1-dp values
     val sfShort = sfDir.replaceAll(".*/", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$partial}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,
@@ -209,13 +275,19 @@ object Bench {
     require(shortIds.distinct.size == shortIds.size,
       "short query ids (prefix before first '_') must be unique for the stdout bench line")
     println(line(toJson(SparkEntry.shortId)))
-    // fuller artifact: per-query min + every pass + err, full names
+    // fuller artifact: per-query min + every pass + err, full names; a
+    // self-adjudicated flag additionally carries its SOLO re-run
+    // ("solo" min + passes) so both numbers are auditable in one place
     def detailJson: String = {
       val qs = results.map { r =>
         val ps = r.times.map(r3).mkString("[", ",", "]")
         val e = r.err.map(m => "\"" + m + "\"").getOrElse("null")
+        val adj = solo.get(r.name).fold("") { s =>
+          ",\"solo\":{\"min\":" + s.min.map(r3).getOrElse("null") +
+            ",\"passes\":" + s.times.map(r3).mkString("[", ",", "]") + "}"
+        }
         "\"" + r.name + "\":{\"min\":" + r.min.map(r3).getOrElse("null") +
-          ",\"passes\":" + ps + ",\"err\":" + e + "}"
+          ",\"passes\":" + ps + ",\"err\":" + e + adj + "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs$partial}"""
     }
@@ -229,9 +301,6 @@ object Bench {
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val runsDir = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_DIR", "bench_runs"))
     java.nio.file.Files.createDirectories(runsDir)
     java.nio.file.Files.writeString(
       runsDir.resolve(s"bench_${stamp}_$sfTag.json"), detailJson)

@@ -632,7 +632,7 @@ object Similarity {
     */
   private def trainAndAssign(corpus: DataFrame, nCentroids: Int,
       iters: Int, profile: IndexProfile): (DataFrame, DataFrame) =
-    profile match {
+    resolveProfile(corpus.sparkSession, nCentroids, profile) match {
       case IndexProfile.Exact =>
         val c = trainCentroids(corpus, nCentroids, iters)
         (c, assignCells(corpus, centroidRelation(c)))
@@ -645,6 +645,38 @@ object Similarity {
             maxTrainRows = rpc * nCentroids, iters = iters)
         (c, assignCellsCoarse(corpus, c, ck, np))
     }
+
+  /** Auto-switch the Production TRAINER to the hierarchical one past a
+    * conf-keyed cell count — the [[LiteralKMaxKey]] idiom applied to
+    * the last scale default: at the kMax cap the sampled trainer's
+    * 50·k² term costs 626 s where [[trainCentroidsHier]] costs 37 s
+    * (17×, HierSeedProbe SCALE.md round 15 — and at the full 190 k
+    * seed hier also WINS recall, 0.120 vs 0.078), so a Production
+    * caller whose corpus grows to the cap should not need to know the
+    * `hierTrain` flag exists. The threshold default (1024) sits at the
+    * measured crossover decade: k = 1024 is where hier's advantage
+    * clears 2× at equal quality (36.9 vs 626.4 s at 4096 scales as
+    * k²/k^1.5 ≈ √k — ~8× at 1024 — while quality stays within 0.002).
+    * Assignment is profile-identical either way (the two-level coarse
+    * route), so extensions stay frozen-model-equal; the resolution's
+    * INPUTS all ride the index stamps (nCentroids or the kMax that
+    * derives it, plus [[HierKMinKey]] itself), so changing the
+    * threshold over an existing artifact rebuilds, never mixes
+    * trainers. Declared Production ks sit far below the default, so no
+    * oracle hash moves; an explicit `hierTrain = true` is untouched.
+    */
+  val HierKMinKey = "spark.graft.ivf.hierKMin"
+  private[graft] val hierKMinDefault = 1024
+
+  private[graft] def resolveProfile(
+      spark: org.apache.spark.sql.SparkSession, nCentroids: Int,
+      profile: IndexProfile): IndexProfile = profile match {
+    case p @ IndexProfile.Production(_, _, _, false)
+        if nCentroids >= spark.conf
+          .get(HierKMinKey, hierKMinDefault.toString).toInt =>
+      p.copy(hierTrain = true)
+    case other => other
+  }
 
   /** The batch-assignment half of the profile seam: assign new vectors
     * against FROZEN at-rest centroids through the same per-vector
@@ -688,7 +720,11 @@ object Similarity {
       iters: Int, profile: IndexProfile): String =
     Seq(corpusFingerprint(corpus),
       corpus.queryExecution.analyzed.semanticHash(), nCentroids, iters, 2,
-      profileToken(profile))
+      // token of the RESOLVED profile (nCentroids is explicit here), so
+      // the hier auto-switch is legible in the stamp and a threshold
+      // change that flips the effective trainer rebuilds
+      profileToken(resolveProfile(corpus.sparkSession, nCentroids,
+        profile)))
       .mkString(":")
 
   def ensureIvfIndex(corpus: DataFrame, path: String, nCentroids: Int = 8,
@@ -892,6 +928,13 @@ object Similarity {
       // spark.graft.ivf.kMax over an existing artifact gets a rebuild,
       // never a silently mis-sized cell structure
       emb.sparkSession.conf.get(KMaxKey, kMaxDefault.toString).toInt,
+      // the hier auto-switch threshold rides the stamp for the same
+      // reason: the cell count is DERIVED here (adaptiveCellCount), so
+      // the token below can't be pre-resolved, but the effective
+      // trainer is a pure function of stamped fields (corpus, perCell,
+      // kMax, this) — a threshold change rebuilds, never mixes trainers
+      emb.sparkSession.conf.get(HierKMinKey,
+        hierKMinDefault.toString).toInt,
       KnnIndexLayoutVersion, profileToken(profile)).mkString(":")
 
   /** The x94 kNN EDGE relation at rest: cell-local top-`k` edges (cid,
@@ -1066,13 +1109,24 @@ object Similarity {
     * same trained centroids (ExtSpec asserts row equality).
     */
   def topKIvfIndexed(indexPath: String, queries: DataFrame, k: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cent = centroidRelation(spark.read.parquet(s"$indexPath/_centroids"))
+    val centDf = spark.read.parquet(s"$indexPath/_centroids")
+    val cent = centroidRelation(centDf)
+    // nprobe ≤ 0 (the default) = ADAPTIVE: probe width derived from the
+    // at-rest index's own cell count via [[adaptiveNprobe]], holding
+    // the probed corpus FRACTION as the index scales ([[ProbeFracKey]])
+    // — the read-side scale default; the cell count is a k-row parquet
+    // count, dim-table cost. Explicit nprobe pins the literal width
+    // (the declared queries' oracle-replicated probes).
+    val np =
+      if (nprobe > 0) nprobe
+      else adaptiveNprobe(centDf.count().toInt, spark.conf
+        .get(ProbeFracKey, probeFracDefault.toString).toDouble)
     // checkpointed: evaluated once for the cell-id collect and once as
     // the scoring join's broadcast side
-    val q = probeCells(queries, cent, nprobe).materialized
+    val q = probeCells(queries, cent, np).materialized
     val cells = q.select(col("cell")).distinct().as[Long].collect().sorted
     val idx = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
@@ -1285,6 +1339,19 @@ object Similarity {
     * literal nprobe = 2 (oracle-pinned probes at validation k ≤ 8);
     * this is the documented production dial.
     */
+  /** Conf-keyed probed fraction backing [[topKIvfIndexed]]'s ADAPTIVE
+    * default (nprobe ≤ 0): 0.05 is the measured production point —
+    * recall@10 0.954 at k = 4096 where the old fixed nprobe = 2 read
+    * 0.12, at 20× less scanned mass than brute (HierSeedProbe, SCALE.md
+    * round 15). The floor (2) reproduces the former literal default at
+    * every validation-scale index (ceil(k·0.05) < 2 for all k ≤ 40), so
+    * small-k callers and the declared oracle-pinned probes see
+    * identical rows; only a deployment whose cell count actually grows
+    * gets the wider probe it needs.
+    */
+  val ProbeFracKey = "spark.graft.ivf.probeFrac"
+  private[graft] val probeFracDefault = 0.05
+
   def adaptiveNprobe(nCells: Int, frac: Double = 0.01,
       floor: Int = 2): Int = {
     require(nCells >= 1 && frac > 0 && frac <= 1 && floor >= 1,

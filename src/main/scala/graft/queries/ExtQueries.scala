@@ -601,7 +601,8 @@ object ExtQueries {
       val e = emb(s, dir)
       val path = ivfIndexPath(s, dir, "build")
       Similarity.writeIvfIndex(e, path, nCentroids = 8)
-      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -644,7 +645,8 @@ object ExtQueries {
       val e = emb(s, dir)
       val path = ivfIndexPath(s, dir, "resident")
       Similarity.ensureIvfIndex(e, path, nCentroids = 8)
-      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -1677,7 +1679,8 @@ object ExtQueries {
       val path = ivfIndexPath(s, dir, "extend")
       Similarity.ensureIvfIndex(base, path, nCentroids = 8)
       Similarity.extendIvfIndex(base, batch, path, nCentroids = 8)
-      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10), k = 10)
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10, nprobe = 2)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -1716,7 +1719,7 @@ object ExtQueries {
         nCentroids = Similarity.adaptiveCellCount(e),
         profile = IndexProfile.Production())
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
-        k = 10).orderBy(col("qid"), col("rank"))
+        k = 10, nprobe = 2).orderBy(col("qid"), col("rank"))
     }),
 
     // the production index EXTENDED incrementally — x138's lifecycle
@@ -1770,9 +1773,9 @@ object ExtQueries {
         profile = IndexProfile.Exact)
       val brute = Similarity.topKBrute(e, q, k = 10)
         .select(col("qid"), col("cid"))
-      val exact = Similarity.topKIvfIndexed(ePath, q, k = 10)
+      val exact = Similarity.topKIvfIndexed(ePath, q, k = 10, nprobe = 2)
         .select(col("qid"), col("cid"), lit(1).as("hx"))
-      val prod = Similarity.topKIvfIndexed(pPath, q, k = 10)
+      val prod = Similarity.topKIvfIndexed(pPath, q, k = 10, nprobe = 2)
         .select(col("qid"), col("cid"), lit(1).as("hp"))
       brute.join(exact, Seq("qid", "cid"), "left")
         .join(prod, Seq("qid", "cid"), "left")
@@ -1819,7 +1822,7 @@ object ExtQueries {
         nCentroids = Similarity.adaptiveCellCount(e),
         profile = IndexProfile.Production(hierTrain = true))
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
-        k = 10).orderBy(col("qid"), col("rank"))
+        k = 10, nprobe = 2).orderBy(col("qid"), col("rank"))
     }),
 
     // x150: the production READ dial declared end to end — nprobe sized

@@ -783,6 +783,7 @@ object Streams {
       extend: (DataFrame, DataFrame, Option[DataFrame]) => Boolean,
       restamp: Option[(DataFrame, DataFrame) => Boolean] = None)
       : StreamingQuery = {
+    claimCorpusOwner(src.sparkSession, corpusDir, checkpoint)
     var dirs: Option[Vector[String]] = None
     src.writeStream
       .option("checkpointLocation", checkpoint)
@@ -795,6 +796,64 @@ object Streams {
         ()
       }
       .start()
+  }
+
+  /** One landed corpus dir ↔ one stream: two *IndexStream queries
+    * landing into the same `corpusDir` would interleave `b<id>`
+    * allocation — each stream's checkpoint numbers its OWN micro-
+    * batches from 0, so the second stream's `b0` overwrite-lands on
+    * top of the first's (silent row loss before consolidation even
+    * enters the picture). The contract is therefore claimed at stream
+    * START, fail-fast and typed: a `_graft_owner` sidecar records the
+    * owning CHECKPOINT location. A restart (same checkpoint) re-claims
+    * its own corpus — restart-resume semantics are untouched, and
+    * there is no TTL to misjudge a long gap between runs — while a
+    * different stream is refused before its first trigger. Taking
+    * over an abandoned corpus is an explicit operator action (delete
+    * the sidecar), mirroring Structured Streaming's own
+    * one-checkpoint-one-query exclusivity model.
+    */
+  private[graft] def claimCorpusOwner(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      checkpoint: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir, "_graft_owner")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val me = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(checkpoint)).toString
+    def read(): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    def refuse(owner: String): Nothing =
+      throw new IllegalStateException(
+        s"corpus dir $corpusDir is owned by the stream checkpointed at " +
+          s"$owner — two streams landing into one corpus dir would " +
+          "collide on b<id> allocation; use a separate corpusDir, or " +
+          "delete _graft_owner to transfer an abandoned corpus")
+    read() match {
+      case Some(owner) if owner == me => ()
+      case Some(owner) => refuse(owner)
+      case None =>
+        val claimed =
+          try {
+            val out = fs.create(p, false) // create-exclusive
+            try out.write(
+              me.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (!claimed)
+          // lost the create race: whoever won owns it (unless it's us
+          // under a racing restart, which reads back equal)
+          read() match {
+            case Some(owner) if owner == me => ()
+            case Some(owner) => refuse(owner)
+            case None => refuse("<unreadable claim>")
+          }
+    }
   }
 
   /** The `b<id>` batch directories already landed under `corpusDir`,

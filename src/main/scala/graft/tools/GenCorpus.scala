@@ -71,7 +71,7 @@ object GenCorpus {
 
   /** Base text for seed i — pure, so a near-dup row can re-derive its
     * neighbour's text without reading it. */
-  private[tools] def docText(i: Long, skew: Boolean = false): String = {
+  private[graft] def docText(i: Long, skew: Boolean = false): String = {
     val rnd = new java.util.Random(i * 2654435761L + 42)
     val n = 8 + rnd.nextInt(89)
     val sb = new StringBuilder
@@ -85,7 +85,7 @@ object GenCorpus {
     sb.toString
   }
 
-  private[tools] def doc(i: Long, skew: Boolean = false): Doc = {
+  private[graft] def doc(i: Long, skew: Boolean = false): Doc = {
     val rnd = new java.util.Random(i * 7919L + 7)
     // dup/near-dup schedules are disjoint mod classes (624 vs 100 mod
     // 250 never coincide, and neither base row i-1 is itself special),
@@ -111,7 +111,7 @@ object GenCorpus {
     * structure at every n. Skew mode draws the label Zipf(1.0) (head
     * label ≈ 28% of rows) with tighter noise, so cell populations are
     * skewed and id-contiguous batches are naturally cell-localized. */
-  private[tools] def vec(i: Long, skew: Boolean = false): Vec = {
+  private[graft] def vec(i: Long, skew: Boolean = false): Vec = {
     val rnd = new java.util.Random(i * 6364136223846793005L + 1442695040888963407L)
     val label = if (skew) zipfDraw(rnd, 10) else rnd.nextInt(10)
     val noise = if (skew) 0.2f else 0.4f

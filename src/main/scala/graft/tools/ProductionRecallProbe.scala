@@ -50,7 +50,7 @@ object ProductionRecallProbe {
         profile = profile)
       val tBuild = (System.nanoTime() - t0) / 1e9
       val hit = brute.join(
-        Similarity.topKIvfIndexed(path, q, k = 10)
+        Similarity.topKIvfIndexed(path, q, k = 10, nprobe = 2)
           .select(col("qid"), col("cid"), lit(1).as("h")),
         Seq("qid", "cid"), "left")
         .agg(count(col("h"))).head().getLong(0)

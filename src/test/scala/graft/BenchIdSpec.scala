@@ -70,8 +70,11 @@ class BenchIdSpec extends AnyFunSuite {
       ids.sortBy(-_.length).take(2).map("\"" + _ + "\"")
         .mkString(""","errs":[""", ",", "]")
     val worstPartial = ""","partial":true"""
+    // the self-adjudication flag count (3-digit worst case: every
+    // query breaching at once)
+    val worstAdj = ""","adj":999"""
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstPartial}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstAdj$worstPartial}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
     val headroom = 400 // round-12 verdict ask: ≥400 chars spare at the cap
     assert(line.length <= budget - headroom,

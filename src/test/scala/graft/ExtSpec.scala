@@ -1809,6 +1809,120 @@ class ExtSpec extends AnyFunSuite {
       s"production recall floor breached: prod $rProd vs exact $rExact")
   }
 
+  test("x147 production recall floor under the SKEW corpus: the parity " +
+      "claim holds on the Zipf-clustered shape production crawls have " +
+      "(head cell ~28% of rows), not just the iid testdata") {
+    import graft.ext.{IndexProfile, Similarity}
+    // GenCorpus skew mode, in-memory: Zipf(1.0) label popularity with
+    // tight noise — skewed cell populations, the x100skew regime
+    // SCALE.md measured prod at -0.01 vs exact on
+    val skew = spark.range(2000)
+      .map(i => graft.tools.GenCorpus.vec(i, skew = true))
+      .select(col("vec_id"), col("embedding"))
+    val pDir = java.nio.file.Files
+      .createTempDirectory("graft-skewrecall-p").toString
+    val eDir = java.nio.file.Files
+      .createTempDirectory("graft-skewrecall-e").toString
+    val k = Similarity.adaptiveCellCount(skew)
+    Similarity.ensureIvfIndex(skew, pDir, nCentroids = k,
+      profile = IndexProfile.Production())
+    Similarity.ensureIvfIndex(skew, eDir, nCentroids = k,
+      profile = IndexProfile.Exact)
+    // seed-disjoint queries (x147's convention: vec_id < k are the
+    // exact profile's Lloyd seeds)
+    val q = skew.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    val brute = Similarity.topKBrute(skew, q, k = 10)
+      .select(col("qid"), col("cid"))
+    val exact = Similarity.topKIvfIndexed(eDir, q, k = 10, nprobe = 2)
+      .select(col("qid"), col("cid"), lit(1L).as("hx"))
+    val prod = Similarity.topKIvfIndexed(pDir, q, k = 10, nprobe = 2)
+      .select(col("qid"), col("cid"), lit(1L).as("hp"))
+    val (n, hx, hp) = brute.join(exact, Seq("qid", "cid"), "left")
+      .join(prod, Seq("qid", "cid"), "left")
+      .agg(count(lit(1)), count(col("hx")), count(col("hp")))
+      .as[(Long, Long, Long)].head()
+    assert(n == 500, s"50 queries x top-10 expected, got $n")
+    val (rExact, rProd) = (hx.toDouble / n, hp.toDouble / n)
+    assert(rProd >= rExact - 0.05,
+      s"skew-corpus recall floor breached: prod $rProd vs exact $rExact")
+  }
+
+  test("hier auto-switch: Production training routes through the " +
+      "hierarchical trainer at and past spark.graft.ivf.hierKMin — a " +
+      "large-k Production seed is the hier seed, bit for bit — while " +
+      "below-threshold and explicit-flag callers are untouched") {
+    import graft.ext.{IndexProfile, Similarity}
+    // the switch itself, at the conf-keyed boundary
+    assert(Similarity.resolveProfile(spark, 1024,
+      IndexProfile.Production()) == IndexProfile.Production(
+      hierTrain = true), "k = default threshold must route hier")
+    assert(Similarity.resolveProfile(spark, 1023,
+      IndexProfile.Production()) == IndexProfile.Production(),
+      "k below the threshold must keep the sampled trainer")
+    assert(Similarity.resolveProfile(spark, 4096,
+      IndexProfile.Exact) == IndexProfile.Exact,
+      "Exact is never auto-switched")
+    spark.conf.set(Similarity.HierKMinKey, "4")
+    try {
+      assert(Similarity.resolveProfile(spark, 4,
+        IndexProfile.Production()) == IndexProfile.Production(
+        hierTrain = true), "the threshold must be conf-keyed")
+      // end to end: with the threshold lowered under the test corpus's
+      // cell count, a plain Production() seed must produce the hier
+      // trainer's centroids (deterministic, so bit-identical)
+      val autoDir = java.nio.file.Files
+        .createTempDirectory("graft-hierauto-a").toString
+      val hierDir = java.nio.file.Files
+        .createTempDirectory("graft-hierauto-h").toString
+      val k = Similarity.adaptiveCellCount(emb)
+      assert(k >= 4)
+      Similarity.ensureIvfIndex(emb, autoDir, nCentroids = k,
+        profile = IndexProfile.Production())
+      Similarity.ensureIvfIndex(emb, hierDir, nCentroids = k,
+        profile = IndexProfile.Production(hierTrain = true))
+      val autoCents = Similarity.readKnnCentroids(spark, autoDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(autoCents == Similarity.readKnnCentroids(spark, hierDir)
+        .collect().map(_.toString).sorted.toSeq,
+        "auto-routed Production seed must equal the explicit hier seed")
+      // and it genuinely switched: the sampled trainer's centroids
+      // differ on this corpus (guards the equality above from vacuity)
+      val sampled = Similarity.trainCentroidsSampled(emb, k,
+        maxTrainRows = 50 * k)
+        .collect().map(_.toString).sorted.toSeq
+      assert(autoCents != sampled,
+        "hier and sampled centroids coincide — test corpus too easy")
+    } finally spark.conf.unset(Similarity.HierKMinKey)
+  }
+
+  test("adaptive nprobe default: topKIvfIndexed with no nprobe derives " +
+      "the probe width from the index's cell count and the conf-keyed " +
+      "fraction — the floor reproduces the old literal 2 at validation " +
+      "k, and the width scales with the fraction, not the caller") {
+    import graft.ext.Similarity
+    // the derivation the production dial rests on: at the kMax cap the
+    // default fraction probes 5% of cells, not a fixed 2
+    assert(Similarity.adaptiveNprobe(4096,
+      Similarity.probeFracDefault) == 205)
+    assert(Similarity.adaptiveNprobe(8,
+      Similarity.probeFracDefault) == 2, "floor holds at validation k")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-adaptnp").toString
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 8)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("rank")).collect().map(_.toString).toSeq
+    // default == the old literal 2 on a small index (the floor)
+    assert(rows(Similarity.topKIvfIndexed(dir, q, k = 5)) ==
+      rows(Similarity.topKIvfIndexed(dir, q, k = 5, nprobe = 2)))
+    // a wider conf fraction widens the DEFAULT probe to ceil(8*0.5)=4
+    spark.conf.set(Similarity.ProbeFracKey, "0.5")
+    try assert(rows(Similarity.topKIvfIndexed(dir, q, k = 5)) ==
+      rows(Similarity.topKIvfIndexed(dir, q, k = 5, nprobe = 4)),
+      "probe width must follow the conf fraction")
+    finally spark.conf.unset(Similarity.ProbeFracKey)
+  }
+
   test("x141 containment auto picks the exact join on a dispersed " +
       "corpus, the CDC detector on a duplicate-saturated one, and the " +
       "conf hatch pins either") {

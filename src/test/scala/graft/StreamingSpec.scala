@@ -164,6 +164,11 @@ class StreamingSpec extends AnyFunSuite {
     // "restarted" query: fresh driver state, same corpus + index dirs.
     // Its batch ids restart at 0, so b0 is overwritten — what matters
     // is that b1 (NOT part of the new stream) stays in the index.
+    // (A MemoryStream cannot resume a real checkpoint, so this restart
+    // uses a FRESH one — which the corpus-owner claim rightly treats
+    // as a different stream; transfer ownership explicitly, the
+    // documented operator action.)
+    assert(new java.io.File(corpusDir, "_graft_owner").delete())
     val src2 = MemoryStream[(Long, String, String)]
     val q2 = Streams.dedupIndexStream(
       src2.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
@@ -440,6 +445,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(manifests.size == 1 &&
       manifests.head.matches("_graft_landed\\.\\d+"),
       s"exactly one versioned manifest must survive: $manifests")
+  }
+
+  test("corpus ownership: one landed corpus dir belongs to one stream " +
+      "checkpoint — a restart re-claims, a second stream is refused " +
+      "fail-fast at start, before any b<id> can collide") {
+    val dir = Files.createTempDirectory("graft-owner").toString
+    val ck1 = Files.createTempDirectory("graft-owner-ck1").toString
+    val ck2 = Files.createTempDirectory("graft-owner-ck2").toString
+    Streams.claimCorpusOwner(spark, dir, ck1)
+    // restart: the same checkpoint re-claims its own corpus
+    Streams.claimCorpusOwner(spark, dir, ck1)
+    val e = intercept[IllegalStateException] {
+      Streams.claimCorpusOwner(spark, dir, ck2)
+    }
+    assert(e.getMessage.contains("owned by the stream checkpointed at"))
+    // the streaming faces claim BEFORE start(): a second stream over an
+    // owned corpus throws synchronously — no query starts, no batch lands
+    val src = spark.readStream.format("rate").load()
+      .selectExpr("value as doc_id", "'s' as source",
+        "cast(value as string) as text")
+    intercept[IllegalStateException] {
+      Streams.dedupIndexStream(src, dir,
+        Files.createTempDirectory("graft-owner-ix").toString, ck2)
+    }
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.isDirectory && f.getName.matches("b\\d+")),
+      "the refused stream must never land a batch")
   }
 
   test("manifest versioning: readers take the highest committed seq, " +
