@@ -1840,6 +1840,58 @@ object ExtQueries {
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
         k = 10, nprobe = Similarity.adaptiveNprobe(kc, frac = 0.5))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // x151: the round-16 hierKMin AUTO-SWITCH declared end to end — a
+    // plain Production() build (no hierTrain flag) with the threshold
+    // conf-lowered to the validation cell count, so the resolution
+    // routes the hier trainer exactly as a capped production corpus
+    // would (CapLifecycleProbe's k = 8192 seed stamps hier-50-0-1 the
+    // same way). The oracle is x149's hier chain VERBATIM: if the
+    // switch fails to bind (or binds off-by-one), the build lands on
+    // the sampled trainer and every centroid-derived row moves. Own
+    // index dir, so the auto route BUILDS rather than no-oping against
+    // x149's identically-stamped artifact.
+    "x151_ivf_hier_autoswitch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "hierauto")
+      val kc = Similarity.adaptiveCellCount(e)
+      val prev = s.conf.getOption(Similarity.HierKMinKey)
+      s.conf.set(Similarity.HierKMinKey, kc.toString)
+      try Similarity.ensureIvfIndex(e, path, nCentroids = kc,
+        profile = IndexProfile.Production())
+      finally prev match {
+        case Some(v) => s.conf.set(Similarity.HierKMinKey, v)
+        case None => s.conf.unset(Similarity.HierKMinKey)
+      }
+      Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10, nprobe = 2).orderBy(col("qid"), col("rank"))
+    }),
+
+    // x152: the round-16 adaptive-nprobe READ DEFAULT declared end to
+    // end — topKIvfIndexed with NO nprobe argument, the probe width
+    // coming entirely from the index's cell count and the conf
+    // fraction (set to x150's 0.5 for the window of this plan build,
+    // then restored). The oracle is x150's adaptive chain VERBATIM: if
+    // the default stops deriving from the fraction (or the floor
+    // misapplies), the probe narrows to a different cell set and the
+    // hashes split. Reuses x149/x150's at-rest hier index (same stamp,
+    // ensure no-ops), so the query measures the defaulted read route
+    // itself.
+    "x152_ivf_adaptive_default" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "hier")
+      Similarity.ensureIvfIndex(e, path,
+        nCentroids = Similarity.adaptiveCellCount(e),
+        profile = IndexProfile.Production(hierTrain = true))
+      val prev = s.conf.getOption(Similarity.ProbeFracKey)
+      s.conf.set(Similarity.ProbeFracKey, "0.5")
+      try Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+        k = 10).orderBy(col("qid"), col("rank"))
+      finally prev match {
+        case Some(v) => s.conf.set(Similarity.ProbeFracKey, v)
+        case None => s.conf.unset(Similarity.ProbeFracKey)
+      }
     })
   )
 
@@ -2778,7 +2830,7 @@ object ExtQueries {
     LEFT JOIN embeddings e ON e.vec_id = d.doc_id
     WHERE f.keep AND dd.is_rep"""
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "x01_token_count" ->
       """SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
@@ -5893,6 +5945,21 @@ object ExtQueries {
            FROM scored) t
          WHERE rank <= 10 ORDER BY qid, rank""")
   )
+
+  /** x151/x152 pin the round-16 DEFAULTS in the hash-checked gate by
+    * construction: the auto-switched build must be bit-identical to
+    * the explicit hier build (same trainer, same stamp token), and the
+    * defaulted adaptive probe must be bit-identical to the explicit
+    * adaptiveNprobe call — so their oracles ARE x149's and x150's.
+    * A regression in either resolution (threshold comparison, conf
+    * plumbing, fraction derivation) lands them on the sampled trainer
+    * or the literal probe width and the hashes split.
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "x151_ivf_hier_autoswitch" ->
+      oracleSqlBase("x149_ivf_index_hier"),
+    "x152_ivf_adaptive_default" ->
+      oracleSqlBase("x150_ivf_adaptive_nprobe"))
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
     * list — the x89 oracle replicates the signature from the SAME
