@@ -1135,6 +1135,44 @@ object Similarity {
     rankProbed(idx, q, k)
   }
 
+  /** Per-cell load statistics of an at-rest IVF index — the re-train
+    * cadence SIGNAL that turns "model refresh is an offline decision"
+    * into a measured one: extensions assign against frozen centroids,
+    * so a drifting corpus piles rows into few cells and the probe's
+    * per-cell cost grows past the perCell design point. One row:
+    * (n_cells, n_rows, max_cell, mean_cell, imbalance = max/mean).
+    * Reads ONLY the `cell` partition column, so the scan is
+    * footer/metadata-bound (zero data pages) at any index size —
+    * cheap enough to ride every maintenance step. Oracle-replicated by
+    * x153 over the x139 lifecycle (base-trained model + union
+    * assignment), so the stats can't silently drift from the
+    * assignment route they summarize.
+    */
+  def ivfCellLoadStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val loads = spark.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("c"))
+    loads.agg(
+      count(lit(1)).cast("integer").as("n_cells"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_cell"),
+      round(sum(col("c")).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean_cell"),
+      round(max(col("c")).cast("double") /
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double")), 6)
+        .as("imbalance"))
+  }
+
+  /** Opt-in refresh policy for the streaming IVF face: when set, a
+    * maintenance step whose post-extension [[ivfCellLoadStats]]
+    * imbalance exceeds this threshold re-trains over the landed union
+    * (an ensure whose `model=` term has drifted — the x138/x139
+    * ensure-over-union route) instead of riding the frozen model
+    * forever. Unset (the default) keeps refresh a caller decision,
+    * exactly the prior behavior.
+    */
+  val RefreshImbalanceKey = "spark.graft.ivf.refreshImbalance"
+
   /** Distributed Lloyd k-means refinement for IVF centroids. Init is the
     * deterministic first-N (same as [[topKIvf]]'s default); each
     * iteration assigns every vector to its nearest centroid by cosine

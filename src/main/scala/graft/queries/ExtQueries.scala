@@ -1892,6 +1892,24 @@ object ExtQueries {
         case Some(v) => s.conf.set(Similarity.ProbeFracKey, v)
         case None => s.conf.unset(Similarity.ProbeFracKey)
       }
+    }),
+
+    // x153: the drift SIGNAL declared — x139's exact lifecycle
+    // (base-trained frozen model, union assigned via the incremental
+    // extension) summarized into the one-row cell-load relation the
+    // streaming refresh policy reads (spark.graft.ivf.refreshImbalance
+    // compares against `imbalance`). The oracle re-derives the same
+    // loads from the replicated assignment, so the stats can't drift
+    // from the route they summarize; the Spark side reads ONLY the
+    // cell partition column (footer-bound scan at any index size).
+    "x153_ivf_drift_stats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val path = ivfIndexPath(s, dir, "drift")
+      Similarity.ensureIvfIndex(base, path, nCentroids = 8)
+      Similarity.extendIvfIndex(base, batch, path, nCentroids = 8)
+      Similarity.ivfCellLoadStats(s, path)
     })
   )
 
@@ -5959,7 +5977,35 @@ object ExtQueries {
     "x151_ivf_hier_autoswitch" ->
       oracleSqlBase("x149_ivf_index_hier"),
     "x152_ivf_adaptive_default" ->
-      oracleSqlBase("x150_ivf_adaptive_nprobe"))
+      oracleSqlBase("x150_ivf_adaptive_nprobe"),
+    // x153: x139's replicated lifecycle (base-trained Lloyd + union
+    // flat-argmax assignment) folded to per-cell loads and the one-row
+    // summary the refresh policy reads
+    "x153_ivf_drift_stats" ->
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         eb AS (SELECT * FROM e WHERE vec_id < 250),
+         ${kmeansCtePrefixed("8", iters = 3, dim = 64, src = "eb")},
+         cc AS (SELECT x.vec_id AS vid, c.cent_id,
+                       round(list_dot_product(x.e, c.ce) /
+                             (sqrt(list_dot_product(x.e, x.e)) *
+                              sqrt(list_dot_product(c.ce, c.ce))), 6)
+                         AS ccos
+                FROM e x CROSS JOIN cent c),
+         ranked AS (SELECT vid, cent_id,
+                           row_number() OVER (PARTITION BY vid
+                                              ORDER BY ccos DESC,
+                                                       cent_id) AS rn
+                    FROM cc),
+         cells AS (SELECT vid AS cid, cent_id AS cell FROM ranked
+                   WHERE rn = 1),
+         loads AS (SELECT cell, count(*) AS c FROM cells GROUP BY cell)
+         SELECT CAST(count(*) AS INTEGER) AS n_cells,
+                CAST(sum(c) AS BIGINT) AS n_rows,
+                CAST(max(c) AS BIGINT) AS max_cell,
+                round(sum(c)::DOUBLE / count(*), 6) AS mean_cell,
+                round(max(c)::DOUBLE / (sum(c)::DOUBLE / count(*)), 6)
+                  AS imbalance
+         FROM loads"""))
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
     * list — the x89 oracle replicates the signature from the SAME

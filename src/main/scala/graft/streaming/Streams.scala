@@ -608,11 +608,34 @@ object Streams {
       cellFileBudget: Int = CellFileBudget)
       : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
     (base, batch, union) => {
+      val spark = base.sparkSession
       val built = graft.ext.Similarity.extendIvfIndex(base, batch,
         indexPath, nCentroids, iters, unionView = union,
         profile = profile)
-      graft.ext.Similarity.compactIvfIndex(base.sparkSession,
-        indexPath, cellFileBudget)
+      graft.ext.Similarity.compactIvfIndex(spark, indexPath,
+        cellFileBudget)
+      // opt-in refresh policy: once extensions have drifted the cell
+      // loads past the threshold (frozen model, moving corpus), the
+      // step RE-TRAINS over the landed union — the ensure's model term
+      // differs from the frozen one, so this is exactly the documented
+      // ensure-over-union route, now policy-driven instead of manual.
+      // The stats scan reads only the cell partition column
+      // (footer-bound); unset conf = prior behavior, no stats read.
+      spark.conf.getOption(graft.ext.Similarity.RefreshImbalanceKey)
+        .map(_.toDouble).foreach { thr =>
+          val imb = graft.ext.Similarity
+            .ivfCellLoadStats(spark, indexPath)
+            .select(org.apache.spark.sql.functions.col("imbalance"))
+            .head().getDouble(0)
+          if (imb > thr) {
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"IVF index $indexPath imbalance $imb > $thr — " +
+                "re-training over the landed union")
+            graft.ext.Similarity.ensureIvfIndex(
+              union.getOrElse(base.unionByName(batch)), indexPath,
+              nCentroids, iters, profile = profile)
+          }
+        }
       built
     }
 

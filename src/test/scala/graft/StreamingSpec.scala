@@ -447,6 +447,55 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly one versioned manifest must survive: $manifests")
   }
 
+  test("IVF refresh policy: with spark.graft.ivf.refreshImbalance set, " +
+      "a maintenance step whose post-extension cell-load imbalance " +
+      "breaches the threshold RE-TRAINS over the landed union; unset, " +
+      "the model stays frozen forever (prior behavior)") {
+    import graft.ext.{IndexProfile, Similarity}
+    // base: a spread ring (8 distinct cells); batches: many copies of
+    // ONE direction — they pile into a single cell, the drift shape
+    val ring = (0 until 80).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    val pile = (100 until 180).map(i => (i.toLong,
+      Seq(1.0f, 0.01f, 0.0f).map(_.toFloat)))
+    def drive(cd: String, ix: String): Seq[String] = {
+      var prev: Option[Vector[String]] = None
+      def land(id: Int, rows: Seq[(Long, Seq[Float])]): String = {
+        val d = s"$cd/b$id"
+        rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(d)
+        d
+      }
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(0, ring), prev,
+        ix, nCentroids = 8, profile = IndexProfile.Exact))
+      val frozen = Similarity.readKnnCentroids(spark, ix)
+        .collect().map(_.toString).sorted.toSeq
+      prev = Some(Streams.ivfIndexBatch(spark, cd,
+        land(1, pile), prev, ix, nCentroids = 8,
+        profile = IndexProfile.Exact))
+      frozen
+    }
+    // unset: frozen model rides through the drifting batch
+    val cd1 = Files.createTempDirectory("graft-refresh-c1").toString
+    val ix1 = Files.createTempDirectory("graft-refresh-i1").toString
+    val frozen1 = drive(cd1, ix1)
+    assert(Similarity.readKnnCentroids(spark, ix1)
+      .collect().map(_.toString).sorted.toSeq == frozen1,
+      "without the conf the model must stay frozen")
+    // set: the same drive re-trains when imbalance breaches
+    val cd2 = Files.createTempDirectory("graft-refresh-c2").toString
+    val ix2 = Files.createTempDirectory("graft-refresh-i2").toString
+    spark.conf.set(Similarity.RefreshImbalanceKey, "3.0")
+    try {
+      val frozen2 = drive(cd2, ix2)
+      val imb = Similarity.ivfCellLoadStats(spark, ix2)
+        .select(col("imbalance")).head().getDouble(0)
+      assert(Similarity.readKnnCentroids(spark, ix2)
+        .collect().map(_.toString).sorted.toSeq != frozen2,
+        s"imbalance $imb over threshold must re-train the model")
+    } finally spark.conf.unset(Similarity.RefreshImbalanceKey)
+  }
+
   test("corpus ownership: one landed corpus dir belongs to one stream " +
       "checkpoint — a restart re-claims, a second stream is refused " +
       "fail-fast at start, before any b<id> can collide") {
