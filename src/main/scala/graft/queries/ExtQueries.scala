@@ -1910,6 +1910,27 @@ object ExtQueries {
       Similarity.ensureIvfIndex(base, path, nCentroids = 8)
       Similarity.extendIvfIndex(base, batch, path, nCentroids = 8)
       Similarity.ivfCellLoadStats(s, path)
+    }),
+
+    // x154: x151's auto-switch pin for the OTHER index family — the
+    // kNN edge artifact, whose stamp carries hierKMin raw because its
+    // cell count is DERIVED (adaptiveCellCount) rather than explicit.
+    // A plain Production() build under the lowered threshold must be
+    // bit-identical to x148's explicit hier build; oracle = x148's
+    // hier chain verbatim.
+    "x154_knn_hier_autoswitch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = knnIndexPath(s, dir, "hierauto")
+      val kc = Similarity.adaptiveCellCount(e)
+      val prev = s.conf.getOption(Similarity.HierKMinKey)
+      s.conf.set(Similarity.HierKMinKey, kc.toString)
+      try Similarity.ensureKnnIndex(e, path, k = 5,
+        profile = IndexProfile.Production())
+      finally prev match {
+        case Some(v) => s.conf.set(Similarity.HierKMinKey, v)
+        case None => s.conf.unset(Similarity.HierKMinKey)
+      }
+      Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
     })
   )
 
@@ -6005,7 +6026,11 @@ object ExtQueries {
                 round(sum(c)::DOUBLE / count(*), 6) AS mean_cell,
                 round(max(c)::DOUBLE / (sum(c)::DOUBLE / count(*)), 6)
                   AS imbalance
-         FROM loads"""))
+         FROM loads"""),
+    // x154 = the kNN-family auto-switch: bit-identical to the explicit
+    // hier build, so the oracle IS x148's
+    "x154_knn_hier_autoswitch" ->
+      oracleSqlBase("x148_knn_index_hier"))
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
     * list — the x89 oracle replicates the signature from the SAME

@@ -101,6 +101,23 @@ class PlanSpec extends AnyFunSuite {
       "PartitionFilters must pin the probed cell set: " + scan.get)
   }
 
+  test("the IVF drift-stats scan reads ONLY the cell partition column " +
+      "(x153's footer-bound claim: empty ReadSchema, no data pages at " +
+      "any index size)") {
+    import graft.ext.Similarity
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-drift").toString
+    Similarity.ensureIvfIndex(e, path, nCentroids = 8)
+    val plan = Similarity.ivfCellLoadStats(spark, path)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+    assert(scan.isDefined, "expected a FileSourceScan:\n" + plan.take(2000))
+    assert(scan.get.contains("ReadSchema: struct<>"),
+      "drift stats must not read any data column: " + scan.get)
+  }
+
   test("dim joins broadcast the dim side (q02)") {
     val plan = SparkEntry.queries("q02_dim_join_default")(spark, sf)
       .queryExecution.executedPlan.toString
