@@ -21,6 +21,34 @@ object Bench {
     */
   private[graft] val StdoutTopK = 120
 
+  /** Per-query reference mins out of a committed detail artifact. The
+    * entry pattern requires the `,"passes":[…],"err":` tail so the
+    * nested `"solo":{"min":…}` object can never masquerade as a query
+    * named "solo" — and when an entry CARRIES a solo re-run, the
+    * reference is min(outer, solo): the solo min is the artifact's own
+    * adjudication of an ambient-inflated outer min, so using the outer
+    * value alone would let a flagged run poison the next run's
+    * baseline upward and mask a real regression. Unit-pinned in
+    * BenchIdSpec.
+    */
+  private[graft] def parseRefMins(t: String): Map[String, Double] = {
+    val m = java.util.regex.Pattern.compile(
+      "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+),\"passes\":\\[[^\\]]*\\]" +
+        ",\"err\":(?:null|\"[^\"]*\")(?:,\"solo\":\\{\"min\":([0-9.]+))?")
+      .matcher(t)
+    val b = Map.newBuilder[String, Double]
+    while (m.find()) {
+      val outer = m.group(2).toDouble
+      val solo = Option(m.group(3)).map(_.toDouble)
+      b += (m.group(1) -> solo.fold(outer)(math.min(outer, _)))
+    }
+    b.result()
+  }
+
+  /** The per-query flag gate (BASELINE.md's standing discipline). */
+  private[graft] def breaches(v: Double, ref: Double): Boolean =
+    v > math.max(2 * ref, ref + 0.5)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -155,21 +183,14 @@ object Bench {
           if (t.contains("\"partial\":true")) None else Some(t)
         } catch { case _: java.io.IOException => None }
       }.take(1).toSeq.headOption
-      text.fold(Map.empty[String, Double]) { t =>
-        val m = java.util.regex.Pattern
-          .compile("\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+)").matcher(t)
-        val b = Map.newBuilder[String, Double]
-        while (m.find()) b += (m.group(1) -> m.group(2).toDouble)
-        b.result()
-      }
+      text.fold(Map.empty[String, Double])(parseRefMins)
     }
     val solo: Map[String, QRes] =
       if (only.isDefined) Map.empty
       else {
         val ref = refMins()
         val flagged = results.filter { r =>
-          r.min.exists(v => ref.get(r.name)
-            .exists(rm => v > math.max(2 * rm, rm + 0.5)))
+          r.min.exists(v => ref.get(r.name).exists(breaches(v, _)))
         }.map(_.name)
         flagged.map { n =>
           n -> timeQuery(n, SparkEntry.queries(n))

@@ -451,10 +451,13 @@ object AtRest {
         // and another writer legitimately broke our lease, the file now
         // carries THEIR token — deleting it would let in a third writer.
         deleteIfToken(myToken)
-        // reclaim our beat sidecar (token-checked for the same reason;
-        // best-effort — a stale leftover never freshens a different
-        // incarnation's lease, the staleness clock compares tokens)
-        if (readFileToken(beatFile).contains(myToken))
+        // reclaim our beat sidecar ONLY if we ever wrote one (skips an
+        // FS read per release on the setTimes happy path, and narrows
+        // the read-then-delete window to holders that actually used
+        // the fallback), and only while it still carries our token — a
+        // stale leftover is harmless either way, because the staleness
+        // clock credits a beat only when its token matches the lease's
+        if (beatFallback.get() && readFileToken(beatFile).contains(myToken))
           try fs.delete(beatFile, false)
           catch { case _: java.io.IOException => () }
         ()

@@ -21,6 +21,23 @@ object ExtQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+  /** Run `body` with one session conf temporarily set, restoring the
+    * prior value (or unsetting) afterwards — the declared-default
+    * queries' (x151/x152/x154) conf window. The conf-dependent actions
+    * must run eagerly inside `body`; the returned plan carries their
+    * result, not the conf.
+    */
+  private def withConf[T](s: SparkSession, key: String, value: String)(
+      body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
@@ -1856,13 +1873,9 @@ object ExtQueries {
       val e = emb(s, dir)
       val path = ivfIndexPath(s, dir, "hierauto")
       val kc = Similarity.adaptiveCellCount(e)
-      val prev = s.conf.getOption(Similarity.HierKMinKey)
-      s.conf.set(Similarity.HierKMinKey, kc.toString)
-      try Similarity.ensureIvfIndex(e, path, nCentroids = kc,
-        profile = IndexProfile.Production())
-      finally prev match {
-        case Some(v) => s.conf.set(Similarity.HierKMinKey, v)
-        case None => s.conf.unset(Similarity.HierKMinKey)
+      withConf(s, Similarity.HierKMinKey, kc.toString) {
+        Similarity.ensureIvfIndex(e, path, nCentroids = kc,
+          profile = IndexProfile.Production())
       }
       Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
         k = 10, nprobe = 2).orderBy(col("qid"), col("rank"))
@@ -1884,13 +1897,9 @@ object ExtQueries {
       Similarity.ensureIvfIndex(e, path,
         nCentroids = Similarity.adaptiveCellCount(e),
         profile = IndexProfile.Production(hierTrain = true))
-      val prev = s.conf.getOption(Similarity.ProbeFracKey)
-      s.conf.set(Similarity.ProbeFracKey, "0.5")
-      try Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
-        k = 10).orderBy(col("qid"), col("rank"))
-      finally prev match {
-        case Some(v) => s.conf.set(Similarity.ProbeFracKey, v)
-        case None => s.conf.unset(Similarity.ProbeFracKey)
+      withConf(s, Similarity.ProbeFracKey, "0.5") {
+        Similarity.topKIvfIndexed(path, e.filter(col("vec_id") < 10),
+          k = 10).orderBy(col("qid"), col("rank"))
       }
     }),
 
@@ -1922,13 +1931,9 @@ object ExtQueries {
       val e = emb(s, dir)
       val path = knnIndexPath(s, dir, "hierauto")
       val kc = Similarity.adaptiveCellCount(e)
-      val prev = s.conf.getOption(Similarity.HierKMinKey)
-      s.conf.set(Similarity.HierKMinKey, kc.toString)
-      try Similarity.ensureKnnIndex(e, path, k = 5,
-        profile = IndexProfile.Production())
-      finally prev match {
-        case Some(v) => s.conf.set(Similarity.HierKMinKey, v)
-        case None => s.conf.unset(Similarity.HierKMinKey)
+      withConf(s, Similarity.HierKMinKey, kc.toString) {
+        Similarity.ensureKnnIndex(e, path, k = 5,
+          profile = IndexProfile.Production())
       }
       Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
     })

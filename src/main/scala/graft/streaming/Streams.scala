@@ -856,25 +856,32 @@ object Streams {
           s"$owner — two streams landing into one corpus dir would " +
           "collide on b<id> allocation; use a separate corpusDir, or " +
           "delete _graft_owner to transfer an abandoned corpus")
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // create-exclusive
+        try out.write(
+          me.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     read() match {
       case Some(owner) if owner == me => ()
-      case Some(owner) => refuse(owner)
-      case None =>
-        val claimed =
-          try {
-            val out = fs.create(p, false) // create-exclusive
-            try out.write(
-              me.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
-        if (!claimed)
+      case Some(owner) if owner.nonEmpty => refuse(owner)
+      case emptyOrNone =>
+        // an EMPTY file is a torn claim (crash between create and
+        // write — an owner string is never empty): reclaim it rather
+        // than refusing every future stream, including the rightful
+        // one, forever
+        if (emptyOrNone.isDefined)
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => () }
+        if (!tryCreate())
           // lost the create race: whoever won owns it (unless it's us
           // under a racing restart, which reads back equal)
           read() match {
             case Some(owner) if owner == me => ()
-            case Some(owner) => refuse(owner)
-            case None => refuse("<unreadable claim>")
+            case Some(owner) if owner.nonEmpty => refuse(owner)
+            case _ => refuse("<unreadable claim>")
           }
     }
   }
@@ -891,8 +898,15 @@ object Streams {
       corpusDir: String): Vector[String] = {
     val p = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val listed = fs.listStatus(p).toVector.filter(_.isDirectory)
-    readLandedManifest(spark, corpusDir) match {
+    // ONE listing serves both the b-dir view and the manifest lookup —
+    // this runs per maintenance step, and on an object store LIST is
+    // the expensive metadata op the consolidation exists to bound
+    val listedAll = fs.listStatus(p).toVector
+    val listed = listedAll.filter(_.isDirectory)
+    readManifestFrom(fs, listedAll,
+      () => try fs.listStatus(p).toVector
+      catch { case _: java.io.FileNotFoundException =>
+        Vector.empty[org.apache.hadoop.fs.FileStatus] }) match {
       case Some((upTo, cdirs)) =>
         // consolidated layout: the manifest's c<id> dirs carry every
         // batch ≤ upTo; live b<id> dirs past the watermark follow.
@@ -934,13 +948,12 @@ object Streams {
     */
   private[graft] val LandedManifest = "_graft_landed"
 
-  /** Committed manifest versions under `corpusDir` as (seq, path) —
-    * the bare legacy name is seq 0; `.tmp` files never match. */
-  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path)
-      : Vector[(Long, org.apache.hadoop.fs.Path)] = {
-    val listed = try fs.listStatus(root).toVector
-      catch { case _: java.io.FileNotFoundException => Vector.empty }
+  /** Committed manifest versions in an already-obtained `corpusDir`
+    * listing, as (seq, path) — the bare legacy name is seq 0; `.tmp`
+    * files never match. */
+  private def manifestVersionsIn(
+      listed: Vector[org.apache.hadoop.fs.FileStatus])
+      : Vector[(Long, org.apache.hadoop.fs.Path)] =
     listed.filter(_.isFile).flatMap { s =>
       val n = s.getPath.getName
       if (n == LandedManifest) Some((0L, s.getPath))
@@ -951,18 +964,27 @@ object Streams {
         else None
       }
     }
-  }
 
-  private[graft] def readLandedManifest(
-      spark: org.apache.spark.sql.SparkSession,
-      corpusDir: String): Option[(Long, Vector[String])] = {
-    val root = new org.apache.hadoop.fs.Path(corpusDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // bounded retry: a concurrent commit may reclaim the version we
-    // just listed — re-list and take the (strictly newer) highest
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Vector[(Long, org.apache.hadoop.fs.Path)] =
+    manifestVersionsIn(
+      try fs.listStatus(root).toVector
+      catch { case _: java.io.FileNotFoundException => Vector.empty })
+
+  /** Read the highest committed manifest out of `initial` (a listing
+    * the caller already paid for), re-listing via `relist` on a
+    * bounded retry when a concurrent commit reclaims the version we
+    * picked. */
+  private def readManifestFrom(fs: org.apache.hadoop.fs.FileSystem,
+      initial: Vector[org.apache.hadoop.fs.FileStatus],
+      relist: () => Vector[org.apache.hadoop.fs.FileStatus])
+      : Option[(Long, Vector[String])] = {
     @annotation.tailrec
-    def attempt(left: Int): Option[(Long, Vector[String])] =
-      manifestVersions(fs, root).sortBy(_._1).lastOption match {
+    def attempt(left: Int,
+        listed: Vector[org.apache.hadoop.fs.FileStatus])
+        : Option[(Long, Vector[String])] =
+      manifestVersionsIn(listed).sortBy(_._1).lastOption match {
         case None => None
         case Some((_, mp)) =>
           val text =
@@ -978,10 +1000,21 @@ object Streams {
             case Some(t) =>
               val lines = t.split("\n").toVector.filter(_.nonEmpty)
               Some((lines.head.stripPrefix("upTo=").toLong, lines.tail))
-            case None => attempt(left - 1)
+            case None => attempt(left - 1, relist())
           }
       }
-    attempt(3)
+    attempt(3, initial)
+  }
+
+  private[graft] def readLandedManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String): Option[(Long, Vector[String])] = {
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def list(): Vector[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(root).toVector
+      catch { case _: java.io.FileNotFoundException => Vector.empty }
+    readManifestFrom(fs, list(), () => list())
   }
 
   private def writeLandedManifest(

@@ -41,6 +41,24 @@ class BenchIdSpec extends AnyFunSuite {
     }
   }
 
+  test("self-adjudication reference parsing: solo mins supersede an " +
+      "ambient-inflated outer min, the nested solo object never reads " +
+      "as a query, errored entries are skipped, and the breach gate " +
+      "is max(2x, +0.5s)") {
+    val artifact =
+      """{"metric":"total","value":9.9,"unit":"sec","sf":"/x/sf0.1","passes":3,"queries":{""" +
+        """"x01_token_count":{"min":0.208,"passes":[0.290,0.209,0.208],"err":null},""" +
+        """"x23_contamination":{"min":5.000,"passes":[5.1,5.0,5.2],"err":null,"solo":{"min":1.000,"passes":[1.2,1.0,1.1]}},""" +
+        """"x99_broken":{"min":null,"passes":[],"err":"boom"}}}"""
+    val ref = Bench.parseRefMins(artifact)
+    assert(ref == Map("x01_token_count" -> 0.208,
+      "x23_contamination" -> 1.000),
+      s"got $ref")
+    // the gate: 2x for slow queries, +0.5s floor for fast ones
+    assert(Bench.breaches(2.1, 1.0) && !Bench.breaches(1.9, 1.0))
+    assert(!Bench.breaches(0.45, 0.1) && Bench.breaches(0.61, 0.1))
+  }
+
   test("worst-case stdout bench line fits the driver's 2000-char window") {
     // mirror Bench.line()/toJson() with every value at a pessimistic
     // width: Bench.rq prints 1 decimal below 10 s and integer seconds
