@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   * vs 1.4 s re-measured) and needed judge re-adjudication; best-of-N defends
   * itself. A query that throws records an "err" marker instead of a timing —
   * a broken query must never masquerade as a fast green row.
+  *
+  * Round 17: each pass additionally records executor CPU time (and GC
+  * time) via a SparkListener, and the per-query breach gate PREFERS the
+  * CPU reference when the committed artifact carries one — wall time on
+  * a shared host cannot distinguish a regression from a noisy neighbor
+  * (every flag from r9 through r16 adjudicated ambient), executor CPU
+  * can. Wall remains the reported headline and the fallback gate.
   */
 object Bench {
   /** Stdout "queries" map cap — the slowest StdoutTopK queries print
@@ -21,26 +28,53 @@ object Bench {
     */
   private[graft] val StdoutTopK = 120
 
-  /** Per-query reference mins out of a committed detail artifact. The
+  /** A committed artifact's per-query reference: the wall min (always
+    * present) and, when the artifact carries it (round 17+), the
+    * executor-CPU min. The flag gate PREFERS the CPU reference —
+    * executor CPU time is invariant to ambient host load, the cause of
+    * every adjudicated flag from round 9 through 16 (5 in BENCH_r16
+    * alone, all solo'd back in band), so gating on it retires the
+    * ambient-flag class at the source. Wall stays as the fallback for
+    * pre-r17 references and as the human-readable headline.
+    */
+  private[graft] final case class Ref(wall: Double, cpu: Option[Double])
+
+  /** Per-query references out of a committed detail artifact. The
     * entry pattern requires the `,"passes":[…],"err":` tail so the
     * nested `"solo":{"min":…}` object can never masquerade as a query
     * named "solo" — and when an entry CARRIES a solo re-run, the
-    * reference is min(outer, solo): the solo min is the artifact's own
-    * adjudication of an ambient-inflated outer min, so using the outer
-    * value alone would let a flagged run poison the next run's
-    * baseline upward and mask a real regression. Unit-pinned in
-    * BenchIdSpec.
+    * reference is min(outer, solo) for wall and CPU alike: the solo is
+    * the artifact's own adjudication of an ambient-inflated outer min
+    * (solos exist ONLY for flagged entries), so using the outer value
+    * alone would let a flagged run poison the next run's baseline
+    * upward and mask a real regression. Since round 17 solos run with
+    * the graft session caches cleared (see the solo block below), so
+    * the substituted min is band-comparable, not a warm-path floor —
+    * closing the ratchet where warm solo mins tightened the gate and
+    * manufactured future false flags. Unit-pinned in BenchIdSpec,
+    * including pre-r17 artifacts without the cpu fields.
     */
-  private[graft] def parseRefMins(t: String): Map[String, Double] = {
+  private[graft] def parseRefs(t: String): Map[String, Ref] = {
     val m = java.util.regex.Pattern.compile(
       "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+),\"passes\":\\[[^\\]]*\\]" +
-        ",\"err\":(?:null|\"[^\"]*\")(?:,\"solo\":\\{\"min\":([0-9.]+))?")
+        ",\"err\":(?:null|\"[^\"]*\")" +
+        "(?:,\"cpu\":([0-9.]+),\"cpuPasses\":\\[[^\\]]*\\],\"gc\":[0-9.]+)?" +
+        "(?:,\"solo\":\\{\"min\":([0-9.]+),\"passes\":\\[[^\\]]*\\]" +
+        "(?:,\"cpu\":([0-9.]+))?)?")
       .matcher(t)
-    val b = Map.newBuilder[String, Double]
+    val b = Map.newBuilder[String, Ref]
     while (m.find()) {
       val outer = m.group(2).toDouble
-      val solo = Option(m.group(3)).map(_.toDouble)
-      b += (m.group(1) -> solo.fold(outer)(math.min(outer, _)))
+      val cpu = Option(m.group(3)).map(_.toDouble)
+      val soloWall = Option(m.group(4)).map(_.toDouble)
+      val soloCpu = Option(m.group(5)).map(_.toDouble)
+      val wall = soloWall.fold(outer)(math.min(outer, _))
+      val cpuRef = (cpu, soloCpu) match {
+        case (Some(c), Some(s)) => Some(math.min(c, s))
+        case (c, None) => c
+        case (None, s) => s
+      }
+      b += (m.group(1) -> Ref(wall, cpuRef))
     }
     b.result()
   }
@@ -48,6 +82,51 @@ object Bench {
   /** The per-query flag gate (BASELINE.md's standing discipline). */
   private[graft] def breaches(v: Double, ref: Double): Boolean =
     v > math.max(2 * ref, ref + 0.5)
+
+  /** Flag decision for one query: gate on executor CPU when BOTH this
+    * run and the reference carry it (host-load-invariant); fall back
+    * to wall for pre-r17 references. Unit-pinned in BenchIdSpec.
+    */
+  private[graft] def isFlagged(wallMin: Option[Double],
+      cpuMin: Option[Double], ref: Ref): Boolean =
+    (ref.cpu, cpuMin) match {
+      case (Some(rc), Some(c)) => breaches(c, rc)
+      case _ => wallMin.exists(breaches(_, ref.wall))
+    }
+
+  /** Task-granular executor CPU + GC accumulator. Registered once;
+    * timeQuery snapshots around each pass after draining the listener
+    * bus so the delta attributes to exactly that pass's tasks.
+    */
+  private final class CpuGcListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+  }
+
+  /** Drop every JVM-session-lifetime graft memo (trained centroids,
+    * kNN edge relations, dedup pair/cluster artifacts, entropy models)
+    * plus Spark's DataFrame cache. Called before each solo re-run so a
+    * flagged lifecycle query's solo min re-pays its builds exactly as
+    * the committed full-run band did, instead of reading a warm-path
+    * floor that ratchets the next run's reference downward (round-16
+    * verdict #4: x139 solo 1.54 s vs its 2.2–2.8 s committed band).
+    */
+  private def clearSessionCaches(spark: SparkSession): Unit = {
+    graft.ext.Similarity.invalidateTrainedCentroids()
+    graft.ext.Similarity.invalidateKnnEdges()
+    graft.ext.Dedup.invalidateDedupArtifacts()
+    graft.ext.TextAnalysis.invalidateEntropyCache()
+    spark.catalog.clearCache()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,21 +186,44 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    /** Per-query outcome: timings of successful passes (seconds) and the
-      * first error message if any pass threw. The first failing pass stops
-      * further passes for that query — re-running a broken query buys
-      * nothing and a slow failure would triple the wasted wall time.
+    // executor CPU + GC accumulator for the host-noise-invariant gate
+    // (round-16 verdict #1); registered before any timed work
+    val cpuListener = new CpuGcListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    def drain(): Unit = org.apache.spark.graft.MetricsBridge
+      .drainListenerBus(spark.sparkContext, 10000L)
+
+    /** Per-query outcome: wall timings of successful passes (seconds),
+      * the matching executor-CPU seconds and GC seconds per pass, and
+      * the first error message if any pass threw. The first failing
+      * pass stops further passes for that query — re-running a broken
+      * query buys nothing and a slow failure would triple the wasted
+      * wall time.
       */
-    case class QRes(name: String, times: Seq[Double], err: Option[String]) {
+    case class QRes(name: String, times: Seq[Double], cpus: Seq[Double],
+        gcs: Seq[Double], err: Option[String]) {
       def min: Option[Double] = if (times.nonEmpty) Some(times.min) else None
+      def cpuMin: Option[Double] =
+        if (cpus.nonEmpty) Some(cpus.min) else None
+      // GC of the min-CPU pass — the diagnostic that explains a CPU
+      // outlier (a GC storm inflates on-CPU time too)
+      def gcOfMinCpu: Option[Double] =
+        if (cpus.isEmpty) None else Some(gcs(cpus.indexOf(cpus.min)))
     }
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : QRes = {
       var err: Option[String] = None
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val cpus = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var p = 0
       while (p < passes && err.isEmpty) {
+        // drain stragglers from the PREVIOUS pass/query before
+        // snapshotting, so the CPU delta is this pass's tasks only
+        drain()
+        val cpu0 = cpuListener.cpuNs.get()
+        val gc0 = cpuListener.gcMs.get()
         val t0 = System.nanoTime()
         try {
           // toRdd.count(), NOT Dataset.count(): the latter rewrites the
@@ -134,6 +236,12 @@ object Bench {
           // pays, minus the write.
           fn(spark, sfDir).queryExecution.toRdd.count()
           times += (System.nanoTime() - t0) / 1e9
+          // wall stops BEFORE the drain: the drain is measurement
+          // plumbing, not query cost; CPU reads AFTER it so every
+          // task-end event of this pass has landed
+          drain()
+          cpus += (cpuListener.cpuNs.get() - cpu0) / 1e9
+          gcs += (cpuListener.gcMs.get() - gc0) / 1e3
         } catch {
           case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -141,7 +249,7 @@ object Bench {
         }
         p += 1
       }
-      QRes(name, times.toSeq, err)
+      QRes(name, times.toSeq, cpus.toSeq, gcs.toSeq, err)
     }
     val results: Seq[QRes] = selected.map { case (name, fn) =>
       timeQuery(name, fn)
@@ -161,7 +269,7 @@ object Bench {
     val runsDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_DIR", "bench_runs"))
     val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
-    def refMins(): Map[String, Double] = {
+    def refMins(): Map[String, Ref] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_REF")
         .map(java.nio.file.Paths.get(_))
       val candidates = explicit.map(Seq(_)).getOrElse {
@@ -183,16 +291,22 @@ object Bench {
           if (t.contains("\"partial\":true")) None else Some(t)
         } catch { case _: java.io.IOException => None }
       }.take(1).toSeq.headOption
-      text.fold(Map.empty[String, Double])(parseRefMins)
+      text.fold(Map.empty[String, Ref])(parseRefs)
     }
     val solo: Map[String, QRes] =
       if (only.isDefined) Map.empty
       else {
         val ref = refMins()
         val flagged = results.filter { r =>
-          r.min.exists(v => ref.get(r.name).exists(breaches(v, _)))
+          ref.get(r.name).exists(isFlagged(r.min, r.cpuMin, _))
         }.map(_.name)
         flagged.map { n =>
+          // cache-honest solo (round-16 verdict #4): drop the JVM
+          // session memos first so the solo min re-pays its builds
+          // like the committed band did — a warm solo under-reads the
+          // band and, via min(outer, solo), ratchets the next run's
+          // reference toward a floor no full run can meet
+          clearSessionCaches(spark)
           n -> timeQuery(n, SparkEntry.queries(n))
         }.toMap
       }
@@ -252,6 +366,9 @@ object Bench {
       }
     val errNames = results.filter(_.err.isDefined).map(_.name)
     val total = results.flatMap(_.min).sum
+    // summed executor-CPU mins: the one host-noise-invariant number on
+    // the stdout line (per-query CPU lives in the artifact)
+    val totalCpu = results.flatMap(_.cpuMin).sum
     // a filtered run is flagged so its total can't be ingested as a
     // full-bench total
     val partial = if (only.isDefined) ""","partial":true""" else ""
@@ -278,7 +395,7 @@ object Bench {
     // capture window buy ~3 more queries of headroom at 1-dp values
     val sfShort = sfDir.replaceAll(".*/", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$partial}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r1(totalCpu)},"queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$partial}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,
@@ -296,19 +413,28 @@ object Bench {
     require(shortIds.distinct.size == shortIds.size,
       "short query ids (prefix before first '_') must be unique for the stdout bench line")
     println(line(toJson(SparkEntry.shortId)))
-    // fuller artifact: per-query min + every pass + err, full names; a
-    // self-adjudicated flag additionally carries its SOLO re-run
-    // ("solo" min + passes) so both numbers are auditable in one place
+    // fuller artifact: per-query min + every pass + err, full names,
+    // plus the executor-CPU min/passes and the GC seconds of the
+    // min-CPU pass ("cpu"/"cpuPasses"/"gc" — the round-17 gate
+    // metrics); a self-adjudicated flag additionally carries its SOLO
+    // re-run ("solo" min + passes + cpu, caches cleared first) so both
+    // numbers are auditable in one place
     def detailJson: String = {
       val qs = results.map { r =>
         val ps = r.times.map(r3).mkString("[", ",", "]")
         val e = r.err.map(m => "\"" + m + "\"").getOrElse("null")
+        val cpu = r.cpuMin.fold("") { c =>
+          ",\"cpu\":" + r3(c) +
+            ",\"cpuPasses\":" + r.cpus.map(r3).mkString("[", ",", "]") +
+            ",\"gc\":" + r3(r.gcOfMinCpu.getOrElse(0.0))
+        }
         val adj = solo.get(r.name).fold("") { s =>
           ",\"solo\":{\"min\":" + s.min.map(r3).getOrElse("null") +
-            ",\"passes\":" + s.times.map(r3).mkString("[", ",", "]") + "}"
+            ",\"passes\":" + s.times.map(r3).mkString("[", ",", "]") +
+            s.cpuMin.fold("")(c => ",\"cpu\":" + r3(c)) + "}"
         }
         "\"" + r.name + "\":{\"min\":" + r.min.map(r3).getOrElse("null") +
-          ",\"passes\":" + ps + ",\"err\":" + e + adj + "}"
+          ",\"passes\":" + ps + ",\"err\":" + e + cpu + adj + "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs$partial}"""
     }

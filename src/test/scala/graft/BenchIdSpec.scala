@@ -45,18 +45,47 @@ class BenchIdSpec extends AnyFunSuite {
       "ambient-inflated outer min, the nested solo object never reads " +
       "as a query, errored entries are skipped, and the breach gate " +
       "is max(2x, +0.5s)") {
+    // pre-r17 artifact shape (no cpu fields) — must still parse, with
+    // a wall-only reference
     val artifact =
       """{"metric":"total","value":9.9,"unit":"sec","sf":"/x/sf0.1","passes":3,"queries":{""" +
         """"x01_token_count":{"min":0.208,"passes":[0.290,0.209,0.208],"err":null},""" +
         """"x23_contamination":{"min":5.000,"passes":[5.1,5.0,5.2],"err":null,"solo":{"min":1.000,"passes":[1.2,1.0,1.1]}},""" +
         """"x99_broken":{"min":null,"passes":[],"err":"boom"}}}"""
-    val ref = Bench.parseRefMins(artifact)
-    assert(ref == Map("x01_token_count" -> 0.208,
-      "x23_contamination" -> 1.000),
+    val ref = Bench.parseRefs(artifact)
+    assert(ref == Map(
+      "x01_token_count" -> Bench.Ref(0.208, None),
+      "x23_contamination" -> Bench.Ref(1.000, None)),
       s"got $ref")
     // the gate: 2x for slow queries, +0.5s floor for fast ones
     assert(Bench.breaches(2.1, 1.0) && !Bench.breaches(1.9, 1.0))
     assert(!Bench.breaches(0.45, 0.1) && Bench.breaches(0.61, 0.1))
+  }
+
+  test("r17 artifact shape: cpu/cpuPasses/gc parse into the reference, " +
+      "solo cpu supersedes an inflated outer cpu, and the flag gate " +
+      "prefers CPU over wall when both sides carry it") {
+    val artifact =
+      """{"metric":"total","value":9.9,"unit":"sec","sf":"/x/sf0.1","passes":3,"queries":{""" +
+        """"x01_token_count":{"min":0.208,"passes":[0.290,0.209,0.208],"err":null,"cpu":0.840,"cpuPasses":[0.901,0.840,0.855],"gc":0.012},""" +
+        """"x23_contamination":{"min":5.000,"passes":[5.1,5.0,5.2],"err":null,"cpu":4.100,"cpuPasses":[4.2,4.1,4.3],"gc":0.100,"solo":{"min":1.000,"passes":[1.2,1.0,1.1],"cpu":3.900}},""" +
+        """"x99_broken":{"min":null,"passes":[],"err":"boom"}}}"""
+    val ref = Bench.parseRefs(artifact)
+    assert(ref == Map(
+      "x01_token_count" -> Bench.Ref(0.208, Some(0.840)),
+      "x23_contamination" -> Bench.Ref(1.000, Some(3.900))),
+      s"got $ref")
+    // CPU-first gating: wall breached but CPU in band → NOT flagged
+    // (the ambient signature); CPU breached → flagged regardless of
+    // wall; wall-only fallback when either side lacks CPU
+    val r = Bench.Ref(wall = 1.0, cpu = Some(2.0))
+    assert(!Bench.isFlagged(Some(9.0), Some(2.1), r),
+      "ambient wall inflation with in-band CPU must not flag")
+    assert(Bench.isFlagged(Some(1.1), Some(4.2), r),
+      "a CPU breach is a real regression even at in-band wall")
+    assert(Bench.isFlagged(Some(9.0), None, r) &&
+      Bench.isFlagged(Some(9.0), Some(9.0), Bench.Ref(1.0, None)),
+      "missing CPU on either side falls back to the wall gate")
   }
 
   test("worst-case stdout bench line fits the driver's 2000-char window") {
@@ -91,8 +120,10 @@ class BenchIdSpec extends AnyFunSuite {
     // the self-adjudication flag count (3-digit worst case: every
     // query breaching at once)
     val worstAdj = ""","adj":999"""
+    // the r17 summed-CPU field at a pessimistic 7-char width
+    val worstCpu = ""","cpu":99999.9"""
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstAdj$worstPartial}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec"$worstCpu,"queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstAdj$worstPartial}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
     val headroom = 400 // round-12 verdict ask: ≥400 chars spare at the cap
     assert(line.length <= budget - headroom,
