@@ -317,8 +317,8 @@ object AtRest {
     * paths stay lock-free, and the post-acquisition double-check turns
     * a lost race into a no-op instead of a conflict.
     */
-  private def withMutationLease[T](spark: SparkSession, path: String,
-      metaName: String)(body: => T): T = {
+  private[graft] def withMutationLease[T](spark: SparkSession,
+      path: String, metaName: String)(body: => T): T = {
     val leasePath = new org.apache.hadoop.fs.Path(path,
       metaName + ".lease")
     val fs = leasePath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -932,7 +932,17 @@ object Similarity {
       // reason: the cell count is DERIVED here (adaptiveCellCount), so
       // the token below can't be pre-resolved, but the effective
       // trainer is a pure function of stamped fields (corpus, perCell,
-      // kMax, this) — a threshold change rebuilds, never mixes trainers
+      // kMax, this) — a threshold change rebuilds, never mixes trainers.
+      // Deliberately the RAW value, not the resolved flat/hier decision:
+      // resolving here would need adaptiveCellCount's corpus count(),
+      // i.e. a Spark job on EVERY no-op ensure (per micro-batch in the
+      // streaming faces, corpus-proportional at scale) to save a
+      // rebuild only when an operator tweaks the threshold without
+      // crossing the decision — a rare, explicit action that already
+      // expects a rebuild. Consequence to know: introducing this term
+      // (round 16) invalidated pre-existing kNN stamps once — a
+      // one-time migration rebuild on the first ensure over an old
+      // artifact, not silent mixing.
       emb.sparkSession.conf.get(HierKMinKey,
         hierKMinDefault.toString).toInt,
       KnnIndexLayoutVersion, profileToken(profile)).mkString(":")

@@ -27,14 +27,36 @@ object ExtQueries {
     * must run eagerly inside `body`; the returned plan carries their
     * result, not the conf.
     */
+  /** Run `body` with one runtime conf pinned, restoring the prior
+    * value after. The conf object is SHARED session state, so two
+    * concurrent windows would leak each other's values into stamp
+    * computation and probe widths (x151/x152/x154's lowered
+    * hierKMin/probeFrac silently flipping another query's trainer
+    * mid-gate). Verify and Bench both drive queries strictly
+    * sequentially, and the guard below turns any future concurrent
+    * driver into a loud error instead of a silent cross-query leak —
+    * same-thread nesting (a query composing two windows) stays legal.
+    */
+  private val confWindowOwner =
+    new java.util.concurrent.atomic.AtomicReference[Thread](null)
   private def withConf[T](s: SparkSession, key: String, value: String)(
       body: => T): T = {
+    val me = Thread.currentThread()
+    val nested = confWindowOwner.get() eq me
+    if (!nested && !confWindowOwner.compareAndSet(null, me))
+      throw new IllegalStateException(
+        "concurrent withConf windows: declared queries that pin " +
+          "session confs must run sequentially (the conf is shared " +
+          s"session state) — ${confWindowOwner.get()} holds a window")
     val prev = s.conf.getOption(key)
     s.conf.set(key, value)
     try body
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      if (!nested) confWindowOwner.set(null)
     }
   }
 

@@ -836,13 +836,45 @@ object Streams {
     * the sidecar), mirroring Structured Streaming's own
     * one-checkpoint-one-query exclusivity model.
     */
+  /** A stream's owner identity: the checkpoint location qualified
+    * against its OWN filesystem (not the corpus dir's — a relative
+    * path, a default-FS change, or an equivalent-but-differently-
+    * spelled path must qualify to the same string across restarts, or
+    * a legitimate restart gets refused until the operator intervenes)
+    * and normalized through the URI form.
+    */
+  private[graft] def ownerIdentity(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String): String = {
+    val cp = new org.apache.hadoop.fs.Path(checkpoint)
+    val u = cp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(cp).toUri
+    // rebuild with an EXPLICIT (possibly empty) authority: "file:/x"
+    // and "file:///x" are the same location but different strings, and
+    // which one makeQualified yields depends on how the caller spelled
+    // the path — a restart must never be refused over that
+    new java.net.URI(u.getScheme,
+      Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+      .toString
+  }
+
   private[graft] def claimCorpusOwner(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       checkpoint: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(corpusDir, "_graft_owner")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val me = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(checkpoint)).toString
+    val me = ownerIdentity(spark, checkpoint)
+    // settle: how long to wait for an EMPTY owner file to fill in (a
+    // concurrent claimer sits between create-exclusive and write);
+    // grace: how old an empty file must be before it reads as a TORN
+    // claim (crash in that window) eligible for reclaim. Without the
+    // grace age, two concurrently starting streams race: B reads A's
+    // just-created 0-byte file, "reclaims" it, and both run — the
+    // exact b<id> collision this guard exists to refuse.
+    val settleMs = spark.conf
+      .get("spark.graft.corpus.ownerSettleMs", "2000").toLong
+    val graceMs = spark.conf
+      .get("spark.graft.corpus.ownerGraceMs", "60000").toLong
     def read(): Option[String] =
       try {
         val in = fs.open(p)
@@ -855,7 +887,8 @@ object Streams {
         s"corpus dir $corpusDir is owned by the stream checkpointed at " +
           s"$owner — two streams landing into one corpus dir would " +
           "collide on b<id> allocation; use a separate corpusDir, or " +
-          "delete _graft_owner to transfer an abandoned corpus")
+          "transfer an abandoned corpus with " +
+          "Streams.transferCorpusOwnership")
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false) // create-exclusive
@@ -864,25 +897,117 @@ object Streams {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    read() match {
-      case Some(owner) if owner == me => ()
-      case Some(owner) if owner.nonEmpty => refuse(owner)
-      case emptyOrNone =>
-        // an EMPTY file is a torn claim (crash between create and
-        // write — an owner string is never empty): reclaim it rather
-        // than refusing every future stream, including the rightful
-        // one, forever
-        if (emptyOrNone.isDefined)
-          try fs.delete(p, false)
-          catch { case _: java.io.IOException => () }
-        if (!tryCreate())
-          // lost the create race: whoever won owns it (unless it's us
-          // under a racing restart, which reads back equal)
-          read() match {
+    // attempt-bounded: every retry edge consumes one attempt, so a
+    // pathological FS can only loop 3 times before refusing loudly
+    def claim(attempt: Int): Unit =
+      if (attempt > 3) refuse("<unresolvable claim race>")
+      else if (tryCreate())
+        // read-back verify: a racing claimer that (wrongly, under
+        // clock skew past the grace) judged our fresh empty file torn
+        // could have deleted-and-reclaimed between our create and
+        // write — the file must still carry OUR token
+        read() match {
+          case Some(owner) if owner == me => ()
+          case Some(owner) if owner.nonEmpty => refuse(owner)
+          case _ => refuse("<lost claim race>")
+        }
+      else decide(attempt + 1)
+    def decide(attempt: Int): Unit =
+      if (attempt > 3) refuse("<unresolvable claim race>")
+      else read() match {
+        case Some(owner) if owner == me => ()
+        case Some(owner) if owner.nonEmpty => refuse(owner)
+        case None => claim(attempt)
+        case Some(_) =>
+          // EMPTY owner file: give a concurrent claimer's write time
+          // to land before judging it torn
+          val deadline = System.currentTimeMillis() + settleMs
+          var cur: Option[String] = Some("")
+          while (cur.contains("") &&
+              System.currentTimeMillis() < deadline) {
+            Thread.sleep(100)
+            cur = read()
+          }
+          cur match {
             case Some(owner) if owner == me => ()
             case Some(owner) if owner.nonEmpty => refuse(owner)
-            case _ => refuse("<unreadable claim>")
+            case None => claim(attempt + 1)
+            case Some(_) =>
+              // still empty after the settle: a TORN claim only if
+              // older than the grace — a younger one is a live
+              // claimer on a slow store, and deleting it would be
+              // the TOCTOU this logic exists to close
+              val age =
+                try System.currentTimeMillis() -
+                  fs.getFileStatus(p).getModificationTime
+                catch {
+                  case _: java.io.FileNotFoundException => Long.MaxValue
+                }
+              if (age < graceMs)
+                refuse("<an in-flight or torn claim younger than the " +
+                  s"${graceMs / 1000}s reclaim grace — retry shortly>")
+              try fs.delete(p, false)
+              catch { case _: java.io.IOException => () }
+              claim(attempt + 1)
           }
+      }
+    decide(0)
+  }
+
+  /** Explicit, validated ownership transfer of a landed corpus — the
+    * API face of what used to be a hand-delete of `_graft_owner` (the
+    * one mutation in the system that had no lease and no check). Runs
+    * under the corpus's at-rest writer lease so two transfers (or a
+    * transfer and a crashed-transfer retry) serialize; validates that
+    * the corpus is currently owned by `fromCheckpoint`'s stream — a
+    * stale claimant (anyone but the recorded owner) is refused — then
+    * re-points the claim at `toCheckpoint`'s identity. The owner file
+    * is deleted and re-created create-exclusive: a crash between the
+    * two leaves NO owner file, i.e. a corpus the rightful new stream
+    * (or a transfer retry — `from == to` and an unowned corpus both
+    * short-circuit to a plain claim) claims normally. Never corrupt,
+    * at worst unclaimed.
+    */
+  def transferCorpusOwnership(
+      spark: org.apache.spark.sql.SparkSession, corpusDir: String,
+      fromCheckpoint: String, toCheckpoint: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir, "_graft_owner")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val from = ownerIdentity(spark, fromCheckpoint)
+    val to = ownerIdentity(spark, toCheckpoint)
+    def read(): Option[String] =
+      try {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    graft.engine.AtRest.withMutationLease(spark, corpusDir,
+      "_graft_owner") {
+      read() match {
+        case Some(owner) if owner == to => () // crashed-retry idempotence
+        case Some(owner) if owner.nonEmpty && owner != from =>
+          throw new IllegalStateException(
+            s"corpus dir $corpusDir is owned by $owner, not by the " +
+              s"claimed transferor $from — a stale claimant cannot " +
+              "transfer a corpus it no longer owns")
+        case other =>
+          // owned by `from`, torn (empty), or unowned (a prior
+          // transfer crashed between delete and create): all roads
+          // lead to a fresh exclusive claim for `to`
+          if (other.isDefined)
+            try fs.delete(p, false)
+            catch { case _: java.io.IOException => () }
+          val out = fs.create(p, false)
+          try out.write(
+            to.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (!read().contains(to))
+            throw new IllegalStateException(
+              s"ownership transfer of $corpusDir lost a race — the " +
+                "owner file no longer carries the transferee; re-run " +
+                "the transfer")
+      }
     }
   }
 

@@ -151,10 +151,11 @@ class StreamingSpec extends AnyFunSuite {
     import graft.ext.Dedup
     val corpusDir = Files.createTempDirectory("graft-stream-cr").toString
     val indexPath = Files.createTempDirectory("graft-stream-ir").toString
+    val ck1 = Files.createTempDirectory("graft-stream-kr1").toString
     val src1 = MemoryStream[(Long, String, String)]
     val q1 = Streams.dedupIndexStream(
       src1.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
-      Files.createTempDirectory("graft-stream-kr1").toString)
+      ck1)
     src1.addData((1L, "s", "alpha beta gamma delta epsilon zeta"),
       (2L, "s", "alpha beta gamma delta epsilon eta"))
     q1.processAllAvailable()
@@ -168,11 +169,12 @@ class StreamingSpec extends AnyFunSuite {
     // uses a FRESH one — which the corpus-owner claim rightly treats
     // as a different stream; transfer ownership explicitly, the
     // documented operator action.)
-    assert(new java.io.File(corpusDir, "_graft_owner").delete())
+    val ck2 = Files.createTempDirectory("graft-stream-kr2").toString
+    Streams.transferCorpusOwnership(spark, corpusDir, ck1, ck2)
     val src2 = MemoryStream[(Long, String, String)]
     val q2 = Streams.dedupIndexStream(
       src2.toDF().toDF("doc_id", "source", "text"), corpusDir, indexPath,
-      Files.createTempDirectory("graft-stream-kr2").toString)
+      ck2)
     src2.addData(
       (10L, "s", "totally different text entirely other words too"))
     q2.processAllAvailable()
@@ -521,6 +523,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).listFiles()
       .exists(f => f.isDirectory && f.getName.matches("b\\d+")),
       "the refused stream must never land a batch")
+  }
+
+  test("corpus ownership, torn claims: a YOUNG empty owner file is an " +
+      "in-flight concurrent claim and is refused (the TOCTOU guard); " +
+      "an empty file older than the grace is a crashed claim and is " +
+      "reclaimed; a claimer whose file gets yanked mid-claim refuses " +
+      "rather than running unowned") {
+    val dir = Files.createTempDirectory("graft-torn").toString
+    val ck = Files.createTempDirectory("graft-torn-ck").toString
+    val owner = new java.io.File(dir, "_graft_owner")
+    // keep the settle wait short so the refusal path doesn't stall the
+    // suite; leave the grace at its 60 s default for the young case
+    spark.conf.set("spark.graft.corpus.ownerSettleMs", "200")
+    try {
+      // young empty file = a concurrent claimer between create and
+      // write: deleting it here would let two streams co-own the
+      // corpus, so the late arriver must refuse
+      assert(owner.createNewFile())
+      val e = intercept[IllegalStateException] {
+        Streams.claimCorpusOwner(spark, dir, ck)
+      }
+      assert(e.getMessage.contains("reclaim grace"),
+        s"young empty claim must refuse as in-flight: ${e.getMessage}")
+      // the same file past the grace age is a TORN claim (crash in the
+      // create→write window) — reclaimed, not refused forever
+      assert(owner.setLastModified(
+        System.currentTimeMillis() - 120 * 1000L))
+      Streams.claimCorpusOwner(spark, dir, ck)
+      assert(new String(java.nio.file.Files.readAllBytes(owner.toPath))
+        == Streams.ownerIdentity(spark, ck),
+        "the reclaimed file must carry the new owner's identity")
+      // and the claim is now a plain restart re-claim
+      Streams.claimCorpusOwner(spark, dir, ck)
+    } finally spark.conf.unset("spark.graft.corpus.ownerSettleMs")
+  }
+
+  test("corpus ownership transfer: validated handover succeeds, a " +
+      "stale claimant is refused, a retry after the owner==to state " +
+      "is idempotent, and a mid-transfer crash (no owner file) leaves " +
+      "a claimable corpus") {
+    val dir = Files.createTempDirectory("graft-transfer").toString
+    val ck1 = Files.createTempDirectory("graft-transfer-ck1").toString
+    val ck2 = Files.createTempDirectory("graft-transfer-ck2").toString
+    val ck3 = Files.createTempDirectory("graft-transfer-ck3").toString
+    Streams.claimCorpusOwner(spark, dir, ck1)
+    // validated handover: ck1 → ck2
+    Streams.transferCorpusOwnership(spark, dir, ck1, ck2)
+    Streams.claimCorpusOwner(spark, dir, ck2) // new owner re-claims
+    intercept[IllegalStateException] {
+      Streams.claimCorpusOwner(spark, dir, ck1) // old owner refused
+    }
+    // stale claimant: ck1 no longer owns the corpus, so it cannot
+    // transfer it to ck3
+    val e = intercept[IllegalStateException] {
+      Streams.transferCorpusOwnership(spark, dir, ck1, ck3)
+    }
+    assert(e.getMessage.contains("stale claimant"), e.getMessage)
+    // retrying a transfer that already landed is a no-op, not an error
+    Streams.transferCorpusOwnership(spark, dir, ck1, ck2)
+    // mid-transfer crash window: between delete and create there is NO
+    // owner file — the corpus must be claimable, never corrupt
+    assert(new java.io.File(dir, "_graft_owner").delete())
+    Streams.claimCorpusOwner(spark, dir, ck3)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_graft_owner").toPath))
+      == Streams.ownerIdentity(spark, ck3))
+  }
+
+  test("owner identity is qualified against the checkpoint's own " +
+      "filesystem and URI-normalized, so equivalent spellings of the " +
+      "same location re-claim instead of refusing a legitimate restart") {
+    val dir = Files.createTempDirectory("graft-ident").toString
+    val ck = Files.createTempDirectory("graft-ident-ck").toString
+    Streams.claimCorpusOwner(spark, dir, ck)
+    // same location, different spellings: an explicit file: scheme and
+    // a redundant /./ segment must both resolve to the recorded owner
+    Streams.claimCorpusOwner(spark, dir, s"file:$ck")
+    val parent = ck.substring(0, ck.lastIndexOf('/'))
+    val base = ck.substring(ck.lastIndexOf('/') + 1)
+    Streams.claimCorpusOwner(spark, dir, s"$parent/./$base")
   }
 
   test("manifest versioning: readers take the highest committed seq, " +
