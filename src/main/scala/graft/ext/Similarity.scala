@@ -1173,15 +1173,30 @@ object Similarity {
         .as("imbalance"))
   }
 
-  /** Opt-in refresh policy for the streaming IVF face: when set, a
-    * maintenance step whose post-extension [[ivfCellLoadStats]]
-    * imbalance exceeds this threshold re-trains over the landed union
-    * (an ensure whose `model=` term has drifted — the x138/x139
-    * ensure-over-union route) instead of riding the frozen model
-    * forever. Unset (the default) keeps refresh a caller decision,
-    * exactly the prior behavior.
+  /** Refresh policy for the streaming IVF face: a maintenance step
+    * whose post-extension [[ivfCellLoadStats]] imbalance exceeds this
+    * threshold re-trains over the landed union (an ensure whose
+    * `model=` term has drifted — the x138/x139 ensure-over-union
+    * route) instead of riding the frozen model forever. ON BY DEFAULT
+    * at [[refreshImbalanceDefault]] since round 17; set to `off` (or
+    * any non-positive value) to pin the frozen-forever behavior.
     */
   val RefreshImbalanceKey = "spark.graft.ivf.refreshImbalance"
+
+  /** The default refresh threshold, set by measurement, not taste
+    * (RefreshPolicyProbe, 100× corpus, half the label space held out
+    * as a 10-batch drifting stream; SCALE.md round-17 row): healthy
+    * post-train imbalance on the clustered corpus reads 3.0–5.3, so a
+    * breach of 8 (≈ 2× healthy) is real drift — and the measured
+    * recall-vs-cost curve is MONOTONE in favor of triggering early:
+    * thr 8 retrained at the first drifted batch (35.6 s, union still
+    * small) and ended at recall@10 0.982/0.862 (drifted/base queries)
+    * vs thr 25's 54.3 s & 0.908/0.856, thr 45's 61.4 s & 0.886/0.846,
+    * and frozen's 0.686/0.700 — later triggers cost MORE (the retrain
+    * scales with the union) and recover LESS (reads served badly in
+    * the meantime, residual mis-assignment). Waiting buys nothing.
+    */
+  val refreshImbalanceDefault = 8.0
 
   /** Distributed Lloyd k-means refinement for IVF centroids. Init is the
     * deterministic first-N (same as [[topKIvf]]'s default); each

@@ -614,30 +614,111 @@ object Streams {
         profile = profile)
       graft.ext.Similarity.compactIvfIndex(spark, indexPath,
         cellFileBudget)
-      // opt-in refresh policy: once extensions have drifted the cell
-      // loads past the threshold (frozen model, moving corpus), the
-      // step RE-TRAINS over the landed union — the ensure's model term
-      // differs from the frozen one, so this is exactly the documented
-      // ensure-over-union route, now policy-driven instead of manual.
-      // The stats scan reads only the cell partition column
-      // (footer-bound); unset conf = prior behavior, no stats read.
-      spark.conf.getOption(graft.ext.Similarity.RefreshImbalanceKey)
-        .map(_.toDouble).foreach { thr =>
+      // refresh policy (DEFAULT-ON since round 17 at the measured
+      // threshold — Similarity.refreshImbalanceDefault's scaladoc
+      // carries the recall-vs-cost curve): once extensions have
+      // drifted the cell loads past the threshold (frozen model,
+      // moving corpus), the step RE-TRAINS over the landed union —
+      // the ensure's model term differs from the frozen one, so this
+      // is exactly the documented ensure-over-union route, now
+      // policy-driven instead of manual. The stats scan reads only
+      // the cell partition column (footer-bound at any index size);
+      // `off`/non-positive pins the frozen-forever behavior.
+      (spark.conf.getOption(graft.ext.Similarity.RefreshImbalanceKey)
+          .map(_.trim.toLowerCase) match {
+        case Some("off") | Some("none") | Some("") => None
+        case Some(v) => Some(v.toDouble).filter(_ > 0)
+        case None => Some(graft.ext.Similarity.refreshImbalanceDefault)
+      }).foreach { thr =>
+          val log = org.slf4j.LoggerFactory.getLogger(getClass)
           val imb = graft.ext.Similarity
             .ivfCellLoadStats(spark, indexPath)
             .select(org.apache.spark.sql.functions.col("imbalance"))
             .head().getDouble(0)
-          if (imb > thr) {
-            org.slf4j.LoggerFactory.getLogger(getClass).info(
-              s"IVF index $indexPath imbalance $imb > $thr — " +
+          if (imb <= thr)
+            // healthy — also re-arm a tripped futility marker, so a
+            // corpus that later becomes fixable (mass deleted, shape
+            // changed) gets the policy back
+            clearRefreshFutile(spark, indexPath)
+          else refreshFutileLevel(spark, indexPath) match {
+            case Some(f) if imb <= f * FutileSlack =>
+              // a prior policy retrain ALREADY left the index at
+              // imbalance f: the skew is intrinsic to the corpus
+              // shape, not drift, and retraining every batch over the
+              // growing union would be an unbounded cost amplifier —
+              // skip until the imbalance grows materially PAST the
+              // proven-futile level (new drift on top of the shape)
+              log.info(s"IVF index $indexPath imbalance $imb > $thr " +
+                s"but a policy retrain already bottomed out at $f — " +
+                "intrinsic shape, skipping retrain")
+            case _ =>
+              log.info(s"IVF index $indexPath imbalance $imb > $thr — " +
                 "re-training over the landed union")
-            graft.ext.Similarity.ensureIvfIndex(
-              union.getOrElse(base.unionByName(batch)), indexPath,
-              nCentroids, iters, profile = profile)
+              graft.ext.Similarity.ensureIvfIndex(
+                union.getOrElse(base.unionByName(batch)), indexPath,
+                nCentroids, iters, profile = profile)
+              val after = graft.ext.Similarity
+                .ivfCellLoadStats(spark, indexPath)
+                .select(org.apache.spark.sql.functions.col("imbalance"))
+                .head().getDouble(0)
+              if (after > thr) {
+                log.warn(s"IVF index $indexPath still at imbalance " +
+                  s"$after > $thr AFTER retraining — recording the " +
+                  "futile level; the policy stands down until the " +
+                  "imbalance grows past it")
+                recordRefreshFutile(spark, indexPath, after)
+              } else clearRefreshFutile(spark, indexPath)
           }
         }
       built
     }
+
+  /** How far past a proven-futile imbalance the load must grow before
+    * the refresh policy re-attempts a retrain (new drift stacked on an
+    * intrinsically skewed shape, vs the shape itself).
+    */
+  private[graft] val FutileSlack = 1.25
+
+  /** The refresh policy's futility marker: a prior policy retrain that
+    * could NOT bring the imbalance under the threshold records where
+    * it bottomed out (`<indexPath>/_graft_refresh_futile`), so the
+    * policy never retrains the same unfixable shape batch after batch
+    * — the difference between a drift remedy and an unbounded cost
+    * amplifier on corpora whose load skew is intrinsic (one giant
+    * near-duplicate cluster, a Zipf head cell). Hadoop FS, any store.
+    */
+  private def futilePath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_graft_refresh_futile")
+  private[graft] def refreshFutileLevel(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[Double] = {
+    val p = futilePath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toDoubleOption
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
+  private def recordRefreshFutile(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      level: Double): Unit = {
+    val p = futilePath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(level.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  private def clearRefreshFutile(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    val p = futilePath(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.delete(p, false)
+    catch { case _: java.io.IOException => () }
+  }
 
   /** [[dedupIndexBatch]]'s recovery discipline for the IVF family. */
   private[graft] def ivfIndexBatch(

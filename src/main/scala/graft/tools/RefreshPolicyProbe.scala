@@ -46,7 +46,10 @@ object RefreshPolicyProbe {
     import graft.engine.Checkpoints.MaterializeOps
     import graft.ext.Similarity
     arm match {
-      case "frozen" => ()
+      // the policy is default-on since round 17, so the frozen control
+      // arm pins it off explicitly
+      case "frozen" =>
+        spark.conf.set(Similarity.RefreshImbalanceKey, "off")
       case p if p.startsWith("policy:") =>
         spark.conf.set(Similarity.RefreshImbalanceKey, p.drop(7))
       case other => sys.error(s"arm must be frozen|policy:<thr>: $other")

@@ -449,10 +449,11 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly one versioned manifest must survive: $manifests")
   }
 
-  test("IVF refresh policy: with spark.graft.ivf.refreshImbalance set, " +
-      "a maintenance step whose post-extension cell-load imbalance " +
-      "breaches the threshold RE-TRAINS over the landed union; unset, " +
-      "the model stays frozen forever (prior behavior)") {
+  test("IVF refresh policy: a maintenance step whose post-extension " +
+      "cell-load imbalance breaches spark.graft.ivf.refreshImbalance " +
+      "RE-TRAINS over the landed union; 'off' pins the frozen-forever " +
+      "behavior; UNSET runs the measured default (8.0), which must not " +
+      "fire below its threshold") {
     import graft.ext.{IndexProfile, Similarity}
     // base: a spread ring (8 distinct cells); batches: many copies of
     // ONE direction — they pile into a single cell, the drift shape
@@ -477,14 +478,33 @@ class StreamingSpec extends AnyFunSuite {
         profile = IndexProfile.Exact))
       frozen
     }
-    // unset: frozen model rides through the drifting batch
+    // 'off': frozen model rides through the drifting batch no matter
+    // what the imbalance reads — the explicit disable face
     val cd1 = Files.createTempDirectory("graft-refresh-c1").toString
     val ix1 = Files.createTempDirectory("graft-refresh-i1").toString
-    val frozen1 = drive(cd1, ix1)
+    spark.conf.set(Similarity.RefreshImbalanceKey, "off")
+    val frozen1 =
+      try drive(cd1, ix1)
+      finally spark.conf.unset(Similarity.RefreshImbalanceKey)
     assert(Similarity.readKnnCentroids(spark, ix1)
       .collect().map(_.toString).sorted.toSeq == frozen1,
-      "without the conf the model must stay frozen")
-    // set: the same drive re-trains when imbalance breaches
+      "with the policy off the model must stay frozen")
+    // UNSET = the measured default (8.0). This drive's post-pile
+    // imbalance sits UNDER it (~4.5: one 90-row cell over a 20-row
+    // mean), so the default must not fire — a default that retrained
+    // healthy indexes would be worse than no default
+    val cd0 = Files.createTempDirectory("graft-refresh-c0").toString
+    val ix0 = Files.createTempDirectory("graft-refresh-i0").toString
+    val frozen0 = drive(cd0, ix0)
+    val imb0 = Similarity.ivfCellLoadStats(spark, ix0)
+      .select(col("imbalance")).head().getDouble(0)
+    assert(imb0 < Similarity.refreshImbalanceDefault,
+      s"fixture drift must sit under the default threshold: $imb0")
+    assert(Similarity.readKnnCentroids(spark, ix0)
+      .collect().map(_.toString).sorted.toSeq == frozen0,
+      s"the default policy must not fire below its threshold ($imb0)")
+    // set under the drift: the same drive re-trains when imbalance
+    // breaches
     val cd2 = Files.createTempDirectory("graft-refresh-c2").toString
     val ix2 = Files.createTempDirectory("graft-refresh-i2").toString
     spark.conf.set(Similarity.RefreshImbalanceKey, "3.0")
@@ -495,6 +515,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(Similarity.readKnnCentroids(spark, ix2)
         .collect().map(_.toString).sorted.toSeq != frozen2,
         s"imbalance $imb over threshold must re-train the model")
+    } finally spark.conf.unset(Similarity.RefreshImbalanceKey)
+  }
+
+  test("IVF refresh futility guard: a policy retrain that cannot fix " +
+      "the imbalance (intrinsic shape — one giant identical-vector " +
+      "cluster) records where it bottomed out and the policy stands " +
+      "down, instead of retraining over the growing union every " +
+      "batch; a recorded level the current imbalance exceeds by the " +
+      "slack re-arms the policy") {
+    import graft.ext.{IndexProfile, Similarity}
+    val cd = Files.createTempDirectory("graft-futile-c").toString
+    val ix = Files.createTempDirectory("graft-futile-i").toString
+    // base: 4 spread directions, 8 rows each; pile: IDENTICAL vectors
+    // — k-means can never split identical points across cells, so the
+    // pile cell's dominance is unfixable by retraining
+    val base = (0 until 32).map(i => (i.toLong,
+      Seq(math.cos(i % 4 * 1.57), math.sin(i % 4 * 1.57), 0.3)
+        .map(_.toFloat)))
+    def pile(lo: Int, n: Int) = (lo until lo + n).map(i =>
+      (i.toLong, Seq(0.7f, 0.69f, 0.71f)))
+    def land(id: Int, rows: Seq[(Long, Seq[Float])]): String = {
+      val d = s"$cd/b$id"
+      rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(d)
+      d
+    }
+    def model(): Seq[String] = Similarity.readKnnCentroids(spark, ix)
+      .collect().map(_.toString).sorted.toSeq
+    val futileFile = new java.io.File(ix, "_graft_refresh_futile")
+    spark.conf.set(Similarity.RefreshImbalanceKey, "2.0")
+    try {
+      var prev: Option[Vector[String]] = None
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(0, base), prev,
+        ix, nCentroids = 4, profile = IndexProfile.Exact))
+      val seeded = model()
+      // pile batch: imbalance breaches 2.0 → the policy retrains ONCE,
+      // cannot fix it (identical vectors stay one cell), records the
+      // bottomed-out level
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(1, pile(100, 200)),
+        prev, ix, nCentroids = 4, profile = IndexProfile.Exact))
+      val afterRetrain = model()
+      assert(afterRetrain != seeded, "the first breach must retrain")
+      val futile = Streams.refreshFutileLevel(spark, ix)
+      assert(futile.isDefined && futileFile.isFile,
+        "an unfixable breach must record the futile level")
+      // more of the same shape: imbalance still over the threshold but
+      // within slack of the recorded level → NO retrain (the guard)
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(2, pile(400, 20)),
+        prev, ix, nCentroids = 4, profile = IndexProfile.Exact))
+      assert(model() == afterRetrain,
+        "within slack of the proven-futile level the policy must " +
+          "stand down, not retrain every batch")
+      // a stale LOW recorded level (as if the shape had been milder
+      // when it tripped) re-arms the policy once the current imbalance
+      // exceeds it by the slack — new drift on top of the shape
+      val w = new java.io.FileWriter(futileFile)
+      try w.write("1.0") finally w.close()
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(3, pile(500, 20)),
+        prev, ix, nCentroids = 4, profile = IndexProfile.Exact))
+      assert(model() != afterRetrain,
+        "imbalance past the recorded level by the slack must re-attempt")
+      assert(Streams.refreshFutileLevel(spark, ix).exists(_ > 1.0),
+        "the re-attempt must refresh the recorded futile level")
     } finally spark.conf.unset(Similarity.RefreshImbalanceKey)
   }
 
