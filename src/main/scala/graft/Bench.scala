@@ -51,14 +51,18 @@ object Bench {
     * the graft session caches cleared (see the solo block below), so
     * the substituted min is band-comparable, not a warm-path floor —
     * closing the ratchet where warm solo mins tightened the gate and
-    * manufactured future false flags. Unit-pinned in BenchIdSpec,
-    * including pre-r17 artifacts without the cpu fields.
+    * manufactured future false flags. Round-18 optional markers
+    * (`"dt"` drain-timeout count, `"cr"` cache-rider, `"wb"`
+    * ungated wall breach) are tolerated between the cpu block and
+    * the solo object. Unit-pinned in BenchIdSpec, including pre-r17
+    * artifacts without the cpu fields.
     */
   private[graft] def parseRefs(t: String): Map[String, Ref] = {
     val m = java.util.regex.Pattern.compile(
       "\"([A-Za-z0-9_]+)\":\\{\"min\":([0-9.]+),\"passes\":\\[[^\\]]*\\]" +
         ",\"err\":(?:null|\"[^\"]*\")" +
         "(?:,\"cpu\":([0-9.]+),\"cpuPasses\":\\[[^\\]]*\\],\"gc\":[0-9.]+)?" +
+        "(?:,\"dt\":\\d+)?(?:,\"cr\":true)?(?:,\"wb\":true)?" +
         "(?:,\"solo\":\\{\"min\":([0-9.]+),\"passes\":\\[[^\\]]*\\]" +
         "(?:,\"cpu\":([0-9.]+))?)?")
       .matcher(t)
@@ -79,6 +83,35 @@ object Bench {
     b.result()
   }
 
+  /** Combine the per-query references of a WINDOW of recent committed
+    * artifacts (newest first) into one reference map via the per-query
+    * UPPER MEDIAN — round-18 fix for the r17 self-poisoning finding:
+    * the single-newest-artifact rule made a deliberately degraded
+    * experiment run the binding baseline, and per-query CPU on
+    * cache-amortized queries measured a 0.45×–2.5× spread across
+    * same-code runs, so one anomalous artifact manufactured three
+    * false CPU flags (x124/x147/x17, BENCH_r17). With the upper
+    * median over up to 3 artifacts, ONE anomalously low run can never
+    * bind the gate (it takes two of three), and one anomalously high
+    * run cannot mask a regression either. Wall and CPU windows are
+    * independent: a pre-r17 wall-only artifact still contributes its
+    * wall while the CPU median forms over the artifacts that carry
+    * CPU. Unit-pinned in BenchIdSpec.
+    */
+  private[graft] def windowRefs(maps: Seq[Map[String, Ref]])
+      : Map[String, Ref] = {
+    def upperMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+    maps.flatMap(_.keySet).distinct.map { n =>
+      val refs = maps.flatMap(_.get(n))
+      val cpus = refs.flatMap(_.cpu)
+      n -> Ref(upperMedian(refs.map(_.wall)),
+        if (cpus.isEmpty) None else Some(upperMedian(cpus)))
+    }.toMap
+  }
+
   /** The per-query flag gate (BASELINE.md's standing discipline). */
   private[graft] def breaches(v: Double, ref: Double): Boolean =
     v > math.max(2 * ref, ref + 0.5)
@@ -92,6 +125,22 @@ object Bench {
     (ref.cpu, cpuMin) match {
       case (Some(rc), Some(c)) => breaches(c, rc)
       case _ => wallMin.exists(breaches(_, ref.wall))
+    }
+
+  /** A wall breach the CPU gate absorbed: CPU in band on both sides
+    * but wall past the gate. Never fires a solo (that is the ambient
+    * class the CPU gate exists to retire — every such flag from r9
+    * through r16 adjudicated ambient) but IS recorded in the artifact
+    * (`"wb":true`) and on stderr, so a real wall-without-CPU
+    * regression (IO wait, lock contention, spill) stays visible for
+    * adjudication instead of silently never flagging.
+    */
+  private[graft] def ungatedWallBreach(wallMin: Option[Double],
+      cpuMin: Option[Double], ref: Ref): Boolean =
+    (ref.cpu, cpuMin) match {
+      case (Some(rc), Some(c)) =>
+        !breaches(c, rc) && wallMin.exists(breaches(_, ref.wall))
+      case _ => false
     }
 
   /** Task-granular executor CPU + GC accumulator. Registered once;
@@ -190,26 +239,48 @@ object Bench {
     // (round-16 verdict #1); registered before any timed work
     val cpuListener = new CpuGcListener
     spark.sparkContext.addSparkListener(cpuListener)
-    def drain(): Unit = org.apache.spark.graft.MetricsBridge
+    def drain(): Boolean = org.apache.spark.graft.MetricsBridge
       .drainListenerBus(spark.sparkContext, 10000L)
 
     /** Per-query outcome: wall timings of successful passes (seconds),
-      * the matching executor-CPU seconds and GC seconds per pass, and
-      * the first error message if any pass threw. The first failing
-      * pass stops further passes for that query — re-running a broken
-      * query buys nothing and a slow failure would triple the wasted
-      * wall time.
+      * the matching executor-CPU seconds and GC seconds per pass with
+      * a per-pass attribution-trust bit (both the pre-snapshot and the
+      * post-run listener-bus drains completed — a timed-out drain
+      * means the delta may credit another pass's tasks, the suspected
+      * mechanism for the degraded r17 run's anomalously LOW cache-
+      * rider CPUs that then bound the gate), whether the query rode
+      * the session memos (cache-rider), and the first error message
+      * if any pass threw. The first failing pass stops further passes
+      * for that query — re-running a broken query buys nothing and a
+      * slow failure would triple the wasted wall time.
       */
     case class QRes(name: String, times: Seq[Double], cpus: Seq[Double],
-        gcs: Seq[Double], err: Option[String]) {
+        gcs: Seq[Double], trusted: Seq[Boolean], rider: Boolean,
+        err: Option[String]) {
       def min: Option[Double] = if (times.nonEmpty) Some(times.min) else None
+      // CPU min over TRUSTED passes only: a misattributed delta must
+      // never become this run's number nor the next run's reference
+      private def trustedCpus: Seq[Double] =
+        cpus.zip(trusted).collect { case (c, true) => c }
       def cpuMin: Option[Double] =
-        if (cpus.nonEmpty) Some(cpus.min) else None
+        if (trustedCpus.nonEmpty) Some(trustedCpus.min) else None
+      def drainTimeouts: Int = trusted.count(!_)
       // GC of the min-CPU pass — the diagnostic that explains a CPU
       // outlier (a GC storm inflates on-CPU time too)
-      def gcOfMinCpu: Option[Double] =
-        if (cpus.isEmpty) None else Some(gcs(cpus.indexOf(cpus.min)))
+      def gcOfMinCpu: Option[Double] = cpuMin.map { c =>
+        gcs(cpus.indexOf(c))
+      }
     }
+    /** Total occupancy of the JVM-session-lifetime graft memos — the
+      * cache-rider detector: timeQuery clears every memo before its
+      * first pass, so a query whose pass leaves the memos non-empty
+      * provably built (and would on later passes ride) session state.
+      */
+    def memoOccupancy(): Int =
+      graft.ext.Similarity.trainCacheSize +
+        graft.ext.Similarity.edgeCacheSize +
+        graft.ext.Dedup.artifactCacheSize +
+        graft.ext.TextAnalysis.entropyCacheSize
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : QRes = {
@@ -217,11 +288,24 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       val cpus = scala.collection.mutable.ArrayBuffer.empty[Double]
       val gcs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val trusted = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      // every query starts self-contained (round-17 verdict #6: the
+      // in-suite CPU of a memo-riding query measured "whoever paid the
+      // build this pass", spread 0.45×–2.5× across same-code runs):
+      // clearing first makes pass 1 COLD for every query — free for
+      // the ~180 non-riders (clearing empty maps) and band-defining
+      // for the riders
+      clearSessionCaches(spark)
+      var rider = false
       var p = 0
       while (p < passes && err.isEmpty) {
+        // a detected rider re-clears before EVERY pass so each pass
+        // re-pays its builds identically — in-suite min == solo min ==
+        // band-comparable, run-invariant CPU
+        if (rider && p > 0) clearSessionCaches(spark)
         // drain stragglers from the PREVIOUS pass/query before
         // snapshotting, so the CPU delta is this pass's tasks only
-        drain()
+        val preOk = drain()
         val cpu0 = cpuListener.cpuNs.get()
         val gc0 = cpuListener.gcMs.get()
         val t0 = System.nanoTime()
@@ -239,9 +323,11 @@ object Bench {
           // wall stops BEFORE the drain: the drain is measurement
           // plumbing, not query cost; CPU reads AFTER it so every
           // task-end event of this pass has landed
-          drain()
+          val postOk = drain()
           cpus += (cpuListener.cpuNs.get() - cpu0) / 1e9
           gcs += (cpuListener.gcMs.get() - gc0) / 1e3
+          trusted += (preOk && postOk)
+          if (p == 0) rider = memoOccupancy() > 0
         } catch {
           case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -249,7 +335,8 @@ object Bench {
         }
         p += 1
       }
-      QRes(name, times.toSeq, cpus.toSeq, gcs.toSeq, err)
+      QRes(name, times.toSeq, cpus.toSeq, gcs.toSeq, trusted.toSeq,
+        rider, err)
     }
     val results: Seq[QRes] = selected.map { case (name, fn) =>
       timeQuery(name, fn)
@@ -262,10 +349,16 @@ object Bench {
     // and both numbers land in the artifact — the manual solo-
     // re-measure/confirm loop becomes data the next reader adjudicates
     // directly (and the flag that post-dates a session close is never
-    // again left unadjudicated). The reference is the newest
-    // non-partial bench_runs artifact for the same sf tag (override:
-    // SPARK_GRAFT_BENCH_REF). Filtered runs skip this — they ARE the
-    // solo protocol.
+    // again left unadjudicated). The reference is the per-query UPPER
+    // MEDIAN over the newest 3 eligible bench_runs artifacts for the
+    // same sf tag (round-18 verdict #1: the single-newest rule let one
+    // anomalous run — r17's deliberately degraded spinner experiment —
+    // become the binding gate and manufacture three false CPU flags);
+    // eligible = not "partial" (SPARK_GRAFT_ONLY runs) and not
+    // "induced" (deliberately degraded experiments, committed for the
+    // record but never a baseline). Override: SPARK_GRAFT_BENCH_REF
+    // pins a single explicit artifact. Filtered runs skip this — they
+    // ARE the solo protocol.
     val runsDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_DIR", "bench_runs"))
     val sfTag = sfDir.replaceAll(".*/", "").replaceAll("[^A-Za-z0-9.]", "_")
@@ -283,33 +376,36 @@ object Bench {
             .toSeq.sortBy(_.getFileName.toString).reverse
         }
       }
-      val text = candidates.iterator.flatMap { p =>
+      val texts = candidates.iterator.flatMap { p =>
         try {
           val t = java.nio.file.Files.readString(p)
-          // partial artifacts (SPARK_GRAFT_ONLY runs) are not
-          // full-surface references
-          if (t.contains("\"partial\":true")) None else Some(t)
+          if (t.contains("\"partial\":true") ||
+              t.contains("\"induced\":true")) None
+          else Some(t)
         } catch { case _: java.io.IOException => None }
-      }.take(1).toSeq.headOption
-      text.fold(Map.empty[String, Ref])(parseRefs)
+      }.take(3).toSeq
+      windowRefs(texts.map(parseRefs))
     }
-    val solo: Map[String, QRes] =
-      if (only.isDefined) Map.empty
-      else {
-        val ref = refMins()
-        val flagged = results.filter { r =>
-          ref.get(r.name).exists(isFlagged(r.min, r.cpuMin, _))
-        }.map(_.name)
-        flagged.map { n =>
-          // cache-honest solo (round-16 verdict #4): drop the JVM
-          // session memos first so the solo min re-pays its builds
-          // like the committed band did — a warm solo under-reads the
-          // band and, via min(outer, solo), ratchets the next run's
-          // reference toward a floor no full run can meet
-          clearSessionCaches(spark)
-          n -> timeQuery(n, SparkEntry.queries(n))
-        }.toMap
-      }
+    val refs: Map[String, Ref] =
+      if (only.isDefined) Map.empty else refMins()
+    val solo: Map[String, QRes] = {
+      val flagged = results.filter { r =>
+        refs.get(r.name).exists(isFlagged(r.min, r.cpuMin, _))
+      }.map(_.name)
+      // timeQuery itself clears the session memos before pass 1 (and
+      // every pass of a detected rider), so the solo is cache-honest
+      // by construction (round-16 verdict #4)
+      flagged.map(n => n -> timeQuery(n, SparkEntry.queries(n))).toMap
+    }
+    // wall breaches the CPU gate absorbed: recorded (artifact "wb"
+    // marker + stderr), never solo'd — visible for adjudication
+    // without re-opening the ambient-flag class
+    val wallBreached: Set[String] = results.filter { r =>
+      refs.get(r.name).exists(ungatedWallBreach(r.min, r.cpuMin, _))
+    }.map(_.name).toSet
+    if (wallBreached.nonEmpty)
+      System.err.println("bench: CPU-in-band wall breaches (ambient " +
+        "class, not solo'd): " + wallBreached.toSeq.sorted.mkString(", "))
     // rounded output halves the line length (70 queries × full-precision
     // doubles overflowed the driver's capture window in round 4); explicit
     // ROOT locale so a comma-decimal host locale can't corrupt the JSON.
@@ -374,8 +470,18 @@ object Bench {
     val partial = if (only.isDefined) ""","partial":true""" else ""
     // flag count on stdout (detail in the artifact): a nonzero "adj"
     // tells the driver's reader the run carries self-adjudicated
-    // breaches without spending window on their ids
+    // breaches without spending window on their ids; "wb" counts the
+    // CPU-in-band wall breaches the gate absorbed (ambient class)
     val adjField = if (solo.isEmpty) "" else s""","adj":${solo.size}"""
+    val wbField =
+      if (wallBreached.isEmpty) "" else s""","wb":${wallBreached.size}"""
+    // a deliberately degraded experiment run (spinner demos, drain-
+    // stress probes): committed for the record like any run, but
+    // marked so refMins() never lets it become a binding baseline —
+    // the r17 self-poisoning finding
+    val induced = sys.env.get("SPARK_GRAFT_BENCH_INDUCED")
+      .exists(v => v.equalsIgnoreCase("true") || v == "1")
+    val inducedField = if (induced) ""","induced":true""" else ""
     // the stdout errs field is BOUNDED (first 4 ids + an "ne" total):
     // an unbounded list on a badly broken run — exactly when the parsed
     // stdout matters most — could push the line past the driver's
@@ -395,7 +501,7 @@ object Bench {
     // capture window buy ~3 more queries of headroom at 1-dp values
     val sfShort = sfDir.replaceAll(".*/", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r1(totalCpu)},"queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$partial}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r1(totalCpu)},"queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$wbField$partial$inducedField}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,
@@ -428,15 +534,23 @@ object Bench {
             ",\"cpuPasses\":" + r.cpus.map(r3).mkString("[", ",", "]") +
             ",\"gc\":" + r3(r.gcOfMinCpu.getOrElse(0.0))
         }
+        // drain-timeout passes (excluded from the cpu min), cache-
+        // rider detection, and CPU-absorbed wall breaches — the
+        // round-18 measurement-trust markers
+        val dt =
+          if (r.drainTimeouts == 0) "" else ",\"dt\":" + r.drainTimeouts
+        val cr = if (r.rider) ",\"cr\":true" else ""
+        val wb = if (wallBreached.contains(r.name)) ",\"wb\":true" else ""
         val adj = solo.get(r.name).fold("") { s =>
           ",\"solo\":{\"min\":" + s.min.map(r3).getOrElse("null") +
             ",\"passes\":" + s.times.map(r3).mkString("[", ",", "]") +
             s.cpuMin.fold("")(c => ",\"cpu\":" + r3(c)) + "}"
         }
         "\"" + r.name + "\":{\"min\":" + r.min.map(r3).getOrElse("null") +
-          ",\"passes\":" + ps + ",\"err\":" + e + cpu + adj + "}"
+          ",\"passes\":" + ps + ",\"err\":" + e + cpu + dt + cr + wb +
+          adj + "}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs$partial}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs$partial$inducedField}"""
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_result.json")

@@ -1145,6 +1145,112 @@ object Similarity {
     rankProbed(idx, q, k)
   }
 
+  /** MASS-weighted probe of a [[writeIvfIndex]] table — the skew
+    * remedy for [[adaptiveNprobe]]'s cell-COUNT fraction (round-18
+    * verdict #3): under Zipf head-mass a fixed cell count covers a
+    * query-dependent and often TINY row fraction (recall@10 measured
+    * 0.912 on the skew corpus vs 0.986 iid at the same 5% count
+    * fraction, SCALE.md r17), because cell loads vary by orders of
+    * magnitude while the probe treats them as equal. Here each query
+    * probes its cells in descending query→centroid cosine until the
+    * CUMULATIVE ROW MASS of the probed prefix reaches
+    * `massFrac · n_rows` (always at least `floor` cells), so the
+    * scanned-row budget — the thing that actually costs — holds
+    * per-query at any skew. Cell loads come from the same
+    * footer-bound partition-column scan as [[ivfCellLoadStats]];
+    * centroids with no landed rows are excluded from the ranking
+    * (probing an empty cell buys nothing). Declared end to end as
+    * x155 with a DuckDB oracle replicating the cumulative-mass prefix.
+    */
+  def topKIvfIndexedMass(indexPath: String, queries: DataFrame, k: Int,
+      massFrac: Double, floor: Int = 2): DataFrame = {
+    require(massFrac > 0 && massFrac <= 1 && floor >= 1,
+      s"bad topKIvfIndexedMass args: $massFrac, $floor")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cent = centroidRelation(
+      spark.read.parquet(s"$indexPath/_centroids"))
+    // per-cell loads: reads ONLY the `cell` partition column —
+    // footer/metadata-bound at any index size (ivfCellLoadStats'
+    // property), k rows out
+    val loads = spark.read.parquet(indexPath)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("mass"))
+    val total = loads.agg(sum(col("mass"))).as[Long].head()
+    val target = math.ceil(total * massFrac).toLong
+    val q = massProbeCells(queries, cent, loads, target, floor)
+      .materialized
+    val cells = q.select(col("cell")).distinct().as[Long].collect().sorted
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("cid"), col("ce"), col("cn"),
+        col("cell").cast("long").as("cell"))
+    rankProbed(idx, q, k)
+  }
+
+  /** [[topKIvfIndexedMass]]'s probe-set builder: rank cells per query
+    * by centroid cosine (low-id tie-break, the [[probeCells]]
+    * convention) and keep the prefix whose PRECEDING cumulative mass
+    * is still under the target — i.e. up to and including the first
+    * cell that crosses it — never fewer than `floor` cells. queries ×
+    * k rows through one bounded window.
+    */
+  private def massProbeCells(queries: DataFrame, cent: DataFrame,
+      loads: DataFrame, target: Long, floor: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm(col("embedding")).as("qn"))
+      .join(broadcast(cent.join(loads, col("cent_id") === col("cell"))
+        .drop("cell")))
+      .withColumn("cent_cos",
+        round(dot(col("qe"), col("cent_e")) / (col("qn") * col("cent_n")),
+          6))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("mass")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn") <= floor || (col("cum") - col("mass")) < target)
+      .select(col("qid"), col("qe"), col("qn"),
+        col("cent_id").as("cell"))
+  }
+
+  /** Probe-set diagnostics for the calibration tooling: the per-query
+    * probed cells and their summed row mass (= the scanned-row budget)
+    * under either discipline — `massFrac > 0` selects the mass-prefix
+    * route, otherwise the count route at `nprobe` (≤ 0 = the adaptive
+    * conf default). One row per query: (qid, n_probed_cells,
+    * scanned_rows). Shares the exact probe-set builders with the topK
+    * routes, so the reported budget is what the probe actually reads.
+    */
+  private[graft] def probedCellStats(indexPath: String,
+      queries: DataFrame, nprobe: Int = 0, massFrac: Double = 0.0,
+      floor: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = spark.read.parquet(s"$indexPath/_centroids")
+    val cent = centroidRelation(centDf)
+    val loads = spark.read.parquet(indexPath)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("mass"))
+    val probed =
+      if (massFrac > 0) {
+        val total = loads.agg(sum(col("mass"))).as[Long].head()
+        massProbeCells(queries, cent, loads,
+          math.ceil(total * massFrac).toLong, floor)
+      } else {
+        val np =
+          if (nprobe > 0) nprobe
+          else adaptiveNprobe(centDf.count().toInt, spark.conf
+            .get(ProbeFracKey, probeFracDefault.toString).toDouble)
+        probeCells(queries, cent, np)
+      }
+    probed.select(col("qid"), col("cell")).join(loads, Seq("cell"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_probed_cells"),
+        sum(col("mass")).as("scanned_rows"))
+  }
+
   /** Per-cell load statistics of an at-rest IVF index — the re-train
     * cadence SIGNAL that turns "model refresh is an offline decision"
     * into a measured one: extensions assign against frozen centroids,

@@ -37,17 +37,26 @@ object ExtQueries {
     * driver into a loud error instead of a silent cross-query leak —
     * same-thread nesting (a query composing two windows) stays legal.
     */
-  private val confWindowOwner =
-    new java.util.concurrent.atomic.AtomicReference[Thread](null)
+  private val confWindowOwners = new java.util.concurrent
+    .ConcurrentHashMap[SparkSession, Thread]()
   private def withConf[T](s: SparkSession, key: String, value: String)(
       body: => T): T = {
     val me = Thread.currentThread()
-    val nested = confWindowOwner.get() eq me
-    if (!nested && !confWindowOwner.compareAndSet(null, me))
-      throw new IllegalStateException(
-        "concurrent withConf windows: declared queries that pin " +
-          "session confs must run sequentially (the conf is shared " +
-          s"session state) — ${confWindowOwner.get()} holds a window")
+    // guard scoped PER SESSION: runtime conf is per-SparkSession
+    // state, so concurrent windows on two different sessions (a
+    // multi-session driver) are actually safe and must not trip the
+    // error — only two windows on the SAME session can leak into each
+    // other's stamp computation / probe widths
+    val nested = confWindowOwners.get(s) eq me
+    if (!nested) {
+      val holder = confWindowOwners.putIfAbsent(s, me)
+      if (holder != null)
+        throw new IllegalStateException(
+          "concurrent withConf windows on one SparkSession: declared " +
+            "queries that pin session confs must run sequentially " +
+            s"(the conf is shared session state) — $holder holds a " +
+            "window on this session")
+    }
     val prev = s.conf.getOption(key)
     s.conf.set(key, value)
     try body
@@ -56,7 +65,7 @@ object ExtQueries {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
       }
-      if (!nested) confWindowOwner.set(null)
+      if (!nested) confWindowOwners.remove(s)
     }
   }
 
@@ -1958,6 +1967,52 @@ object ExtQueries {
           profile = IndexProfile.Production())
       }
       Similarity.readKnnEdges(s, path).orderBy(col("cid"), col("nid"))
+    }),
+
+    // x155: the MASS-weighted probe declared end to end — each query
+    // probes cells in descending centroid cosine until HALF the
+    // landed row mass is covered (massFrac = 0.5, mirroring x150's
+    // fraction so the two probe disciplines differ only in what the
+    // fraction is OF: cell count there, row mass here — under skew
+    // the difference is the 0.912 → ≥0.95 recall gap, SCALE.md r18).
+    // Reuses x149/x150's at-rest hier index (same stamp, ensure
+    // no-ops); the oracle replicates the per-cell loads and the
+    // cumulative-mass prefix window from the same assignment CTEs.
+    "x155_ivf_mass_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir, "hier")
+      Similarity.ensureIvfIndex(e, path,
+        nCentroids = Similarity.adaptiveCellCount(e),
+        profile = IndexProfile.Production(hierTrain = true))
+      Similarity.topKIvfIndexedMass(path, e.filter(col("vec_id") < 10),
+        k = 10, massFrac = 0.5).orderBy(col("qid"), col("rank"))
+    }),
+
+    // x156: the refresh policy's DECISION FUNCTION declared (round-18
+    // verdict #5 — "every default rides the gate"): x153's drift
+    // relation extended with the threshold comparison and the
+    // futility-slack arithmetic the streaming maintenance step
+    // actually evaluates (Streams.ivfExtendAndCompact). The literals
+    // come from the SAME constants the policy reads
+    // (Similarity.refreshImbalanceDefault, Streams.FutileSlack), so a
+    // default change moves this query's rows and the DuckDB hash
+    // splits until the oracle is consciously updated to match.
+    "x156_refresh_decision" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val path = ivfIndexPath(s, dir, "drift")
+      Similarity.ensureIvfIndex(base, path, nCentroids = 8)
+      Similarity.extendIvfIndex(base, batch, path, nCentroids = 8)
+      Similarity.ivfCellLoadStats(s, path).select(
+        col("n_cells"), col("n_rows"), col("max_cell"),
+        col("mean_cell"), col("imbalance"),
+        lit(Similarity.refreshImbalanceDefault).as("threshold"),
+        (col("imbalance") > Similarity.refreshImbalanceDefault)
+          .as("would_refresh"),
+        lit(graft.streaming.Streams.FutileSlack).as("futile_slack"),
+        round(col("imbalance") * graft.streaming.Streams.FutileSlack, 6)
+          .as("rearm_bound"))
     })
   )
 
@@ -6012,25 +6067,13 @@ object ExtQueries {
          WHERE rank <= 10 ORDER BY qid, rank""")
   )
 
-  /** x151/x152 pin the round-16 DEFAULTS in the hash-checked gate by
-    * construction: the auto-switched build must be bit-identical to
-    * the explicit hier build (same trainer, same stamp token), and the
-    * defaulted adaptive probe must be bit-identical to the explicit
-    * adaptiveNprobe call — so their oracles ARE x149's and x150's.
-    * A regression in either resolution (threshold comparison, conf
-    * plumbing, fraction derivation) lands them on the sampled trainer
-    * or the literal probe width and the hashes split.
+  /** x153's oracle, shared with x156 (which wraps it with the policy's
+    * decision arithmetic): x139's replicated lifecycle — base-trained
+    * Lloyd + union flat-argmax assignment — folded to per-cell loads
+    * and the one-row summary the refresh policy reads.
     */
-  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
-    "x151_ivf_hier_autoswitch" ->
-      oracleSqlBase("x149_ivf_index_hier"),
-    "x152_ivf_adaptive_default" ->
-      oracleSqlBase("x150_ivf_adaptive_nprobe"),
-    // x153: x139's replicated lifecycle (base-trained Lloyd + union
-    // flat-argmax assignment) folded to per-cell loads and the one-row
-    // summary the refresh policy reads
-    "x153_ivf_drift_stats" ->
-      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  private lazy val x153DriftStatsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          eb AS (SELECT * FROM e WHERE vec_id < 250),
          ${kmeansCtePrefixed("8", iters = 3, dim = 64, src = "eb")},
          cc AS (SELECT x.vec_id AS vid, c.cent_id,
@@ -6053,11 +6096,87 @@ object ExtQueries {
                 round(sum(c)::DOUBLE / count(*), 6) AS mean_cell,
                 round(max(c)::DOUBLE / (sum(c)::DOUBLE / count(*)), 6)
                   AS imbalance
-         FROM loads"""),
+         FROM loads"""
+
+  /** x151/x152 pin the round-16 DEFAULTS in the hash-checked gate by
+    * construction: the auto-switched build must be bit-identical to
+    * the explicit hier build (same trainer, same stamp token), and the
+    * defaulted adaptive probe must be bit-identical to the explicit
+    * adaptiveNprobe call — so their oracles ARE x149's and x150's.
+    * A regression in either resolution (threshold comparison, conf
+    * plumbing, fraction derivation) lands them on the sampled trainer
+    * or the literal probe width and the hashes split.
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "x151_ivf_hier_autoswitch" ->
+      oracleSqlBase("x149_ivf_index_hier"),
+    "x152_ivf_adaptive_default" ->
+      oracleSqlBase("x150_ivf_adaptive_nprobe"),
+    // x153: x139's replicated lifecycle (base-trained Lloyd + union
+    // flat-argmax assignment) folded to per-cell loads and the one-row
+    // summary the refresh policy reads
+    "x153_ivf_drift_stats" -> x153DriftStatsSql,
     // x154 = the kNN-family auto-switch: bit-identical to the explicit
     // hier build, so the oracle IS x148's
     "x154_knn_hier_autoswitch" ->
-      oracleSqlBase("x148_knn_index_hier"))
+      oracleSqlBase("x148_knn_index_hier"),
+    // x155: x149's hier chain with the MASS-weighted probe — per-cell
+    // loads from the same two-level assignment (s2), then each query's
+    // probe set is the cosine-descending prefix of LOADED cells whose
+    // preceding cumulative mass is under ceil(0.5 · n_rows), never
+    // fewer than 2 cells (the floor) — exactly
+    // Similarity.topKIvfIndexedMass's window
+    "x155_ivf_mass_probe" ->
+      (s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${hierAssignCtesFrom("e")},
+         loads AS (SELECT cell, count(*) AS m FROM s2 GROUP BY cell),
+         tgt AS (SELECT CAST(ceil(sum(m) * 0.5) AS BIGINT) AS t
+                 FROM loads),
+         qc AS (SELECT x.vec_id AS vid, c.cent_id, l.m,
+                  round(list_dot_product(x.e, c.ce) /
+                        (sqrt(list_dot_product(x.e, x.e)) *
+                         sqrt(list_dot_product(c.ce, c.ce))), 6) AS ccos
+                FROM e x CROSS JOIN scent c
+                JOIN loads l ON l.cell = c.cent_id
+                WHERE x.vec_id < 10),
+         probes AS (SELECT vid AS qid, cent_id AS cell FROM (
+             SELECT vid, cent_id, m,
+                    row_number() OVER (PARTITION BY vid
+                                       ORDER BY ccos DESC, cent_id)
+                      AS rn,
+                    sum(m) OVER (PARTITION BY vid
+                                 ORDER BY ccos DESC, cent_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM qc) t
+           WHERE rn <= 2 OR cum - m < (SELECT t FROM tgt)),
+         scored AS (SELECT DISTINCT p.qid, ca.vec_id AS cid,
+                           round(list_dot_product(eq.e, ec.e) /
+                                 (sqrt(list_dot_product(eq.e, eq.e)) *
+                                  sqrt(list_dot_product(ec.e, ec.e))), 6)
+                             AS cos
+                    FROM probes p
+                    JOIN s2 ca ON p.cell = ca.cell
+                              AND ca.vec_id != p.qid
+                    JOIN e eq ON eq.vec_id = p.qid
+                    JOIN e ec ON ec.vec_id = ca.vec_id)
+         SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, cid)
+                       AS INTEGER) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY qid, rank"""),
+    // x156: x153's drift relation + the policy's decision arithmetic
+    // as literal columns — threshold 8.0 (refreshImbalanceDefault) and
+    // slack 1.25 (FutileSlack) hardcoded HERE so a Scala-side default
+    // change splits the hash until this oracle is consciously updated
+    "x156_refresh_decision" ->
+      (s"""SELECT n_cells, n_rows, max_cell, mean_cell, imbalance,
+                CAST(8.0 AS DOUBLE) AS threshold,
+                imbalance > 8.0 AS would_refresh,
+                CAST(1.25 AS DOUBLE) AS futile_slack,
+                round(imbalance * 1.25, 6) AS rearm_bound
+         FROM ($x153DriftStatsSql) s"""))
 
   /** The [[graft.functions.MinHashSig]] seed pairs as a DuckDB VALUES
     * list — the x89 oracle replicates the signature from the SAME

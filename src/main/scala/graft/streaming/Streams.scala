@@ -609,6 +609,19 @@ object Streams {
       : (DataFrame, DataFrame, Option[DataFrame]) => Boolean =
     (base, batch, union) => {
       val spark = base.sparkSession
+      // policy threshold resolved up front: adoption's futility
+      // bookkeeping and the breach check read the same value
+      val thr: Option[Double] =
+        spark.conf.getOption(graft.ext.Similarity.RefreshImbalanceKey)
+          .map(_.trim.toLowerCase) match {
+          case Some("off") | Some("none") | Some("") => None
+          case Some(v) => Some(v.toDouble).filter(_ > 0)
+          case None => Some(graft.ext.Similarity.refreshImbalanceDefault)
+        }
+      // a background retrain that finished since the last step is
+      // adopted FIRST, so this batch extends the fresh model
+      adoptIvfRetrain(spark, indexPath, rootDirs(base), nCentroids,
+        iters, profile, thr)
       val built = graft.ext.Similarity.extendIvfIndex(base, batch,
         indexPath, nCentroids, iters, unionView = union,
         profile = profile)
@@ -621,53 +634,74 @@ object Streams {
       // moving corpus), the step RE-TRAINS over the landed union —
       // the ensure's model term differs from the frozen one, so this
       // is exactly the documented ensure-over-union route, now
-      // policy-driven instead of manual. The stats scan reads only
-      // the cell partition column (footer-bound at any index size);
-      // `off`/non-positive pins the frozen-forever behavior.
-      (spark.conf.getOption(graft.ext.Similarity.RefreshImbalanceKey)
-          .map(_.trim.toLowerCase) match {
-        case Some("off") | Some("none") | Some("") => None
-        case Some(v) => Some(v.toDouble).filter(_ > 0)
-        case None => Some(graft.ext.Similarity.refreshImbalanceDefault)
-      }).foreach { thr =>
+      // policy-driven instead of manual. Since round 18 the retrain
+      // runs ASYNC by default (serve frozen, swap on completion —
+      // [[RefreshAsyncKey]]); the sync route remains conf-selectable.
+      // The stats scan reads only the cell partition column
+      // (footer-bound at any index size); `off`/non-positive pins the
+      // frozen-forever behavior.
+      thr.foreach { t =>
           val log = org.slf4j.LoggerFactory.getLogger(getClass)
           val imb = graft.ext.Similarity
             .ivfCellLoadStats(spark, indexPath)
             .select(org.apache.spark.sql.functions.col("imbalance"))
             .head().getDouble(0)
-          if (imb <= thr)
+          if (imb <= t) {
             // healthy — also re-arm a tripped futility marker, so a
             // corpus that later becomes fixable (mass deleted, shape
-            // changed) gets the policy back
-            clearRefreshFutile(spark, indexPath)
-          else refreshFutileLevel(spark, indexPath) match {
+            // changed) gets the policy back. An in-flight retrain is
+            // left to finish; adoption is cheap and a healthy reading
+            // here is usually the retrain's own announcement arriving
+            if (!retrainInFlight(indexPath))
+              clearRefreshFutile(spark, indexPath)
+          } else refreshFutileLevel(spark, indexPath) match {
             case Some(f) if imb <= f * FutileSlack =>
               // a prior policy retrain ALREADY left the index at
               // imbalance f: the skew is intrinsic to the corpus
-              // shape, not drift, and retraining every batch over the
-              // growing union would be an unbounded cost amplifier —
-              // skip until the imbalance grows materially PAST the
-              // proven-futile level (new drift on top of the shape)
-              log.info(s"IVF index $indexPath imbalance $imb > $thr " +
+              // shape, not drift, and retraining over the growing
+              // union every batch would be an unbounded cost
+              // amplifier — skip until the imbalance grows materially
+              // PAST the proven-futile level (new drift on the shape)
+              log.info(s"IVF index $indexPath imbalance $imb > $t " +
                 s"but a policy retrain already bottomed out at $f — " +
                 "intrinsic shape, skipping retrain")
+            case _ if retrainInFlight(indexPath) =>
+              log.info(s"IVF index $indexPath imbalance $imb > $t — " +
+                "a background retrain is already in flight; serving " +
+                "the frozen model until it lands")
             case _ =>
-              log.info(s"IVF index $indexPath imbalance $imb > $thr — " +
-                "re-training over the landed union")
-              graft.ext.Similarity.ensureIvfIndex(
-                union.getOrElse(base.unionByName(batch)), indexPath,
-                nCentroids, iters, profile = profile)
-              val after = graft.ext.Similarity
-                .ivfCellLoadStats(spark, indexPath)
-                .select(org.apache.spark.sql.functions.col("imbalance"))
-                .head().getDouble(0)
-              if (after > thr) {
-                log.warn(s"IVF index $indexPath still at imbalance " +
-                  s"$after > $thr AFTER retraining — recording the " +
-                  "futile level; the policy stands down until the " +
-                  "imbalance grows past it")
-                recordRefreshFutile(spark, indexPath, after)
-              } else clearRefreshFutile(spark, indexPath)
+              val u = union.getOrElse(base.unionByName(batch))
+              val async = spark.conf
+                .get(RefreshAsyncKey, "true").trim.toBoolean
+              val snapshotDirs = if (async) rootDirs(u) else Vector.empty
+              if (async && snapshotDirs.nonEmpty) {
+                log.info(s"IVF index $indexPath imbalance $imb > $t — " +
+                  "launching a background retrain over the landed " +
+                  s"union (${snapshotDirs.size} dirs); extensions " +
+                  "continue on the frozen model meanwhile")
+                launchIvfRetrain(spark, indexPath, u, snapshotDirs,
+                  nCentroids, iters, profile)
+              } else {
+                // sync route: conf-pinned, or the union plan's dirs
+                // are unrecoverable (non-file corpus) so the catch-up
+                // protocol can't run
+                log.info(s"IVF index $indexPath imbalance $imb > $t — " +
+                  "re-training over the landed union (synchronous)")
+                graft.ext.Similarity.ensureIvfIndex(u, indexPath,
+                  nCentroids, iters, profile = profile)
+                val after = graft.ext.Similarity
+                  .ivfCellLoadStats(spark, indexPath)
+                  .select(
+                    org.apache.spark.sql.functions.col("imbalance"))
+                  .head().getDouble(0)
+                if (after > t) {
+                  log.warn(s"IVF index $indexPath still at imbalance " +
+                    s"$after > $t AFTER retraining — recording the " +
+                    "futile level; the policy stands down until the " +
+                    "imbalance grows past it")
+                  recordRefreshFutile(spark, indexPath, after)
+                } else clearRefreshFutile(spark, indexPath)
+              }
           }
         }
       built
@@ -678,6 +712,191 @@ object Streams {
     * intrinsically skewed shape, vs the shape itself).
     */
   private[graft] val FutileSlack = 1.25
+
+  // ---- async model refresh (round-18 verdict #2) -----------------------
+  //
+  // The policy retrain used to run SYNCHRONOUSLY inside the maintenance
+  // step: an ensure-over-union whose cost grows with the landed corpus
+  // executed inside one micro-batch trigger — SteadyStateProbe batch 24
+  // measured an 1,100.9 s stall at 160 k rows, and at real scale that is
+  // an hours-long stream outage. The async protocol serves FROZEN while
+  // retraining: the breach launches the ensure on a background thread
+  // against a SIDE path (`<indexPath>_retrain`) over a snapshot of the
+  // landed union (b-dirs are immutable once written, so the snapshot
+  // plan is stable); every subsequent batch keeps extending the live
+  // index on the frozen model; the first maintenance step that finds
+  // the retrain COMPLETE catches the side index up with the batches
+  // landed since the snapshot (plain extends — the same incremental
+  // route the live index rides) and swaps it into place with two
+  // directory renames. All LIVE-index mutations stay on the single
+  // maintenance thread (the corpus-owner protocol guarantees one
+  // stream per corpus), so the swap needs no extra lock; the renames
+  // are O(1) metadata ops on HDFS-class stores (an object store pays
+  // its usual copy-rename, the same trade every swap-based layout
+  // makes there). Crash windows: a crash before the swap leaves the
+  // live index untouched and an orphaned side dir the next launch
+  // overwrite-ensures; a crash between the two renames leaves no live
+  // index, which the next (re)start's seed ensure rebuilds — never
+  // corrupt, at worst a rebuild.
+
+  /** Async-refresh switch: `true` (default) retrains off the hot path
+    * and swaps on completion; `false` pins the pre-r18 synchronous
+    * in-batch retrain (RefreshPolicyProbe uses it — the threshold
+    * default's cost/recall curve was measured on the sync route).
+    */
+  val RefreshAsyncKey = "spark.graft.ivf.refreshAsync"
+
+  private final case class IvfRetrain(thread: Thread,
+      snapshot: Vector[String], sidePath: String,
+      failure: java.util.concurrent.atomic.AtomicReference[Throwable])
+
+  private val ivfRetrains =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfRetrain]()
+
+  private[graft] def retrainInFlight(indexPath: String): Boolean =
+    Option(ivfRetrains.get(indexPath)).exists(_.thread.isAlive)
+
+  /** Test/probe hook: block until an in-flight retrain for `indexPath`
+    * finishes (or the timeout); true when none is running afterwards.
+    * Adoption still happens on the NEXT maintenance step — this only
+    * waits out the background ensure.
+    */
+  private[graft] def awaitIvfRetrain(indexPath: String,
+      timeoutMs: Long = 600000L): Boolean =
+    Option(ivfRetrains.get(indexPath)).forall { j =>
+      j.thread.join(timeoutMs); !j.thread.isAlive
+    }
+
+  /** The root directories of a flat multi-dir parquet read — how the
+    * refresh protocol recovers the landed-dir list from the DataFrames
+    * the maintenance closure is handed (the b-dirs are the plan's
+    * HadoopFsRelation root paths, in read order).
+    */
+  private def rootDirs(df: DataFrame): Vector[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten.toVector
+  }
+
+  private def launchIvfRetrain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, snapshotUnion: DataFrame,
+      snapshotDirs: Vector[String], nCentroids: Int, iters: Int,
+      profile: graft.ext.IndexProfile): Unit = {
+    val side = indexPath.stripSuffix("/") + "_retrain"
+    val failure =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val t = new Thread(() => {
+      try {
+        // force: the side path may hold a stale crashed attempt —
+        // rebuild regardless of its stamp
+        graft.ext.Similarity.ensureIvfIndex(snapshotUnion, side,
+          nCentroids, iters, force = true, profile = profile)
+        ()
+      } catch { case e: Throwable => failure.set(e) }
+    }, "graft-ivf-refresh-" +
+      Integer.toHexString(indexPath.hashCode))
+    t.setDaemon(true)
+    ivfRetrains.put(indexPath, IvfRetrain(t, snapshotDirs, side, failure))
+    t.start()
+  }
+
+  /** Adopt a COMPLETED background retrain: catch the side index up
+    * with the b-dirs landed since the snapshot, swap it into place,
+    * and run the futility bookkeeping the sync route did after its
+    * in-line retrain. Called at the START of each maintenance step so
+    * the current batch extends the fresh model. Returns true when a
+    * swap happened.
+    */
+  private def adoptIvfRetrain(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, baseDirs: Vector[String], nCentroids: Int,
+      iters: Int, profile: graft.ext.IndexProfile,
+      threshold: Option[Double]): Boolean = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val job = ivfRetrains.get(indexPath)
+    if (job == null || job.thread.isAlive) false
+    else {
+      ivfRetrains.remove(indexPath)
+      if (job.failure.get() != null) {
+        log.warn(s"async IVF retrain for $indexPath failed — serving " +
+          s"continues on the frozen model; a later breach relaunches: " +
+          job.failure.get().getMessage)
+        false
+      } else {
+        // catch-up: extend the side index with every dir landed after
+        // the snapshot, in landed order — the same incremental route
+        // the live index rode meanwhile
+        val missedOk = baseDirs.nonEmpty || job.snapshot.isEmpty
+        if (!missedOk) {
+          log.warn(s"async IVF retrain for $indexPath: cannot recover " +
+            "the landed-dir list from the base plan — discarding the " +
+            "retrain (a later breach relaunches)")
+          false
+        } else {
+          val snapSet = job.snapshot.toSet
+          var covered = job.snapshot
+          baseDirs.filterNot(snapSet).foreach { d =>
+            graft.ext.Similarity.extendIvfIndex(
+              spark.read.parquet(covered: _*), spark.read.parquet(d),
+              job.sidePath, nCentroids, iters,
+              unionView = Some(spark.read.parquet((covered :+ d): _*)),
+              profile = profile)
+            covered = covered :+ d
+          }
+          // swap: live → retired, side → live, drop retired. Single
+          // mutator thread (corpus-owner protocol), so no lock; crash
+          // between the renames leaves a rebuildable gap, never a mix
+          val live = new org.apache.hadoop.fs.Path(indexPath)
+          val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+          val retired = new org.apache.hadoop.fs.Path(
+            indexPath.stripSuffix("/") + "_retired")
+          try fs.delete(retired, true)
+          catch { case _: java.io.IOException => () }
+          if (!fs.rename(live, retired)) {
+            log.warn(s"async IVF retrain for $indexPath: could not " +
+              "retire the live index — keeping it; the side index " +
+              "stays for the next adoption attempt")
+            ivfRetrains.put(indexPath, job.copy(snapshot = covered))
+            false
+          } else if (!fs.rename(
+              new org.apache.hadoop.fs.Path(job.sidePath), live)) {
+            // restore the live index rather than serve nothing
+            fs.rename(retired, live)
+            log.warn(s"async IVF retrain for $indexPath: swap failed — " +
+              "restored the frozen index; a later breach relaunches")
+            false
+          } else {
+            try fs.delete(retired, true)
+            catch { case _: java.io.IOException => () }
+            // futility bookkeeping, exactly the sync route's: a swap
+            // that still cannot bring the imbalance under the
+            // threshold records the bottomed-out level so the policy
+            // stands down instead of retraining every batch
+            threshold.foreach { thr =>
+              val after = graft.ext.Similarity
+                .ivfCellLoadStats(spark, indexPath)
+                .select(org.apache.spark.sql.functions.col("imbalance"))
+                .head().getDouble(0)
+              if (after > thr) {
+                log.warn(s"IVF index $indexPath still at imbalance " +
+                  s"$after > $thr AFTER the async retrain — recording " +
+                  "the futile level; the policy stands down until the " +
+                  "imbalance grows past it")
+                recordRefreshFutile(spark, indexPath, after)
+              } else clearRefreshFutile(spark, indexPath)
+            }
+            log.info(s"async IVF retrain for $indexPath adopted " +
+              s"(${covered.size - job.snapshot.size} catch-up batches)")
+            true
+          }
+        }
+      }
+    }
+  }
 
   /** The refresh policy's futility marker: a prior policy retrain that
     * could NOT bring the imbalance under the threshold records where
@@ -939,6 +1158,27 @@ object Streams {
       .toString
   }
 
+  /** Owner-file equality tolerant of the PRE-explicit-authority
+    * spelling: owner files written before the URI normalization hold
+    * Hadoop `Path.toString` form (`file:/x`) while [[ownerIdentity]]
+    * yields `file:///x` — without this, upgrading the library refuses
+    * a legitimate restart of every already-owned corpus (and
+    * [[transferCorpusOwnership]] refuses its rightful transferor as
+    * "stale") until the operator hand-deletes `_graft_owner`. Both
+    * sides are compared through the same explicit-authority rebuild.
+    */
+  private[graft] def sameOwnerIdentity(stored: String,
+      me: String): Boolean =
+    stored == me || normalizeOwnerSpelling(stored) == me
+  private[graft] def normalizeOwnerSpelling(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null) s
+      else new java.net.URI(u.getScheme,
+        Option(u.getAuthority).getOrElse(""), u.getPath, null, null)
+        .toString
+    } catch { case _: java.net.URISyntaxException => s }
+
   private[graft] def claimCorpusOwner(
       spark: org.apache.spark.sql.SparkSession, corpusDir: String,
       checkpoint: String): Unit = {
@@ -970,6 +1210,26 @@ object Streams {
           "collide on b<id> allocation; use a separate corpusDir, or " +
           "transfer an abandoned corpus with " +
           "Streams.transferCorpusOwnership")
+    // claim-race refusals carry a REASON, not an owner: interpolating
+    // a sentinel like "<lost claim race>" into the owned-by template
+    // produced a misleading "checkpointed at <lost claim race>" message
+    def refuseRace(reason: String): Nothing =
+      throw new IllegalStateException(
+        s"cannot claim corpus dir $corpusDir: $reason — two streams " +
+          "landing into one corpus dir would collide on b<id> " +
+          "allocation; retry shortly, use a separate corpusDir, or " +
+          "transfer an abandoned corpus with " +
+          "Streams.transferCorpusOwnership")
+    // a LEGACY-spelling match is still our own corpus: accept it and
+    // rewrite the file to the current form so the next restart (and
+    // any transfer validation) compares exactly
+    def rewriteToCurrentForm(): Unit =
+      try {
+        val out = fs.create(p, true)
+        try out.write(
+          me.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () }
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false) // create-exclusive
@@ -981,22 +1241,28 @@ object Streams {
     // attempt-bounded: every retry edge consumes one attempt, so a
     // pathological FS can only loop 3 times before refusing loudly
     def claim(attempt: Int): Unit =
-      if (attempt > 3) refuse("<unresolvable claim race>")
+      if (attempt > 3) refuseRace("an unresolvable claim race (3 " +
+        "create/read attempts exhausted)")
       else if (tryCreate())
         // read-back verify: a racing claimer that (wrongly, under
         // clock skew past the grace) judged our fresh empty file torn
         // could have deleted-and-reclaimed between our create and
-        // write — the file must still carry OUR token
+        // write — the file must still carry OUR token (exact form:
+        // we just wrote it)
         read() match {
           case Some(owner) if owner == me => ()
           case Some(owner) if owner.nonEmpty => refuse(owner)
-          case _ => refuse("<lost claim race>")
+          case _ => refuseRace("lost the claim race (the owner file " +
+            "no longer carries this stream's token)")
         }
       else decide(attempt + 1)
     def decide(attempt: Int): Unit =
-      if (attempt > 3) refuse("<unresolvable claim race>")
+      if (attempt > 3) refuseRace("an unresolvable claim race (3 " +
+        "create/read attempts exhausted)")
       else read() match {
         case Some(owner) if owner == me => ()
+        case Some(owner) if sameOwnerIdentity(owner, me) =>
+          rewriteToCurrentForm()
         case Some(owner) if owner.nonEmpty => refuse(owner)
         case None => claim(attempt)
         case Some(_) =>
@@ -1011,6 +1277,8 @@ object Streams {
           }
           cur match {
             case Some(owner) if owner == me => ()
+            case Some(owner) if sameOwnerIdentity(owner, me) =>
+              rewriteToCurrentForm()
             case Some(owner) if owner.nonEmpty => refuse(owner)
             case None => claim(attempt + 1)
             case Some(_) =>
@@ -1025,8 +1293,9 @@ object Streams {
                   case _: java.io.FileNotFoundException => Long.MaxValue
                 }
               if (age < graceMs)
-                refuse("<an in-flight or torn claim younger than the " +
-                  s"${graceMs / 1000}s reclaim grace — retry shortly>")
+                refuseRace("an in-flight or torn claim younger than " +
+                  s"the ${graceMs / 1000}s reclaim grace — retry " +
+                  "shortly")
               try fs.delete(p, false)
               catch { case _: java.io.IOException => () }
               claim(attempt + 1)
@@ -1066,8 +1335,10 @@ object Streams {
     graft.engine.AtRest.withMutationLease(spark, corpusDir,
       "_graft_owner") {
       read() match {
-        case Some(owner) if owner == to => () // crashed-retry idempotence
-        case Some(owner) if owner.nonEmpty && owner != from =>
+        case Some(owner) if sameOwnerIdentity(owner, to) =>
+          () // crashed-retry idempotence
+        case Some(owner) if owner.nonEmpty &&
+            !sameOwnerIdentity(owner, from) =>
           throw new IllegalStateException(
             s"corpus dir $corpusDir is owned by $owner, not by the " +
               s"claimed transferor $from — a stale claimant cannot " +

@@ -45,6 +45,12 @@ object RefreshPolicyProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.engine.Checkpoints.MaterializeOps
     import graft.ext.Similarity
+    // SYNC retrain: this probe measures the per-step cost/recall curve
+    // that set the threshold default, so the retrain must land inside
+    // the step it triggers in (the r18 async default would defer it to
+    // the next step and blur which batch paid); SteadyStateProbe is
+    // the async route's measurement
+    spark.conf.set(graft.streaming.Streams.RefreshAsyncKey, "false")
     arm match {
       // the policy is default-on since round 17, so the frozen control
       // arm pins it off explicitly
@@ -94,11 +100,16 @@ object RefreshPolicyProbe {
     base.write.mode("overwrite").parquet(s"$corpusDir/b0")
     var prev: Option[Vector[String]] =
       Some(step(s"$corpusDir/b0", None, "seed"))
-    // the drifting tail, one slice per maintenance trigger
+    // the drifting tail, one slice per maintenance trigger; the LAST
+    // slice extends to nDrift so integer-division remainder vectors
+    // still land — the recall truth set (brute over `all`) includes
+    // them, and silently dropping up to nBatches-1 vectors deflated
+    // both arms' reported recall
     (1 to nBatches).foreach { i =>
+      val hi = if (i == nBatches) nDrift else i.toLong * sliceSize
       val s = drifted
         .filter(col("rn") > (i - 1).toLong * sliceSize &&
-          col("rn") <= i.toLong * sliceSize)
+          col("rn") <= hi)
         .select(col("vec_id"), col("embedding"))
       s.write.mode("overwrite").parquet(s"$corpusDir/b$i")
       prev = Some(step(s"$corpusDir/b$i", prev, s"batch$i"))

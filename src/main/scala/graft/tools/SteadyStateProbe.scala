@@ -75,8 +75,13 @@ object SteadyStateProbe {
         newDir, prev, indexPath, nCentroids = k)
       val sec = (System.nanoTime() - t0) / 1e9
       val f1 = fileCount()
+      // r18: the refresh retrain runs async by default — mark batches
+      // that returned with one still in flight (the serve-frozen
+      // window) so the log shows the stall-free cadence explicitly
+      val rt = if (graft.streaming.Streams.retrainInFlight(indexPath))
+        " retrain-in-flight" else ""
       println(f"STEADY $tag%-8s ${sec}%7.1fs files=$f1%6d " +
-        f"(delta=${f1 - f0}%+d)")
+        f"(delta=${f1 - f0}%+d)$rt")
       dirs
     }
     base.write.mode("overwrite").parquet(s"$corpusDir/b0")

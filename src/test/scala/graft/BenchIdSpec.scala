@@ -88,6 +88,68 @@ class BenchIdSpec extends AnyFunSuite {
       "missing CPU on either side falls back to the wall gate")
   }
 
+  test("r18 artifact markers (dt/cr/wb) are tolerated between the cpu " +
+      "block and the solo object, and an entry whose every pass " +
+      "drain-timed-out (cpu omitted, dt only) still yields a wall ref") {
+    val artifact =
+      """{"metric":"total","value":9.9,"unit":"sec","sf":"/x/sf0.1","passes":3,"queries":{""" +
+        """"x17_dedup_clusters":{"min":2.100,"passes":[2.3,2.1,2.2],"err":null,"cpu":2.900,"cpuPasses":[3.0,2.9,3.1],"gc":0.100,"cr":true},""" +
+        """"x90_hll":{"min":3.100,"passes":[3.1,3.2,3.3],"err":null,"cpu":2.800,"cpuPasses":[2.8,2.9,2.9],"gc":0.050,"wb":true},""" +
+        """"x124_pq":{"min":1.000,"passes":[1.0,1.1,1.2],"err":null,"dt":3},""" +
+        """"x147_audit":{"min":5.000,"passes":[5.1,5.0,5.2],"err":null,"cpu":4.100,"cpuPasses":[4.2,4.1,4.3],"gc":0.100,"dt":1,"cr":true,"wb":true,"solo":{"min":1.000,"passes":[1.2,1.0,1.1],"cpu":2.600}}}}"""
+    val ref = Bench.parseRefs(artifact)
+    assert(ref == Map(
+      "x17_dedup_clusters" -> Bench.Ref(2.100, Some(2.900)),
+      "x90_hll" -> Bench.Ref(3.100, Some(2.800)),
+      "x124_pq" -> Bench.Ref(1.000, None),
+      "x147_audit" -> Bench.Ref(1.000, Some(2.600))),
+      s"got $ref")
+  }
+
+  test("windowed references: the per-query UPPER MEDIAN over up to 3 " +
+      "artifacts — one anomalously LOW run can never bind the gate, " +
+      "wall and CPU windows form independently, and a query present " +
+      "in only some artifacts still gets a reference") {
+    // the r17 poisoning shape: x147's cpu read 0.848 in the degraded
+    // run vs 1.551/2.837 in the healthy runs — the upper median (the
+    // middle value of 3) must bind at 2.837, not 0.848
+    val degraded = Map("x147" -> Bench.Ref(1.0, Some(0.848)),
+      "x01" -> Bench.Ref(0.2, Some(0.8)))
+    val quiet = Map("x147" -> Bench.Ref(1.1, Some(1.551)),
+      "x01" -> Bench.Ref(0.21, Some(0.82)))
+    val fresh = Map("x147" -> Bench.Ref(1.2, Some(2.837)),
+      "xNew" -> Bench.Ref(0.5, None))
+    val w = Bench.windowRefs(Seq(fresh, degraded, quiet))
+    assert(w("x147") == Bench.Ref(1.1, Some(1.551)), s"got ${w("x147")}")
+    assert(w("x01") == Bench.Ref(0.21, Some(0.82)))
+    // singleton query: its own values; wall-only artifact contributes
+    // no cpu
+    assert(w("xNew") == Bench.Ref(0.5, None))
+    // two artifacts: the upper median of 2 is the MAX — conservative
+    // against the observed false-flag direction (anomalously low refs)
+    val w2 = Bench.windowRefs(Seq(degraded, quiet))
+    assert(w2("x147") == Bench.Ref(1.1, Some(1.551)))
+    // a pre-r17 wall-only artifact in the window: cpu median forms
+    // over the artifacts that carry cpu
+    val wallOnly = Map("x147" -> Bench.Ref(0.9, None))
+    val w3 = Bench.windowRefs(Seq(wallOnly, degraded, quiet))
+    assert(w3("x147") == Bench.Ref(1.0, Some(1.551)), s"got ${w3("x147")}")
+  }
+
+  test("ungated wall breach: recorded when wall breaches but CPU is " +
+      "in band on both sides; never when CPU gating is inactive or " +
+      "CPU itself breaches (that flags, not marks)") {
+    val r = Bench.Ref(wall = 1.0, cpu = Some(2.0))
+    assert(Bench.ungatedWallBreach(Some(9.0), Some(2.1), r),
+      "wall 9x with in-band CPU must be marked wb")
+    assert(!Bench.ungatedWallBreach(Some(9.0), Some(4.2), r),
+      "a CPU breach is a flag, not a wb marker")
+    assert(!Bench.ungatedWallBreach(Some(1.1), Some(2.1), r))
+    assert(!Bench.ungatedWallBreach(Some(9.0), None, r) &&
+      !Bench.ungatedWallBreach(Some(9.0), Some(9.0), Bench.Ref(1.0, None)),
+      "wall-only gating has no wb class — the wall gate itself fires")
+  }
+
   test("worst-case stdout bench line fits the driver's 2000-char window") {
     // mirror Bench.line()/toJson() with every value at a pessimistic
     // width: Bench.rq prints 1 decimal below 10 s and integer seconds
@@ -118,12 +180,14 @@ class BenchIdSpec extends AnyFunSuite {
         .mkString(""","errs":[""", ",", "]")
     val worstPartial = ""","partial":true"""
     // the self-adjudication flag count (3-digit worst case: every
-    // query breaching at once)
-    val worstAdj = ""","adj":999"""
+    // query breaching at once), the r18 wb count at the same width,
+    // and the induced-experiment marker
+    val worstAdj = ""","adj":999,"wb":999"""
+    val worstInduced = ""","induced":true"""
     // the r17 summed-CPU field at a pessimistic 7-char width
     val worstCpu = ""","cpu":99999.9"""
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec"$worstCpu,"queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstAdj$worstPartial}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec"$worstCpu,"queries":{$entries},"sf":"sf0.1","passes":3$worstRest$worstErrs$worstAdj$worstPartial$worstInduced}"""
     val budget = 1900 // 2000-char window minus sbt's ~90-char success trailer
     val headroom = 400 // round-12 verdict ask: ≥400 chars spare at the cap
     assert(line.length <= budget - headroom,

@@ -478,6 +478,10 @@ class StreamingSpec extends AnyFunSuite {
         profile = IndexProfile.Exact))
       frozen
     }
+    // this test pins the THRESHOLD semantics on the synchronous route
+    // (retrain visible immediately after the breaching batch); the
+    // async default's serve-frozen/swap protocol has its own test
+    spark.conf.set(Streams.RefreshAsyncKey, "false")
     // 'off': frozen model rides through the drifting batch no matter
     // what the imbalance reads — the explicit disable face
     val cd1 = Files.createTempDirectory("graft-refresh-c1").toString
@@ -515,7 +519,10 @@ class StreamingSpec extends AnyFunSuite {
       assert(Similarity.readKnnCentroids(spark, ix2)
         .collect().map(_.toString).sorted.toSeq != frozen2,
         s"imbalance $imb over threshold must re-train the model")
-    } finally spark.conf.unset(Similarity.RefreshImbalanceKey)
+    } finally {
+      spark.conf.unset(Similarity.RefreshImbalanceKey)
+      spark.conf.unset(Streams.RefreshAsyncKey)
+    }
   }
 
   test("IVF refresh futility guard: a policy retrain that cannot fix " +
@@ -544,6 +551,10 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     val futileFile = new java.io.File(ix, "_graft_refresh_futile")
     spark.conf.set(Similarity.RefreshImbalanceKey, "2.0")
+    // futility ARITHMETIC pinned on the sync route (deterministic
+    // retrain timing); the async adoption path re-runs the same
+    // bookkeeping and has its own test
+    spark.conf.set(Streams.RefreshAsyncKey, "false")
     try {
       var prev: Option[Vector[String]] = None
       prev = Some(Streams.ivfIndexBatch(spark, cd, land(0, base), prev,
@@ -577,7 +588,137 @@ class StreamingSpec extends AnyFunSuite {
         "imbalance past the recorded level by the slack must re-attempt")
       assert(Streams.refreshFutileLevel(spark, ix).exists(_ > 1.0),
         "the re-attempt must refresh the recorded futile level")
-    } finally spark.conf.unset(Similarity.RefreshImbalanceKey)
+    } finally {
+      spark.conf.unset(Similarity.RefreshImbalanceKey)
+      spark.conf.unset(Streams.RefreshAsyncKey)
+    }
+  }
+
+  test("async refresh (the r18 default): a breach launches the retrain " +
+      "on a background thread — the breaching batch and every batch " +
+      "until completion extend the FROZEN model and the index keeps " +
+      "serving probes; the first step after completion catches up and " +
+      "swaps; the post-swap index equals the synchronous retrain's") {
+    import graft.ext.{IndexProfile, Similarity}
+    // same drift fixture as the policy test: an 80-row ring seeds the
+    // model, an 80-row pile drifts the loads past the threshold
+    val ring = (0 until 80).map(i => (i.toLong,
+      Seq(math.cos(i * 0.3f), math.sin(i * 0.3f), 0.1f * (i % 5))
+        .map(_.toFloat)))
+    val pile = (100 until 180).map(i => (i.toLong,
+      Seq(1.0f, 0.01f, 0.0f).map(_.toFloat)))
+    val tail = (200 until 220).map(i => (i.toLong,
+      Seq(0.2f, 0.9f, 0.1f).map(_.toFloat)))
+    def land(cd: String, id: Int, rows: Seq[(Long, Seq[Float])]): String = {
+      val d = s"$cd/b$id"
+      rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(d)
+      d
+    }
+    def model(ix: String): Seq[String] = Similarity
+      .readKnnCentroids(spark, ix).collect().map(_.toString).sorted.toSeq
+    def rows(ix: String): Seq[String] = spark.read.parquet(ix)
+      .select(col("cid"), col("cell")).collect()
+      .map(_.toString).sorted.toSeq
+    spark.conf.set(Similarity.RefreshImbalanceKey, "3.0")
+    try {
+      // ---- sync arm: the comparison oracle ----
+      val cdS = Files.createTempDirectory("graft-async-cs").toString
+      val ixS = Files.createTempDirectory("graft-async-is").toString
+      spark.conf.set(Streams.RefreshAsyncKey, "false")
+      var prevS: Option[Vector[String]] = None
+      prevS = Some(Streams.ivfIndexBatch(spark, cdS, land(cdS, 0, ring),
+        prevS, ixS, nCentroids = 8, profile = IndexProfile.Exact))
+      prevS = Some(Streams.ivfIndexBatch(spark, cdS, land(cdS, 1, pile),
+        prevS, ixS, nCentroids = 8, profile = IndexProfile.Exact))
+      val syncModelAfterBreach = model(ixS)
+      prevS = Some(Streams.ivfIndexBatch(spark, cdS, land(cdS, 2, tail),
+        prevS, ixS, nCentroids = 8, profile = IndexProfile.Exact))
+      // ---- async arm (the default) ----
+      val cdA = Files.createTempDirectory("graft-async-ca").toString
+      val ixA = Files.createTempDirectory("graft-async-ia").toString
+      spark.conf.unset(Streams.RefreshAsyncKey) // default = async
+      var prevA: Option[Vector[String]] = None
+      prevA = Some(Streams.ivfIndexBatch(spark, cdA, land(cdA, 0, ring),
+        prevA, ixA, nCentroids = 8, profile = IndexProfile.Exact))
+      val frozen = model(ixA)
+      prevA = Some(Streams.ivfIndexBatch(spark, cdA, land(cdA, 1, pile),
+        prevA, ixA, nCentroids = 8, profile = IndexProfile.Exact))
+      // the breaching batch returns with the FROZEN model still live —
+      // the retrain is in flight, not on the hot path
+      assert(model(ixA) == frozen,
+        "the breaching batch must serve the frozen model (async)")
+      // serving continuity: the live index answers probes mid-retrain
+      val q = ring.take(3).toDF("vec_id", "embedding")
+      assert(Similarity.topKIvfIndexed(ixA, q, k = 3, nprobe = 2)
+        .count() > 0, "the frozen index must keep serving probes")
+      assert(Streams.awaitIvfRetrain(ixA),
+        "the background retrain must complete")
+      // still frozen: adoption happens on the NEXT maintenance step
+      assert(model(ixA) == frozen,
+        "completion alone must not mutate the live index")
+      prevA = Some(Streams.ivfIndexBatch(spark, cdA, land(cdA, 2, tail),
+        prevA, ixA, nCentroids = 8, profile = IndexProfile.Exact))
+      // adopted: the swapped-in model is the sync arm's retrained one
+      assert(model(ixA) == syncModelAfterBreach,
+        "the post-swap model must equal the synchronous retrain's")
+      assert(rows(ixA) == rows(ixS),
+        "the post-swap index rows must equal the synchronous arm's")
+      // the side/retired dirs are gone after a clean swap
+      assert(!new java.io.File(ixA.stripSuffix("/") + "_retrain").exists())
+      assert(!new java.io.File(ixA.stripSuffix("/") + "_retired").exists())
+    } finally {
+      spark.conf.unset(Similarity.RefreshImbalanceKey)
+      spark.conf.unset(Streams.RefreshAsyncKey)
+    }
+  }
+
+  test("async refresh futility: an async retrain that cannot fix an " +
+      "intrinsic shape records the futile level AT ADOPTION and the " +
+      "policy stands down — no relaunch while one is in flight, no " +
+      "retrain loop afterwards") {
+    import graft.ext.{IndexProfile, Similarity}
+    val cd = Files.createTempDirectory("graft-afutile-c").toString
+    val ix = Files.createTempDirectory("graft-afutile-i").toString
+    val base = (0 until 32).map(i => (i.toLong,
+      Seq(math.cos(i % 4 * 1.57), math.sin(i % 4 * 1.57), 0.3)
+        .map(_.toFloat)))
+    def pile(lo: Int, n: Int) = (lo until lo + n).map(i =>
+      (i.toLong, Seq(0.7f, 0.69f, 0.71f)))
+    def land(id: Int, rows: Seq[(Long, Seq[Float])]): String = {
+      val d = s"$cd/b$id"
+      rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(d)
+      d
+    }
+    def model(): Seq[String] = Similarity.readKnnCentroids(spark, ix)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(Similarity.RefreshImbalanceKey, "2.0")
+    try {
+      var prev: Option[Vector[String]] = None
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(0, base), prev,
+        ix, nCentroids = 4, profile = IndexProfile.Exact))
+      // identical-vector pile: breach launches the async retrain
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(1, pile(100, 200)),
+        prev, ix, nCentroids = 4, profile = IndexProfile.Exact))
+      assert(Streams.awaitIvfRetrain(ix))
+      // adoption step: swap lands, the still-broken imbalance records
+      // the futile level
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(2, pile(400, 20)),
+        prev, ix, nCentroids = 4, profile = IndexProfile.Exact))
+      assert(Streams.refreshFutileLevel(spark, ix).isDefined,
+        "an unfixable async retrain must record the futile level at " +
+          "adoption")
+      val adopted = model()
+      // more of the same shape: the policy stands down — no new
+      // retrain in flight, model unchanged
+      prev = Some(Streams.ivfIndexBatch(spark, cd, land(3, pile(500, 20)),
+        prev, ix, nCentroids = 4, profile = IndexProfile.Exact))
+      assert(!Streams.retrainInFlight(ix),
+        "within slack of the futile level no retrain may launch")
+      assert(model() == adopted, "stand-down must keep the model")
+    } finally {
+      spark.conf.unset(Similarity.RefreshImbalanceKey)
+      spark.conf.unset(Streams.RefreshAsyncKey)
+    }
   }
 
   test("corpus ownership: one landed corpus dir belongs to one stream " +
@@ -685,6 +826,48 @@ class StreamingSpec extends AnyFunSuite {
     val parent = ck.substring(0, ck.lastIndexOf('/'))
     val base = ck.substring(ck.lastIndexOf('/') + 1)
     Streams.claimCorpusOwner(spark, dir, s"$parent/./$base")
+  }
+
+  test("legacy owner-file spelling (pre-r18 Hadoop Path.toString form, " +
+      "'file:/x'): a restart of the SAME stream is accepted and the " +
+      "file is rewritten to the explicit-authority form; a transfer " +
+      "whose `from` matches only in the legacy form is honored; a " +
+      "DIFFERENT stream is still refused") {
+    val dir = Files.createTempDirectory("graft-legacy").toString
+    val ck = Files.createTempDirectory("graft-legacy-ck").toString
+    val ck2 = Files.createTempDirectory("graft-legacy-ck2").toString
+    val me = Streams.ownerIdentity(spark, ck)
+    assert(me.startsWith("file:///"), s"test precondition: $me")
+    // what the pre-r18 code wrote: Path.toString form, single slash
+    val legacy = "file:" + me.stripPrefix("file://")
+    assert(legacy.startsWith("file:/") && !legacy.startsWith("file://"))
+    val owner = new java.io.File(dir, "_graft_owner")
+    // write through the Hadoop FS, exactly as the pre-r18 code did —
+    // a raw NIO write would leave a stale ChecksumFileSystem .crc
+    // behind on later rewrites and fail the read as an IOException
+    def writeOwner(s: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_graft_owner")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeOwner(legacy)
+    // a different stream must still refuse against the legacy form
+    intercept[IllegalStateException] {
+      Streams.claimCorpusOwner(spark, dir, ck2)
+    }
+    // the rightful stream's restart is accepted — and upgrades the
+    // stored spelling so later comparisons are exact
+    Streams.claimCorpusOwner(spark, dir, ck)
+    assert(new String(java.nio.file.Files.readAllBytes(owner.toPath))
+      == me, "a legacy-form match must rewrite the file to the " +
+        "explicit-authority form")
+    // transfer with a legacy-form stored owner: rewrite back to legacy
+    // and hand over from ck — the transferor matches via normalization
+    writeOwner(legacy)
+    Streams.transferCorpusOwnership(spark, dir, ck, ck2)
+    Streams.claimCorpusOwner(spark, dir, ck2)
   }
 
   test("manifest versioning: readers take the highest committed seq, " +
