@@ -1156,11 +1156,20 @@ object Similarity {
     * CUMULATIVE ROW MASS of the probed prefix reaches
     * `massFrac · n_rows` (always at least `floor` cells), so the
     * scanned-row budget — the thing that actually costs — holds
-    * per-query at any skew. Cell loads come from the same
-    * footer-bound partition-column scan as [[ivfCellLoadStats]];
-    * centroids with no landed rows are excluded from the ranking
-    * (probing an empty cell buys nothing). Declared end to end as
-    * x155 with a DuckDB oracle replicating the cumulative-mass prefix.
+    * per-query at any skew: SkewProbeCalib measured the worst query
+    * ≈ the mean to 0.4% at every fraction, where the count-frac probe
+    * overshoots its nominal budget 16–22% per worst query (SCALE.md
+    * r18 — at equal scanned rows the two disciplines are
+    * near-equivalent on recall, so this route's win is the
+    * deterministic tail bound, not recall-per-row). Cell loads come
+    * from the same footer-bound partition-column scan as
+    * [[ivfCellLoadStats]] — metadata-bound but file-count-bound, so a
+    * batch caller probing repeatedly should derive the loads relation
+    * once per index version (the streaming maintenance step already
+    * computes it) rather than per query batch. Centroids with no
+    * landed rows are excluded from the ranking (probing an empty cell
+    * buys nothing). Declared end to end as x155 with a DuckDB oracle
+    * replicating the cumulative-mass prefix.
     */
   def topKIvfIndexedMass(indexPath: String, queries: DataFrame, k: Int,
       massFrac: Double, floor: Int = 2): DataFrame = {
