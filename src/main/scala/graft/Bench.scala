@@ -53,9 +53,10 @@ object Bench {
     * closing the ratchet where warm solo mins tightened the gate and
     * manufactured future false flags. Round-18 optional markers
     * (`"dt"` drain-timeout count, `"cr"` cache-rider, `"wb"`
-    * ungated wall breach) are tolerated between the cpu block and
-    * the solo object. Unit-pinned in BenchIdSpec, including pre-r17
-    * artifacts without the cpu fields.
+    * ungated wall breach, `"fl"` unadjudicated induced-run flag) are
+    * tolerated between the cpu block and the solo object. Unit-pinned
+    * in BenchIdSpec, including pre-r17 artifacts without the cpu
+    * fields.
     */
   private[graft] def parseRefs(t: String): Map[String, Ref] = {
     val m = java.util.regex.Pattern.compile(
@@ -63,6 +64,7 @@ object Bench {
         ",\"err\":(?:null|\"[^\"]*\")" +
         "(?:,\"cpu\":([0-9.]+),\"cpuPasses\":\\[[^\\]]*\\],\"gc\":[0-9.]+)?" +
         "(?:,\"dt\":\\d+)?(?:,\"cr\":true)?(?:,\"wb\":true)?" +
+        "(?:,\"fl\":true)?" +
         "(?:,\"solo\":\\{\"min\":([0-9.]+),\"passes\":\\[[^\\]]*\\]" +
         "(?:,\"cpu\":([0-9.]+))?)?")
       .matcher(t)
@@ -386,17 +388,29 @@ object Bench {
       }.take(3).toSeq
       windowRefs(texts.map(parseRefs))
     }
+    // a deliberately degraded experiment run (spinner demos, drain-
+    // stress probes): committed for the record like any run, but
+    // marked so refMins() never lets it become a binding baseline —
+    // the r17 self-poisoning finding
+    val induced = sys.env.get("SPARK_GRAFT_BENCH_INDUCED")
+      .exists(v => v.equalsIgnoreCase("true") || v == "1")
     val refs: Map[String, Ref] =
       if (only.isDefined) Map.empty else refMins()
-    val solo: Map[String, QRes] = {
-      val flagged = results.filter { r =>
-        refs.get(r.name).exists(isFlagged(r.min, r.cpuMin, _))
-      }.map(_.name)
-      // timeQuery itself clears the session memos before pass 1 (and
-      // every pass of a detected rider), so the solo is cache-honest
-      // by construction (round-16 verdict #4)
-      flagged.map(n => n -> timeQuery(n, SparkEntry.queries(n))).toMap
-    }
+    val flagged: Seq[String] = results.filter { r =>
+      refs.get(r.name).exists(isFlagged(r.min, r.cpuMin, _))
+    }.map(_.name)
+    val solo: Map[String, QRes] =
+      // an induced run's solos would inherit the same deliberate
+      // degradation and cannot adjudicate anything (measured: x146's
+      // 20-spinner solo read 15.4 s cpu vs its 6.8–8.1 quiet band) —
+      // record the flags as "fl" markers instead and let the next
+      // QUIET run's window adjudicate
+      if (induced) Map.empty
+      else
+        // timeQuery itself clears the session memos before pass 1 (and
+        // every pass of a detected rider), so the solo is cache-honest
+        // by construction (round-16 verdict #4)
+        flagged.map(n => n -> timeQuery(n, SparkEntry.queries(n))).toMap
     // wall breaches the CPU gate absorbed: recorded (artifact "wb"
     // marker + stderr), never solo'd — visible for adjudication
     // without re-opening the ambient-flag class
@@ -475,12 +489,10 @@ object Bench {
     val adjField = if (solo.isEmpty) "" else s""","adj":${solo.size}"""
     val wbField =
       if (wallBreached.isEmpty) "" else s""","wb":${wallBreached.size}"""
-    // a deliberately degraded experiment run (spinner demos, drain-
-    // stress probes): committed for the record like any run, but
-    // marked so refMins() never lets it become a binding baseline —
-    // the r17 self-poisoning finding
-    val induced = sys.env.get("SPARK_GRAFT_BENCH_INDUCED")
-      .exists(v => v.equalsIgnoreCase("true") || v == "1")
+    // induced runs record flag COUNT (no solos fire — see above)
+    val flField =
+      if (induced && flagged.nonEmpty) s""","fl":${flagged.size}"""
+      else ""
     val inducedField = if (induced) ""","induced":true""" else ""
     // the stdout errs field is BOUNDED (first 4 ids + an "ne" total):
     // an unbounded list on a badly broken run — exactly when the parsed
@@ -501,7 +513,7 @@ object Bench {
     // capture window buy ~3 more queries of headroom at 1-dp values
     val sfShort = sfDir.replaceAll(".*/", "")
     def line(qs: String): String =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r1(totalCpu)},"queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$wbField$partial$inducedField}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu":${r1(totalCpu)},"queries":$qs,"sf":"$sfShort","passes":$passes$restField$errsField$adjField$wbField$flField$partial$inducedField}"""
     // The driver keeps only the LAST 2000 chars of stdout (every recorded
     // BENCH_r*.json tail is exactly 2000), and sbt's trailing "[success]"
     // line eats ~85 of them — the full query names (~35 bytes/entry,
@@ -541,6 +553,10 @@ object Bench {
           if (r.drainTimeouts == 0) "" else ",\"dt\":" + r.drainTimeouts
         val cr = if (r.rider) ",\"cr\":true" else ""
         val wb = if (wallBreached.contains(r.name)) ",\"wb\":true" else ""
+        // a flag on an INDUCED run gets a marker, not a solo — the
+        // solo would inherit the same deliberate degradation
+        val fl =
+          if (induced && flagged.contains(r.name)) ",\"fl\":true" else ""
         val adj = solo.get(r.name).fold("") { s =>
           ",\"solo\":{\"min\":" + s.min.map(r3).getOrElse("null") +
             ",\"passes\":" + s.times.map(r3).mkString("[", ",", "]") +
@@ -548,7 +564,7 @@ object Bench {
         }
         "\"" + r.name + "\":{\"min\":" + r.min.map(r3).getOrElse("null") +
           ",\"passes\":" + ps + ",\"err\":" + e + cpu + dt + cr + wb +
-          adj + "}"
+          fl + adj + "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"queries":$qs$partial$inducedField}"""
     }

@@ -96,12 +96,14 @@ class BenchIdSpec extends AnyFunSuite {
         """"x17_dedup_clusters":{"min":2.100,"passes":[2.3,2.1,2.2],"err":null,"cpu":2.900,"cpuPasses":[3.0,2.9,3.1],"gc":0.100,"cr":true},""" +
         """"x90_hll":{"min":3.100,"passes":[3.1,3.2,3.3],"err":null,"cpu":2.800,"cpuPasses":[2.8,2.9,2.9],"gc":0.050,"wb":true},""" +
         """"x124_pq":{"min":1.000,"passes":[1.0,1.1,1.2],"err":null,"dt":3},""" +
+        """"x146_ext":{"min":9.000,"passes":[9.0,9.1,9.2],"err":null,"cpu":14.169,"cpuPasses":[14.2,14.2,14.3],"gc":0.200,"cr":true,"fl":true},""" +
         """"x147_audit":{"min":5.000,"passes":[5.1,5.0,5.2],"err":null,"cpu":4.100,"cpuPasses":[4.2,4.1,4.3],"gc":0.100,"dt":1,"cr":true,"wb":true,"solo":{"min":1.000,"passes":[1.2,1.0,1.1],"cpu":2.600}}}}"""
     val ref = Bench.parseRefs(artifact)
     assert(ref == Map(
       "x17_dedup_clusters" -> Bench.Ref(2.100, Some(2.900)),
       "x90_hll" -> Bench.Ref(3.100, Some(2.800)),
       "x124_pq" -> Bench.Ref(1.000, None),
+      "x146_ext" -> Bench.Ref(9.000, Some(14.169)),
       "x147_audit" -> Bench.Ref(1.000, Some(2.600))),
       s"got $ref")
   }
@@ -182,7 +184,7 @@ class BenchIdSpec extends AnyFunSuite {
     // the self-adjudication flag count (3-digit worst case: every
     // query breaching at once), the r18 wb count at the same width,
     // and the induced-experiment marker
-    val worstAdj = ""","adj":999,"wb":999"""
+    val worstAdj = ""","adj":999,"wb":999,"fl":999"""
     val worstInduced = ""","induced":true"""
     // the r17 summed-CPU field at a pessimistic 7-char width
     val worstCpu = ""","cpu":99999.9"""
