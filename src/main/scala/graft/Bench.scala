@@ -184,10 +184,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, "SPARK_GRAFT_BENCH_PASSES must be >= 1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = graft.engine.GraftSession.staticConfs
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     graft.engine.GraftSession.tune(spark)
     // optional "k=v,k=v" runtime-conf overrides for conf-keyed measured
@@ -261,17 +264,20 @@ object Bench {
         err: Option[String]) {
       def min: Option[Double] = if (times.nonEmpty) Some(times.min) else None
       // CPU min over TRUSTED passes only: a misattributed delta must
-      // never become this run's number nor the next run's reference
-      private def trustedCpus: Seq[Double] =
-        cpus.zip(trusted).collect { case (c, true) => c }
+      // never become this run's number nor the next run's reference.
+      // The min's PASS INDEX is tracked directly (not recovered by
+      // value with indexOf, which an untrusted pass carrying the same
+      // rounded CPU could shadow) so gcOfMinCpu reads the gc of the
+      // exact pass that produced the trusted min.
+      private def trustedIdx: Seq[Int] =
+        trusted.zipWithIndex.collect { case (true, i) => i }
       def cpuMin: Option[Double] =
-        if (trustedCpus.nonEmpty) Some(trustedCpus.min) else None
+        trustedIdx.map(cpus).minOption
       def drainTimeouts: Int = trusted.count(!_)
       // GC of the min-CPU pass — the diagnostic that explains a CPU
       // outlier (a GC storm inflates on-CPU time too)
-      def gcOfMinCpu: Option[Double] = cpuMin.map { c =>
-        gcs(cpus.indexOf(c))
-      }
+      def gcOfMinCpu: Option[Double] =
+        trustedIdx.minByOption(cpus).map(gcs)
     }
     /** Total occupancy of the JVM-session-lifetime graft memos — the
       * cache-rider detector: timeQuery clears every memo before its

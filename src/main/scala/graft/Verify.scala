@@ -60,11 +60,14 @@ object Verify {
       case Array(a, b, f) => (a, b, f)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.engine.GraftSession.staticConfs
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     graft.engine.GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

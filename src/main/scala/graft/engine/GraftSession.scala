@@ -16,15 +16,46 @@ import org.apache.spark.sql.SparkSession
   *    is overridden by AQE + `spark.sql.adaptive.coalescePartitions`.
   */
 object GraftSession {
+
+  /** STATIC (context-creation-time) confs every graft session builder
+    * must apply — these cannot go through [[tune]] because Spark
+    * refuses them on a live context. One entry (r19 measurement,
+    * OPTIMIZATION_r19.md):
+    *
+    *  - `spark.shuffle.sort.bypassMergeThreshold=1`: never use the
+    *    bypass-merge shuffle writer. For every SQL exchange with R
+    *    reduce partitions under the threshold (default 200), the
+    *    bypass writer creates R per-partition files per MAP TASK and
+    *    concatenates them through FileChannel.transferTo (an
+    *    mmap/unmap per file) — thread dumps of the r19 baseline
+    *    showed the trainer queries' task threads pinned in
+    *    FileOutputStream.open0/FileChannelImpl.map0 doing exactly
+    *    that, and 32 concurrent tasks contending on the kernel mmap
+    *    lock burned ~0.3–0.6 s of KERNEL CPU per task on 3-row
+    *    partitions (x122: 26 CPU-s/pass → 3–10 with the serialized
+    *    sort writer; x128: 32–42 → 8–10). The serialized sort writer
+    *    (UnsafeShuffleWriter — the only writer at production R > 200
+    *    anyway) writes ONE data file per map task at any R; its
+    *    partition-id pointer sort is noise. Scale posture: at real
+    *    cluster R this conf is moot (bypass never fires past 200);
+    *    for small-R shuffles it removes an O(R) file-create/mmap term
+    *    per map task on any filesystem.
+    */
+  val staticConfs: Seq[(String, String)] = Seq(
+    "spark.shuffle.sort.bypassMergeThreshold" -> "1")
+
   def build(
       master: String = "local[32]",
       appName: String = "graft",
       shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
+    val builder0 = SparkSession
       .builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val spark = staticConfs.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

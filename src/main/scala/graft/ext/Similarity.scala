@@ -711,7 +711,7 @@ object Similarity {
     * through the Hadoop FS API so the path can live on any cluster
     * filesystem. Returns true when a (re)build happened.
     */
-  private val IvfMeta = "_graft_ivf_meta"
+  private[graft] val IvfMeta = "_graft_ivf_meta"
 
   /** v2: the stamp carries a `model=` term (see [[knnCorpusPart]]'s
     * rationale) so [[extendIvfIndex]] can roll the corpus forward under
@@ -1254,10 +1254,17 @@ object Similarity {
             .get(ProbeFracKey, probeFracDefault.toString).toDouble)
         probeCells(queries, cent, np)
       }
-    probed.select(col("qid"), col("cell")).join(loads, Seq("cell"))
+    // LEFT join + mass-0 coalesce: the count discipline's probeCells
+    // ranks ALL centroids including zero-load ones, and an inner join
+    // against the non-empty-cell loads relation would drop those from
+    // n_probed_cells — under-reporting the count-fraction arm this
+    // calibration compares against. scanned_rows is unchanged (an
+    // empty cell contributes 0 rows either way).
+    probed.select(col("qid"), col("cell"))
+      .join(loads, Seq("cell"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_probed_cells"),
-        sum(col("mass")).as("scanned_rows"))
+        sum(coalesce(col("mass"), lit(0L))).as("scanned_rows"))
   }
 
   /** Per-cell load statistics of an at-rest IVF index — the re-train
@@ -1577,6 +1584,24 @@ object Similarity {
     * never the corpus. Result ids are 0..k−1 as with [[trainCentroids]],
     * and the session cache keys on the SOURCE corpus + parameters.
     */
+  /** Partition count for a re-spread training sample, derived from the
+    * Lloyd pass's WORK (sample·k cosine evaluations, ~250k per task)
+    * instead of a flat defaultParallelism — the guide's
+    * scale-adaptive-partitioning rule applied to the trainer: a
+    * validation-scale sample (100 rows × k=8) runs as ONE task instead
+    * of 32 near-empty shuffle map tasks (whose per-task
+    * file-create/mmap kernel cost dominated trainer CPU — measured 26
+    * CPU-s → ~1.5 CPU-s per x122 pass at sf0.1, r19 thread dumps),
+    * while a production sample (200k rows × k=4096 ⇒ byWork ≫ cores)
+    * still spreads across the full cluster (capped at
+    * defaultParallelism, the pre-r19 behavior).
+    */
+  private def samplePartitions(spark: org.apache.spark.sql.SparkSession,
+      sampleRows: Int, k: Int): Int = {
+    val byWork = math.ceil(sampleRows.toDouble * k / 250000.0).toInt
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, byWork))
+  }
+
   def trainCentroidsSampled(corpus: DataFrame, nCentroids: Int,
       maxTrainRows: Int, iters: Int = 3): DataFrame = {
     require(maxTrainRows >= nCentroids,
@@ -1595,7 +1620,8 @@ object Similarity {
       .withColumn("rid",
         row_number().over(Window.orderBy(col("vec_id"))) - 1)
       .select(col("rid").cast("long").as("vec_id"), col("embedding"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .repartition(
+        samplePartitions(corpus.sparkSession, maxTrainRows, nCentroids))
       .materialized
     trainCentroidsKeyed(reid,
       s"sampled:$nCentroids:$maxTrainRows:$iters", Seq(corpus),
@@ -1647,7 +1673,7 @@ object Similarity {
       .withColumn("rid",
         row_number().over(Window.orderBy(col("vec_id"))) - 1)
       .select(col("rid").cast("long").as("vec_id"), col("embedding"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(samplePartitions(spark, maxTrainRows, nCentroids))
       .materialized
     var cent: Seq[(Long, Seq[Float])] = reid
       .filter(col("vec_id") < nCentroids)

@@ -831,15 +831,50 @@ object Streams {
         // the snapshot, in landed order — the same incremental route
         // the live index rode meanwhile
         val missedOk = baseDirs.nonEmpty || job.snapshot.isEmpty
+        val snapSet = job.snapshot.toSet
+        // layout-drift guard: consolidateLanded (same maintenance
+        // loop) DELETES folded b-dirs and replaces them with a c-dir,
+        // so a retrain spanning a consolidation would (a) read
+        // vanished snapshot dirs in the catch-up (path-not-found,
+        // uncaught in foreachBatch — a stream kill) or (b) re-extend a
+        // c-dir whose rows the snapshot already covers (silent
+        // duplicates). Adoption is only sound when every snapshot dir
+        // is still in the live landed list AND nothing consolidated
+        // appeared since; otherwise discard the side index — the
+        // frozen model keeps serving and a later breach relaunches
+        // over the post-consolidation layout.
+        val catchUp = baseDirs.filterNot(snapSet)
+        val layoutOk = snapSet.subsetOf(baseDirs.toSet) &&
+          !catchUp.exists(_.split('/').last.startsWith("c"))
         if (!missedOk) {
           log.warn(s"async IVF retrain for $indexPath: cannot recover " +
             "the landed-dir list from the base plan — discarding the " +
             "retrain (a later breach relaunches)")
           false
-        } else {
-          val snapSet = job.snapshot.toSet
+        } else if (!layoutOk) {
+          log.warn(s"async IVF retrain for $indexPath: the landed " +
+            "layout consolidated past the retrain's snapshot — " +
+            "discarding the side index (a later breach relaunches " +
+            "over the new layout)")
+          val fsSide = new org.apache.hadoop.fs.Path(job.sidePath)
+          try fsSide.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(fsSide, true)
+          catch { case _: java.io.IOException => () }
+          false
+        } else try {
+          // the catch-up extends and the swap run under the LIVE
+          // index's mutation lease with its stamp off for the rename
+          // window — the protocol every other live-index mutation
+          // (extendStamped/compactStamped) follows, so a cooperating
+          // offline writer is refused for the whole adoption instead
+          // of interleaving between the renames. External READERS of
+          // indexPath must still tolerate (retry) a transient
+          // missing-dir between the two renames — the documented cost
+          // of a swap-based layout without pointer indirection.
+          graft.engine.AtRest.withMutationLease(spark, indexPath,
+            graft.ext.Similarity.IvfMeta) {
           var covered = job.snapshot
-          baseDirs.filterNot(snapSet).foreach { d =>
+          catchUp.foreach { d =>
             graft.ext.Similarity.extendIvfIndex(
               spark.read.parquet(covered: _*), spark.read.parquet(d),
               job.sidePath, nCentroids, iters,
@@ -847,16 +882,29 @@ object Streams {
               profile = profile)
             covered = covered :+ d
           }
-          // swap: live → retired, side → live, drop retired. Single
-          // mutator thread (corpus-owner protocol), so no lock; crash
-          // between the renames leaves a rebuildable gap, never a mix
+          // swap: live → retired, side → live, drop retired. The lease
+          // excludes cooperating writers; crash between the renames
+          // leaves a rebuildable gap, never a mix. The live stamp comes
+          // OFF before the first rename (compactStamped's discipline —
+          // a crash mid-swap must leave a stampless/absent live dir,
+          // a clean rebuild) and is restored verbatim if the retire
+          // rename fails, so the failure path keeps serving the frozen
+          // index without a spurious rebuild.
           val live = new org.apache.hadoop.fs.Path(indexPath)
           val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
           val retired = new org.apache.hadoop.fs.Path(
             indexPath.stripSuffix("/") + "_retired")
           try fs.delete(retired, true)
           catch { case _: java.io.IOException => () }
+          val liveStamp = graft.engine.AtRest.readStamp(spark, indexPath,
+            graft.ext.Similarity.IvfMeta)
+          graft.engine.AtRest.deleteStamp(spark, indexPath,
+            graft.ext.Similarity.IvfMeta)
           if (!fs.rename(live, retired)) {
+            liveStamp.foreach { st =>
+              graft.engine.AtRest.ensureStamped(spark, indexPath,
+                graft.ext.Similarity.IvfMeta, st, force = true) {}
+            }
             log.warn(s"async IVF retrain for $indexPath: could not " +
               "retire the live index — keeping it; the side index " +
               "stays for the next adoption attempt")
@@ -893,6 +941,16 @@ object Streams {
               s"(${covered.size - job.snapshot.size} catch-up batches)")
             true
           }
+          }
+        } catch {
+          case e: graft.engine.AtRest.ConcurrentWriterException =>
+            // an offline writer holds the live index's lease: keep the
+            // completed retrain pending and let the next maintenance
+            // step retry the adoption after the writer finishes
+            log.warn(s"async IVF retrain for $indexPath: adoption " +
+              s"deferred — ${e.getMessage}")
+            ivfRetrains.put(indexPath, job)
+            false
         }
       }
     }
@@ -1223,13 +1281,37 @@ object Streams {
     // a LEGACY-spelling match is still our own corpus: accept it and
     // rewrite the file to the current form so the next restart (and
     // any transfer validation) compares exactly
+    // temp-write + rename, NOT an in-place overwrite: a crash mid-
+    // rewrite would otherwise leave an empty/torn _graft_owner that,
+    // past the reclaim grace, a foreign stream could delete and claim
+    // — the spelling upgrade must never convert a valid ownership
+    // claim into a reclaimable one. Rename is atomic on HDFS-class
+    // stores; on a store without atomic rename the failure mode
+    // reverts to the legacy spelling (still ours), never a torn file.
     def rewriteToCurrentForm(): Unit =
       try {
-        val out = fs.create(p, true)
+        val tmp = new org.apache.hadoop.fs.Path(corpusDir,
+          s"_graft_owner.rewrite.${ProcessHandle.current().pid()}")
+        val out = fs.create(tmp, true)
         try out.write(
           me.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-      } catch { case _: java.io.IOException => () }
+        // FileContext rename with OVERWRITE: atomic replace on
+        // HDFS-class stores (the FileSystem.rename API would refuse an
+        // existing destination, and delete-then-rename would open a
+        // no-owner-file window a foreign stream could claim through)
+        try org.apache.hadoop.fs.FileContext
+          .getFileContext(p.toUri,
+            spark.sessionState.newHadoopConf())
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        finally {
+          try fs.delete(tmp, false)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch {
+        case _: java.io.IOException => ()
+        case _: UnsupportedOperationException => ()
+      }
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false) // create-exclusive
