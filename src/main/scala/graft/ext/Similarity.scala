@@ -2311,11 +2311,21 @@ object Similarity {
       .select(col("cid"), col("cell"), col("nid"),
         round(dot(col("ce"), col("ne")) / (col("cn") * col("nn")), 6)
           .as("cos"))
-    val w = Window.partitionBy(col("cid"))
-      .orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("cid"), col("cell"), col("nid"), col("cos"))
+    // bounded-heap top-k (the [[topKAggregated]] shape), NOT a
+    // row_number window (r19): the window form sorts and shuffles the
+    // FULL within-cell pair mass (~corpus × perCell rows) to keep k
+    // per node, while the aggregator partial-aggregates map-side so
+    // the exchange carries O(nodes × k). Row-identical: TopKAgg's
+    // (cos desc, nid asc) ordering is the window's exact contract on
+    // pre-rounded scores, and `cell` is functionally dependent on
+    // `cid` (one cell per node), so first() is deterministic.
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scored.groupBy(col("cid"))
+      .agg(first(col("cell")).as("cell"),
+        topk(col("cos"), col("nid")).as("top"))
+      .select(col("cid"), col("cell"), explode(col("top")).as("t"))
+      .select(col("cid"), col("cell"), col("t._2").as("nid"),
+        col("t._1").as("cos"))
       .materialized
   }
 

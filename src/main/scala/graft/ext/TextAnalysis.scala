@@ -86,7 +86,12 @@ object TextAnalysis {
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    // |A∪B| = |A| + |B| − |A∩B| with the SAME intersection count —
+    // value-identical to intersecting again for the denominator, at
+    // half the array_intersect evaluations (r19: the intersect is the
+    // dominant term of every exact verify; the old form also doubled
+    // AGAIN when a pushed-down `j >= t` filter inlined the expression)
+    inter / (size(a) + size(b) - inter)
   }
 
   /** Quality-score components (length / punctuation / stopword ratios) and
@@ -698,8 +703,18 @@ object TextAnalysis {
     * base-16. 15 chars keep it positive in a signed 64-bit integer in every
     * engine (Spark `conv`, DuckDB `CAST('0x…')`), which pins cross-engine
     * semantics — unlike xxhash64, whose availability is Spark-only.
+    * Since r19 the engine side runs [[graft.functions.Hash60]] — the
+    * identical md5-top-60-bits value computed digest-bytes-to-long
+    * (no hex string, no base-16 parse, reused MessageDigest);
+    * [[hash60Portable]] keeps the composed built-in form as the
+    * semantics oracle (GraftFunctionsSpec asserts bit-equality).
     */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = graft.functions.Hash60.hash60(c)
+
+  /** The composed-builtin formulation of [[hash60]] — what the DuckDB
+    * oracles replicate, kept as the cross-check for the codegen form.
+    */
+  private[graft] def hash60Portable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Context-window chunking: each document's token stream split into

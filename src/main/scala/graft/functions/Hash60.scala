@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `hash60(s)`: the first 60 bits of md5(s) as a non-negative BIGINT —
+  * bit-identical to the engine-portable formulation
+  * `conv(substring(md5(s), 1, 15), 16, 10)` (the first 15 lowercase hex
+  * chars of the digest are exactly the top 60 bits of its first 8
+  * bytes), which is what the DuckDB oracles replicate.
+  *
+  * Why a custom expression (r19): the composed built-in form pays, per
+  * value, a fresh `MessageDigest.getInstance` (commons-codec
+  * DigestUtils allocates one per call), a 32-char hex-string
+  * materialization, a substring copy, and a base-16 string parse
+  * (`Conv`). This expression digests the UTF-8 bytes straight into a
+  * long with a per-instance reused MessageDigest — same md5, zero
+  * intermediate strings. hash60 runs once per token/shingle/n-gram
+  * occurrence across the text family (simhash, DSIR, HLL, LM scores,
+  * splits), so the per-call constant is corpus-proportional at 100 TB.
+  * GraftFunctionsSpec asserts bit-equality against the composed form.
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hash60 needs string or binary, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    Hash60.digest60(Hash60.localMd.get(), bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "hash60Md",
+      v => s"""
+        try {
+          $v = java.security.MessageDigest.getInstance("MD5");
+        } catch (java.security.NoSuchAlgorithmException e) {
+          throw new RuntimeException(e);
+        }""")
+    val bytes = ctx.freshName("bytes")
+    val d = ctx.freshName("digest")
+    val toBytes = child.dataType match {
+      case StringType => ".getBytes()"
+      case BinaryType => ""
+    }
+    nullSafeCodeGen(ctx, ev, in => s"""
+      byte[] $bytes = $in$toBytes;
+      $md.reset();
+      byte[] $d = $md.digest($bytes);
+      ${ev.value} = ((((long) ($d[0] & 0xff)) << 56)
+        | (((long) ($d[1] & 0xff)) << 48)
+        | (((long) ($d[2] & 0xff)) << 40)
+        | (((long) ($d[3] & 0xff)) << 32)
+        | (((long) ($d[4] & 0xff)) << 24)
+        | (((long) ($d[5] & 0xff)) << 16)
+        | (((long) ($d[6] & 0xff)) << 8)
+        | ((long) ($d[7] & 0xff))) >>> 4;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60 =
+    copy(child = newChild)
+}
+
+object Hash60 {
+  /** Interpreted-path digest, one per thread (MessageDigest is stateful
+    * and Expression instances can be shared across task threads).
+    */
+  private[functions] val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private[functions] def digest60(md: java.security.MessageDigest,
+      bytes: Array[Byte]): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    ((((d(0) & 0xffL)) << 56)
+      | ((d(1) & 0xffL) << 48)
+      | ((d(2) & 0xffL) << 40)
+      | ((d(3) & 0xffL) << 32)
+      | ((d(4) & 0xffL) << 24)
+      | ((d(5) & 0xffL) << 16)
+      | ((d(6) & 0xffL) << 8)
+      | (d(7) & 0xffL)) >>> 4
+  }
+
+  def hash60(c: Column): Column =
+    ColumnBridge.column(Hash60(ColumnBridge.expression(c)))
+}

@@ -71,6 +71,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     edge.foreach { case (f, s) => assert(f == s) }
   }
 
+  test("hash60 is bit-identical to the composed conv/substring/md5 form") {
+    // real file source so the codegen path runs (vec_dot lesson); the
+    // portable form is what every DuckDB oracle replicates
+    val docs = graft.engine.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+      .select(explode(graft.ext.TextAnalysis.tokens($"text")).as("w"))
+    val both = docs.select(
+      graft.functions.Hash60.hash60($"w").as("fast"),
+      graft.ext.TextAnalysis.hash60Portable($"w").as("slow"))
+      .as[(Long, Long)].collect()
+    assert(both.length > 1000)
+    both.foreach { case (f, s) => assert(f == s) }
+    // interpreted path (local relation → constant-folded eval) agrees,
+    // including the empty string and multi-byte UTF-8
+    val edge = Seq("", "a", "ünïcode ☃", "x" * 5000).toDF("w")
+      .select(graft.functions.Hash60.hash60($"w").as("fast"),
+        graft.ext.TextAnalysis.hash60Portable($"w").as("slow"))
+      .as[(Long, Long)].collect()
+    edge.foreach { case (f, s) => assert(f == s) }
+    // non-negative by construction (top 60 bits)
+    both.foreach { case (f, _) => assert(f >= 0L) }
+  }
+
   test("hyperplane_sketch is bit-identical to the per-bucket composition") {
     val emb = graft.engine.Tables
       .load(spark, "/root/testdata/sf0.001", "embeddings")
