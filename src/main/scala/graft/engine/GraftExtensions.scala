@@ -14,8 +14,13 @@ import graft.functions.{FloatVecDot, HyperplaneSketch, MinHashSig, RollingWinnow
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // r20: materialize the child of every range-sort exchange so the
+    // global-sort sampling pass stops re-executing the query's final
+    // stage (see [[SortSampleCut]]).
+    ext.injectQueryStagePrepRule(SortSampleCut(_))
+  }
 }
 
 object GraftExtensions {

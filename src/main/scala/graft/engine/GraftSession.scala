@@ -41,8 +41,15 @@ object GraftSession {
     *    for small-R shuffles it removes an O(R) file-create/mmap term
     *    per map task on any filesystem.
     */
+  /** Second entry (r20): `spark.sql.extensions=GraftExtensions` —
+    * registers the engine's SQL functions AND the [[SortSampleCut]]
+    * AQE prep rule (global-sort range-sampling must not re-execute the
+    * query's final stage; see that rule's scaladoc for the evidence).
+    * Static because session extensions are fixed at session creation.
+    */
   val staticConfs: Seq[(String, String)] = Seq(
-    "spark.shuffle.sort.bypassMergeThreshold" -> "1")
+    "spark.shuffle.sort.bypassMergeThreshold" -> "1",
+    "spark.sql.extensions" -> "graft.engine.GraftExtensions")
 
   def build(
       master: String = "local[32]",

@@ -39,7 +39,10 @@ object Dedup {
     * (TextAnalysis.shinglesFromTokens).
     */
   def shingled(docs: DataFrame, n: Int): DataFrame =
-    docs
+    // r20: spread narrow (single-row-group) scans before the tokenizer
+    // — the corpus shingle stage was measured serializing on 1 task
+    // (graft.engine.Spread); no-op when the scan already parallelizes
+    graft.engine.Spread.cpuHeavy(docs)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
       // the empty-set filter tests the TOKEN count, not size(sg) > 0,
       // deliberately: the two are equivalent (shinglesFromTokens is empty
@@ -1791,11 +1794,14 @@ object Dedup {
       s"cosine threshold must be in (0, 1], got $threshold")
     require(n >= 1, s"shingle width must be >= 1, got $n")
     require(maxDf.forall(_ >= 1), s"maxDf must be >= 1: $maxDf")
+    // r20: spread narrow scans before tokenizing (see Spread.cpuHeavy)
+    val docsSpread = graft.engine.Spread.cpuHeavy(docs)
     val occurrences =
       if (n == 1)
-        docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        docsSpread
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       else
-        docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+        docsSpread.select(col("doc_id"), tokens(col("text")).as("ws"))
           // token-count form of the empty filter, for the same
           // pushdown reason as [[shingled]]
           .filter(size(col("ws")) >= n)
@@ -1913,7 +1919,10 @@ object Dedup {
     // combination table is driver-side combinatorics over block INDICES
     // (≤ C(6,3) = 20 entries) — corpus-independent, never collected data
     val combos = (0 until blocks).combinations(keep).toSeq.zipWithIndex
-    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh"))
+    // r20: the per-doc fingerprint (tokenize + hash60 per token) was
+    // measured serializing on 1 task over the single-row-group scan
+    val sh = graft.engine.Spread.cpuHeavy(docs)
+      .select(col("doc_id"), simhash(col("text")).as("sh"))
     def blockVal(j: Int) =
       shiftright(col("sh"), j * blockBits).bitwiseAND(lit(mask))
     val keyed = sh.select(col("doc_id"), col("sh"),
@@ -2162,7 +2171,8 @@ object Dedup {
     require((keep - keep / 2) * blockBits <= 63,
       s"packed key half exceeds 63 bits: keep=$keep x $blockBits")
     val combos = (0 until blocks).combinations(keep).toSeq.zipWithIndex
-    val sh = docs.select(col("doc_id"),
+    // r20: same 1-task fingerprint serialization as simhashNearDup
+    val sh = graft.engine.Spread.cpuHeavy(docs).select(col("doc_id"),
       simhash(col("text")).as("sh1"),
       graft.ext.TextAnalysis.simhashSalted(col("text"), "w2:").as("sh2"))
     def blockVal(j: Int): org.apache.spark.sql.Column = {

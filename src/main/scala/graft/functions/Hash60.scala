@@ -55,24 +55,18 @@ case class Hash60(child: Expression) extends UnaryExpression {
         } catch (java.security.NoSuchAlgorithmException e) {
           throw new RuntimeException(e);
         }""")
-    val bytes = ctx.freshName("bytes")
-    val d = ctx.freshName("digest")
     val toBytes = child.dataType match {
       case StringType => ".getBytes()"
       case BinaryType => ""
     }
+    // r20: the digest-bytes → long assembly lives in the static helper
+    // digest60 (shared with nullSafeEval). The previous inline shift-OR
+    // chain tripped a Janino cast/parenthesization parse bug
+    // (CompileException: `((long) (d[0] & 0xff)) << 56` "is not a type"),
+    // silently falling back to interpreted eval and disabling whole-stage
+    // codegen for every enclosing stage.
     nullSafeCodeGen(ctx, ev, in => s"""
-      byte[] $bytes = $in$toBytes;
-      $md.reset();
-      byte[] $d = $md.digest($bytes);
-      ${ev.value} = ((((long) ($d[0] & 0xff)) << 56)
-        | (((long) ($d[1] & 0xff)) << 48)
-        | (((long) ($d[2] & 0xff)) << 40)
-        | (((long) ($d[3] & 0xff)) << 32)
-        | (((long) ($d[4] & 0xff)) << 24)
-        | (((long) ($d[5] & 0xff)) << 16)
-        | (((long) ($d[6] & 0xff)) << 8)
-        | ((long) ($d[7] & 0xff))) >>> 4;
+      ${ev.value} = graft.functions.Hash60.digest60($md, $in$toBytes);
     """)
   }
 
@@ -88,7 +82,10 @@ object Hash60 {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  private[functions] def digest60(md: java.security.MessageDigest,
+  /** Public (not private[functions]) so the companion-class static
+    * forwarder exists for the generated Java in doGenCode to call.
+    */
+  def digest60(md: java.security.MessageDigest,
       bytes: Array[Byte]): Long = {
     md.reset()
     val d = md.digest(bytes)

@@ -246,6 +246,37 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaCodegen == local)
   }
 
+  test("hash60 compiles under whole-stage codegen with fallback disabled") {
+    // r20 regression pin: the r19 doGenCode emitted a shift-OR chain that
+    // Janino could not parse (CompileException → silent interpreted
+    // fallback). With fallback disabled and CODEGEN_ONLY, any codegen
+    // failure is a test failure instead of a WARN.
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val df = graft.engine.Tables
+        .load(spark, "/root/testdata/sf0.001", "documents")
+        .select(explode(graft.ext.TextAnalysis.tokens($"text")).as("w"))
+        .select($"w", graft.functions.Hash60.hash60($"w").as("fast"))
+      val codegenSpans = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(codegenSpans.nonEmpty)
+      val out = df.select($"fast",
+        graft.ext.TextAnalysis.hash60Portable($"w").as("slow"))
+        .as[(Long, Long)].collect()
+      assert(out.length > 100)
+      out.foreach { case (f, s) => assert(f == s) }
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     // needs a real source: projections over a LocalRelation are constant-
     // folded by ConvertToLocalRelation and never reach codegen

@@ -281,10 +281,42 @@ class PlanSpec extends AnyFunSuite {
     // (part, pack_id) aggregation's ClusteredDistribution — a second
     // corpus shuffle between window and agg would mean the partitioning
     // contract regressed
-    val plan = graft.SparkEntry.queries("x63_pack_manifest")(spark, sf)
+    // the r20 SortSampleCut adds its own hash exchange directly under
+    // the final range sort (a different, deliberate exchange); disable
+    // it here so the assertion keeps guarding the window→agg contract
+    spark.conf.set("spark.graft.sort.sampleCut", "false")
+    try {
+      val plan = graft.SparkEntry.queries("x63_pack_manifest")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(hashExchanges == 1,
+        s"expected 1 hash Exchange:\n${plan.take(2000)}")
+    } finally spark.conf.unset("spark.graft.sort.sampleCut")
+  }
+
+  test("SortSampleCut materializes the child of an aggregating range " +
+      "sort (x81 contract) and leaves join-only tails alone (x82)") {
+    // x81's tail (sum-aggregate + joins above the last shuffle) must
+    // carry the inserted hash exchange directly under the range sort,
+    // so the global-sort sampling pass re-reads a materialized shuffle
+    // instead of re-executing the verify. executedPlan here is the
+    // AQE initial plan — the inserted exchange is visible pre-execution.
+    val x81 = graft.SparkEntry.queries("x81_tfidf_cosine_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
-    val hashExchanges = "Exchange hashpartitioning".r
-      .findAllIn(plan).length
-    assert(hashExchanges == 1, s"expected 1 hash Exchange:\n${plan.take(2000)}")
+    assert(
+      "Exchange rangepartitioning[^\\n]*\\n\\s*\\+?-? ?Exchange hashpartitioning".r
+        .findFirstIn(x81).isDefined,
+      s"x81 range sort not fed by a materializing hash exchange:\n" +
+        x81.take(2000))
+    // x82's tail is a bare final-distinct merge — cutting it shuffles
+    // the full pair output to save a trivial re-merge (measured net
+    // loss), so the rule must NOT fire
+    val x82 = graft.SparkEntry.queries("x82_simhash_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "Exchange rangepartitioning[^\\n]*\\n\\s*\\+?-? ?Exchange hashpartitioning".r
+        .findFirstIn(x82).isEmpty,
+      s"x82 join-only tail unexpectedly cut:\n${x82.take(2000)}")
   }
 }
