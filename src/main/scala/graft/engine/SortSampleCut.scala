@@ -67,8 +67,10 @@ case class SortSampleCut(session: SparkSession) extends Rule[SparkPlan] {
     */
   private def worthCutting(child: SparkPlan): Boolean = {
     val nodes = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    val stops = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
     def walk(p: SparkPlan): Unit = p match {
-      case _: Exchange | _: ReusedExchangeExec | _: QueryStageExec => ()
+      case s @ (_: Exchange | _: ReusedExchangeExec | _: QueryStageExec) =>
+        stops += s
       case n =>
         nodes += n
         n.children.foreach(walk)
@@ -83,6 +85,19 @@ case class SortSampleCut(session: SparkSession) extends Rule[SparkPlan] {
       n.isInstanceOf[BaseJoinExec] || n.isInstanceOf[GenerateExec])
     window || (aggFns && joinOrGen)
   }
+
+  // NOTE (r20 calibration round 2): a runtime-STATS gate ("fire only
+  // when the segment's materialized input stages are big") was tried
+  // and is IMPOSSIBLE with a prep rule: only the initial prep pass
+  // (pre-execution, no stats) can insert the exchange — on every AQE
+  // replan the default cost evaluator counts shuffle exchanges and
+  // REJECTS a re-optimized plan whose cost rose, so a late fire is
+  // never adopted (verified empirically: with the gate, x81's final
+  // plan carried no cut even at threshold 1). The shape-only trigger's
+  // worst measured false positive is x44 (tail matches, inputs are a
+  // few hundred pruned at-rest rows): +0.35 s of driver replanning —
+  // against x81's −3 s and q23's −0.2 s. The `stops` collection is
+  // kept for the walk's boundary bookkeeping.
 
   override def apply(plan: SparkPlan): SparkPlan =
     if (session.conf.get("spark.graft.sort.sampleCut", "true") != "true") {

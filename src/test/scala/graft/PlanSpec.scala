@@ -297,26 +297,39 @@ class PlanSpec extends AnyFunSuite {
 
   test("SortSampleCut materializes the child of an aggregating range " +
       "sort (x81 contract) and leaves join-only tails alone (x82)") {
-    // x81's tail (sum-aggregate + joins above the last shuffle) must
-    // carry the inserted hash exchange directly under the range sort,
-    // so the global-sort sampling pass re-reads a materialized shuffle
-    // instead of re-executing the verify. executedPlan here is the
-    // AQE initial plan — the inserted exchange is visible pre-execution.
-    val x81 = graft.SparkEntry.queries("x81_tfidf_cosine_pairs")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(
-      "Exchange rangepartitioning[^\\n]*\\n\\s*\\+?-? ?Exchange hashpartitioning".r
-        .findFirstIn(x81).isDefined,
+    // execute, then read the final adaptive plan — the cut must both
+    // fire at initial prep AND survive every AQE replan's cost check
+    def finalPlan(name: String): String = {
+      val qe = graft.SparkEntry.queries(name)(spark, sf).queryExecution
+      qe.toRdd.count() // bench's timed action — executes THIS execution
+      qe.executedPlan.toString
+    }
+    // is the range-sort exchange fed (through AQE stage wrappers) by a
+    // hash exchange? — the inserted cut's exact final-plan signature;
+    // a plain text window would false-positive on unrelated exchanges
+    // deeper in the tail (x82's own distinct exchange)
+    def rangeFedByHash(plan: String): Boolean = {
+      val lines = plan.linesIterator.toVector
+      val i = lines.indexWhere(_.contains("Exchange rangepartitioning"))
+      i >= 0 && lines.drop(i + 1)
+        .map(_.replaceAll("^[\\s:+|-]*", "").replaceAll("^\\*(\\(\\d+\\))? ", ""))
+        .find(l => !l.startsWith("AQEShuffleRead") &&
+          !l.startsWith("ShuffleQueryStage"))
+        .exists(_.startsWith("Exchange hashpartitioning"))
+    }
+    // x81's tail (sum-aggregate + joins over a ~100k-row candidates
+    // stage) must carry the inserted hash exchange directly under the
+    // range sort, so the global-sort sampling pass re-reads a
+    // materialized shuffle instead of re-executing the verify
+    val x81 = finalPlan("x81_tfidf_cosine_pairs")
+    assert(rangeFedByHash(x81),
       s"x81 range sort not fed by a materializing hash exchange:\n" +
         x81.take(2000))
     // x82's tail is a bare final-distinct merge — cutting it shuffles
     // the full pair output to save a trivial re-merge (measured net
     // loss), so the rule must NOT fire
-    val x82 = graft.SparkEntry.queries("x82_simhash_neardup")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(
-      "Exchange rangepartitioning[^\\n]*\\n\\s*\\+?-? ?Exchange hashpartitioning".r
-        .findFirstIn(x82).isEmpty,
+    val x82 = finalPlan("x82_simhash_neardup")
+    assert(!rangeFedByHash(x82),
       s"x82 join-only tail unexpectedly cut:\n${x82.take(2000)}")
   }
 }
