@@ -1021,19 +1021,26 @@ object Dedup {
     // job and must not silently alias a possibly-stale JVM memo
     val sg = shingled(docs, n).materialized
     val pairs = jaccardPairsFromShingled(sg, threshold).materialized
-    pairs.write.mode("overwrite").parquet(s"$path/pairs")
-    // the base's hashed PREFIX index rides at rest next to the pairs:
-    // future incremental extensions probe the batch against these rows
-    // instead of re-tokenizing + re-shingling the whole base corpus
-    // (the O(base) pass the first extendDedupIndex draft paid per batch)
-    prefixIndexRows(sg, threshold)
-      .write.mode("overwrite").parquet(s"$path/prefix")
-    val p = pairs.select(col("da"), col("db"))
-    val edges = p.toDF("src", "dst")
-      .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-      .materialized
-    ccMinLabelLoop(edges, maxIters)._1
-      .write.mode("overwrite").parquet(s"$path/clusters")
+    // r20 (guide §2.6): the pair write, the prefix-index write (the
+    // base's hashed PREFIX rides at rest next to the pairs so future
+    // incremental extensions probe the batch against it instead of
+    // re-shingling the whole base), and the CC fixpoint chain are
+    // mutually independent once `pairs` is materialized — run them
+    // overlapped instead of serially idling the cluster between
+    // actions. Crash-safe: the whole body runs in the caller's
+    // stampless window, any failure → rebuild on next entry.
+    graft.engine.Par.all(
+      () => pairs.write.mode("overwrite").parquet(s"$path/pairs"),
+      () => prefixIndexRows(sg, threshold)
+        .write.mode("overwrite").parquet(s"$path/prefix"),
+      () => {
+        val p = pairs.select(col("da"), col("db"))
+        val edges = p.toDF("src", "dst")
+          .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+          .materialized
+        ccMinLabelLoop(edges, maxIters)._1
+          .write.mode("overwrite").parquet(s"$path/clusters")
+      })
   }
 
   /** The PPJoin-style PREFIX rows of a shingled relation, with 64-bit
@@ -1178,28 +1185,44 @@ object Dedup {
       extendFrom = s =>
         if (s == dedupStamp(baseDocs, n, threshold, maxIters))
           Some((unionStamp, () => {
-            // materialized BEFORE the overwrite below deletes the files
-            // they were read from
-            val basePairs = readDedupPairs(spark, path).materialized
             val sgBatch = shingled(newDocs, n).materialized
             val batchPrefix = prefixIndexRows(sgBatch, threshold)
-            val pairs = basePairs
-              .unionByName(newDocPairs(baseDocs,
-                spark.read.parquet(s"$path/prefix"), sgBatch, batchPrefix,
-                n, threshold))
-              .materialized
-            pairs.write.mode("overwrite").parquet(s"$path/pairs")
-            // roll the at-rest prefix index forward too (append — the
-            // batch rows only), so the NEXT extension probes base∪batch
-            // without any rebuild; computed purely from sgBatch, never
-            // reading the files it appends to
-            batchPrefix.write.mode("append").parquet(s"$path/prefix")
-            val p = pairs.select(col("da"), col("db"))
-            val edges = p.toDF("src", "dst")
-              .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-              .materialized
-            ccMinLabelLoop(edges, maxIters)._1
-              .write.mode("overwrite").parquet(s"$path/clusters")
+            // the NEW pairs only, materialized BEFORE any append so the
+            // at-rest prefix probe inside cannot see batch rows
+            val newPairs = newDocPairs(baseDocs,
+              spark.read.parquet(s"$path/prefix"), sgBatch, batchPrefix,
+              n, threshold).materialized
+            // base pairs snapshotted (materialized) BEFORE the appends
+            // start — a lazy read racing a concurrent append could list
+            // half-committed new files
+            val basePairs = readDedupPairs(spark, path).materialized
+            // r20: the pair relation is APPENDED, not union-overwritten
+            // — an extension now writes O(batch pairs) bytes where it
+            // rewrote the whole accumulated relation before (at 100 TB
+            // the base relation dwarfs every batch; the old shape made
+            // extension cost grow with corpus age). Crash mid-append
+            // leaves a stampless dir → full rebuild on next entry,
+            // same discipline as before. The three actions below are
+            // mutually independent → overlapped (guide §2.6):
+            // - append the new pairs,
+            // - roll the at-rest prefix index forward (batch rows only,
+            //   computed purely from sgBatch, never reading the files
+            //   it appends to),
+            // - run the CC fixpoint over base ∪ new (in-memory
+            //   snapshots) and overwrite the cluster labels.
+            graft.engine.Par.all(
+              () => newPairs.write.mode("append").parquet(s"$path/pairs"),
+              () => batchPrefix.write.mode("append")
+                .parquet(s"$path/prefix"),
+              () => {
+                val p = basePairs.unionByName(newPairs)
+                  .select(col("da"), col("db"))
+                val edges = p.toDF("src", "dst")
+                  .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+                  .materialized
+                ccMinLabelLoop(edges, maxIters)._1
+                  .write.mode("overwrite").parquet(s"$path/clusters")
+              })
           }))
         else None) {
       graft.engine.AtRest.ensureStamped(spark, path, DedupMeta,
@@ -1296,15 +1319,20 @@ object Dedup {
     val (numHashes, bands) = params.getOrElse(lshIndexParams(docs, n))
     val sg = shingled(docs, n).materialized
     val keys = bandedKeys(sg, numHashes, bands).materialized
-    keys.write.mode("overwrite").parquet(s"$path/bands")
     val pairs = lshPairsFromBanded(sg, keys, threshold).materialized
-    pairs.write.mode("overwrite").parquet(s"$path/pairs")
-    val p = pairs.select(col("da"), col("db"))
-    val edges = p.toDF("src", "dst")
-      .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-      .materialized
-    ccMinLabelLoop(edges, maxIters)._1
-      .write.mode("overwrite").parquet(s"$path/clusters")
+    // r20 (guide §2.6): key write, pair write, and the CC chain are
+    // independent once both relations are materialized — overlapped
+    graft.engine.Par.all(
+      () => keys.write.mode("overwrite").parquet(s"$path/bands"),
+      () => pairs.write.mode("overwrite").parquet(s"$path/pairs"),
+      () => {
+        val p = pairs.select(col("da"), col("db"))
+        val edges = p.toDF("src", "dst")
+          .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+          .materialized
+        ccMinLabelLoop(edges, maxIters)._1
+          .write.mode("overwrite").parquet(s"$path/clusters")
+      })
   }
 
   /** [[writeDedupIndexLsh]] behind the stamped build-or-reuse seam —
@@ -1368,7 +1396,6 @@ object Dedup {
             s == dedupLshStamp(baseDocs, n, threshold, maxIters,
               unionParams))
           Some((unionStamp, () => {
-            val basePairs = readDedupPairs(spark, path).materialized
             val sgBatch = shingled(newDocs, n).materialized
             val batchKeys = bandedKeys(sgBatch, unionParams._1,
               unionParams._2).materialized
@@ -1401,16 +1428,24 @@ object Dedup {
               .filter(col("j") >= threshold)
               .select(least(col("na"), col("nb")).as("da"),
                 greatest(col("na"), col("nb")).as("db"), col("j"))
-            val pairs = basePairs.unionByName(internal.unionByName(cross))
-              .materialized
-            pairs.write.mode("overwrite").parquet(s"$path/pairs")
-            batchKeys.write.mode("append").parquet(s"$path/bands")
-            val p = pairs.select(col("da"), col("db"))
-            val edges = p.toDF("src", "dst")
-              .union(p.select(col("db"), col("da")).toDF("src", "dst"))
-              .materialized
-            ccMinLabelLoop(edges, maxIters)._1
-              .write.mode("overwrite").parquet(s"$path/clusters")
+            // r20: append-only pair extension + overlapped actions —
+            // same shape and crash argument as [[extendDedupIndex]]
+            // (new pairs materialized before any append; base pairs
+            // snapshotted before the appends start)
+            val newPairs = internal.unionByName(cross).materialized
+            val basePairs = readDedupPairs(spark, path).materialized
+            graft.engine.Par.all(
+              () => newPairs.write.mode("append").parquet(s"$path/pairs"),
+              () => batchKeys.write.mode("append").parquet(s"$path/bands"),
+              () => {
+                val p = basePairs.unionByName(newPairs)
+                  .select(col("da"), col("db"))
+                val edges = p.toDF("src", "dst")
+                  .union(p.select(col("db"), col("da")).toDF("src", "dst"))
+                  .materialized
+                ccMinLabelLoop(edges, maxIters)._1
+                  .write.mode("overwrite").parquet(s"$path/clusters")
+              })
           }))
         else None
       }) {

@@ -59,7 +59,10 @@ object PipelineMain {
     // the composite at sf0.1
     val docs =
       if (scrubText)
-        raw.withColumn("text", TextAnalysis.scrub(col("text"))).materialized
+        // r20: the five-level scrub regex chain is scan-stage CPU —
+        // spread the narrow scan before it (graft.engine.Spread)
+        graft.engine.Spread.cpuHeavy(raw)
+          .withColumn("text", TextAnalysis.scrub(col("text"))).materialized
       else raw
     // with the semantic-dedup stage on, the export lineage (scrub +
     // quality metrics + window dedup) is referenced from BOTH the shard

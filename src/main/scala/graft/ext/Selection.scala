@@ -498,8 +498,11 @@ object Selection {
     * collapse map-side); the windows partition by source — the shuffle
     * a per-source pipeline already pays, never a global sort.
     */
-  def qualityEnsemble(docs: DataFrame): DataFrame = {
+  def qualityEnsemble(docs0: DataFrame): DataFrame = {
     import graft.ext.TextAnalysis
+    // r20: all three signal passes are scan-stage text CPU — spread the
+    // narrow scan once, before any of them (graft.engine.Spread)
+    val docs = graft.engine.Spread.cpuHeavy(docs0)
     val q = docs.select(col("doc_id"), col("source"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
     val r = TextAnalysis.readability(docs)

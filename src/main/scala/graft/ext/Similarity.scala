@@ -1073,19 +1073,23 @@ object Similarity {
             .getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode",
             "dynamic")
-          try
-            knnEdges(members, k).write.mode("overwrite")
-              .partitionBy("cell").parquet(s"$path/edges")
+          // r20 (guide §2.6): the touched-cell edge overwrite and the
+          // cell append are independent (different subdirs, both read
+          // only materialized inputs; append ignores the overwrite-mode
+          // conf) — overlapped. The conf window wraps both branches.
+          try graft.engine.Par.all(
+            () => knnEdges(members, k).write.mode("overwrite")
+              .partitionBy("cell").parquet(s"$path/edges"),
+            () => assignedBatch
+              .select(col("cid"), col("ce").as("embedding"), col("cell"))
+              .write.mode("append").partitionBy("cell")
+              .parquet(s"$path/cells"))
           finally prev match {
             case Some(v) => spark.conf
               .set("spark.sql.sources.partitionOverwriteMode", v)
             case None => spark.conf
               .unset("spark.sql.sources.partitionOverwriteMode")
           }
-          assignedBatch
-            .select(col("cid"), col("ce").as("embedding"), col("cell"))
-            .write.mode("append").partitionBy("cell")
-            .parquet(s"$path/cells")
             }))
         else None) {
       ensureKnnIndex(union, path, k, perCell, profile = profile)

@@ -477,8 +477,10 @@ object TextAnalysis {
     * syllable transform is a Java∩RE2 regex so the oracle replicates it
     * with list_transform byte-for-byte.
     */
-  def readability(docs: DataFrame): DataFrame = {
+  def readability(docs0: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
+    // r20: per-doc regex + syllable fold is scan-stage CPU — spread
+    val docs = graft.engine.Spread.cpuHeavy(docs0)
     val ws = tokens(col("text"))
     val nw = size(ws).cast(DoubleType)
     val ns = greatest(lit(1),
@@ -514,9 +516,12 @@ object TextAnalysis {
     * exact integers. Empty/null text pins to entropy 0 with the
     * documented `low = true` (degenerate docs ARE low-entropy).
     */
-  def charEntropyPerDoc(docs: DataFrame,
+  def charEntropyPerDoc(docs0: DataFrame,
       lowThreshold: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // r20: the per-character explode (~|text| rows per doc) runs in the
+    // scan stage — spread narrow scans first (graft.engine.Spread)
+    val docs = graft.engine.Spread.cpuHeavy(docs0)
     val nonEmpty = docs
       .filter(coalesce(length(col("text")), lit(0)) > 0)
       .select(col("doc_id"), col("source"),
